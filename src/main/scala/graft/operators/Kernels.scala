@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Operator-kernel layer: the small set of helpers where the reference's
+  * dask/pandas semantics differ from Spark defaults (SURVEY.md §7.1 item 3),
+  * plus the engine's deterministic-aggregation convention.
+  *
+  * == Deterministic aggregation (`dsum`/`davg`) ==
+  * Spark and the DuckDB oracle sum partitions in different orders; IEEE
+  * double addition is not associative, so a plain `sum(double)` can differ
+  * in the last bits between engines and break hash comparison. Every money
+  * column in the fixtures is an exact 2-decimal value, so per-row
+  * expressions (products of ≤3 such factors) have ≤6 decimal digits and
+  * cast losslessly to `DECIMAL(25,6)`. Decimal summation is exact and
+  * order-independent → both engines produce bit-identical results; the
+  * final cast back to double keeps the public schema simple. At 100 TB the
+  * same property is what makes partial (map-side) aggregation safe to
+  * re-order freely.
+  */
+object Kernels {
+
+  /** Fixed-point carrier for exact, order-independent summation. */
+  val ExactDec: DecimalType = DecimalType(25, 6)
+
+  /** Order-independent sum of a double expression (see class doc). */
+  def dsum(e: Column): Column = sum(e.cast(ExactDec)).cast(DoubleType)
+
+  /** Order-independent mean: exact sum / count — division of identical
+    * operands is deterministic across engines.
+    */
+  def davg(e: Column): Column = dsum(e) / count(e)
+
+  /** SQL fragment equivalents of dsum/davg for the DuckDB oracle. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE)"
+  def davgSql(expr: String): String =
+    s"(${dsumSql(expr)} / COUNT($expr))"
+
+  /** 0/1 indicator column — the reference builds these with
+    * `Series.where` (`/root/reference/benchmark/tpch/queries.py:526-531`
+    * Q12, `:546-547` Q13, `:660-668` Q19); in Spark it is CASE WHEN,
+    * which stays inside whole-stage codegen.
+    */
+  def indicator(cond: Column): Column = when(cond, lit(1)).otherwise(lit(0))
+
+  /** Distributed top-k by sort keys — the reference's `nlargest(n)`
+    * (`queries.py:220` Q3 n=10, `:488` Q10 n=20). Spark plans
+    * `orderBy(...).limit(n)` as `TakeOrderedAndProject`: per-partition
+    * heaps + driver merge of k rows, never a full sort/shuffle — exactly
+    * the scale-safe shape. Callers must pass a tie-breaking key so the
+    * k-th row is deterministic.
+    */
+  def topK(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(n)
+
+  /** Grouped argmax (A5 in SURVEY §2.6): rows attaining the per-group
+    * extremum of `value`. The reference expresses this as agg + equi-join
+    * back (`queries.py:125-134` Q2 min supplycost, `:576-577` Q15 max
+    * revenue). A window `max().over(partitionBy)` avoids the self-join:
+    * one shuffle on the group keys instead of two joins.
+    */
+  def groupedArgmax(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__grp_max", max(value).over(w))
+      .filter(value === col("__grp_max"))
+      .drop("__grp_max")
+  }
+
+  /** Equi-join with pandas-style collision suffixes (J7 in SURVEY §2.5):
+    * dask `merge` auto-suffixes colliding columns (`queries.py:134`
+    * filters on `ps_supplycost_y`; `suffixes=` at `:235,401,508`). Spark
+    * has no auto-suffix, so we rename right-side collisions
+    * deterministically before joining.
+    */
+  def joinSuffixed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      joinType: String = "inner",
+      rightSuffix: String = "_right"): DataFrame = {
+    val collisions = right.columns.toSet
+      .intersect(left.columns.toSet) -- rightKeys.toSet
+    val renamed = collisions.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, c + rightSuffix))
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === renamed(r) }
+      .reduce(_ && _)
+    left.join(renamed, cond, joinType)
+  }
+}
