@@ -18,14 +18,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Tpch.q1(Ctx(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-pipeline extension surface.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Tpch.queries.map { case (name, fn) =>
+    (Tpch.queries ++ graft.queries.Extensions.queries).map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Ctx(s, dir)))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops (the
+    * driver records a rows-only check for those).
     */
-  def oracleSql: Map[String, String] = Tpch.oracles
+  def oracleSql: Map[String, String] =
+    Tpch.oracles ++ graft.queries.Extensions.oracles
 }

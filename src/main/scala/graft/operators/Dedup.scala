@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Kernels.dsum
+
+/** Deduplication operators over a `(doc_id, text)` corpus — the
+  * LLM-training-pipeline extension surface (builder brief). Exact and
+  * fingerprint dedup are pure hash-aggregations (one shuffle on the
+  * hash, no pairwise work — the only shape that survives 100 TB).
+  * Near-dup detection comes in two flavours: an all-pairs
+  * set-similarity join (correctness baseline, quadratic in bucket
+  * size) and the scale path — MinHash+LSH banding and SimHash banding,
+  * where candidate generation is a shuffle on band keys and only
+  * bucket-mates are compared.
+  */
+object Dedup {
+
+  /** Exact dedup: survivors = min doc_id per identical text. A single
+    * hash aggregation; at scale, group on `md5(text)` instead of the
+    * full text to keep shuffle rows narrow (here the oracle needs the
+    * text grouping, semantics identical as md5 collisions are
+    * negligible).
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val exactSql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** Normalized-fingerprint dedup: canonicalize (lowercase, collapse
+    * whitespace) then md5 — catches whitespace/case-variant
+    * duplicates. md5 matches across engines → oracle-checkable.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("fp", "doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** Distinct (doc_id, word) pairs — shared by the similarity ops. */
+  private def docWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .distinct()
+
+  /** All-pairs word-set Jaccard, reported as a histogram of pair
+    * similarity (20 buckets). This is the exact baseline for near-dup
+    * detection: token-sorted inverted index self-join → common-token
+    * counts → |A∩B| / |A∪B|. Quadratic in posting-list length — kept
+    * as the oracle-checkable ground truth; the 100 TB path is
+    * [[minHashLsh]], whose candidates approximate exactly this measure.
+    * Integer counts divide to bit-identical doubles across engines, so
+    * the bucket histogram is deterministic.
+    */
+  def jaccardHistogram(docs: DataFrame): DataFrame = {
+    val words = docWords(docs)
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = words.as("a")
+      .join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("common") / (col("n1") + col("n2") - col("common")))
+      .groupBy(floor(col("jaccard") * 20).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  val jaccardHistogramSql: String =
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents) t WHERE w <> ''),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+      |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(FLOOR(CAST(common AS DOUBLE) / (s1.n + s2.n - common) * 20)
+      |         AS BIGINT) AS bucket,
+      |       COUNT(*) AS n_pairs
+      |FROM pairs
+      |JOIN sizes s1 ON d1 = s1.doc_id
+      |JOIN sizes s2 ON d2 = s2.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Word 3-gram shingles per document. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(size(ws) - 3, 0)),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))""".stripMargin))
+        .as("sh"))
+      .distinct()
+
+  /** MinHash + LSH banding near-dup candidates — the scale path.
+    * k=64 minhashes per doc (one pass over exploded shingles, 64
+    * `min(xxhash64(seed, shingle))` aggregates — a single shuffle);
+    * signatures banded 16×4 and exploded to (band, bandHash) keys; a
+    * self-join per bucket yields candidates (threshold ≈ (1/16)^(1/4)
+    * ≈ 0.5); estimated similarity = matching signature fraction.
+    * At 100 TB: candidate generation shuffles only (doc, band) rows —
+    * never all pairs. xxhash64 is Spark-specific → rows-only check (no
+    * DuckDB oracle), covered by unit test instead.
+    */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      minEstSim: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs)
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))))
+    val sigs = sh.groupBy("doc_id").agg(array(sigCols: _*).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+    cands
+      .withColumn("est_sim", expr(
+        s"""aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)),
+           |          0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)""".stripMargin))
+      .filter(col("est_sim") >= minEstSim)
+      .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+  }
+
+  /** 64-bit SimHash per document (term-frequency weighted), plus
+    * banded near-dup candidate pairs at Hamming distance ≤ 3.
+    * Banding: 4×16-bit chunks — any pair within distance 3 must share
+    * a chunk (pigeonhole), so candidate generation is again a shuffle
+    * on (chunk index, chunk value), never all pairs.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j"))
+    val withBits = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashes = withBits.select(col("doc_id"), simhash.as("simhash"))
+    val banded = hashes.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> (shiftright(simhash, k*16) & 65535))")))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** Per-document SimHash values (for tests / downstream use). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j"))
+    val withBits = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withBits.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Kernels.{davg, dsum}
+
+/** Batch time-series operators over the `events` fixture table —
+  * tumbling windows, sessionization, JSON field extraction, ranked
+  * windows. The reference has no streaming/windowing surface (SURVEY
+  * §2.10); these are the batch window-on-timestamp capabilities the
+  * brief adds, and [[graft.streaming.EventStream]] mirrors the
+  * tumbling aggregate on Structured Streaming.
+  *
+  * Timestamps are normalized to epoch microseconds (`unix_micros`)
+  * wherever arithmetic/ordering feeds results, so integer math keeps
+  * everything bit-deterministic against the oracle (the fixture's ns
+  * timestamps truncate identically).
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windows per event type: count / exact sum / mean.
+    * Pure hash aggregation — one shuffle on (hour, type) regardless of
+    * scale; this is also what the streaming variant incrementalizes.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("hour", "event_type")
+
+  val tumblingHourlySql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+       |  COUNT(*) AS n,
+       |  ${Kernels.dsumSql("value")} AS sum_value,
+       |  ${Kernels.davgSql("value")} AS avg_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sessionization (gaps-and-islands): a session breaks after
+    * `gapSeconds` of user inactivity. lag + cumulative sum over a
+    * per-user window — one shuffle on user_id; session stats then
+    * aggregate per (user, session). Per-user output:
+    * sessions/events/avg events-per-session/max session span (µs).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val gapMicros = gapSeconds * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("eus"))
+      .withColumn("prev_eus", lag("eus", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_eus").isNull ||
+          col("eus") - col("prev_eus") > gapMicros, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("eus") - min("eus")).as("span_us"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        (sum("n_events") / count(lit(1))).as("avg_events_per_session"),
+        max("span_us").as("max_session_us"))
+      .orderBy("user_id")
+  }
+
+  def sessionizeSql(gapSeconds: Long = 1800): String = {
+    val gapMicros = gapSeconds * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS eus FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, eus,
+       |    CASE WHEN lag(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id)
+       |              IS NULL
+       |           OR eus - lag(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id)
+       |              > $gapMicros
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sessioned AS (
+       |  SELECT user_id, eus,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |    MAX(eus) - MIN(eus) AS span_us
+       |  FROM sessioned GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+       |  MAX(span_us) AS max_session_us
+       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** JSON-ish property extraction (`props` carries `{"k": <int>}`):
+    * regex-based field pull (portable across engines; at scale prefer
+    * `get_json_object`/`from_json` with a schema), aggregated per
+    * event type.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        (sum("k") / count("k")).as("avg_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Ranked windows: top-3 revenue days per event type —
+    * `row_number` over a per-type window on exact daily sums.
+    */
+  def topDays(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("day_value"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("day_value").desc, col("day"))
+    daily.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("event_type", "rk")
+  }
+
+  def topDaysSql(k: Int = 3): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    ${Kernels.dsumSql("value")} AS day_value
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT event_type, day, day_value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY day_value DESC, day) AS rk
+       |  FROM daily)
+       |SELECT event_type, day, day_value, rk FROM ranked WHERE rk <= $k
+       |ORDER BY event_type, rk""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`)
+  * — training-pipeline extension (builder brief). Two tiers:
+  *
+  *  - [[cosineTopK]]: exact brute-force top-k — the correctness
+  *    baseline, a broadcast-join of the (small) query set against the
+  *    full corpus; one pass, no shuffle of the corpus.
+  *  - [[annLshTopK]]: random-hyperplane LSH bucketing — the 100 TB
+  *    path: corpus is bucketed once by sign-pattern code (shuffle on
+  *    bucket key), queries probe only their own bucket.
+  *
+  * Dot products fold per-element products (deterministic order) through
+  * an exact DECIMAL accumulator, so cosine values are bit-identical to
+  * the DuckDB oracle's per-dimension-summed equivalent — same rationale
+  * as [[Kernels.dsum]].
+  */
+object Similarity {
+
+  /** Exact decimal dot product of two float vectors, returned as
+    * double. The per-element double products are IEEE-deterministic;
+    * decimal accumulation makes the reduction order irrelevant.
+    */
+  private val dotExpr: String =
+    """CAST(aggregate(
+      |  zip_with(q_emb, c_emb,
+      |    (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,18))),
+      |  CAST(0 AS DECIMAL(38,18)),
+      |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin
+
+  private val normExpr: String =
+    """sqrt(CAST(aggregate(
+      |  transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,18))),
+      |  CAST(0 AS DECIMAL(38,18)),
+      |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin
+
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("nrm", expr(normExpr))
+
+  /** Brute-force cosine top-k: for each query vector (`vec_id` in
+    * `queryIds`... here: vec_id < numQueries), the k nearest corpus
+    * vectors by cosine similarity. The query side is tiny → broadcast;
+    * the corpus streams through in one pass; ranking is a window
+    * partitioned by query (shuffle of |Q|·|C| scored pairs — at real
+    * scale cap |Q| per job or use [[annLshTopK]]).
+    */
+  def cosineTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val withN = withNorm(embeddings)
+    val queries = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = withN.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // rounded to 6 decimals: decimal→double casts can differ by 1 ulp
+    // between engines at 19 significant digits; ranking on the rounded
+    // value keeps row_number deterministic cross-engine too
+    val scored = broadcast(queries)
+      .join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[cosineTopK]] (dims=64 fixture vectors):
+    * identical decimal-exact dot products via per-dimension expansion.
+    */
+  def cosineTopKSql(numQueries: Int = 10, k: Int = 5, dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |cosd AS (
+       |  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+       |  FROM cosd)
+       |SELECT qid, cid, cosine, rk FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+
+  /** ANN via random-hyperplane LSH: `numPlanes` pseudo-random
+    * hyperplanes (components derived deterministically from
+    * xxhash64(plane, dim) — no RNG state, reproducible on any
+    * cluster), each vector coded by its sign pattern; queries probe
+    * only their own bucket. Recall < 1 by construction — pair with
+    * multi-probe or band-OR for production recall targets; engine-side
+    * the point is the shuffle shape: corpus bucketed once, probes are
+    * a per-bucket join.
+    */
+  def annLshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      numPlanes: Int = 8): DataFrame = {
+    // code bit p = sign(sum_i emb[i] * proj(p, i)); proj in [-0.5, 0.5)
+    val codeExpr = (0 until numPlanes).map { p =>
+      s"""(CASE WHEN aggregate(
+         |  zip_with(embedding, sequence(0, size(embedding) - 1),
+         |    (x, i) -> CAST(x AS DOUBLE) * ((CAST(xxhash64($p, i) % 1000 AS DOUBLE) / 1000.0))),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val coded = withNorm(embeddings).withColumn("bucket", expr(codeExpr))
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val corpus = coded.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("bucket"))
+    val scored = broadcast(queries)
+      .join(corpus, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "bucket", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Per-label centroids of the embedding column — the IVF coarse
+    * quantizer building block (and a typical training-data analysis:
+    * class prototypes). Element-wise mean via posexplode + exact
+    * decimal sums → deterministic.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(Kernels.dsum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean", col("s") / col("n"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("label"),
+        expr("transform(pm, x -> x.mean)").as("centroid"))
+      .orderBy("label")
+}

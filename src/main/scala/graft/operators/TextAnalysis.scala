@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Kernels.{davgSql, dsumSql}
+
+/** Document-corpus analysis operators (training-pipeline extension):
+  * per-language stats, regex token counting, per-document quality
+  * scoring, stopword-based language ID. All built-in expression
+  * compositions (codegen'd, no UDFs); every ratio is an int/int
+  * division → bit-deterministic against the oracle.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus stats over whitespace tokens. */
+  def stats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("n_chars") / count(lit(1))).as("avg_chars"),
+        (sum("n_tokens") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  val statsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM (SELECT lang, n_chars,
+      |        CASE WHEN length(trim(text)) = 0 THEN 0
+      |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+      |          AS n_tokens
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Regex (BPE-ish pre-tokenizer) token counts per source. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", TextFunctions.regexTokenCount(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (sum("n_tokens") / count(lit(1))).as("avg_tokens"))
+      .orderBy("source")
+
+  val tokenCountsSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  SUM(n_tokens) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM (SELECT source,
+       |        len(regexp_extract_all(text, '${TextFunctions.tokenPattern}'))
+       |          AS n_tokens
+       |      FROM documents) t
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-document quality score: length saturation + type-token ratio
+    * + stopword penalty — the standard cheap quality heuristics.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("w")).as("n_uniq"),
+        sum(Kernels.indicator(col("w").isin("a", "the"))).as("n_stop"))
+    docs.join(toks, "doc_id")
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tok"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("quality",
+        least(col("n_chars").cast("double") / 500, lit(1.0)) * 0.4 +
+          col("ttr") * 0.4 + (lit(1) - col("stop_ratio")) * 0.2)
+      .select("doc_id", "n_tok", "ttr", "stop_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT w) AS n_uniq,
+      |    SUM(CASE WHEN w IN ('a','the') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM (SELECT doc_id,
+      |          UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents) t
+      |  WHERE w <> '' GROUP BY doc_id)
+      |SELECT d.doc_id, n_tok,
+      |  CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+      |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+      |  LEAST(CAST(n_chars AS DOUBLE) / 500, 1.0) * 0.4
+      |    + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.4
+      |    + (1 - CAST(n_stop AS DOUBLE) / n_tok) * 0.2 AS quality
+      |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Stopword-hit language ID: count stopword matches per candidate
+    * language, predict the argmax (ties → lexicographically first;
+    * all-zero → 'und'), reported as a (actual, predicted) confusion
+    * table.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scoreAggs = TextFunctions.stopwords.toSeq.sortBy(_._1).map {
+      case (l, ws) =>
+        sum(Kernels.indicator(col("w").isin(ws: _*))).as(s"score_$l")
+    }
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("doc_id", "lang")
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val langs = TextFunctions.stopwords.keys.toSeq.sorted
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val predicted = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") > 0 && col(s"score_$l") === best, lit(l))
+        .otherwise(acc)
+    }
+    // foldRight gives earlier (lexicographic) languages precedence on ties
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val langIdSql: String = {
+    val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"SUM(CASE WHEN w IN ($in) THEN 1 ELSE 0 END) AS score_$l"
+    }.mkString(",\n    ")
+    val bestExpr = langs.map { case (l, _) => s"score_$l" }
+      .reduceRight((a, b) => s"GREATEST($a, $b)")
+    val caseArms = langs.map { case (l, _) =>
+      s"WHEN score_$l > 0 AND score_$l = best THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, lang,
+       |          UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents) t
+       |  GROUP BY doc_id, lang),
+       |withbest AS (
+       |  SELECT *, $bestExpr AS best FROM scored),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE $caseArms
+       |    ELSE 'und' END AS predicted
+       |  FROM withbest)
+       |SELECT lang, predicted, COUNT(*) AS n FROM pred
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+}

@@ -18,7 +18,21 @@ final case class Ctx(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def nation: DataFrame = t("nation")
   def region: DataFrame = t("region")
-  def events: DataFrame = t("events")
+  /** events.ts is TIMESTAMP(NANOS) parquet; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it reads as long nanos —
+    * normalize to a microsecond timestamp (floor, matching DuckDB's
+    * ns→µs truncation).
+    */
+  def events: DataFrame = {
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
