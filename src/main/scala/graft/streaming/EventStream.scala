@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference has NO streaming query
+  * engine (SURVEY §2.10 — its pub/sub/queues are engine plumbing, not
+  * data-plane operators); this module adds the streaming capabilities
+  * a training-data pipeline needs, as incremental versions of the
+  * batch operators in [[graft.operators.EventOps]]:
+  *
+  *  - tumbling event-time window aggregation with a watermark
+  *    (late-data bound) — the streaming twin of
+  *    `EventOps.tumblingHourly`;
+  *  - stateful sessionization via `flatMapGroupsWithState` — the
+  *    streaming twin of `EventOps.sessionize`.
+  *
+  * At scale this is the standard Spark story: state lives in the state
+  * store keyed by group, partitioned by the shuffle; nothing here is
+  * driver-side.
+  */
+object EventStream {
+
+  /** events fixture schema, ts as long nanos (see Ctx.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour event-time windows per event type with a
+    * 10-minute watermark.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a streaming aggregate to a named memory sink until the input
+    * is exhausted (batch-driving a stream for tests/demos).
+    */
+  def runToMemory(agg: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  final case class SessionEvent(user_id: Long, eus: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, span_us: Long)
+
+  /** Stateful sessionization: per-user state carries the open
+    * session; a gap > `gapMicros` (or timeout in a live stream)
+    * closes it. Mirrors `EventOps.sessionize` semantics for ordered
+    * per-user input.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMicros: Long = 1800L * 1000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("eus"))
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) => {
+          val sorted = rows.map(_.eus).toSeq.sorted
+          var out = List.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (t <- sorted) {
+            if (st == null) st = SessionState(t, t, 1)
+            else if (t - st.last > gapMicros) {
+              out = SessionOut(user, st.n, st.last - st.start) :: out
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.reverseIterator
+        })
+      .toDF()
+  }
+}

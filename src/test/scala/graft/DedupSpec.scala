@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "The  quick  BROWN fox jumps over the lazy dog"), // case/ws variant
+    (3L, "a completely different document about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat") // near-dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) == 2) // docs 0 and 1 collapse
+    assert(!out.contains(1L))
+    assert(out(2L) == 1) // whitespace variant NOT caught by exact
+  }
+
+  test("fingerprint dedup catches case/whitespace variants") {
+    val out = Dedup.fingerprint(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == 3) // 0, 1 and the normalized variant 2 collapse
+    assert(!out.contains(2L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val pairs = Dedup.minHashLsh(docs, minEstSim = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → all bands collide
+    assert(pairs.contains((0L, 4L)) || pairs.contains((1L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("identical docs have identical simhash; near-dups are close") {
+    val h = Dedup.simHash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h(0L) == h(1L))
+    assert(java.lang.Long.bitCount(h(0L) ^ h(4L)) < 16)
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // user 1: two sessions (gap 2h); user 2: one session
+  private def events = Seq(
+    (1L, 1L, "2024-01-01 10:00:00", "click", 1.0, "{\"k\": 3}"),
+    (2L, 1L, "2024-01-01 10:10:00", "view", 2.0, "{\"k\": 5}"),
+    (3L, 1L, "2024-01-01 12:30:00", "click", 3.0, "{\"k\": 7}"),
+    (4L, 2L, "2024-01-01 09:59:59", "view", 4.0, "{\"k\": 11}")
+  ).toDF("event_id", "user_id", "ts_s", "event_type", "value", "props")
+    .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+  test("sessionize splits on the inactivity gap") {
+    val out = EventOps.sessionize(events, gapSeconds = 1800).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // (user, n_sessions, n_events)
+    assert(out == List((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("tumblingHourly groups by hour and type") {
+    val out = EventOps.tumblingHourly(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.contains(("2024-01-01 09:00:00.0", "view", 1L)))
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 1L)))
+  }
+
+  test("jsonExtract pulls the k property") {
+    val out = EventOps.jsonExtract(events).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toList
+    assert(out == List(("click", 3L, 7L), ("view", 5L, 11L)))
+  }
+
+  test("topDays ranks by exact daily sums") {
+    val out = EventOps.topDays(events, k = 1).collect()
+    assert(out.length == 2) // one top day per type
+    assert(out.forall(_.getInt(3) == 1))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Kernels
+
+class KernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dsum is exact and partitioning-independent") {
+    val vals = (1 to 10000).map(i => (i % 97) + 0.01 * (i % 100))
+    val df1 = vals.toDF("x").repartition(1)
+    val df7 = vals.toDF("x").repartition(7)
+    val s1 = df1.agg(Kernels.dsum($"x")).head.getDouble(0)
+    val s7 = df7.agg(Kernels.dsum($"x")).head.getDouble(0)
+    assert(s1 == s7) // bit-identical, not approx
+    val expected = BigDecimal(vals.map(BigDecimal(_)).sum.toDouble)
+    assert(math.abs(s1 - expected.toDouble) < 1e-6)
+  }
+
+  test("davg matches sum/count") {
+    val df = Seq(1.0, 2.0, 4.0).toDF("x")
+    assert(df.agg(Kernels.davg($"x")).head.getDouble(0) == 7.0 / 3)
+  }
+
+  test("indicator builds 0/1 columns") {
+    val out = Seq(1, 5, 10).toDF("x")
+      .select(Kernels.indicator($"x" > 4).as("i")).as[Int].collect()
+    assert(out.toSeq == Seq(0, 1, 1))
+  }
+
+  test("topK returns deterministic k rows with tie-break") {
+    val df = Seq((1, "a"), (2, "b"), (2, "a"), (3, "z")).toDF("v", "k")
+    val top = Kernels.topK(df, 2, $"v".desc, $"k".asc).collect()
+    assert(top.map(_.getString(1)).toSeq == Seq("z", "a"))
+  }
+
+  test("groupedArgmax keeps all rows attaining the group max") {
+    val df = Seq(("g1", 5), ("g1", 9), ("g2", 3), ("g2", 3)).toDF("g", "v")
+    val got = Kernels.groupedArgmax(df, Seq("g"), $"v")
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == Seq(("g1", 9), ("g2", 3), ("g2", 3)))
+  }
+
+  test("joinSuffixed renames colliding right columns") {
+    val l = Seq((1, "x")).toDF("k", "name")
+    val r = Seq((1, "y")).toDF("k2", "name")
+    val j = Kernels.joinSuffixed(l, r, Seq("k"), Seq("k2"))
+    assert(j.columns.toSet == Set("k", "name", "k2", "name_right"))
+    assert(j.count() == 1)
+  }
+}

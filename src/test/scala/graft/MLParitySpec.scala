@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.mllib.linalg.Vectors
+import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix, RowMatrix}
+import graft.ml.MLParity
+
+class MLParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("randomMatrix is deterministic and partitioning-independent") {
+    val a = MLParity.randomMatrix(spark, 8, 4, rowsPerBlock = 2)
+      .rows.collect().sortBy(_.index).map(_.vector.toArray.toSeq)
+    val b = MLParity.randomMatrix(spark, 8, 4, rowsPerBlock = 8)
+      .rows.collect().sortBy(_.index).map(_.vector.toArray.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.flatten.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("matmul multiplies correctly (vs identity and small product)") {
+    val m = new IndexedRowMatrix(spark.sparkContext.parallelize(Seq(
+      IndexedRow(0, Vectors.dense(1.0, 2.0)),
+      IndexedRow(1, Vectors.dense(3.0, 4.0)))))
+    val id = new IndexedRowMatrix(spark.sparkContext.parallelize(Seq(
+      IndexedRow(0, Vectors.dense(1.0, 0.0)),
+      IndexedRow(1, Vectors.dense(0.0, 1.0)))))
+    val prod = MLParity.matmul(m, id, blockSize = 2).toLocalMatrix()
+    assert(prod(0, 0) == 1.0 && prod(0, 1) == 2.0 &&
+      prod(1, 0) == 3.0 && prod(1, 1) == 4.0)
+  }
+
+  test("svd recovers singular values of a diagonal matrix") {
+    val m = new RowMatrix(spark.sparkContext.parallelize(Seq(
+      Vectors.dense(3.0, 0.0), Vectors.dense(0.0, 2.0))))
+    val (_, s, _) = MLParity.svd(m, 2)
+    assert(math.abs(s(0) - 3.0) < 1e-9 && math.abs(s(1) - 2.0) < 1e-9)
+  }
+
+  test("treeReduce sums pairwise like the reference tree reduction") {
+    assert(MLParity.treeReduce(spark, (1 to 100).map(_.toDouble)) == 5050.0)
+  }
+
+  test("kmeans separates well-separated blobs") {
+    val pts = (Seq.fill(20)((0.0, 0.0)) ++ Seq.fill(20)((10.0, 10.0)))
+      .zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, Array(x + 0.01 * (i % 5), y + 0.01 * (i % 3)))
+      }
+    val df = pts.toDF("id", "arr")
+      .selectExpr("id", "arr as embedding", "0 as label")
+    val feats = MLParity.embeddingFeatures(
+      df.selectExpr("id as vec_id", "cast(embedding as array<float>) as embedding", "label"))
+    val model = MLParity.kmeans(feats, k = 2)
+    val pred = MLParity.parallelPredict(feats, model)
+    val counts = pred.groupBy("prediction").count()
+      .collect().map(_.getLong(1)).sorted
+    assert(counts.toSeq == Seq(20L, 20L))
+  }
+}

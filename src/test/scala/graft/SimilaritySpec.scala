@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),  // near vec 0
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.0f, 1.0f), 2),
+    (4L, Array(1.0f, 0.0f, 0.0f), 0)   // identical direction to vec 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks identical direction first") {
+    val rows = Similarity.cosineTopK(emb, numQueries = 1, k = 3).collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(4L, 1L, 2L))
+    assert(rows.head.getDouble(2) == 1.0)
+    val orth = rows.find(_.getLong(1) == 2L).get
+    assert(orth.getDouble(2) == 0.0)
+  }
+
+  test("labelCentroids computes per-label element means") {
+    val cents = Similarity.labelCentroids(emb).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c0 = cents(0)
+    // dsum carries DECIMAL(25,6) precision — float 0.9 rounds to 0.9
+    assert(math.abs(c0.head - 2.9 / 3) < 1e-6)
+    assert(cents(1) == Seq(0.0, 1.0, 0.0))
+  }
+
+  test("annLshTopK finds the identical-direction neighbor in-bucket") {
+    val rows = Similarity.annLshTopK(emb, numQueries = 1, k = 3)
+      .collect().map(_.getLong(2))
+    assert(rows.contains(4L)) // identical vector always shares the bucket
+  }
+}

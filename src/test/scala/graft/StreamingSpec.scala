@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.queries.Ctx
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // the file-stream source wants a directory; stage the single-file
+  // fixture into one
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling counts match the batch operator") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.runToMemory(
+      EventStream.tumblingCounts(stream), "tumbling_test")
+    try {
+      val streamed = spark.table("tumbling_test")
+        .select("hour", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = EventOps.tumblingHourly(Ctx(spark, sfDir).events)
+        .select(col("hour"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes all but the open session per user") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val sess = EventStream.sessionizeStream(spark, stream)
+    val q = EventStream.runToMemory(sess, "sessions_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val closed = spark.table("sessions_test").count()
+      val batch = EventOps.sessionize(Ctx(spark, sfDir).events)
+        .agg(sum("n_sessions"), count(lit(1))).head
+      val totalSessions = batch.getLong(0)
+      val users = batch.getLong(1)
+      // the still-open last session per user remains in state
+      assert(closed == totalSessions - users)
+    } finally q.stop()
+  }
+}

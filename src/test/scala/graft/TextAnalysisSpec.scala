@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the cat and the hat", "en", "s1", 19L),
+    (1L, "der hund und die katze", "de", "s1", 22L),
+    (2L, "word word word word", "en", "s2", 19L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tokenCount splits on whitespace, safe on blanks") {
+    val df = Seq("a b  c", "", "  ").toDF("text")
+      .select(TextFunctions.tokenCount($"text").as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 0, 0))
+  }
+
+  test("fingerprint is case/whitespace-insensitive md5") {
+    val fps = Seq("A  b", "a b").toDF("text")
+      .select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0).length == 32)
+  }
+
+  test("stats aggregates per language") {
+    val out = TextAnalysis.stats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(out == List(("de", 1L), ("en", 2L)))
+  }
+
+  test("langId predicts via stopword hits") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out(("en", "en")) == 1) // doc 0 has 'the'/'and'
+    assert(out(("de", "de")) == 1) // doc 1 has 'der'/'und'/'die'
+    assert(out(("en", "und")) == 1) // doc 2 has no stopwords
+  }
+
+  test("quality combines length, diversity and stopword ratio") {
+    val q = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(q(2L) < q(1L)) // repeated-word doc scores below diverse doc
+    assert(q.values.forall(v => v > 0 && v <= 1))
+  }
+}
