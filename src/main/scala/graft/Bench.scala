@@ -22,14 +22,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = SparkEntry.queries
-    for (w <- Seq("q6", "q1") if all.contains(w))
-      try all(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
     val names = all.keys.toSeq.sortBy { n =>
       // numeric-aware sort: q1, q2, ..., q22, then extensions
       val m = "^q(\\d+)$".r.findFirstMatchIn(n)
       (m.isEmpty, m.map(_.group(1).toInt).getOrElse(0), n)
     }
+    // steady-state methodology: one unmeasured warm-up pass over every
+    // query (JIT + whole-stage-codegen compilation + parquet footers),
+    // then one measured pass
+    for (name <- names)
+      try all(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() }

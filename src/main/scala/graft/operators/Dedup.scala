@@ -59,15 +59,17 @@ object Dedup {
 
   /** All-pairs word-set Jaccard, reported as a histogram of pair
     * similarity (20 buckets). This is the exact baseline for near-dup
-    * detection: token-sorted inverted index self-join → common-token
-    * counts → |A∩B| / |A∪B|. Quadratic in posting-list length — kept
-    * as the oracle-checkable ground truth; the 100 TB path is
-    * [[minHashLsh]], whose candidates approximate exactly this measure.
+    * detection: token inverted-index self-join → common-token counts →
+    * |A∩B| / |A∪B|. Inherently quadratic in corpus size (the *output*
+    * is all pairs), so it runs on a deterministic 1-in-`sampleMod`
+    * document sample — the ground-truth yardstick against which the
+    * scale paths ([[minHashLsh]], [[simHashPairs]], whose candidates
+    * approximate exactly this measure on the FULL corpus) are judged.
     * Integer counts divide to bit-identical doubles across engines, so
     * the bucket histogram is deterministic.
     */
-  def jaccardHistogram(docs: DataFrame): DataFrame = {
-    val words = docWords(docs)
+  def jaccardHistogram(docs: DataFrame, sampleMod: Int = 10): DataFrame = {
+    val words = docWords(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = words.as("a")
       .join(words.as("b"),
@@ -88,7 +90,7 @@ object Dedup {
     """WITH words AS (
       |  SELECT DISTINCT doc_id, w FROM (
       |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
-      |    FROM documents) t WHERE w <> ''),
+      |    FROM documents WHERE doc_id % 10 = 0) t WHERE w <> ''),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
