@@ -33,6 +33,108 @@ object Extensions {
       |  SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier) t
       |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin
 
+  /** EXCEPT set op (SURVEY §2.8): nations with customers but no
+    * high-balance supplier.
+    */
+  def exceptNations(c: Ctx): DataFrame =
+    c.customer.select(col("c_nationkey").as("nationkey")).distinct()
+      .except(c.supplier.filter(col("s_acctbal") > 8000)
+        .select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy("nationkey")
+
+  val exceptNationsSql: String =
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |WHERE s_acctbal > 8000
+      |ORDER BY nationkey""".stripMargin
+
+  /** Right outer join (SURVEY J4 — ref `queries.py:798` Q22
+    * `how='right'`): suppliers right-joined to nation, keeping
+    * supplier-less nations with zero counts.
+    */
+  def rightOuterJoin(c: Ctx): DataFrame =
+    c.supplier
+      .join(c.nation, col("s_nationkey") === col("n_nationkey"), "right")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"),
+        graft.operators.Kernels.dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+
+  val rightOuterJoinSql: String =
+    s"""SELECT n_name, COUNT(s_suppkey) AS n_suppliers,
+       |  ${graft.operators.Kernels.dsumSql("s_acctbal")} AS total_bal
+       |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** ROLLUP grouping sets (SURVEY A10 — absent in the reference, free
+    * in Spark): order counts/totals by (status, priority) with
+    * subtotals and grand total.
+    */
+  def rollupOrders(c: Ctx): DataFrame =
+    c.orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Kernels.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val rollupOrdersSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${graft.operators.Kernels.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** String affix/slice functions (SURVEY X2/X3/X4): prefix grouping
+    * via substring, startswith/endswith indicators.
+    */
+  def strAffixStats(c: Ctx): DataFrame =
+    c.part
+      .groupBy(substring(col("p_name"), 1, 3).as("prefix3"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Kernels.indicator(
+          col("p_name").startsWith("red"))).as("n_red"),
+        sum(graft.operators.Kernels.indicator(
+          col("p_name").endsWith("t"))).as("n_t_end"))
+      .orderBy("prefix3")
+
+  val strAffixStatsSql: String =
+    """SELECT substring(p_name, 1, 3) AS prefix3, COUNT(*) AS n,
+      |  SUM(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS n_red,
+      |  SUM(CASE WHEN p_name LIKE '%t' THEN 1 ELSE 0 END) AS n_t_end
+      |FROM part GROUP BY 1 ORDER BY prefix3""".stripMargin
+
+  /** approx_count_distinct (SURVEY A6's scale form — HLL sketch): the
+    * 100 TB replacement for exact COUNT(DISTINCT). Sketch estimates are
+    * engine-specific → no oracle (rows-only check); exactness of the
+    * exact variant is covered by q16.
+    */
+  def approxDistinct(c: Ctx): DataFrame =
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy("l_returnflag")
+
+  /** The SQL surface (≈ the reference's published datasets,
+    * `distributed/publish.py:1-14` → temp views + `spark.sql`):
+    * register the fixture tables as views and run declarative SQL.
+    */
+  def sqlViewQuery(c: Ctx): DataFrame = {
+    for (t <- Seq("orders_v" -> c.orders))
+      t._2.createOrReplaceTempView(t._1)
+    c.spark.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.operators.Kernels.dsumSql("o_totalprice")} AS total
+         |FROM orders_v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val sqlViewQuerySql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${graft.operators.Kernels.dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Ctx => DataFrame] = Map(
     // dedup family
     "dedup_exact" -> (c => Dedup.exact(c.documents)),
@@ -54,8 +156,14 @@ object Extensions {
     "events_sessionize" -> (c => EventOps.sessionize(c.events)),
     "events_json" -> (c => EventOps.jsonExtract(c.events)),
     "events_top_days" -> (c => EventOps.topDays(c.events)),
-    // set ops
+    // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
+    "set_except_nations" -> (exceptNations _),
+    "join_right_outer" -> (rightOuterJoin _),
+    "rollup_orders" -> (rollupOrders _),
+    "str_affix_stats" -> (strAffixStats _),
+    "approx_distinct" -> (approxDistinct _),
+    "sql_view_query" -> (sqlViewQuery _),
     // multimodal plumbing (stubbed decode, real Dataset pipeline)
     "multimodal_features" ->
       (c => Multimodal.featuresQuery(c.spark, c.documents)))
@@ -73,5 +181,10 @@ object Extensions {
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_json" -> EventOps.jsonExtractSql,
     "events_top_days" -> EventOps.topDaysSql(),
-    "set_union_kinds" -> unionKindsSql)
+    "set_union_kinds" -> unionKindsSql,
+    "set_except_nations" -> exceptNationsSql,
+    "join_right_outer" -> rightOuterJoinSql,
+    "rollup_orders" -> rollupOrdersSql,
+    "str_affix_stats" -> strAffixStatsSql,
+    "sql_view_query" -> sqlViewQuerySql)
 }
