@@ -127,9 +127,12 @@ object Dedup {
       minEstSim: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingles(docs)
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))))
-    val sigs = sh.groupBy("doc_id").agg(array(sigCols: _*).as("sig"))
+    // one-pass signature via the custom TypedImperativeAggregate —
+    // k× smaller expression tree than k separate min(xxhash64(...))
+    // columns, same single-shuffle partial-agg shape
+    val sigs = sh.groupBy("doc_id").agg(
+      graft.functions.VectorFunctions
+        .minhash_signature(col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))

@@ -118,16 +118,19 @@ object Similarity {
          |    (x, i) -> CAST(x AS DOUBLE) * ((CAST(xxhash64($p, i) % 1000 AS DOUBLE) / 1000.0))),
          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
-    val coded = withNorm(embeddings).withColumn("bucket", expr(codeExpr))
+    val coded = embeddings.withColumn("bucket", expr(codeExpr))
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+        col("bucket"))
     val corpus = coded.select(col("vec_id").as("cid"),
-      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("bucket"))
+      col("embedding").as("c_emb"), col("bucket"))
+    // hot path: fused codegen'd cosine (custom Expression), not the
+    // decimal-exact fold the oracle-checked brute-force query uses
     val scored = broadcast(queries)
       .join(corpus, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("cosine", graft.functions.VectorFunctions
+        .cosine_sim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters —
+  * the supported way for an external library to expose custom Catalyst
+  * `Expression`s as `Column`s in Spark 4's Connect-era API (the old
+  * `new Column(expr)` constructor is gone).
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
