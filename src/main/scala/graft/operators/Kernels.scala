@@ -70,6 +70,26 @@ object Kernels {
       .drop("__grp_max")
   }
 
+  /** Salted equi-join for skewed keys: the big side gets a synthetic
+    * salt (round-robin over row ids — NOT a function of the key, so one
+    * hot key spreads over `saltFactor` reducers); the small side is
+    * replicated once per salt value. AQE's skew-join splitting handles
+    * most cases automatically; this is the manual control for joins AQE
+    * can't rewrite (e.g. under a required distribution).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      joinType: String = "inner", saltFactor: Int = 8): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    val cond = (keys.map(k => bigS(k) === smallS(k)) :+
+      (bigS("__salt") === smallS("__salt"))).reduce(_ && _)
+    val joined = bigS.join(smallS, cond, joinType)
+      .drop(smallS("__salt")).drop(bigS("__salt"))
+    keys.foldLeft(joined)((df, k) => df.drop(smallS(k)))
+  }
+
   /** Equi-join with pandas-style collision suffixes (J7 in SURVEY §2.5):
     * dask `merge` auto-suffixes colliding columns (`queries.py:134`
     * filters on `ps_supplycost_y`; `suffixes=` at `:235,401,508`). Spark
