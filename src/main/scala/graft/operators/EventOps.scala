@@ -116,6 +116,31 @@ object EventOps {
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sliding 2-hour/1-hour-step windows per event type — Spark's
+    * native `window()` expression (each event lands in size/step
+    * windows; epoch-aligned starts). The oracle expands the same
+    * assignment as a UNION ALL of shifted hour-truncations.
+    */
+  def slidingTwoHour(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val slidingTwoHourSql: String =
+    s"""SELECT win_start, event_type, COUNT(*) AS n,
+       |  ${Kernels.dsumSql("value")} AS sum_value
+       |FROM (
+       |  SELECT date_trunc('hour', ts) AS win_start, event_type, value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+       |  FROM events) t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Ranked windows: top-3 revenue days per event type —
     * `row_number` over a per-type window on exact daily sums.
     */

@@ -139,6 +139,42 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus by nearest centroid
+    * (here the per-label centroids as the codebook — in production the
+    * codebook comes from k-means, [[graft.ml.MLParity.kmeans]]), then
+    * probe only the query's cell. Corpus assignment is one broadcast
+    * pass; the probe is a per-cell join — the IVF counterpart of
+    * [[annLshTopK]]'s hyperplane bucketing.
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("cell"),
+        col("centroid").cast("array<float>").as("centroid"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val assigned = embeddings
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosine_sim(col("embedding"), col("centroid")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("cell"))
+    val corpus = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cell", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** Per-label centroids of the embedding column — the IVF coarse
     * quantizer building block (and a typical training-data analysis:
     * class prototypes). Element-wise mean via posexplode + exact

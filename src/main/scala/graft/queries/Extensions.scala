@@ -145,6 +145,7 @@ object Extensions {
     // similarity search
     "sim_cosine_topk" -> (c => Similarity.cosineTopK(c.embeddings)),
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
+    "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroids(c.embeddings)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
@@ -153,6 +154,7 @@ object Extensions {
     "text_lang_id" -> (c => TextAnalysis.langId(c.documents)),
     // time windows / events
     "events_tumbling" -> (c => EventOps.tumblingHourly(c.events)),
+    "events_sliding" -> (c => EventOps.slidingTwoHour(c.events)),
     "events_sessionize" -> (c => EventOps.sessionize(c.events)),
     "events_json" -> (c => EventOps.jsonExtract(c.events)),
     "events_top_days" -> (c => EventOps.topDays(c.events)),
@@ -178,6 +180,7 @@ object Extensions {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_lang_id" -> TextAnalysis.langIdSql,
     "events_tumbling" -> EventOps.tumblingHourlySql,
+    "events_sliding" -> EventOps.slidingTwoHourSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_json" -> EventOps.jsonExtractSql,
     "events_top_days" -> EventOps.topDaysSql(),

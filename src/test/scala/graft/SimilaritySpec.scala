@@ -37,4 +37,10 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(rows.contains(4L)) // identical vector always shares the bucket
   }
+
+  test("ivfTopK probes the query's cell and finds its twin") {
+    val rows = Similarity.ivfTopK(emb, numQueries = 1, k = 3)
+      .collect().map(_.getLong(2))
+    assert(rows.contains(4L)) // identical vector lands in the same cell
+  }
 }
