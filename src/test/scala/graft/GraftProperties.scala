@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.apache.spark.sql.functions._
+import graft.operators.Kernels
+
+/** Property-based algebraic invariants (SURVEY §5.2 item 3): the
+  * engine-level guarantees every operator relies on, checked over
+  * random 2-decimal data (the fixture domain).
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2-decimal doubles — the fixture money domain
+  private val moneyGen: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.chooseNum(-99999, 99999).map(_ / 100.0))
+
+  private val kvGen: Gen[List[(Int, Double)]] =
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 5),
+      Gen.chooseNum(-9999, 9999).map(_ / 100.0)))
+
+  property("filter composition commutes") = forAll(moneyGen) { xs =>
+    val df = xs.toDF("x")
+    val a = df.filter($"x" > 0).filter($"x" < 100).collect().toSet
+    val b = df.filter($"x" < 100).filter($"x" > 0).collect().toSet
+    a == b
+  }
+
+  property("dsum distributes over union (partial/final agg exactness)") =
+    forAll(moneyGen, moneyGen) { (xs, ys) =>
+      (xs.nonEmpty && ys.nonEmpty) ==> {
+        val su = xs.toDF("x").unionAll(ys.toDF("x"))
+          .agg(Kernels.dsum($"x")).head.getDouble(0)
+        val sa = xs.toDF("x").agg(Kernels.dsum($"x")).head.getDouble(0)
+        val sb = ys.toDF("x").agg(Kernels.dsum($"x")).head.getDouble(0)
+        // exact decimal carrier → bit-equal, not approximately equal
+        su == BigDecimal(sa).+(BigDecimal(sb)).toDouble ||
+          su == sa + sb
+      }
+    }
+
+  property("topK equals sorted prefix") = forAll(kvGen) { kvs =>
+    kvs.nonEmpty ==> {
+      val df = kvs.toDF("k", "v")
+      val top = Kernels.topK(df, 5, $"v".desc, $"k".asc)
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toList
+      val full = kvs.sortBy { case (k, v) => (-v, k) }.take(5)
+      top == full
+    }
+  }
+
+  property("groupBy counts sum to total") = forAll(kvGen) { kvs =>
+    val df = kvs.toDF("k", "v")
+    val grouped = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(sum("n")).head
+    val total = if (grouped.isNullAt(0)) 0L else grouped.getLong(0)
+    total == kvs.size.toLong
+  }
+
+  property("join with unique-keyed dim preserves fact rows") =
+    forAll(kvGen) { kvs =>
+      val fact = kvs.toDF("k", "v")
+      val dim = (0 to 5).map(k => (k, s"d$k")).toDF("k", "name")
+      fact.join(dim, "k").count() == kvs.size.toLong
+    }
+
+  property("groupedArgmax rows all attain their group max") =
+    forAll(kvGen) { kvs =>
+      kvs.nonEmpty ==> {
+        val df = kvs.toDF("k", "v")
+        val maxes = kvs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        Kernels.groupedArgmax(df, Seq("k"), $"v").collect()
+          .forall(r => r.getDouble(1) == maxes(r.getInt(0)))
+      }
+    }
+}
