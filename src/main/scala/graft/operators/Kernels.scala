@@ -70,6 +70,25 @@ object Kernels {
       .drop("__grp_max")
   }
 
+  /** Salted two-phase aggregation for skewed group keys: pre-aggregate
+    * by (key, salt) — spreading each hot key over `saltFactor` partial
+    * reducers — then combine by key. Correct for any algebraic
+    * aggregate; exposed for dsum whose decimal carrier makes the
+    * two-phase split bit-exact. (Catalyst's partial aggregation already
+    * does map-side combine; salting additionally splits the REDUCE side
+    * of a hot key.)
+    */
+  def saltedDsum(df: DataFrame, keys: Seq[String], valueExpr: Column,
+      alias: String, saltFactor: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueExpr.cast(ExactDec)).as("__psum"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).cast(DoubleType).as(alias))
+  }
+
   /** Salted equi-join for skewed keys: the big side gets a synthetic
     * salt (round-robin over row ids — NOT a function of the key, so one
     * hot key spreads over `saltFactor` reducers); the small side is

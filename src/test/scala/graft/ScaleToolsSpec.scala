@@ -30,6 +30,27 @@ class ScaleToolsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedDsum is bit-identical to plain dsum") {
+    val df = (1 to 5000).map(i => (i % 3, (i % 997) / 100.0)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(Kernels.dsum($"v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val salted = Kernels.saltedDsum(df, Seq("k"), $"v", "s", saltFactor = 16)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("custom expressions are registered in the SQL surface") {
+    val got = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT)),
+        |                  array(cast(1.0 AS FLOAT), cast(0.0 AS FLOAT))) AS c
+      """.stripMargin).head.getDouble(0)
+    assert(got == 1.0)
+    val sig = spark.sql(
+      "SELECT minhash_signature(s, 4) FROM VALUES ('aa'), ('bb') AS t(s)")
+      .head.getSeq[Long](0)
+    assert(sig.length == 4)
+  }
+
   test("saltedJoin matches the plain join result on a skewed key") {
     // 90% of big rows share one key — the classic skew shape
     val big = (1 to 2000).map(i =>
