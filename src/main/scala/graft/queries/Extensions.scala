@@ -117,6 +117,62 @@ object Extensions {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated quantiles (data-quality profiling): Spark
+    * `percentile` (exact, sort-based) matches DuckDB `quantile_cont`
+    * definitionally — both interpolate between order statistics of the
+    * same doubles. At 100 TB swap for `percentile_approx` (KLL-style
+    * sketch, one pass, mergeable) — declared alongside as rows-only.
+    */
+  def quantiles(c: Ctx): DataFrame =
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+      .orderBy("l_returnflag")
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** One-pass sketch quantiles — the 100 TB form (rows-only check;
+    * sketch internals are engine-specific).
+    */
+  def quantilesApprox(c: Ctx): DataFrame =
+    c.lineitem
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)")
+        .as("approx_price_quantiles"))
+      .orderBy("l_returnflag")
+
+  /** Column profiling (data-quality summary a training pipeline runs
+    * before ingest): counts, null counts, ranges, distincts.
+    */
+  def profileLineitem(c: Ctx): DataFrame =
+    c.lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      sum(graft.operators.Kernels.indicator(col("l_shipdate").isNull))
+        .as("null_shipdate"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  val profileLineitemSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem""".stripMargin
+
   /** The SQL surface (≈ the reference's published datasets,
     * `distributed/publish.py:1-14` → temp views + `spark.sql`):
     * register the fixture tables as views and run declarative SQL.
@@ -165,6 +221,9 @@ object Extensions {
     "rollup_orders" -> (rollupOrders _),
     "str_affix_stats" -> (strAffixStats _),
     "approx_distinct" -> (approxDistinct _),
+    "stats_quantiles" -> (quantiles _),
+    "stats_quantiles_approx" -> (quantilesApprox _),
+    "profile_lineitem" -> (profileLineitem _),
     "sql_view_query" -> (sqlViewQuery _),
     // multimodal plumbing (stubbed decode, real Dataset pipeline)
     "multimodal_features" ->
@@ -189,5 +248,7 @@ object Extensions {
     "join_right_outer" -> rightOuterJoinSql,
     "rollup_orders" -> rollupOrdersSql,
     "str_affix_stats" -> strAffixStatsSql,
+    "stats_quantiles" -> quantilesSql,
+    "profile_lineitem" -> profileLineitemSql,
     "sql_view_query" -> sqlViewQuerySql)
 }

@@ -65,6 +65,16 @@ object EventStream {
     q
   }
 
+  /** Streaming exact dedup — the training-pipeline dedup operator in
+    * its incremental form: state = fingerprints seen within the
+    * watermark horizon; `dropDuplicates` keyed on the content
+    * fingerprint. (Batch twin: `operators/Dedup.exact/fingerprint`.)
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keyCols :+ "ts")
+
   final case class SessionEvent(user_id: Long, eus: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, span_us: Long)

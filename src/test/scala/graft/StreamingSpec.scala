@@ -39,6 +39,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val dd = EventStream.dedupStream(stream, Seq("event_id"))
+    val q = EventStream.runToMemory(dd, "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("dedup_test").count()
+      val batch = Ctx(spark, sfDir).events.dropDuplicates("event_id", "ts").count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes all but the open session per user") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val sess = EventStream.sessionizeStream(spark, stream)
