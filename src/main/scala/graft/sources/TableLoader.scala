@@ -30,9 +30,23 @@ object TableLoader {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Opt-in table caching (`-Dgraft.cacheTables=true`), mirroring the
+    * reference harness's `client.persist` of loaded tables before
+    * timing (`/root/reference/benchmark/test_tpch.py:114-115`): each
+    * (dir, table) is read once and kept in the storage layer. Off by
+    * default — the correctness gate measures cold-path reads.
+    */
+  private val cacheTables: Boolean =
+    sys.props.get("graft.cacheTables").contains("true")
+  private val cached =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   /** Read one driver fixture table: `dir/name.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (cacheTables)
+      cached.getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet").cache())
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   // --- dbgen path (reference format A) -------------------------------
 
