@@ -1,0 +1,36 @@
+package graft.api
+
+import scala.concurrent.{ExecutionContext, Future}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Futures-API parity (SURVEY §1.1 / §2.13): the reference's eager
+  * handles — `Client.compute` → `Future`, `client.gather`, `wait`,
+  * `as_completed` (`/root/reference/distributed/client.py:2730, 1892,
+  * 4230, 4278`) — expressed over Spark's async actions. Spark's model
+  * is job-at-a-time rather than per-task futures (the scheduler owns
+  * task granularity), so the parity surface is at the collection
+  * level: submit N queries concurrently, consume results as they
+  * complete. Actors/queues/locks remain non-goals (engine plumbing,
+  * not query capabilities — SURVEY §1.1).
+  */
+object AsyncOps {
+
+  /** `client.compute(df)` — start materialization, return a handle. */
+  def computeAsync(df: DataFrame)(implicit ec: ExecutionContext): Future[Array[Row]] =
+    Future(df.collect())
+
+  /** `client.gather(futures)` — await all results (order preserved). */
+  def gather(futures: Seq[Future[Array[Row]]])(
+      implicit ec: ExecutionContext): Future[Seq[Array[Row]]] =
+    Future.sequence(futures)
+
+  /** `as_completed` — a stream of (index, result) in completion order. */
+  def asCompleted[A](futures: Seq[Future[A]])(
+      implicit ec: ExecutionContext): Iterator[(Int, A)] = {
+    val queue = new java.util.concurrent.LinkedBlockingQueue[(Int, A)]()
+    futures.zipWithIndex.foreach { case (f, i) =>
+      f.foreach(a => queue.put((i, a)))
+    }
+    Iterator.fill(futures.size)(queue.take())
+  }
+}
