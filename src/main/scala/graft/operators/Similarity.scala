@@ -70,6 +70,33 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** [[cosineTopK]] finished by the bounded [[graft.functions.TopKByScore]]
+    * aggregate instead of a window: map-side k-capped heaps mean the
+    * shuffle carries ≤k candidates per (query, partition) — the shape
+    * that survives |corpus| ≫ memory. Same scored pairs (decimal-exact,
+    * rounded) → identical results and the same oracle as the window
+    * form.
+    */
+  def cosineTopKAgg(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val withN = withNorm(embeddings)
+    val queries = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val corpus = withN.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    broadcast(queries)
+      .join(corpus, col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy("qid")
+      .agg(top_k_by_score(struct(col("cosine"), col("cid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        col("col.score").as("cosine"), (col("pos") + 1).as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** DuckDB oracle for [[cosineTopK]] (dims=64 fixture vectors):
     * identical decimal-exact dot products via per-dimension expansion.
     */

@@ -200,6 +200,7 @@ object Extensions {
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
     // similarity search
     "sim_cosine_topk" -> (c => Similarity.cosineTopK(c.embeddings)),
+    "sim_cosine_topk_agg" -> (c => Similarity.cosineTopKAgg(c.embeddings)),
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroids(c.embeddings)),
@@ -234,6 +235,7 @@ object Extensions {
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
+    "sim_cosine_topk_agg" -> Similarity.cosineTopKSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,

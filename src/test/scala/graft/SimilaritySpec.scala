@@ -38,6 +38,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.contains(4L)) // identical vector always shares the bucket
   }
 
+  test("cosineTopKAgg (bounded heap aggregate) equals the window form") {
+    val win = Similarity.cosineTopK(emb, numQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val agg = Similarity.cosineTopKAgg(emb, numQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(win.toSeq == agg.toSeq)
+  }
+
   test("ivfTopK probes the query's cell and finds its twin") {
     val rows = Similarity.ivfTopK(emb, numQueries = 1, k = 3)
       .collect().map(_.getLong(2))
