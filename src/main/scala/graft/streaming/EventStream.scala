@@ -65,6 +65,13 @@ object EventStream {
     q
   }
 
+  /** Stream-static join: enrich the event stream with a static
+    * dimension (broadcast per micro-batch — the standard Spark
+    * pattern; the static side may be a slowly-refreshed table).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Streaming exact dedup — the training-pipeline dedup operator in
     * its incremental form: state = fingerprints seen within the
     * watermark horizon; `dropDuplicates` keyed on the content

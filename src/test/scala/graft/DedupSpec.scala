@@ -38,6 +38,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("minhash signature similarity estimates true shingle Jaccard") {
+    // two docs sharing ~29% of their 3-gram shingles
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = (11 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, minEstSim = 0.0).collect()
+    if (pairs.nonEmpty) { // bands at threshold~0.5 may not fire at J=0.29
+      val est = pairs.head.getDouble(2)
+      assert(est > 0.05 && est < 0.55, s"est=$est, true J≈0.29")
+    }
+    // identical docs estimate exactly 1.0 through the same path
+    val same = Seq((0L, a), (1L, a)).toDF("doc_id", "text")
+    val p2 = Dedup.minHashLsh(same, minEstSim = 0.0).collect()
+    assert(p2.length == 1 && p2.head.getDouble(2) == 1.0)
+  }
+
   test("identical docs have identical simhash; near-dups are close") {
     val h = Dedup.simHash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -39,6 +39,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a dimension") {
+    import spark.implicits._
+    val dim = Ctx(spark, sfDir).events.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("user_total"))
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.runToMemory(
+      EventStream.enrich(stream, dim, "user_id")
+        .groupBy("user_total").count(),
+      "enrich_test")
+    try {
+      val joined = spark.table("enrich_test")
+        .agg(org.apache.spark.sql.functions.sum("count")).head.getLong(0)
+      assert(joined == Ctx(spark, sfDir).events.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key within the watermark") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val dd = EventStream.dedupStream(stream, Seq("event_id"))
