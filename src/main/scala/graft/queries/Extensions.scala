@@ -67,6 +67,93 @@ object Extensions {
        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Full outer join: all nationkeys appearing on either side with
+    * per-side counts.
+    */
+  def fullOuterJoin(c: Ctx): DataFrame = {
+    val cn = c.customer.groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sn = c.supplier.filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_rich_suppliers"))
+    cn.join(sn, Seq("nk"), "full_outer").orderBy("nk")
+  }
+
+  val fullOuterJoinSql: String =
+    """SELECT COALESCE(cn.nk, sn.nk) AS nk, n_customers, n_rich_suppliers
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      |      FROM customer GROUP BY 1) cn
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+      |                 FROM supplier WHERE s_acctbal > 8000 GROUP BY 1) sn
+      |  ON cn.nk = sn.nk
+      |ORDER BY nk""".stripMargin
+
+  /** CUBE grouping sets (SURVEY A10) — all combinations of (status,
+    * priority) subtotals.
+    */
+  def cubeOrders(c: Ctx): DataFrame =
+    c.orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val cubeOrdersSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Pivot (dask/pandas `pivot_table` analogue): order counts by
+    * status × priority, priorities as columns. The oracle expresses
+    * the same thing as CASE-WHEN aggregation — which is exactly what
+    * Spark's pivot compiles to.
+    */
+  def pivotOrders(c: Ctx): DataFrame =
+    c.orders
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .toDF("o_orderstatus", "p1_urgent", "p2_high", "p3_medium",
+        "p4_not_specified", "p5_low")
+      .na.fill(0L) // empty pivot cells: null in Spark, 0 via COUNT in SQL
+      .orderBy("o_orderstatus")
+
+  val pivotOrdersSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+      |    AS p4_not_specified,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Top word bigrams over the corpus (n-gram frequency analysis). */
+  def topBigrams(c: Ctx, k: Int = 20): DataFrame = {
+    c.documents
+      .select(graft.functions.TextFunctions.words(col("text")).as("ws"))
+      .select(explode(expr(
+        """transform(sequence(0, greatest(size(ws) - 2, 0)),
+          |          i -> concat_ws(' ', ws[i], ws[i+1]))""".stripMargin))
+        .as("bigram"))
+      .where(col("bigram").contains(" "))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def topBigramsSql(k: Int = 20): String =
+    s"""SELECT arr[i] || ' ' || arr[i + 1] AS bigram, COUNT(*) AS n
+       |FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+       |      FROM documents) t
+       |CROSS JOIN (SELECT UNNEST(range(1, 10000)) AS i) idx
+       |WHERE i < len(arr)
+       |GROUP BY 1 ORDER BY n DESC, bigram
+       |LIMIT $k""".stripMargin
+
   /** ROLLUP grouping sets (SURVEY A10 — absent in the reference, free
     * in Spark): order counts/totals by (status, priority) with
     * subtotals and grand total.
@@ -219,7 +306,11 @@ object Extensions {
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
     "join_right_outer" -> (rightOuterJoin _),
+    "join_full_outer" -> (fullOuterJoin _),
     "rollup_orders" -> (rollupOrders _),
+    "cube_orders" -> (cubeOrders _),
+    "pivot_orders" -> (pivotOrders _),
+    "text_top_bigrams" -> (c => topBigrams(c)),
     "str_affix_stats" -> (strAffixStats _),
     "approx_distinct" -> (approxDistinct _),
     "stats_quantiles" -> (quantiles _),
@@ -248,7 +339,11 @@ object Extensions {
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,
+    "join_full_outer" -> fullOuterJoinSql,
     "rollup_orders" -> rollupOrdersSql,
+    "cube_orders" -> cubeOrdersSql,
+    "pivot_orders" -> pivotOrdersSql,
+    "text_top_bigrams" -> topBigramsSql(),
     "str_affix_stats" -> strAffixStatsSql,
     "stats_quantiles" -> quantilesSql,
     "profile_lineitem" -> profileLineitemSql,

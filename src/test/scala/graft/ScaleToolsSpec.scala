@@ -30,6 +30,29 @@ class ScaleToolsSpec extends AnyFunSuite {
     }
   }
 
+  test("partitionBy layout prunes partitions on filtered reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i => (i, Seq("a", "b", "c")(i % 3), i * 1.5))
+      .toDF("id", "bucket", "v")
+    graft.sources.PartitionedSink.writePartitioned(df, dir, Seq("bucket"))
+    val filtered = graft.sources.PartitionedSink.read(spark, dir)
+      .filter($"bucket" === "a")
+    assert(filtered.count() == 100)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("bucket"), plan)
+  }
+
+  test("range-partitioned sorted write round-trips ordered data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val df = (1 to 1000).reverse.map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    graft.sources.PartitionedSink.writeSorted(df, dir, "k", numPartitions = 4)
+    val back = graft.sources.PartitionedSink.read(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.min("k")).head.getLong(0) == 1L)
+  }
+
   test("saltedDsum is bit-identical to plain dsum") {
     val df = (1 to 5000).map(i => (i % 3, (i % 997) / 100.0)).toDF("k", "v")
     val plain = df.groupBy("k").agg(Kernels.dsum($"v").as("s"))
