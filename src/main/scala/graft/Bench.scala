@@ -42,9 +42,45 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // array/ML workloads — the reference's own benchmark set
+    // (matrix_multiplication.py, svd_tall_skinny_matrix.py, kmeans.py,
+    // tree_reduction.py; recorded numbers in BASELINE.md), scaled to
+    // this rig
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try f catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    import graft.ml.MLParity
+    val mlResults = Seq(
+      // 1024² with 256-blocks: 64 block-products — sized for this
+      // container's pure-Java BLAS (no native netlib available)
+      timed("ml_matmul_1k") {
+        val a = MLParity.randomMatrix(spark, 1024, 1024, rowsPerBlock = 256)
+        val b = MLParity.randomMatrix(spark, 1024, 1024, rowsPerBlock = 256)
+        MLParity.matmul(a, b, blockSize = 256).blocks.count()
+      },
+      timed("ml_svd_tallskinny") {
+        val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+          MLParity.randomMatrix(spark, 20000, 64, rowsPerBlock = 2048)
+            .rows.map(_.vector))
+        MLParity.svd(m, 16)
+      },
+      timed("ml_kmeans_embeddings") {
+        val feats = MLParity.embeddingFeatures(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        MLParity.parallelPredict(feats,
+          MLParity.kmeans(feats, k = 10)).count()
+      },
+      timed("ml_treereduce_1m") {
+        val s = spark.sparkContext.range(0L, 1000000L, numSlices = 32)
+          .map(_.toDouble).treeReduce(_ + _, depth = 3)
+        require(s > 0)
+      })
+    val allResults = results ++ mlResults
+    val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = allResults.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
