@@ -53,12 +53,12 @@ object Bench {
     }
     import graft.ml.MLParity
     val mlResults = Seq(
-      // 1024² with 256-blocks: 64 block-products — sized for this
-      // container's pure-Java BLAS (no native netlib available)
-      timed("ml_matmul_1k") {
-        val a = MLParity.randomMatrix(spark, 1024, 1024, rowsPerBlock = 256)
-        val b = MLParity.randomMatrix(spark, 1024, 1024, rowsPerBlock = 256)
-        MLParity.matmul(a, b, blockSize = 256).blocks.count()
+      // 2048² with 256-blocks, chunks generated directly as blocks
+      // (the da.random analogue); pure-Java BLAS in this container
+      timed("ml_matmul_2k") {
+        val a = MLParity.randomBlockMatrix(spark, 2048, 256)
+        val b = MLParity.randomBlockMatrix(spark, 2048, 256, seed = 7L)
+        a.multiply(b).blocks.count()
       },
       timed("ml_svd_tallskinny") {
         val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(

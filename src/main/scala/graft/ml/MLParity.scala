@@ -52,10 +52,40 @@ object MLParity {
     new IndexedRowMatrix(rdd, rows, cols)
   }
 
-  /** M2: distributed matrix multiply via block partitioning — each
-    * side is chunked into (rowsPerBlock × colsPerBlock) tiles; Spark
-    * shuffles tiles by (i,k)/(k,j) and reduces tile products, the same
-    * dataflow dask builds as a task graph.
+  /** M1 (block form): seeded random BlockMatrix generated chunk-at-a-
+    * time — the direct analogue of `da.random.random(..., chunks=(c,c))`
+    * (`matrix_multiplication.py:25-26`), which also materializes chunks
+    * directly rather than regrouping rows. Each block is seeded by its
+    * (i, j) coordinates → partitioning/task-order independent.
+    */
+  def randomBlockMatrix(spark: SparkSession, n: Int, blockSize: Int,
+      seed: Long = 42L): BlockMatrix = {
+    val nBlocks = (n + blockSize - 1) / blockSize
+    val coords = for (i <- 0 until nBlocks; j <- 0 until nBlocks) yield (i, j)
+    val blocks = spark.sparkContext
+      .parallelize(coords, math.min(coords.size, 64))
+      .map { case (bi, bj) =>
+        val rows = math.min(blockSize, n - bi * blockSize)
+        val cols = math.min(blockSize, n - bj * blockSize)
+        val vals = new Array[Double](rows * cols)
+        var t = 0
+        while (t < vals.length) {
+          var z = seed + bi * 0x9E3779B97F4A7C15L +
+            bj * 0xC2B2AE3D27D4EB4FL + t * 0xD6E8FEB86659FD93L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          vals(t) = ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+          t += 1
+        }
+        ((bi, bj), new DenseMatrix(rows, cols, vals): Matrix)
+      }
+    new BlockMatrix(blocks, blockSize, blockSize, n.toLong, n.toLong)
+  }
+
+  /** M2: distributed matrix multiply via block partitioning — tiles
+    * shuffle by (i,k)/(k,j) and tile products reduce per (i,j), the
+    * same dataflow dask builds as a task graph (`da.matmul`,
+    * `matrix_multiplication.py:27`).
     */
   def matmul(a: IndexedRowMatrix, b: IndexedRowMatrix,
       blockSize: Int = 1024): BlockMatrix = {

@@ -18,6 +18,29 @@ class MLParitySpec extends AnyFunSuite {
     assert(a.flatten.forall(v => v >= 0.0 && v < 1.0))
   }
 
+  test("randomBlockMatrix blocks are deterministic and well-shaped") {
+    val m = MLParity.randomBlockMatrix(spark, 100, 30)
+    assert(m.numRows() == 100 && m.numCols() == 100)
+    assert(m.blocks.count() == 16) // 4x4 grid (30,30,30,10)
+    val again = MLParity.randomBlockMatrix(spark, 100, 30)
+    assert(m.toLocalMatrix().toArray.toSeq ==
+      again.toLocalMatrix().toArray.toSeq)
+  }
+
+  test("block matmul against identity preserves the matrix") {
+    val a = MLParity.randomBlockMatrix(spark, 64, 16)
+    val idBlocks = spark.sparkContext
+      .parallelize(for (i <- 0 until 4) yield (i, i))
+      .map { case (i, j) =>
+        ((i, j), org.apache.spark.mllib.linalg.DenseMatrix.eye(16):
+          org.apache.spark.mllib.linalg.Matrix)
+      }
+    val id = new org.apache.spark.mllib.linalg.distributed.BlockMatrix(
+      idBlocks, 16, 16, 64, 64)
+    val prod = a.multiply(id).toLocalMatrix()
+    assert(prod.toArray.toSeq == a.toLocalMatrix().toArray.toSeq)
+  }
+
   test("matmul multiplies correctly (vs identity and small product)") {
     val m = new IndexedRowMatrix(spark.sparkContext.parallelize(Seq(
       IndexedRow(0, Vectors.dense(1.0, 2.0)),
