@@ -37,6 +37,75 @@ object VectorFunctions {
     GraftExpressionBridge.column(
       MinHashSignature(GraftExpressionBridge.expression(c), numHashes)
         .toAggregateExpression())
+
+  def simhash64(c: Column): Column =
+    GraftExpressionBridge.column(
+      SimHash64(GraftExpressionBridge.expression(c)).toAggregateExpression())
+}
+
+/** One-pass 64-bit SimHash over a token column: per token, each bit j
+  * of xxhash64(token) votes +1/-1 into a 64-counter buffer; the final
+  * hash sets bit j where the vote is positive. Token multiplicity IS
+  * the term-frequency weight, so the input needs no pre-counting —
+  * one aggregation, one shuffle, mergeable partials.
+  */
+case class SimHash64(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): SimHash64 =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): SimHash64 =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }
 
 /** Fused cosine similarity of two `array<float>` columns (double

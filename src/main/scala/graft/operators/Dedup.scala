@@ -155,6 +155,17 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Per-document 64-bit SimHash via the one-pass
+    * [[graft.functions.SimHash64]] aggregate (token multiplicity = the
+    * term-frequency weight; single shuffle, mergeable partials).
+    */
+  private def docSimHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg(graft.functions.VectorFunctions.simhash64(col("w")).as("simhash"))
+
   /** 64-bit SimHash per document (term-frequency weighted), plus
     * banded near-dup candidate pairs at Hamming distance ≤ 3.
     * Banding: 4×16-bit chunks — any pair within distance 3 must share
@@ -162,19 +173,7 @@ object Dedup {
     * on (chunk index, chunk value), never all pairs.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j"))
-    val withBits = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val hashes = withBits.select(col("doc_id"), simhash.as("simhash"))
+    val hashes = docSimHashes(docs)
     val banded = hashes.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> (shiftright(simhash, k*16) & 65535))")))
@@ -193,19 +192,6 @@ object Dedup {
   }
 
   /** Per-document SimHash values (for tests / downstream use). */
-  def simHash(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j"))
-    val withBits = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    withBits.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
-  }
+  def simHash(docs: DataFrame): DataFrame =
+    docSimHashes(docs).orderBy("doc_id")
 }
