@@ -33,6 +33,10 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime row-level join pruning: bloom filters built from the
+      // selective side prune the probe-side scan (a big win for the
+      // dimension-filtered fact joins at 100 TB)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // the events fixture carries TIMESTAMP(NANOS) parquet, which
       // Spark 4 rejects by default; read as long and normalize in Ctx

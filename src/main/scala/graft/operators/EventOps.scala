@@ -67,6 +67,19 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator
+    * (gap-merged event-time sessions; also valid under Structured
+    * Streaming with a watermark — the lag+cumsum form above is the
+    * portable/oracle-checkable twin). Returns per-user session rows.
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+      .orderBy("user_id", "sess_start")
+
   def sessionizeSql(gapSeconds: Long = 1800): String = {
     val gapMicros = gapSeconds * 1000000L
     s"""WITH e AS (

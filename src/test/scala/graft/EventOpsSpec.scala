@@ -24,6 +24,17 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == List((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("native session_window agrees with the gaps-and-islands form") {
+    val native = EventOps.sessionizeNative(events, "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val lagBased = EventOps.sessionize(events, gapSeconds = 1800).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(native == lagBased)
+  }
+
   test("tumblingHourly groups by hour and type") {
     val out = EventOps.tumblingHourly(events).collect()
       .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
