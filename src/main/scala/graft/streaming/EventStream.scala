@@ -65,6 +65,24 @@ object EventStream {
     q
   }
 
+  /** Durable streaming sink via foreachBatch: each micro-batch lands
+    * as parquet (append), the standard incremental-ingest shape (the
+    * batch side of the pipeline then reads the same directory). Use
+    * `Trigger.AvailableNow` for catch-up runs.
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (broadcast per micro-batch — the standard Spark
     * pattern; the static side may be a slowly-refreshed table).

@@ -68,6 +68,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands the stream as parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = EventStream.readEvents(spark, eventsDir)
+      .select("event_id", "ts", "event_type", "value")
+    val q = EventStream.runToParquet(stream, s"$out/events", ckpt)
+    try {
+      val landed = spark.read.parquet(s"$out/events").count()
+      assert(landed == Ctx(spark, sfDir).events.count())
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes all but the open session per user") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val sess = EventStream.sessionizeStream(spark, stream)
