@@ -101,7 +101,8 @@ object EventOps {
        |  SELECT user_id, sess_id, COUNT(*) AS n_events,
        |    MAX(eus) - MIN(eus) AS span_us
        |  FROM sessioned GROUP BY 1, 2)
-       |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
        |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
        |  MAX(span_us) AS max_session_us
        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin

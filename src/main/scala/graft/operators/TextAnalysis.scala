@@ -46,7 +46,7 @@ object TextAnalysis {
 
   val tokenCountsSql: String =
     s"""SELECT source, COUNT(*) AS n_docs,
-       |  SUM(n_tokens) AS total_tokens,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
        |FROM (SELECT source,
        |        len(regexp_extract_all(text, '${TextFunctions.tokenPattern}'))

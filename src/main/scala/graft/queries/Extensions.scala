@@ -188,8 +188,8 @@ object Extensions {
 
   val strAffixStatsSql: String =
     """SELECT substring(p_name, 1, 3) AS prefix3, COUNT(*) AS n,
-      |  SUM(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS n_red,
-      |  SUM(CASE WHEN p_name LIKE '%t' THEN 1 ELSE 0 END) AS n_t_end
+      |  CAST(SUM(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS BIGINT) AS n_red,
+      |  CAST(SUM(CASE WHEN p_name LIKE '%t' THEN 1 ELSE 0 END) AS BIGINT) AS n_t_end
       |FROM part GROUP BY 1 ORDER BY prefix3""".stripMargin
 
   /** approx_count_distinct (SURVEY A6's scale form — HLL sketch): the
@@ -253,7 +253,7 @@ object Extensions {
 
   val profileLineitemSql: String =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
       |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
       |  COUNT(DISTINCT l_orderkey) AS n_orders,

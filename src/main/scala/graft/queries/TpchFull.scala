@@ -388,10 +388,10 @@ object TpchFull {
 
   val q12Sql: String =
     """SELECT l_shipmode,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |      THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM orders, lineitem
       |WHERE o_orderkey = l_orderkey AND l_shipmode IN ('MAIL', 'SHIP')
       |  AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
