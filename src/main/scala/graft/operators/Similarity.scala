@@ -218,4 +218,31 @@ object Similarity {
       .select(col("label"),
         expr("transform(pm, x -> x.mean)").as("centroid"))
       .orderBy("label")
+
+  /** Driver-facing scalar form of [[labelCentroids]]: one row per
+    * (label, dimension) with the exact-decimal mean — no array columns
+    * (the driver's row-sorter can't hash arrays), and fully
+    * oracle-checkable. Element sums go through `DECIMAL(30,18)` (same
+    * carrier as the cosine dot product — arbitrary floats, not the
+    * 6-decimal money columns `Kernels.dsum` assumes); the final
+    * `round(mean, 6)` absorbs the 1-ulp decimal→double cast divergence.
+    */
+  def labelCentroidsFlat(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(round(
+        sum(col("col").cast("double").cast("decimal(30,18)")).cast("double")
+          / count(lit(1)), 6).as("mean"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("mean"))
+      .orderBy("label", "pos")
+
+  /** DuckDB oracle for [[labelCentroidsFlat]] (dims=64 fixture). */
+  def labelCentroidsFlatSql(dims: Int = 64): String =
+    s"""SELECT label, i - 1 AS pos,
+       |  round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
+       |        AS DOUBLE) / COUNT(*), 6) AS mean
+       |FROM embeddings
+       |CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS i) dims
+       |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 }

@@ -147,10 +147,9 @@ object Extensions {
 
   def topBigramsSql(k: Int = 20): String =
     s"""SELECT arr[i] || ' ' || arr[i + 1] AS bigram, COUNT(*) AS n
-       |FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
-       |      FROM documents) t
-       |CROSS JOIN (SELECT UNNEST(range(1, 10000)) AS i) idx
-       |WHERE i < len(arr)
+       |FROM (SELECT arr, UNNEST(range(1, len(arr))) AS i
+       |      FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS arr
+       |            FROM documents) t0) t
        |GROUP BY 1 ORDER BY n DESC, bigram
        |LIMIT $k""".stripMargin
 
@@ -227,13 +226,18 @@ object Extensions {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** One-pass sketch quantiles — the 100 TB form (rows-only check;
-    * sketch internals are engine-specific).
+    * sketch internals are engine-specific). Emitted as scalar p50/p95
+    * columns, not the raw quantile array — the driver's row-sorter
+    * can't hash array cells.
     */
   def quantilesApprox(c: Ctx): DataFrame =
     c.lineitem
       .groupBy("l_returnflag")
       .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)")
-        .as("approx_price_quantiles"))
+        .as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p50_price"),
+        element_at(col("q"), 2).as("p95_price"))
       .orderBy("l_returnflag")
 
   /** Column profiling (data-quality summary a training pipeline runs
@@ -290,7 +294,7 @@ object Extensions {
     "sim_cosine_topk_agg" -> (c => Similarity.cosineTopKAgg(c.embeddings)),
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
-    "sim_label_centroids" -> (c => Similarity.labelCentroids(c.embeddings)),
+    "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
     "text_token_count" -> (c => TextAnalysis.tokenCounts(c.documents)),
@@ -327,6 +331,7 @@ object Extensions {
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_agg" -> Similarity.cosineTopKSql(),
+    "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
