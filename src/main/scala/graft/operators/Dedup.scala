@@ -155,6 +155,86 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** [[minHashLsh]] with a cross-engine-portable hash family: minhash
+    * h(seed, shingle) = int(md5(seed:shingle)[0:15 hex]) — md5 is
+    * identical in every engine, so unlike the xxhash64 form this
+    * variant is fully DuckDB-oracle-checkable (the hard evidence that
+    * the banding/candidate/estimation pipeline is right; the xxhash64
+    * form stays the bench path — one fused aggregate vs k md5 calls).
+    * Same LSH shape: shuffle on (band, band signature), never
+    * all-pairs.
+    */
+  def minHashLshMd5(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      minEstSim: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val mins = shingles(docs)
+      .select(col("doc_id"), col("sh"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', sh)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+    val sigs = mins.groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
+        .as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .withColumn("est_sim", expr(
+        s"""CAST(aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)),
+           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin))
+      .filter(col("est_sim") >= minEstSim)
+      .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[minHashLshMd5]] — the same md5-derived hash
+    * family via `CAST('0x…' AS BIGINT)`, banding via list-valued group
+    * keys, estimation via a pairwise seed join.
+    */
+  def minHashLshMd5Sql(numHashes: Int = 32, bands: Int = 8,
+      minEstSim: Double = 0.5): String = {
+    val rowsPerBand = numHashes / bands
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+       |  FROM (SELECT doc_id, arr,
+       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(trim(text), '\\s+') AS arr
+       |              FROM documents) t0) t1),
+       |mins AS (
+       |  SELECT doc_id, seed,
+       |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    LIST(mh ORDER BY seed) AS bsig
+       |  FROM mins GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |SELECT d1, d2,
+       |  CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $numHashes AS est_sim
+       |FROM cands
+       |JOIN mins m1 ON m1.doc_id = d1
+       |JOIN mins m2 ON m2.doc_id = d2 AND m1.seed = m2.seed
+       |GROUP BY 1, 2
+       |HAVING est_sim >= $minEstSim
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** Per-document 64-bit SimHash via the one-pass
     * [[graft.functions.SimHash64]] aggregate (token multiplicity = the
     * term-frequency weight; single shuffle, mergeable partials).

@@ -166,6 +166,93 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** [[annLshTopK]] with a cross-engine-portable hash family —
+    * hyperplane weight w(p,i) = (int(md5("p:i")[0:15 hex]) % 1000
+    * − 499.5) / 1000, centered so no component is over-weighted —
+    * and decimal-exact bucket signs + cosine scoring, making the whole
+    * pipeline DuckDB-oracle-checkable (hard evidence the
+    * bucket-and-probe shape is right). The xxhash64 + codegen'd-cosine
+    * form stays the bench path.
+    */
+  def annLshTopKMd5(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+      numPlanes: Int = 8): DataFrame = {
+    // sign decisions fold through DECIMAL(38,18) so they are
+    // order-independent — a near-zero dot can't flip a bucket bit
+    // between engines
+    val codeExpr = (0 until numPlanes).map { p =>
+      s"""(CASE WHEN aggregate(
+         |  zip_with(embedding, sequence(0, size(embedding) - 1),
+         |    (x, i) -> CAST(CAST(x AS DOUBLE) *
+         |      ((CAST(CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000
+         |        AS DOUBLE) - 499.5) / 1000.0) AS DECIMAL(30,18))),
+         |  CAST(0 AS DECIMAL(38,18)),
+         |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val coded = withNorm(embeddings).withColumn("bucket", expr(codeExpr))
+    val queries = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val corpus = coded.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "bucket", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[annLshTopKMd5]]. */
+  def annLshTopKMd5Sql(numQueries: Int = 10, k: Int = 5, numPlanes: Int = 8,
+      dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |proj AS (
+       |  SELECT p, i,
+       |    (CAST(CAST('0x' || substring(md5(p || ':' || (i - 1)), 1, 15) AS BIGINT) % 1000
+       |      AS DOUBLE) - 499.5) / 1000.0 AS w
+       |  FROM (SELECT UNNEST(range(0, $numPlanes)) AS p) planes CROSS JOIN dims),
+       |bits AS (
+       |  SELECT e.vec_id, pr.p,
+       |    CASE WHEN SUM(CAST(CAST(e.embedding[pr.i] AS DOUBLE) * pr.w
+       |                  AS DECIMAL(30,18))) >= 0
+       |         THEN (1 << pr.p) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN proj pr
+       |  GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, CAST(SUM(bit) AS INTEGER) AS bucket
+       |  FROM bits GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, cq.bucket, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN codes cq ON q.vec_id = cq.vec_id AND q.vec_id < $numQueries
+       |  JOIN codes cc ON cc.bucket = cq.bucket
+       |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2, 3),
+       |cosd AS (
+       |  SELECT qid, bucket, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (
+       |  SELECT qid, bucket, cid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+       |  FROM cosd)
+       |SELECT qid, bucket, cid, cosine, rk FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+
   /** IVF-style ANN: coarse-quantize the corpus by nearest centroid
     * (here the per-label centroids as the codebook — in production the
     * codebook comes from k-means, [[graft.ml.MLParity.kmeans]]), then

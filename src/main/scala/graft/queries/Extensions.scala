@@ -288,11 +288,13 @@ object Extensions {
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
     "dedup_jaccard_hist" -> (c => Dedup.jaccardHistogram(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
+    "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
     // similarity search
     "sim_cosine_topk" -> (c => Similarity.cosineTopK(c.embeddings)),
     "sim_cosine_topk_agg" -> (c => Similarity.cosineTopKAgg(c.embeddings)),
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
+    "sim_ann_lsh_md5" -> (c => Similarity.annLshTopKMd5(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     // text analysis
@@ -329,6 +331,8 @@ object Extensions {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
+    "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
+    "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_agg" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
