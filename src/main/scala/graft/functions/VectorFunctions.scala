@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -41,6 +41,89 @@ object VectorFunctions {
   def simhash64(c: Column): Column =
     GraftExpressionBridge.column(
       SimHash64(GraftExpressionBridge.expression(c)).toAggregateExpression())
+
+  def hyperplane_bucket(c: Column, numPlanes: Int): Column =
+    GraftExpressionBridge.column(HyperplaneLshBucket(
+      GraftExpressionBridge.expression(c), numPlanes))
+}
+
+/** Deterministic pseudo-random hyperplane weights for LSH bucket
+  * coding, shared by interpreted eval and generated code. Weight
+  * (p, i) = ((xxhash64(p then i, seed 42) pmod 1000) − 499.5) / 1000 —
+  * centered on 0 so no component is over-weighted, reproducible on any
+  * cluster with no RNG state. Matrices are memoized per (planes, dims).
+  */
+object HyperplaneLsh {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+
+  def weights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dims), { key =>
+      val (np, d) = key
+      Array.tabulate(np, d) { (p, i) =>
+        val h1 = XxHash64Function.hash(p.toLong, LongType, 42L)
+        val h2 = XxHash64Function.hash(i.toLong, LongType, h1)
+        val m = ((h2 % 1000) + 1000) % 1000
+        (m - 499.5) / 1000.0
+      }
+    })
+}
+
+/** Fused LSH bucket code of an `array<float>` column: bit p of the
+  * result is the sign of the dot product with pseudo-random hyperplane
+  * p ([[HyperplaneLsh.weights]]). One tight primitive loop inside
+  * whole-stage codegen — replaces `numPlanes` interpreted
+  * `aggregate(zip_with(...))` passes over the vector.
+  */
+case class HyperplaneLshBucket(child: Expression, numPlanes: Int)
+    extends UnaryExpression {
+
+  require(numPlanes > 0 && numPlanes <= 31, "numPlanes must fit an int bucket")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = HyperplaneLsh.weights(numPlanes, n)
+    var bucket = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += arr.getFloat(i).toDouble * w(p)(i); i += 1 }
+      if (dot >= 0.0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      val bucket = ctx.freshName("bucket")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |double[][] $w = graft.functions.HyperplaneLsh.weights($numPlanes, $n);
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * $w[$p][$i];
+         |  }
+         |  if ($dot >= 0.0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** One-pass 64-bit SimHash over a token column: per token, each bit j

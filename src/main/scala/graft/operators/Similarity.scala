@@ -138,14 +138,12 @@ object Similarity {
     */
   def annLshTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 8): DataFrame = {
-    // code bit p = sign(sum_i emb[i] * proj(p, i)); proj in [-0.5, 0.5)
-    val codeExpr = (0 until numPlanes).map { p =>
-      s"""(CASE WHEN aggregate(
-         |  zip_with(embedding, sequence(0, size(embedding) - 1),
-         |    (x, i) -> CAST(x AS DOUBLE) * ((CAST(xxhash64($p, i) % 1000 AS DOUBLE) / 1000.0))),
-         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
-    val coded = embeddings.withColumn("bucket", expr(codeExpr))
+    // code bit p = sign(dot(emb, plane p)); plane components centered in
+    // [-0.4995, 0.4995] via pmod ([[graft.functions.HyperplaneLsh]]) —
+    // a single fused codegen'd pass over the vector, not numPlanes
+    // interpreted aggregate() HOFs
+    val coded = embeddings.withColumn("bucket",
+      graft.functions.VectorFunctions.hyperplane_bucket(col("embedding"), numPlanes))
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("bucket"))

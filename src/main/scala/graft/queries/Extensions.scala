@@ -291,8 +291,11 @@ object Extensions {
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
     // similarity search
-    "sim_cosine_topk" -> (c => Similarity.cosineTopK(c.embeddings)),
-    "sim_cosine_topk_agg" -> (c => Similarity.cosineTopKAgg(c.embeddings)),
+    // flagship = the bounded-agg form (map-side k-capped heaps — the
+    // shape that survives |corpus| ≫ memory); the window form stays as
+    // a cross-check against the same oracle
+    "sim_cosine_topk" -> (c => Similarity.cosineTopKAgg(c.embeddings)),
+    "sim_cosine_topk_window" -> (c => Similarity.cosineTopK(c.embeddings)),
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
     "sim_ann_lsh_md5" -> (c => Similarity.annLshTopKMd5(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
@@ -334,7 +337,7 @@ object Extensions {
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
-    "sim_cosine_topk_agg" -> Similarity.cosineTopKSql(),
+    "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_token_count" -> TextAnalysis.tokenCountsSql,

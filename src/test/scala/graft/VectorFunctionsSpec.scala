@@ -52,6 +52,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sigs(1L).length == 16)
   }
 
+  test("hyperplane_bucket: codegen matches interpreted eval; weights centered") {
+    val vecs = Seq(
+      Tuple1(Array(1.0f, -2.0f, 0.5f, 3.0f)),
+      Tuple1(Array(-1.0f, 2.0f, -0.5f, -3.0f)),
+      Tuple1(Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("v")
+    val buckets = df.select(
+      VectorFunctions.hyperplane_bucket($"v", 8).as("b")).collect().map(_.getInt(0))
+    // interpreted path must agree with the codegen'd projection
+    val e = graft.functions.HyperplaneLshBucket(
+      org.apache.spark.sql.GraftExpressionBridge.expression($"v"), 8)
+    vecs.map(_._1).zip(buckets).foreach { case (arr, b) =>
+      val interp = e.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr))
+        .asInstanceOf[Int]
+      assert(interp == b)
+      assert(b >= 0 && b < 256)
+    }
+    // weights land in the centered range, with both signs represented
+    val w = graft.functions.HyperplaneLsh.weights(8, 64).flatten
+    assert(w.forall(x => x >= -0.4995 && x <= 0.4995))
+    assert(w.exists(_ < 0) && w.exists(_ > 0))
+    // all-zero vector: every dot is 0 → every sign bit set
+    assert(buckets(2) == 255)
+  }
+
   test("minhash_signature is partitioning-independent (partial agg merge)") {
     val data = (1 to 500).map(i => (i % 7L, s"shingle_$i"))
     val s1 = data.toDF("id", "sh").repartition(1).groupBy("id")
