@@ -642,8 +642,11 @@ object Tpch {
       .groupBy("l_suppkey", "l_partkey")
       .agg(dsum(col("l_quantity")).as("qty"))
       .filter(col("qty") > 40)
+    // the aggregated+filtered qualified set is tiny → broadcast it so
+    // the semi-join never sort-merges (the suite's last non-broadcast
+    // join otherwise)
     c.supplier
-      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name", "s_acctbal")
       .orderBy("s_name", "s_suppkey")
   }

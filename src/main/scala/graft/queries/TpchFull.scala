@@ -609,7 +609,7 @@ object TpchFull {
       .filter(col("ps_availqty") > col("half_qty"))
       .select(col("ps_suppkey"))
     c.supplier
-      .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .join(broadcast(qualified), col("s_suppkey") === col("ps_suppkey"), "left_semi")
       .join(broadcast(c.nation.filter(col("n_name") === "CANADA")),
         col("s_nationkey") === col("n_nationkey"), "left_semi")
       .select("s_name", "s_address")

@@ -33,6 +33,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q20: qualified set broadcasts — no sort-merge join in the suite's last holdout") {
+    val p = planOf(Tpch.q20(ctx))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q21: EXISTS/NOT EXISTS plan as semi/anti joins") {
     val p = planOf(Tpch.q21(ctx))
     assert(p.contains("LeftSemi"), p)
