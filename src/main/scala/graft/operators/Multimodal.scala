@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB (`decodeStub`) — but everything
-  * Spark-side is real and tested: the schema, the `Dataset[T]`
-  * encoders, the `mapPartitions` batch shape (one decoder
-  * instantiation per partition, the same contract a JNI/FFMPEG/PIL
+  * Image payloads are REAL: generated as PNG bytes and decoded with
+  * the JDK's `javax.imageio` (no external codecs needed), so
+  * width/height come from actual decoded pixels. Audio/video decode
+  * remains a clearly-marked deterministic STUB (no ffmpeg/soundfile in
+  * this container) — a production deployment swaps only that kernel;
+  * the Spark-side contract is identical and tested: the schema, the
+  * `Dataset[T]` encoders, the `mapPartitions` batch shape (one decoder
+  * instantiation per partition, the same contract a JNI/FFMPEG
   * decoder needs), and the partitioning story (binary payloads never
   * shuffle — features are extracted before any wide operation).
   */
@@ -34,20 +37,71 @@ object Multimodal {
       n_frames: Int,
       checksum: Long)
 
-  /** STUB decoder — stands in for a real codec (PIL/ffmpeg/soundfile
-    * are not in this container). Deterministic on the payload bytes so
-    * tests are exact. A production deployment swaps only this
-    * function; the Dataset plumbing around it is unchanged.
+  private def rollingChecksum(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L // FNV-ish rolling checksum
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** Deterministic image dimensions for media_id (used by the
+    * generator; the decoder must recover them from the pixels alone).
+    */
+  def imageDims(mediaId: Long): (Int, Int) =
+    (16 + (mediaId % 48).toInt, 9 + (mediaId % 32).toInt)
+
+  /** Encode a real PNG payload for media_id: a small RGB image with a
+    * deterministic per-pixel gradient, written by the JDK's ImageIO.
+    */
+  def pngPayload(mediaId: Long): Array[Byte] = {
+    val (w, h) = imageDims(mediaId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (((mediaId * 31 + x * 7 + y * 13) % 0x1000000L).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image decode via `javax.imageio` — width/height/frame count
+    * from the actual decoded raster. Returns None for undecodable
+    * bytes or non-image kinds.
+    */
+  def decodeImage(r: MediaRecord): Option[MediaFeatures] =
+    if (r.kind != "image") None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload)))
+      .map { img =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          img.getWidth, img.getHeight, 1, rollingChecksum(r.payload))
+      }
+
+  /** STUB decoder for audio/video — stands in for a real codec
+    * (ffmpeg/soundfile are not in this container). Deterministic on
+    * the payload bytes so tests are exact. A production deployment
+    * swaps only this function; the Dataset plumbing around it is
+    * unchanged.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
-    var h = 1125899906842597L // FNV-ish rolling checksum
-    var i = 0
-    while (i < r.payload.length) { h = 31 * h + r.payload(i); i += 1 }
+    val h = rollingChecksum(r.payload)
     val w = (math.abs(h) % 1920 + 64).toInt
     MediaFeatures(r.media_id, r.kind, n, w, (w * 9 / 16).max(1),
       if (r.kind == "video") (n / 1024).toInt.max(1) else 1, h)
   }
+
+  /** Full decode kernel: real ImageIO for images, stub for the rest. */
+  def decode(r: MediaRecord): MediaFeatures =
+    decodeImage(r).getOrElse(decodeStub(r))
 
   /** Decode/feature-extract: partition-local, one decoder per
     * partition (`mapPartitions`), no shuffle of payloads.
@@ -56,7 +110,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real decoders initialize per-partition state here (codecs etc.)
-      it.map(decodeStub)
+      it.map(decode)
     }
   }
 
@@ -71,24 +125,25 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
 
-  /** Build a media table from the documents fixture (payload =
-    * UTF-8 bytes of the text — a stand-in corpus for exercising the
-    * plumbing end-to-end on real files).
+  /** Build a media table from the documents fixture: image rows carry
+    * REAL PNG payloads (generated partition-locally, decoded back by
+    * ImageIO); audio/video rows carry the UTF-8 text bytes as an
+    * opaque stand-in payload.
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      lit("stub/v1").as("meta_format"))
-      .as[MediaRecord]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        if (kind == "image") MediaRecord(id, kind, pngPayload(id), "png")
+        else MediaRecord(id, kind, text.getBytes("UTF-8"), "stub/v1")
+    }
   }
 
   /** End-to-end features query over the documents-derived media table
-    * (rows-only correctness check; the decode is a stub, but byte
-    * counts and deterministic checksums are real).
+    * (rows-only correctness check; image dims come from real ImageIO
+    * decode, audio/video from the stub; byte counts and checksums are
+    * real everywhere).
     */
   def featuresQuery(spark: SparkSession, docs: DataFrame): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(spark, docs))
@@ -96,6 +151,8 @@ object Multimodal {
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"),
+        max("width").as("max_width"),
+        max("height").as("max_height"),
         min("checksum").as("min_checksum"))
       .orderBy("kind")
   }

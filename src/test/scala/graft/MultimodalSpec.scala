@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** Multimodal column pipeline: REAL PNG encode/decode through the
+  * JDK's ImageIO (no stub on the image path), stub decode for
+  * audio/video, and the end-to-end Dataset plumbing.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pngPayload round-trips through ImageIO with the generated dims") {
+    for (id <- Seq(0L, 3L, 47L, 123L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      val feats = Multimodal.decodeImage(
+        MediaRecord(id, "image", Multimodal.pngPayload(id), "png"))
+      assert(feats.isDefined)
+      assert(feats.get.width == w && feats.get.height == h,
+        s"id=$id expected ${w}x$h got ${feats.get.width}x${feats.get.height}")
+      assert(feats.get.n_frames == 1)
+    }
+  }
+
+  test("decodeImage rejects non-image kinds and garbage bytes") {
+    assert(Multimodal.decodeImage(
+      MediaRecord(1L, "audio", Array[Byte](1, 2, 3), "stub/v1")).isEmpty)
+    assert(Multimodal.decodeImage(
+      MediaRecord(1L, "image", Array[Byte](1, 2, 3), "png")).isEmpty)
+  }
+
+  test("extractFeatures: image dims are decoded pixels, not stub values") {
+    val docs = Seq(
+      (0L, "doc zero"), (1L, "doc one"), (2L, "doc two"),
+      (3L, "doc three"), (6L, "doc six")
+    ).toDF("doc_id", "text")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.mediaFromDocuments(spark, docs))
+      .collect().map(f => f.media_id -> f).toMap
+    // ids 0, 3, 6 are images (id % 3 == 0) with known generated dims
+    for (id <- Seq(0L, 3L, 6L)) {
+      val (w, h) = Multimodal.imageDims(id)
+      assert(feats(id).kind == "image")
+      assert(feats(id).width == w && feats(id).height == h)
+    }
+    // ids 1, 2 are audio/video stub payloads (text bytes)
+    assert(feats(1L).kind == "audio")
+    assert(feats(1L).n_bytes == "doc one".getBytes("UTF-8").length)
+    assert(feats(2L).kind == "video")
+  }
+
+  test("featuresQuery groups all three kinds with real image dims") {
+    val docs = (0L until 30L).map(i => (i, s"document number $i")).toDF("doc_id", "text")
+    val rows = Multimodal.featuresQuery(spark, docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    val img = rows.find(_.getString(0) == "image").get
+    // 10 images, max dims over ids 0,3,...,27: width 16+27=43, height 9+27=36
+    assert(img.getLong(1) == 10L)
+    assert(img.getInt(3) == 43 && img.getInt(4) == 36)
+  }
+
+  test("sampleFrames explodes stride-sampled frame indices without payloads") {
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, "video", 4096L, 640, 360, 25, 7L)
+    ).toDS()
+    val frames = Multimodal.sampleFrames(feats, stride = 10).collect()
+    assert(frames.map(_.getInt(2)).toSeq == Seq(0, 10, 20))
+    assert(!frames.head.schema.fieldNames.contains("payload"))
+  }
+}
