@@ -4,6 +4,7 @@ import org.apache.spark.mllib.linalg.{DenseMatrix, Matrix, Vectors}
 import org.apache.spark.mllib.linalg.distributed.{BlockMatrix, IndexedRow, IndexedRowMatrix, RowMatrix}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.ml.classification.{LinearSVC, LinearSVCModel}
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.DataFrame
@@ -119,6 +120,21 @@ object MLParity {
     * model once, score partition-locally (dask's `ParallelPostFit`).
     */
   def parallelPredict(df: DataFrame, model: KMeansModel): DataFrame =
+    model.transform(df)
+
+  /** M7, faithful to the reference's classifier
+    * (`parallelizing_svm.py:32-40`: `ParallelPostFit(SVC)` fit on a
+    * 1k-sample binary `make_classification` set, predicted over 100M
+    * rows): `ml.classification.LinearSVC` is the 1:1 Spark analogue —
+    * fit once on a small labeled set, then `transform` scores each
+    * partition against the broadcast coefficients with no shuffle.
+    */
+  def fitSvc(train: DataFrame, maxIter: Int = 20,
+      regParam: Double = 0.01): LinearSVCModel =
+    new LinearSVC().setMaxIter(maxIter).setRegParam(regParam).fit(train)
+
+  /** Broadcast-score the SVC model — dask's `ParallelPostFit.predict`. */
+  def parallelPredictSvc(df: DataFrame, model: LinearSVCModel): DataFrame =
     model.transform(df)
 
   /** Embeddings fixture → ml features DataFrame. */

@@ -79,4 +79,45 @@ class MLParitySpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted
     assert(counts.toSeq == Seq(20L, 20L))
   }
+
+  test("LinearSVC parallel inference (M7): fit small, broadcast-score, no shuffle") {
+    import org.apache.spark.sql.functions._
+    // the reference's shape (parallelizing_svm.py:32-40): fit a binary
+    // classifier on a small sample, predict over the big set
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val feats = MLParity.embeddingFeatures(emb)
+      .withColumn("binlabel", (col("label") < 5).cast("double"))
+    val model = MLParity.fitSvc(
+      feats.select(col("features"), col("binlabel").as("label")))
+    val pred = MLParity.parallelPredictSvc(feats, model)
+    assert(pred.columns.contains("prediction"))
+    val acc = pred
+      .agg(avg((col("prediction") === col("binlabel")).cast("double")))
+      .head.getDouble(0)
+    assert(acc > 0.55, s"SVC accuracy on fixture labels: $acc")
+    // scoring is partition-local: the transform adds no exchange
+    assert(!pred.queryExecution.executedPlan.toString.contains("Exchange"),
+      pred.queryExecution.executedPlan.toString)
+  }
+
+  test("LinearSVC recovers a linearly separable rule near-perfectly") {
+    // make_classification-style separable data, deterministic
+    val rows = (0 until 400).map { i =>
+      val x0 = ((i * 2654435761L % 1000) / 1000.0) - 0.5
+      val x1 = ((i * 40503L % 1000) / 1000.0) - 0.5
+      val label = if (x0 + 2 * x1 > 0) 1.0 else 0.0
+      (i.toLong, Array(x0.toFloat, x1.toFloat), label.toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val feats = MLParity.embeddingFeatures(df)
+      .selectExpr("features", "cast(label as double) as label")
+    val model = MLParity.fitSvc(feats, maxIter = 50, regParam = 0.001)
+    val pred = MLParity.parallelPredictSvc(feats, model)
+    val acc = pred
+      .agg(org.apache.spark.sql.functions.avg(
+        (org.apache.spark.sql.functions.col("prediction") ===
+          org.apache.spark.sql.functions.col("label")).cast("double")))
+      .head.getDouble(0)
+    assert(acc > 0.97, s"separable accuracy: $acc")
+  }
 }
