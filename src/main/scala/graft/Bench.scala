@@ -30,6 +30,18 @@ object Bench {
       val m = "^q(\\d+)$".r.findFirstMatchIn(n)
       (m.isEmpty, m.map(_.group(1).toInt).getOrElse(0), n)
     }
+    // failures are recorded as value -1 + an errors entry, never as a
+    // fast "success" timing
+    val errors = scala.collection.mutable.ListBuffer[String]()
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try { f; name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}"
+          name -> -1.0
+      }
+    }
     // steady-state methodology: one unmeasured warm-up pass over every
     // query (JIT + whole-stage-codegen compilation + parquet footers),
     // then one measured pass
@@ -37,20 +49,12 @@ object Bench {
       try all(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      timed(name) { all(name)(spark, sfDir).count() }
     }
     // array/ML workloads — the reference's own benchmark set
     // (matrix_multiplication.py, svd_tall_skinny_matrix.py, kmeans.py,
-    // tree_reduction.py; recorded numbers in BASELINE.md), scaled to
-    // this rig
-    def timed(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // tree_reduction.py, parallelizing_svm.py; recorded numbers in
+    // BASELINE.md), scaled to this rig
     import graft.ml.MLParity
     val mlResults = Seq(
       // 2048² with 256-blocks, chunks generated directly as blocks
@@ -76,13 +80,34 @@ object Bench {
         val s = spark.sparkContext.range(0L, 1000000L, numSlices = 32)
           .map(_.toDouble).treeReduce(_ + _, depth = 3)
         require(s > 0)
+      },
+      // the reference's M7 exercise (parallelizing_svm.py:32-40): fit
+      // small, broadcast-score a large generated sample set
+      timed("ml_svc_predict_1m") {
+        val emb = MLParity.embeddingFeatures(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        val model = MLParity.fitSvc(
+          emb.selectExpr("features", "cast(label < 5 as double) as label"))
+        val big = spark.createDataFrame(
+          MLParity.randomMatrix(spark, 1000000L, 64, rowsPerBlock = 65536)
+            .rows.map(r => Tuple1(
+              org.apache.spark.ml.linalg.Vectors.dense(r.vector.toArray))))
+          .toDF("features")
+        MLParity.parallelPredictSvc(big, model).count()
       })
     val allResults = results ++ mlResults
     val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = allResults.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val total = allResults.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // the driver machine-parses this: keep it on disk too, since sbt
+    // prefixes every stdout line with "[info] "
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }
