@@ -1,6 +1,7 @@
 package graft.api
 
 import scala.concurrent.{ExecutionContext, Future}
+import scala.util.Try
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Futures-API parity (SURVEY §1.1 / §2.13): the reference's eager
@@ -24,12 +25,18 @@ object AsyncOps {
       implicit ec: ExecutionContext): Future[Seq[Array[Row]]] =
     Future.sequence(futures)
 
-  /** `as_completed` — a stream of (index, result) in completion order. */
+  /** `as_completed` — a stream of (index, Try) in completion order.
+    * Failures are surfaced as `Failure` elements rather than silently
+    * dropped (a dropped element would leave the consumer blocked
+    * forever on `queue.take()`), matching the reference's behavior of
+    * yielding errored futures to the caller
+    * (`distributed/client.py:4278`).
+    */
   def asCompleted[A](futures: Seq[Future[A]])(
-      implicit ec: ExecutionContext): Iterator[(Int, A)] = {
-    val queue = new java.util.concurrent.LinkedBlockingQueue[(Int, A)]()
+      implicit ec: ExecutionContext): Iterator[(Int, Try[A])] = {
+    val queue = new java.util.concurrent.LinkedBlockingQueue[(Int, Try[A])]()
     futures.zipWithIndex.foreach { case (f, i) =>
-      f.foreach(a => queue.put((i, a)))
+      f.onComplete(r => queue.put((i, r)))
     }
     Iterator.fill(futures.size)(queue.take())
   }

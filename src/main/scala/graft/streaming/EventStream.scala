@@ -100,39 +100,55 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
-  final case class SessionEvent(user_id: Long, eus: Long)
+  // ts stays in the row so the watermarked column survives to the
+  // flatMapGroupsWithState child (required for event-time timeout)
+  final case class SessionEvent(user_id: Long, eus: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, span_us: Long)
 
   /** Stateful sessionization: per-user state carries the open
-    * session; a gap > `gapMicros` (or timeout in a live stream)
-    * closes it. Mirrors `EventOps.sessionize` semantics for ordered
-    * per-user input.
+    * session; a gap > `gapMicros` closes it, and an event-time
+    * TIMEOUT (watermark passing last-event + gap) flushes idle open
+    * sessions in a live stream — so state is bounded and every session
+    * is eventually emitted. Mirrors `EventOps.sessionize` semantics
+    * for ordered per-user input.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapMicros: Long = 1800L * 1000000L): DataFrame = {
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("eus"))
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("eus"), col("ts"))
       .as[SessionEvent]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, rows: Iterator[SessionEvent],
          state: GroupState[SessionState]) => {
-          val sorted = rows.map(_.eus).toSeq.sorted
-          var out = List.empty[SessionOut]
-          var st = state.getOption.orNull
-          for (t <- sorted) {
-            if (st == null) st = SessionState(t, t, 1)
-            else if (t - st.last > gapMicros) {
-              out = SessionOut(user, st.n, st.last - st.start) :: out
-              st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the open
+            // session can never be extended — emit and clear
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.last - st.start))
+          } else {
+            val sorted = rows.map(_.eus).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var st = state.getOption.orNull
+            for (t <- sorted) {
+              if (st == null) st = SessionState(t, t, 1)
+              else if (t - st.last > gapMicros) {
+                out = SessionOut(user, st.n, st.last - st.start) :: out
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, t, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + gapMicros) / 1000L)
+            }
+            out.reverseIterator
           }
-          if (st != null) state.update(st)
-          out.reverseIterator
         })
       .toDF()
   }

@@ -91,8 +91,12 @@ class StreamingSpec extends AnyFunSuite {
         .agg(sum("n_sessions"), count(lit(1))).head
       val totalSessions = batch.getLong(0)
       val users = batch.getLong(1)
-      // the still-open last session per user remains in state
-      assert(closed == totalSessions - users)
+      // gap-closed sessions all emit; open sessions emit only if the
+      // event-time timeout (watermark > last + gap) fired before the
+      // stream ended — per-user last sessions near the global max ts
+      // stay in state
+      assert(closed >= totalSessions - users && closed <= totalSessions,
+        s"closed=$closed total=$totalSessions users=$users")
     } finally q.stop()
   }
 }
