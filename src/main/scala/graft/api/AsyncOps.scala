@@ -20,6 +20,31 @@ object AsyncOps {
   def computeAsync(df: DataFrame)(implicit ec: ExecutionContext): Future[Array[Row]] =
     Future(df.collect())
 
+  /** `fire_and_forget` (`distributed/client.py:4603`): launch the
+    * computation without retaining a handle — the job runs to
+    * completion on the cluster regardless of the caller. Spark jobs
+    * are driver-tracked, not handle-refcounted, so dropping the future
+    * is already safe; this makes the intent explicit.
+    */
+  def fireAndForget(df: DataFrame)(implicit ec: ExecutionContext): Unit = {
+    Future(df.foreach(_ => ())): Unit
+  }
+
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[String, Future[Array[Row]]]
+
+  /** Pure-function key dedup (`distributed/client.py:1530-1533`): dask
+    * content-hashes task keys, so submitting the same computation
+    * twice yields the SAME future. Spark's analogue of the content
+    * hash is the canonicalized logical plan — semantically identical
+    * queries share one in-flight job/result here.
+    */
+  def computeAsyncCached(df: DataFrame)(
+      implicit ec: ExecutionContext): Future[Array[Row]] =
+    inflight.computeIfAbsent(
+      df.queryExecution.analyzed.canonicalized.toString,
+      _ => Future(df.collect()))
+
   /** `client.gather(futures)` — await all results (order preserved). */
   def gather(futures: Seq[Future[Array[Row]]])(
       implicit ec: ExecutionContext): Future[Seq[Array[Row]]] =
