@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof harness (one-off, not the per-round bench): pushes the
+  * two places the small-SF bench can't see toward reference scale and
+  * records wall-clock,
+  *
+  *  1. TPC-H heavy hitters (q1, q5, q9, q18, q21) over the sf0.1
+  *     fixture amplified 1×/4×/16× ON DISK (fact tables replicated
+  *     with shifted order keys, dims untouched so joins stay valid) —
+  *     ~9.6M lineitem rows at 16×; near-linear growth here is the
+  *     evidence the one-shuffle broadcast plans hold as data scales.
+  *  2. Block matmul at 2048²/4096²/8192² with 512-blocks — the
+  *     reference's `matrix_multiplication.py:16-27` exercise shape
+  *     (64k² with 8k chunks on a cluster); n³ work on n² data, so the
+  *     check is flops-rate stability, not linearity.
+  *
+  * Usage: runMain graft.ScaleBench [fact-mults] [matmul-sizes]
+  * (comma-separated; defaults "1,4,16" and "2048,4096,8192").
+  * Results land in docs/BENCH_NOTES.md by hand.
+  */
+object ScaleBench {
+
+  def amplifyToDir(spark: SparkSession, srcDir: String, outDir: String,
+      mult: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(outDir))) return
+    def amplify(df: DataFrame, keys: Seq[String]): DataFrame =
+      (0 until mult).map { i =>
+        keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+      }.reduce(_ unionAll _)
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val or = spark.read.parquet(s"$srcDir/orders.parquet")
+    amplify(li, Seq("l_orderkey")).write.parquet(s"$outDir/lineitem.parquet")
+    amplify(or, Seq("o_orderkey")).write.parquet(s"$outDir/orders.parquet")
+    for (t <- Seq("customer", "supplier", "part", "nation", "region"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.parquet(s"$outDir/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factMults = args.headOption.getOrElse("1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val matmulSizes = (if (args.length > 1) args(1) else "2048,4096,8192")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = Engine.session("graft-scale-bench", master = "local[32]")
+    val src = "/root/testdata/sf0.1"
+    val heavy = Seq("q1", "q5", "q9", "q18", "q21")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    println("== TPC-H heavy hitters vs fact-table scale ==")
+    println(f"${"mult"}%-6s${"query"}%-8s${"sec"}%8s${"rows"}%10s")
+    for (mult <- factMults) {
+      val dir =
+        if (mult == 1) src
+        else {
+          val d = s"/tmp/graft_amp_$mult"
+          amplifyToDir(spark, src, d, mult)
+          d
+        }
+      // warm-up pass (codegen + footers), then measured
+      for (q <- heavy) {
+        try SparkEntry.queries(q)(spark, dir).count()
+        catch { case _: Throwable => () }
+        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+        println(f"$mult%-6d$q%-8s$sec%8.2f$rows%10d")
+      }
+    }
+
+    println("== Block matmul (512-blocks, pure-Java BLAS) ==")
+    println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
+    for (n <- matmulSizes) {
+      val (sec, _) = time {
+        val a = graft.ml.MLParity.randomBlockMatrix(spark, n, 512)
+        val b = graft.ml.MLParity.randomBlockMatrix(spark, n, 512, seed = 7L)
+        a.multiply(b).blocks.count()
+      }
+      val gflops = 2.0 * n.toDouble * n * n / sec / 1e9
+      println(f"$n%-8d$sec%8.2f$gflops%10.2f")
+    }
+    spark.stop()
+  }
+}

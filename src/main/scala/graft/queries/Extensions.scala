@@ -264,6 +264,48 @@ object Extensions {
       |  COUNT(DISTINCT l_partkey) AS n_parts
       |FROM lineitem""".stripMargin
 
+  /** The skew toolkit exercised as a driver entry (not just
+    * plan-asserted tests): salted two-phase aggregation — same result
+    * as a plain groupBy, bit-exact because the decimal carrier makes
+    * the (key, salt) partial split order-independent, but a hot key's
+    * REDUCE side spreads over 8 partial reducers.
+    */
+  def saltedRevenue(c: Ctx): DataFrame =
+    graft.operators.Kernels.saltedDsum(
+        c.lineitem, Seq("l_returnflag"),
+        col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue")
+      .orderBy("l_returnflag")
+
+  val saltedRevenueSql: String =
+    s"""SELECT l_returnflag,
+       |  ${graft.operators.Kernels.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Salted fact-fact equi-join (manual skew control for joins AQE
+    * can't rewrite) + aggregation — identical results to the plain
+    * join, checked against the plain-SQL oracle.
+    */
+  def saltedJoinAgg(c: Ctx): DataFrame = {
+    val orders = c.orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    graft.operators.Kernels.saltedJoin(
+        c.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        orders, Seq("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(graft.operators.Kernels
+          .dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedJoinAggSql: String =
+    s"""SELECT o_orderpriority,
+       |  ${graft.operators.Kernels.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** The SQL surface (≈ the reference's published datasets,
     * `distributed/publish.py:1-14` → temp views + `spark.sql`):
     * register the fixture tables as views and run declarative SQL.
@@ -325,6 +367,8 @@ object Extensions {
     "stats_quantiles" -> (quantiles _),
     "stats_quantiles_approx" -> (quantilesApprox _),
     "profile_lineitem" -> (profileLineitem _),
+    "salted_revenue" -> (saltedRevenue _),
+    "salted_join_agg" -> (saltedJoinAgg _),
     "sql_view_query" -> (sqlViewQuery _),
     // multimodal plumbing (stubbed decode, real Dataset pipeline)
     "multimodal_features" ->
@@ -359,5 +403,7 @@ object Extensions {
     "str_affix_stats" -> strAffixStatsSql,
     "stats_quantiles" -> quantilesSql,
     "profile_lineitem" -> profileLineitemSql,
+    "salted_revenue" -> saltedRevenueSql,
+    "salted_join_agg" -> saltedJoinAggSql,
     "sql_view_query" -> sqlViewQuerySql)
 }
