@@ -274,4 +274,73 @@ object Dedup {
   /** Per-document SimHash values (for tests / downstream use). */
   def simHash(docs: DataFrame): DataFrame =
     docSimHashes(docs).orderBy("doc_id")
+
+  /** [[simHashPairs]] with a cross-engine-portable hash family: a
+    * 60-bit token hash from md5 (15 hex chars — 64 would overflow
+    * signed BIGINT in the oracle), TF-weighted bit votes, 4×15-bit
+    * chunk banding (pigeonhole ≤3 Hamming). Fully
+    * DuckDB-oracle-checkable, the hard evidence for the SimHash
+    * banding pipeline; the one-pass `SimHash64` aggregate stays the
+    * bench path.
+    */
+  def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("IF(((h >> j) & 1) = 1, 1, -1)")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "IF(vote > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+        .as("simhash"))
+    val banded = hashes.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (shiftright(simhash, c*15) & 32767))")))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[simHashPairsMd5]]. */
+  def simHashPairsMd5Sql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t WHERE w <> ''),
+       |hv AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hv CROSS JOIN (SELECT UNNEST(range(0, 60)) AS j) bits
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, simhash, c AS chunk,
+       |    (simhash >> (c * 15)) & 32767 AS chunk_val
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS c) chunks)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY d1, d2""".stripMargin
 }

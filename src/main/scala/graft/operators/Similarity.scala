@@ -287,6 +287,109 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** [[ivfTopK]] with every numeric step exact-decimal and rounded —
+    * centroid means, cell assignment sims, and probe cosines all fold
+    * through `DECIMAL(30,18)` with `round(…, 6)` at comparison points,
+    * so the whole coarse-quantize → probe pipeline is fully
+    * DuckDB-oracle-checkable (the codegen'd `cosine_sim` form stays
+    * the bench path). Same scale shape: codebook broadcast once,
+    * probes are a per-cell join.
+    */
+  def ivfTopKExact(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cents = labelCentroidsFlat(embeddings)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)")
+        .as("centroid"))
+      .withColumn("cnrm", expr(
+        """sqrt(CAST(aggregate(
+          |  transform(centroid, x -> CAST(x * x AS DECIMAL(30,18))),
+          |  CAST(0 AS DECIMAL(38,18)),
+          |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin))
+    val assignDot = expr(
+      """CAST(aggregate(
+        |  zip_with(embedding, centroid,
+        |    (x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(30,18))),
+        |  CAST(0 AS DECIMAL(38,18)),
+        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val assigned = withNorm(embeddings)
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", round(assignDot / (col("nrm") * col("cnrm")), 6))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val corpus = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cell", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[ivfTopKExact]]. */
+  def ivfTopKExactSql(numQueries: Int = 10, k: Int = 5, dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |cent AS (
+       |  SELECT label AS cell, i AS ci,
+       |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
+       |          AS DOUBLE) / COUNT(*), 6) AS mean
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1, 2),
+       |cnorm AS (
+       |  SELECT cell, sqrt(CAST(SUM(CAST(mean * mean AS DECIMAL(30,18)))
+       |         AS DOUBLE)) AS cnrm
+       |  FROM cent GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |adot AS (
+       |  SELECT e.vec_id, c.cell,
+       |    CAST(SUM(CAST(CAST(e.embedding[c.ci] AS DOUBLE) * c.mean
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings e CROSS JOIN cent c GROUP BY 1, 2),
+       |asim AS (
+       |  SELECT a.vec_id, a.cell, round(a.dot / (n.nrm * cn.cnrm), 6) AS cs
+       |  FROM adot a
+       |  JOIN norms n ON a.vec_id = n.vec_id
+       |  JOIN cnorm cn ON a.cell = cn.cell),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM asim) t WHERE rn = 1),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, aq.cell, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN assigned aq ON q.vec_id = aq.vec_id AND q.vec_id < $numQueries
+       |  JOIN assigned ac ON ac.cell = aq.cell
+       |  JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2, 3),
+       |cosd AS (
+       |  SELECT qid, cell, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (
+       |  SELECT qid, cell, cid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+       |  FROM cosd)
+       |SELECT qid, cell, cid, cosine, rk FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+
   /** Per-label centroids of the embedding column — the IVF coarse
     * quantizer building block (and a typical training-data analysis:
     * class prototypes). Element-wise mean via posexplode + exact

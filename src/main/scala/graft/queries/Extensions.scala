@@ -332,6 +332,7 @@ object Extensions {
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
+    "dedup_simhash_pairs_md5" -> (c => Dedup.simHashPairsMd5(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -341,6 +342,7 @@ object Extensions {
     "sim_ann_lsh" -> (c => Similarity.annLshTopK(c.embeddings)),
     "sim_ann_lsh_md5" -> (c => Similarity.annLshTopKMd5(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
+    "sim_ivf_topk_exact" -> (c => Similarity.ivfTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
@@ -379,7 +381,9 @@ object Extensions {
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
+    "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
+    "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
