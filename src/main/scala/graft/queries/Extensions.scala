@@ -76,7 +76,9 @@ object Extensions {
     val sn = c.supplier.filter(col("s_acctbal") > 8000)
       .groupBy(col("s_nationkey").as("nk"))
       .agg(count(lit(1)).as("n_rich_suppliers"))
-    cn.join(sn, Seq("nk"), "full_outer").orderBy("nk")
+    // full outer can't broadcast, but it can hash-join (SPARK-32399):
+    // the shuffle_hash hint drops the two sort phases an SMJ would add
+    cn.join(sn.hint("shuffle_hash"), Seq("nk"), "full_outer").orderBy("nk")
   }
 
   val fullOuterJoinSql: String =
