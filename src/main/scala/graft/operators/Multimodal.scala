@@ -85,11 +85,55 @@ object Multimodal {
           img.getWidth, img.getHeight, 1, rollingChecksum(r.payload))
       }
 
-  /** STUB decoder for audio/video — stands in for a real codec
-    * (ffmpeg/soundfile are not in this container). Deterministic on
-    * the payload bytes so tests are exact. A production deployment
-    * swaps only this function; the Dataset plumbing around it is
-    * unchanged.
+  /** Deterministic audio shape for media_id: (sample rate, frames). */
+  def audioShape(mediaId: Long): (Int, Int) =
+    (8000, 800 + (mediaId % 1600).toInt)
+
+  /** Encode a real WAV payload for media_id: 16-bit mono PCM sine
+    * whose frequency depends on the id, written by the JDK's
+    * `javax.sound.sampled` (WAV needs no external codecs either).
+    */
+  def wavPayload(mediaId: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (rate, frames) = audioShape(mediaId)
+    val freq = 220.0 + (mediaId % 20) * 55.0
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real audio decode via `javax.sound.sampled`: frame count, sample
+    * rate and channels from the actual WAV header/stream (mapped onto
+    * the features schema as n_frames/width/height). Returns None for
+    * undecodable bytes or non-audio kinds.
+    */
+  def decodeAudio(r: MediaRecord): Option[MediaFeatures] =
+    if (r.kind != "audio") None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try Some(MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        in.getFormat.getSampleRate.toInt, in.getFormat.getChannels,
+        in.getFrameLength.toInt, rollingChecksum(r.payload)))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** STUB decoder for video only — stands in for a real codec (ffmpeg
+    * is not in this container; images and audio decode for real via
+    * the JDK). Deterministic on the payload bytes so tests are exact.
+    * A production deployment swaps only this function; the Dataset
+    * plumbing around it is unchanged.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
@@ -99,9 +143,11 @@ object Multimodal {
       if (r.kind == "video") (n / 1024).toInt.max(1) else 1, h)
   }
 
-  /** Full decode kernel: real ImageIO for images, stub for the rest. */
+  /** Full decode kernel: real ImageIO for images, real
+    * javax.sound.sampled for audio, stub only for video.
+    */
   def decode(r: MediaRecord): MediaFeatures =
-    decodeImage(r).getOrElse(decodeStub(r))
+    decodeImage(r).orElse(decodeAudio(r)).getOrElse(decodeStub(r))
 
   /** Decode/feature-extract: partition-local, one decoder per
     * partition (`mapPartitions`), no shuffle of payloads.
@@ -126,17 +172,19 @@ object Multimodal {
           .as("frame_idx"))
 
   /** Build a media table from the documents fixture: image rows carry
-    * REAL PNG payloads (generated partition-locally, decoded back by
-    * ImageIO); audio/video rows carry the UTF-8 text bytes as an
-    * opaque stand-in payload.
+    * REAL PNG payloads and audio rows REAL WAV payloads (generated
+    * partition-locally, decoded back by the JDK); video rows carry the
+    * UTF-8 text bytes as an opaque stand-in payload.
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        if (kind == "image") MediaRecord(id, kind, pngPayload(id), "png")
-        else MediaRecord(id, kind, text.getBytes("UTF-8"), "stub/v1")
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image", pngPayload(id), "png")
+          case 1 => MediaRecord(id, "audio", wavPayload(id), "wav")
+          case _ => MediaRecord(id, "video", text.getBytes("UTF-8"), "stub/v1")
+        }
     }
   }
 

@@ -31,6 +31,20 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), "png")).isEmpty)
   }
 
+  test("wavPayload round-trips through javax.sound with the generated shape") {
+    for (id <- Seq(1L, 4L, 1601L)) {
+      val (rate, frames) = Multimodal.audioShape(id)
+      val feats = Multimodal.decodeAudio(
+        MediaRecord(id, "audio", Multimodal.wavPayload(id), "wav"))
+      assert(feats.isDefined)
+      assert(feats.get.n_frames == frames, s"id=$id frames")
+      assert(feats.get.width == rate)     // sample rate
+      assert(feats.get.height == 1)       // mono
+    }
+    assert(Multimodal.decodeAudio(
+      MediaRecord(1L, "audio", Array[Byte](1, 2, 3), "wav")).isEmpty)
+  }
+
   test("extractFeatures: image dims are decoded pixels, not stub values") {
     val docs = Seq(
       (0L, "doc zero"), (1L, "doc one"), (2L, "doc two"),
@@ -45,10 +59,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert(feats(id).kind == "image")
       assert(feats(id).width == w && feats(id).height == h)
     }
-    // ids 1, 2 are audio/video stub payloads (text bytes)
+    // id 1 is real WAV audio; id 2 is the video stub (text bytes)
     assert(feats(1L).kind == "audio")
-    assert(feats(1L).n_bytes == "doc one".getBytes("UTF-8").length)
+    val (rate1, frames1) = Multimodal.audioShape(1L)
+    assert(feats(1L).n_frames == frames1 && feats(1L).width == rate1)
     assert(feats(2L).kind == "video")
+    assert(feats(2L).n_bytes == "doc two".getBytes("UTF-8").length)
   }
 
   test("featuresQuery groups all three kinds with real image dims") {
