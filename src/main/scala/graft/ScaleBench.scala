@@ -42,6 +42,30 @@ object ScaleBench {
         .write.parquet(s"$outDir/$t.parquet")
   }
 
+  /** Amplify the documents/embeddings corpora: doc/vec ids shift per
+    * copy; document TEXT is caesar-rotated per copy so replicas are
+    * not artificial near-duplicates (which would grow LSH candidate
+    * output quadratically by construction and measure the pathology,
+    * not the pipeline).
+    */
+  def amplifyCorpusToDir(spark: SparkSession, srcDir: String, outDir: String,
+      mult: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(outDir))) return
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until mult).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    }.reduce(_ unionAll _).write.parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until mult).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _).write.parquet(s"$outDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val factMults = args.headOption.getOrElse("1,4,16")
       .split(",").map(_.trim.toInt).toSeq
@@ -73,6 +97,26 @@ object ScaleBench {
         catch { case _: Throwable => () }
         val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
         println(f"$mult%-6d$q%-8s$sec%8.2f$rows%10d")
+      }
+    }
+
+    println("== LLM-pipeline ops vs corpus scale ==")
+    val pipelineOps = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
+      "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk")
+    println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
+    for (mult <- factMults) {
+      val dir =
+        if (mult == 1) src
+        else {
+          val d = s"/tmp/graft_amp_corpus_$mult"
+          amplifyCorpusToDir(spark, src, d, mult)
+          d
+        }
+      for (q <- pipelineOps) {
+        try SparkEntry.queries(q)(spark, dir).count()
+        catch { case _: Throwable => () }
+        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+        println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
       }
     }
 
