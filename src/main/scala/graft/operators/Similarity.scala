@@ -172,20 +172,24 @@ object Similarity {
     * bucket-and-probe shape is right). The xxhash64 + codegen'd-cosine
     * form stays the bench path.
     */
+  /** Sign bit of the md5-derived hyperplane `p` (weight `w` when set):
+    * the dot folds through DECIMAL(38,18) so the decision is
+    * order-independent — a near-zero dot can't flip a bucket bit
+    * between engines.
+    */
+  private def md5PlaneBit(p: Int, w: Int): String =
+    s"""(CASE WHEN aggregate(
+       |  zip_with(embedding, sequence(0, size(embedding) - 1),
+       |    (x, i) -> CAST(CAST(x AS DOUBLE) *
+       |      ((CAST(CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000
+       |        AS DOUBLE) - 499.5) / 1000.0) AS DECIMAL(30,18))),
+       |  CAST(0 AS DECIMAL(38,18)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) >= 0 THEN $w ELSE 0 END)""".stripMargin
+
   def annLshTopKMd5(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 8): DataFrame = {
-    // sign decisions fold through DECIMAL(38,18) so they are
-    // order-independent — a near-zero dot can't flip a bucket bit
-    // between engines
-    val codeExpr = (0 until numPlanes).map { p =>
-      s"""(CASE WHEN aggregate(
-         |  zip_with(embedding, sequence(0, size(embedding) - 1),
-         |    (x, i) -> CAST(CAST(x AS DOUBLE) *
-         |      ((CAST(CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000
-         |        AS DOUBLE) - 499.5) / 1000.0) AS DECIMAL(30,18))),
-         |  CAST(0 AS DECIMAL(38,18)),
-         |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
+    val codeExpr = (0 until numPlanes)
+      .map(p => md5PlaneBit(p, 1 << p)).mkString(" + ")
     val coded = withNorm(embeddings).withColumn("bucket", expr(codeExpr))
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
@@ -250,6 +254,90 @@ object Similarity {
        |  FROM cosd)
        |SELECT qid, bucket, cid, cosine, rk FROM ranked WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (the dedup-family member over
+    * vectors, brief §dedup): the textbook LSH OR-construction —
+    * `bands` independent code tables of `rowsPerBand` hyperplanes
+    * each; a pair is a candidate if it shares a code in ANY band
+    * (recall 1−(1−s^r)^B for bit-agreement s), then candidates are
+    * verified with the exact-decimal cosine ≥ `minCosine`. Candidate
+    * generation shuffles (band, code) rows — never all pairs; only
+    * bucket-mates are scored. md5-portable planes + decimal
+    * verification → fully oracle-checkable.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double = 0.4,
+      rowsPerBand: Int = 4, bands: Int = 4): DataFrame = {
+    val bandCodes = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(j => md5PlaneBit(b * rowsPerBand + j, 1 << j)).mkString(" + ")
+    }
+    val coded = embeddings.select(col("vec_id"),
+      posexplode(array(bandCodes.map(e => expr(e)): _*))
+        .as(Seq("band", "code")))
+    val cands = coded.as("a")
+      .join(coded.as("b"),
+        col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val withN = withNorm(embeddings)
+    val q = withN.select(col("vec_id").as("d1"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val c = withN.select(col("vec_id").as("d2"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    cands.join(q, "d1").join(c, "d2")
+      .withColumn("cosine",
+        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("d1", "d2", "cosine")
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[embeddingNearDups]]. */
+  def embeddingNearDupsSql(minCosine: Double = 0.4, rowsPerBand: Int = 4,
+      bands: Int = 4, dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |proj AS (
+       |  SELECT p, i,
+       |    (CAST(CAST('0x' || substring(md5(p || ':' || (i - 1)), 1, 15) AS BIGINT) % 1000
+       |      AS DOUBLE) - 499.5) / 1000.0 AS w
+       |  FROM (SELECT UNNEST(range(0, ${rowsPerBand * bands})) AS p) planes
+       |  CROSS JOIN dims),
+       |bits AS (
+       |  SELECT e.vec_id, pr.p,
+       |    CASE WHEN SUM(CAST(CAST(e.embedding[pr.i] AS DOUBLE) * pr.w
+       |                  AS DECIMAL(30,18))) >= 0
+       |         THEN (1 << (pr.p % $rowsPerBand)) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN proj pr
+       |  GROUP BY 1, 2),
+       |codes AS (
+       |  SELECT vec_id, p // $rowsPerBand AS band,
+       |    CAST(SUM(bit) AS INTEGER) AS code
+       |  FROM bits GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM codes a JOIN codes b
+       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |prod AS (
+       |  SELECT cd.d1, cd.d2,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM cands cd
+       |  JOIN embeddings q ON q.vec_id = cd.d1
+       |  JOIN embeddings c ON c.vec_id = cd.d2
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+       |FROM prod
+       |JOIN norms n1 ON d1 = n1.vec_id
+       |JOIN norms n2 ON d2 = n2.vec_id
+       |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $minCosine
+       |ORDER BY d1, d2""".stripMargin
 
   /** IVF-style ANN: coarse-quantize the corpus by nearest centroid
     * (here the per-label centroids as the codebook — in production the

@@ -335,6 +335,7 @@ object Extensions {
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
     "dedup_simhash_pairs_md5" -> (c => Dedup.simHashPairsMd5(c.documents)),
+    "dedup_embedding_cosine" -> (c => Similarity.embeddingNearDups(c.embeddings)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -384,6 +385,7 @@ object Extensions {
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
+    "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
