@@ -172,25 +172,40 @@ object Similarity {
     * bucket-and-probe shape is right). The xxhash64 + codegen'd-cosine
     * form stays the bench path.
     */
-  /** Sign bit of the md5-derived hyperplane `p` (weight `w` when set):
-    * the dot folds through DECIMAL(38,18) so the decision is
+  /** md5-derived hyperplane weight (p, i) — computed ONCE at
+    * plan-build time (JVM MD5 over UTF-8 bytes ≡ Spark `md5()` ≡
+    * DuckDB `md5()`) and inlined as a typed double literal, so the
+    * engine pays zero per-row hashing; the DuckDB oracle recomputes
+    * the same value from md5 in SQL, proving the derivation.
+    */
+  private def md5Weight(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val m = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000
+    (m.toDouble - 499.5) / 1000.0
+  }
+
+  /** Sign bit of md5 hyperplane `p` (value `w` when set): the dot
+    * folds through DECIMAL(38,18) so the decision is
     * order-independent — a near-zero dot can't flip a bucket bit
     * between engines.
     */
-  private def md5PlaneBit(p: Int, w: Int): String =
-    s"""(CASE WHEN aggregate(
-       |  zip_with(embedding, sequence(0, size(embedding) - 1),
-       |    (x, i) -> CAST(CAST(x AS DOUBLE) *
-       |      ((CAST(CAST(conv(substring(md5(concat('$p:', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000
-       |        AS DOUBLE) - 499.5) / 1000.0) AS DECIMAL(30,18))),
-       |  CAST(0 AS DECIMAL(38,18)),
-       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) >= 0 THEN $w ELSE 0 END)""".stripMargin
+  private def md5PlaneBit(p: Int, w: Int, dims: Int): org.apache.spark.sql.Column = {
+    val weights = array((0 until dims).map(i => lit(md5Weight(p, i))): _*)
+    when(aggregate(
+        zip_with(col("embedding"), weights,
+          (x, wt) => (x.cast("double") * wt).cast("decimal(30,18)")),
+        lit(0).cast("decimal(38,18)"),
+        (acc, v) => (acc + v).cast("decimal(38,18)")) >= 0,
+      lit(w)).otherwise(lit(0))
+  }
 
   def annLshTopKMd5(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-      numPlanes: Int = 8): DataFrame = {
+      numPlanes: Int = 8, dims: Int = 64): DataFrame = {
     val codeExpr = (0 until numPlanes)
-      .map(p => md5PlaneBit(p, 1 << p)).mkString(" + ")
-    val coded = withNorm(embeddings).withColumn("bucket", expr(codeExpr))
+      .map(p => md5PlaneBit(p, 1 << p, dims)).reduce(_ + _)
+    val coded = withNorm(embeddings).withColumn("bucket", codeExpr)
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
@@ -266,14 +281,14 @@ object Similarity {
     * verification → fully oracle-checkable.
     */
   def embeddingNearDups(embeddings: DataFrame, minCosine: Double = 0.4,
-      rowsPerBand: Int = 4, bands: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, bands: Int = 4, dims: Int = 64): DataFrame = {
     val bandCodes = (0 until bands).map { b =>
       (0 until rowsPerBand)
-        .map(j => md5PlaneBit(b * rowsPerBand + j, 1 << j)).mkString(" + ")
+        .map(j => md5PlaneBit(b * rowsPerBand + j, 1 << j, dims))
+        .reduce(_ + _)
     }
     val coded = embeddings.select(col("vec_id"),
-      posexplode(array(bandCodes.map(e => expr(e)): _*))
-        .as(Seq("band", "code")))
+      posexplode(array(bandCodes: _*)).as(Seq("band", "code")))
     val cands = coded.as("a")
       .join(coded.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
@@ -285,7 +300,14 @@ object Similarity {
       col("nrm").as("q_nrm"))
     val c = withN.select(col("vec_id").as("d2"), col("embedding").as("c_emb"),
       col("nrm").as("c_nrm"))
+    // two-stage verify: the codegen'd float cosine discards the vast
+    // majority of candidates at (τ − margin) — float and decimal
+    // cosine agree to ~1e-9, so a 0.01 margin provably drops no
+    // qualifying pair — then the exact-decimal form makes the final,
+    // oracle-exact ≥ τ decision on the survivors only
     cands.join(q, "d1").join(c, "d2")
+      .filter(graft.functions.VectorFunctions
+        .cosine_sim(col("q_emb"), col("c_emb")) >= minCosine - 0.01)
       .withColumn("cosine",
         round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
       .filter(col("cosine") >= minCosine)
