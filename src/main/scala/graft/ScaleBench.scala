@@ -120,6 +120,21 @@ object ScaleBench {
       }
     }
 
+    println("== Tall-skinny SVD vs scale (k=16) ==")
+    // toward the reference's 1M x 1k exercise (svd_tall_skinny_matrix
+    // .py:24): Gram-matrix path — cost is one pass + a cols^2 reduce
+    println(f"${"rows x cols"}%-14s${"sec"}%8s")
+    for ((r, c) <- Seq((20000L, 64), (200000L, 256), (1000000L, 256))) {
+      val (sec, _) = time {
+        val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+          graft.ml.MLParity.randomMatrix(spark, r, c, rowsPerBlock = 16384)
+            .rows.map(_.vector))
+        graft.ml.MLParity.svd(m, 16)
+        1L
+      }
+      println(f"${s"${r}x$c"}%-14s$sec%8.2f")
+    }
+
     println("== Block matmul (512-blocks, pure-Java BLAS) ==")
     println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
     for (n <- matmulSizes) {
