@@ -54,6 +54,21 @@ class DedupSpec extends AnyFunSuite {
     assert(p2.length == 1 && p2.head.getDouble(2) == 1.0)
   }
 
+  test("md5-portable minhash LSH finds the same dup structure") {
+    val pairs = Dedup.minHashLshMd5(docs, minEstSim = 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical docs → full signature match
+    assert(pairs.keySet.exists(p => p == ((0L, 4L)) || p == ((1L, 4L))))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("md5-portable simhash banding pairs duplicates at hamming 0") {
+    val pairs = Dedup.simHashPairsMd5(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 1L)) == 0) // identical docs → identical simhash
+    assert(pairs.keySet.forall(p => p._1 < p._2)) // ordered, no self-pairs
+  }
+
   test("identical docs have identical simhash; near-dups are close") {
     val h = Dedup.simHash(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -46,6 +46,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(win.toSeq == agg.toSeq)
   }
 
+  test("embeddingNearDups verifies banded candidates against the exact cosine") {
+    val pairs = Similarity.embeddingNearDups(emb, minCosine = 0.9, dims = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical-direction vectors always share every band code
+    assert(pairs((0L, 4L)) == 1.0)
+    assert(pairs.keySet.forall(p => p._1 < p._2))
+    // orthogonal pairs can never pass the cosine >= 0.9 verify
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((0L, 3L)))
+  }
+
+  test("ivfTopKExact matches ivfTopK's cell structure for the twin query") {
+    val rows = Similarity.ivfTopKExact(emb, numQueries = 1, k = 2)
+      .collect().map(_.getLong(2))
+    assert(rows.contains(4L)) // identical vector lands in the same cell
+  }
+
   test("ivfTopK probes the query's cell and finds its twin") {
     val rows = Similarity.ivfTopK(emb, numQueries = 1, k = 3)
       .collect().map(_.getLong(2))
