@@ -45,6 +45,57 @@ object VectorFunctions {
   def hyperplane_bucket(c: Column, numPlanes: Int): Column =
     GraftExpressionBridge.column(HyperplaneLshBucket(
       GraftExpressionBridge.expression(c), numPlanes))
+
+  def decimal_dot(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DecimalDotProduct(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}
+
+/** Exact-decimal dot product kernel shared by interpreted eval and
+  * generated code: each per-element double product is rounded to 18
+  * fractional digits HALF_UP — bit-identical to Spark's
+  * `CAST(double AS DECIMAL(30,18))` (both go through the double's
+  * shortest decimal representation) — then summed exactly, so the
+  * result is order-independent and matches the engine's
+  * `aggregate(zip_with(...))` decimal fold and the DuckDB oracle.
+  */
+object DecimalDot {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      sum = sum.add(java.math.BigDecimal.valueOf(p)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue
+  }
+}
+
+/** Fused exact-decimal dot product of two `array<float>` columns
+  * (double result) — replaces the interpreted
+  * `aggregate(zip_with(...))` DECIMAL fold on the hot per-pair paths
+  * (cosine top-k, ANN scoring) with a compiled loop, preserving the
+  * engine's cross-engine exactness convention.
+  */
+case class DecimalDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DecimalDot.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Deterministic pseudo-random hyperplane weights for LSH bucket

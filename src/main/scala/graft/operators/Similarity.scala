@@ -21,16 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float vectors, returned as
-    * double. The per-element double products are IEEE-deterministic;
-    * decimal accumulation makes the reduction order irrelevant.
-    */
-  private val dotExpr: String =
-    """CAST(aggregate(
-      |  zip_with(q_emb, c_emb,
-      |    (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,18))),
-      |  CAST(0 AS DECIMAL(38,18)),
-      |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin
+  // the per-pair exact-decimal dot is the compiled
+  // [[graft.functions.DecimalDotProduct]] kernel (same semantics as a
+  // CAST(... AS DECIMAL(30,18)) zip_with fold, ~10x faster); per-row
+  // norms below keep the HOF form (computed once per vector)
 
   private val normExpr: String =
     """sqrt(CAST(aggregate(
@@ -61,7 +55,7 @@ object Similarity {
     val scored = broadcast(queries)
       .join(corpus, col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+        round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
@@ -88,7 +82,7 @@ object Similarity {
     broadcast(queries)
       .join(corpus, col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+        round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .groupBy("qid")
       .agg(top_k_by_score(struct(col("cosine"), col("cid")), k).as("top"))
       .select(col("qid"), posexplode(col("top")))
@@ -217,7 +211,7 @@ object Similarity {
       .join(corpus, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+        round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "bucket", "cid", "cosine", "rk")
@@ -309,7 +303,7 @@ object Similarity {
       .filter(graft.functions.VectorFunctions
         .cosine_sim(col("q_emb"), col("c_emb")) >= minCosine - 0.01)
       .withColumn("cosine",
-        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+        round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .filter(col("cosine") >= minCosine)
       .select("d1", "d2", "cosine")
       .orderBy("d1", "d2")
@@ -439,7 +433,7 @@ object Similarity {
       .join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine",
-        round(expr(dotExpr) / (col("q_nrm") * col("c_nrm")), 6))
+        round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "cell", "cid", "cosine", "rk")
