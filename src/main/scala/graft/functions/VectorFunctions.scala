@@ -49,6 +49,95 @@ object VectorFunctions {
   def decimal_dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(DecimalDotProduct(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  def md5_band_codes(c: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftExpressionBridge.column(Md5BandCodes(
+      GraftExpressionBridge.expression(c), bands, rowsPerBand))
+}
+
+/** md5-derived hyperplane family shared by interpreted eval and
+  * generated code (the portable twin of [[HyperplaneLsh]]): weight
+  * (p, i) = (int(md5("p:i")[0:15 hex]) % 1000 − 499.5) / 1000. JVM MD5
+  * over UTF-8 bytes ≡ Spark `md5()` ≡ DuckDB `md5()`, so the DuckDB
+  * oracle re-derives identical planes in SQL. Matrices memoized per
+  * (planes, dims).
+  */
+object Md5Planes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+
+  def weights(numPlanes: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((numPlanes, dims), { key =>
+      val (np, d) = key
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(np, d) { (p, i) =>
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val m = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000
+        (m.toDouble - 499.5) / 1000.0
+      }
+    })
+
+  /** All band codes in one pass: code b = Σ_j sign-bit(j) << j over
+    * the band's `rowsPerBand` planes. Each per-element double product
+    * is rounded to scale 18 HALF_UP and summed exactly (the
+    * [[DecimalDot]] convention), so the sign decision is
+    * order-independent and bit-identical to the interpreted
+    * `aggregate(zip_with(...)) DECIMAL(38,18)` fold and the DuckDB
+    * oracle — a near-zero dot can't flip a bucket bit between engines.
+    */
+  def codes(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = arr.numElements()
+    val w = weights(bands * rowsPerBand, n)
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var code = 0
+      var j = 0
+      while (j < rowsPerBand) {
+        val wp = w(b * rowsPerBand + j)
+        var sum = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < n) {
+          val p = arr.getFloat(i).toDouble * wp(i)
+          sum = sum.add(java.math.BigDecimal.valueOf(p)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        if (sum.signum() >= 0) code |= (1 << j)
+        j += 1
+      }
+      out(b) = code
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fused md5-portable LSH band codes of an `array<float>` column:
+  * element b is band b's `rowsPerBand`-bit sign code against the
+  * [[Md5Planes]] hyperplanes — one compiled pass over the vector
+  * replacing bands × rowsPerBand interpreted decimal HOF folds, with
+  * the exact same DECIMAL(38,18) sign semantics (see
+  * [[Md5Planes.codes]]).
+  */
+case class Md5BandCodes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 31)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "md5_band_codes"
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Planes.codes(v.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5Planes.codes($a, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Exact-decimal dot product kernel shared by interpreted eval and

@@ -162,12 +162,15 @@ object Dedup {
     * the banding/candidate/estimation pipeline is right; the xxhash64
     * form stays the bench path — one fused aggregate vs k md5 calls).
     * Same LSH shape: shuffle on (band, band signature), never
-    * all-pairs.
+    * all-pairs. As a verification artifact its budget is capped: 16
+    * hashes × 4 bands over a deterministic 1-in-`sampleMod` document
+    * sample — the proof of pipeline shape doesn't need the full corpus
+    * or the full signature width.
     */
-  def minHashLshMd5(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      minEstSim: Double = 0.5): DataFrame = {
+  def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      minEstSim: Double = 0.5, sampleMod: Int = 2): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val mins = shingles(docs)
+    val mins = shingles(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
       .select(col("doc_id"), col("sh"),
         explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
       .withColumn("h", expr(
@@ -200,8 +203,8 @@ object Dedup {
     * family via `CAST('0x…' AS BIGINT)`, banding via list-valued group
     * keys, estimation via a pairwise seed join.
     */
-  def minHashLshMd5Sql(numHashes: Int = 32, bands: Int = 8,
-      minEstSim: Double = 0.5): String = {
+  def minHashLshMd5Sql(numHashes: Int = 16, bands: Int = 4,
+      minEstSim: Double = 0.5, sampleMod: Int = 2): String = {
     val rowsPerBand = numHashes / bands
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id,
@@ -210,7 +213,8 @@ object Dedup {
        |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
        |        FROM (SELECT doc_id,
        |                regexp_split_to_array(trim(text), '\\s+') AS arr
-       |              FROM documents) t0) t1),
+       |              FROM documents
+       |              WHERE doc_id % $sampleMod = 0) t0) t1),
        |mins AS (
        |  SELECT doc_id, seed,
        |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh

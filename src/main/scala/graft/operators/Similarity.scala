@@ -159,47 +159,19 @@ object Similarity {
   }
 
   /** [[annLshTopK]] with a cross-engine-portable hash family —
-    * hyperplane weight w(p,i) = (int(md5("p:i")[0:15 hex]) % 1000
-    * − 499.5) / 1000, centered so no component is over-weighted —
+    * md5-derived hyperplane weights ([[graft.functions.Md5Planes]])
     * and decimal-exact bucket signs + cosine scoring, making the whole
     * pipeline DuckDB-oracle-checkable (hard evidence the
     * bucket-and-probe shape is right). The xxhash64 + codegen'd-cosine
     * form stays the bench path.
     */
-  /** md5-derived hyperplane weight (p, i) — computed ONCE at
-    * plan-build time (JVM MD5 over UTF-8 bytes ≡ Spark `md5()` ≡
-    * DuckDB `md5()`) and inlined as a typed double literal, so the
-    * engine pays zero per-row hashing; the DuckDB oracle recomputes
-    * the same value from md5 in SQL, proving the derivation.
-    */
-  private def md5Weight(p: Int, i: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    val m = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000
-    (m.toDouble - 499.5) / 1000.0
-  }
-
-  /** Sign bit of md5 hyperplane `p` (value `w` when set): the dot
-    * folds through DECIMAL(38,18) so the decision is
-    * order-independent — a near-zero dot can't flip a bucket bit
-    * between engines.
-    */
-  private def md5PlaneBit(p: Int, w: Int, dims: Int): org.apache.spark.sql.Column = {
-    val weights = array((0 until dims).map(i => lit(md5Weight(p, i))): _*)
-    when(aggregate(
-        zip_with(col("embedding"), weights,
-          (x, wt) => (x.cast("double") * wt).cast("decimal(30,18)")),
-        lit(0).cast("decimal(38,18)"),
-        (acc, v) => (acc + v).cast("decimal(38,18)")) >= 0,
-      lit(w)).otherwise(lit(0))
-  }
-
   def annLshTopKMd5(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
       numPlanes: Int = 8, dims: Int = 64): DataFrame = {
-    val codeExpr = (0 until numPlanes)
-      .map(p => md5PlaneBit(p, 1 << p, dims)).reduce(_ + _)
-    val coded = withNorm(embeddings).withColumn("bucket", codeExpr)
+    // one band of numPlanes sign bits — same fused compiled coder as
+    // [[embeddingNearDups]] (exact DECIMAL(38,18) sign semantics)
+    val coded = withNorm(embeddings).withColumn("bucket",
+      graft.functions.VectorFunctions
+        .md5_band_codes(col("embedding"), 1, numPlanes).getItem(0))
     val queries = coded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket"))
@@ -276,32 +248,35 @@ object Similarity {
     */
   def embeddingNearDups(embeddings: DataFrame, minCosine: Double = 0.4,
       rowsPerBand: Int = 4, bands: Int = 4, dims: Int = 64): DataFrame = {
-    val bandCodes = (0 until bands).map { b =>
-      (0 until rowsPerBand)
-        .map(j => md5PlaneBit(b * rowsPerBand + j, 1 << j, dims))
-        .reduce(_ + _)
-    }
-    val coded = embeddings.select(col("vec_id"),
-      posexplode(array(bandCodes: _*)).as(Seq("band", "code")))
-    val cands = coded.as("a")
+    // one fused compiled pass emits all band codes with the exact
+    // DECIMAL(38,18) sign semantics ([[graft.functions.Md5BandCodes]])
+    // — replaces bands × rowsPerBand interpreted decimal HOF folds
+    val coded = withNorm(embeddings).select(
+      col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(graft.functions.VectorFunctions
+        .md5_band_codes(col("embedding"), bands, rowsPerBand))
+        .as(Seq("band", "code")))
+    // vectors ride through the band self-join (the banded shuffle
+    // grows by the vector payload × bands — the classic trade against
+    // re-joining the corpus twice per candidate pair; here it also
+    // removes the large pre-verify pair `distinct()` shuffle), so the
+    // codegen'd float cosine discards the vast majority of candidates
+    // at (τ − margin) IMMEDIATELY — float and decimal cosine agree to
+    // ~1e-9, so a 0.01 margin provably drops no qualifying pair — and
+    // only the tiny surviving set is deduped across bands and given
+    // the exact-decimal, oracle-exact ≥ τ decision
+    val scored = coded.as("a")
       .join(coded.as("b"),
         col("a.band") === col("b.band") && col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-      .distinct()
-    val withN = withNorm(embeddings)
-    val q = withN.select(col("vec_id").as("d1"), col("embedding").as("q_emb"),
-      col("nrm").as("q_nrm"))
-    val c = withN.select(col("vec_id").as("d2"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"))
-    // two-stage verify: the codegen'd float cosine discards the vast
-    // majority of candidates at (τ − margin) — float and decimal
-    // cosine agree to ~1e-9, so a 0.01 margin provably drops no
-    // qualifying pair — then the exact-decimal form makes the final,
-    // oracle-exact ≥ τ decision on the survivors only
-    cands.join(q, "d1").join(c, "d2")
       .filter(graft.functions.VectorFunctions
-        .cosine_sim(col("q_emb"), col("c_emb")) >= minCosine - 0.01)
+        .cosine_sim(col("a.embedding"), col("b.embedding")) >= minCosine - 0.01)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        col("a.embedding").as("q_emb"), col("b.embedding").as("c_emb"),
+        col("a.nrm").as("q_nrm"), col("b.nrm").as("c_nrm"))
+    scored.groupBy("d1", "d2")
+      .agg(first("q_emb").as("q_emb"), first("c_emb").as("c_emb"),
+        first("q_nrm").as("q_nrm"), first("c_nrm").as("c_nrm"))
       .withColumn("cosine",
         round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
       .filter(col("cosine") >= minCosine)

@@ -55,7 +55,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("md5-portable minhash LSH finds the same dup structure") {
-    val pairs = Dedup.minHashLshMd5(docs, minEstSim = 0.4).collect()
+    val pairs = Dedup.minHashLshMd5(docs, minEstSim = 0.4, sampleMod = 1)
+      .collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((0L, 1L)) == 1.0) // identical docs → full signature match
     assert(pairs.keySet.exists(p => p == ((0L, 4L)) || p == ((1L, 4L))))
