@@ -79,12 +79,17 @@ object Md5Planes {
     })
 
   /** All band codes in one pass: code b = Σ_j sign-bit(j) << j over
-    * the band's `rowsPerBand` planes. Each per-element double product
-    * is rounded to scale 18 HALF_UP and summed exactly (the
-    * [[DecimalDot]] convention), so the sign decision is
-    * order-independent and bit-identical to the interpreted
-    * `aggregate(zip_with(...)) DECIMAL(38,18)` fold and the DuckDB
-    * oracle — a near-zero dot can't flip a bucket bit between engines.
+    * the band's `rowsPerBand` planes, with the sign defined by the
+    * exact DECIMAL(38,18) fold of per-product scale-18 HALF_UP
+    * roundings (the [[DecimalDot]] convention) — order-independent and
+    * bit-identical to the interpreted `aggregate(zip_with(...))` fold
+    * and the DuckDB oracle; a near-zero dot can't flip a bucket bit
+    * between engines. Implementation shortcut: the plain double sum
+    * differs from that decimal sum by < ~1e-12 (n·ulp accumulation
+    * error plus n × 5e-19 rounding deltas at n = dims), so when
+    * |double sum| > 1e-6 its sign IS the decimal sign and the
+    * BigDecimal fold is skipped — it runs only for the vanishingly
+    * rare near-zero dots, keeping the hot path pure primitive flops.
     */
   def codes(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val n = arr.numElements()
@@ -96,15 +101,24 @@ object Md5Planes {
       var j = 0
       while (j < rowsPerBand) {
         val wp = w(b * rowsPerBand + j)
-        var sum = java.math.BigDecimal.ZERO
+        var fast = 0.0
         var i = 0
-        while (i < n) {
-          val p = arr.getFloat(i).toDouble * wp(i)
-          sum = sum.add(java.math.BigDecimal.valueOf(p)
-            .setScale(18, java.math.RoundingMode.HALF_UP))
-          i += 1
-        }
-        if (sum.signum() >= 0) code |= (1 << j)
+        while (i < n) { fast += arr.getFloat(i).toDouble * wp(i); i += 1 }
+        val nonNeg =
+          if (fast > 1e-6) true
+          else if (fast < -1e-6) false
+          else {
+            var sum = java.math.BigDecimal.ZERO
+            i = 0
+            while (i < n) {
+              val p = arr.getFloat(i).toDouble * wp(i)
+              sum = sum.add(java.math.BigDecimal.valueOf(p)
+                .setScale(18, java.math.RoundingMode.HALF_UP))
+              i += 1
+            }
+            sum.signum() >= 0
+          }
+        if (nonNeg) code |= (1 << j)
         j += 1
       }
       out(b) = code
