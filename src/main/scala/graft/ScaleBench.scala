@@ -121,10 +121,12 @@ object ScaleBench {
     }
 
     println("== Tall-skinny SVD vs scale (k=16) ==")
-    // toward the reference's 1M x 1k exercise (svd_tall_skinny_matrix
-    // .py:24): Gram-matrix path — cost is one pass + a cols^2 reduce
+    // up to the reference's 1M x 1k headline (svd_tall_skinny_matrix
+    // .py:24-25): Gram-matrix path — cost is one pass + a cols^2
+    // reduce (1k cols -> an 8 MB Gram, trivially driver-collectable)
     println(f"${"rows x cols"}%-14s${"sec"}%8s")
-    for ((r, c) <- Seq((20000L, 64), (200000L, 256), (1000000L, 256))) {
+    for ((r, c) <- Seq((20000L, 64), (200000L, 256), (1000000L, 256),
+        (1000000L, 1024))) {
       val (sec, _) = time {
         val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
           graft.ml.MLParity.randomMatrix(spark, r, c, rowsPerBlock = 16384)

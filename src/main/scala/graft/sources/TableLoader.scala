@@ -111,7 +111,12 @@ object TableLoader {
     * the read schema and drop it, the moral equivalent of the
     * reference's unnamed trailing column (`loaddata.py:28,47`).
     */
-  def readDbgen(spark: SparkSession, path: String, tableName: String): DataFrame = {
+  def readDbgen(spark: SparkSession, path: String, tableName: String): DataFrame =
+    if (cacheTables)
+      cached.getOrElseUpdate((path, tableName), readDbgenRaw(spark, path, tableName).cache())
+    else readDbgenRaw(spark, path, tableName)
+
+  private def readDbgenRaw(spark: SparkSession, path: String, tableName: String): DataFrame = {
     val schema = dbgenSchemas(tableName)
     val withTrailer = StructType(
       schema.fields :+ StructField("_trailing_empty", StringType, nullable = true))
