@@ -16,6 +16,10 @@ import graft.functions.{CosineSimilarity, MinHashSignature}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension (tier (c)): as-of join planner strategy
+    // + its filter-pushdown optimizer rule
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

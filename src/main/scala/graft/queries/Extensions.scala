@@ -358,6 +358,7 @@ object Extensions {
     "events_sessionize" -> (c => EventOps.sessionize(c.events)),
     "events_json" -> (c => EventOps.jsonExtract(c.events)),
     "events_top_days" -> (c => EventOps.topDays(c.events)),
+    "events_asof_join" -> (c => AsofOps.clicksWithLastView(c.events)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
@@ -400,6 +401,7 @@ object Extensions {
     "events_sessionize" -> EventOps.sessionizeSql(),
     "events_json" -> EventOps.jsonExtractSql,
     "events_top_days" -> EventOps.topDaysSql(),
+    "events_asof_join" -> AsofOps.clicksWithLastViewSql(),
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,

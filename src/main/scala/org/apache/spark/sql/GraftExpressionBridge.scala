@@ -12,4 +12,12 @@ object GraftExpressionBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — needed to surface whole-operator extensions
+    * like graft's as-of join, whose logical node has no public DSL.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
