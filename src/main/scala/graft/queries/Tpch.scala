@@ -550,12 +550,17 @@ object Tpch {
     * of the (tiny) per-part table.
     */
   def q17(c: Ctx): DataFrame = {
-    val avgQty = c.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+    val parts = broadcast(c.part.filter(col("p_brand") === "Brand#1"))
+    // semi-join reduction (same as TpchFull.q17): per-part averages
+    // computed over lineitem pre-filtered to the qualifying parts —
+    // identical semantics, agg input shrunk by the part selectivity
+    val qualifying = c.lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = qualifying.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_threshold"))
-    c.lineitem
-      .join(broadcast(c.part.filter(col("p_brand") === "Brand#1")),
-        col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    qualifying
+      .join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }

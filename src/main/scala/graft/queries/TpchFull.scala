@@ -504,14 +504,21 @@ object TpchFull {
 
   /** Q17 — ref `queries.py:613-630`. */
   def q17(c: DbgenCtx): DataFrame = {
-    val avgQty = c.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+    // fixture: container LIKE 'MED%' (spec: = 'MED BOX')
+    val parts = broadcast(c.part.filter(col("p_brand") === "Brand#23" &&
+      col("p_container").like("MED%")))
+    // semi-join reduction: a part's average uses only its own rows, so
+    // computing it over lineitem PRE-FILTERED to the qualifying parts
+    // is identical — and shrinks the per-part agg input by the part
+    // filter's full selectivity (the difference between linear and
+    // super-linear q17 at dbgen scale)
+    val qualifying = c.lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = qualifying.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((lit(0.2) * davg(col("l_quantity"))).as("qty_threshold"))
-    c.lineitem
-      // fixture: container LIKE 'MED%' (spec: = 'MED BOX')
-      .join(broadcast(c.part.filter(col("p_brand") === "Brand#23" &&
-          col("p_container").like("MED%"))),
-        col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    qualifying
+      .join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("qty_threshold"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
