@@ -604,9 +604,14 @@ object TpchFull {
   def q20(c: DbgenCtx): DataFrame = {
     val forestParts = c.part.filter(col("p_name").like("forest%"))
       .select("p_partkey")
+    // semi-join reduction (the q17 lesson): the per-(part, supp) sum
+    // only uses its own rows, so restrict the agg input to forest
+    // partkeys up front instead of aggregating the whole fact table
     val shipped = c.lineitem
       .filter(col("l_shipdate") >= "1994-01-01" &&
         col("l_shipdate") < "1995-01-01")
+      .join(broadcast(forestParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
       .groupBy(col("l_partkey").as("slp"), col("l_suppkey").as("sls"))
       .agg((lit(0.5) * dsum(col("l_quantity"))).as("half_qty"))
     val qualified = c.partsupp
