@@ -66,6 +66,23 @@ object ScaleBench {
     }.reduce(_ unionAll _).write.parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Amplify the events stream: user ids shift per copy so each copy
+    * is a disjoint population of users with intact per-user event
+    * sequences — the as-of/sessionize workloads then scale in keys,
+    * not in per-key density (the realistic 100 TB growth axis).
+    */
+  def amplifyEventsToDir(spark: SparkSession, srcDir: String, outDir: String,
+      mult: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(outDir))) return
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until mult).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _).write.parquet(s"$outDir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val factMults = args.headOption.getOrElse("1,4,16")
       .split(",").map(_.trim.toInt).toSeq
@@ -73,7 +90,7 @@ object ScaleBench {
       .split(",").map(_.trim.toInt).toSeq
     val spark = Engine.session("graft-scale-bench", master = "local[32]")
     val src = "/root/testdata/sf0.1"
-    val heavy = Seq("q1", "q5", "q9", "q18", "q21")
+    val heavy = Seq("q1", "q5", "q9", "q17", "q18", "q21")
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -113,6 +130,26 @@ object ScaleBench {
           d
         }
       for (q <- pipelineOps) {
+        try SparkEntry.queries(q)(spark, dir).count()
+        catch { case _: Throwable => () }
+        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+        println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
+      }
+    }
+
+    println("== Event-stream ops vs user-population scale ==")
+    val eventOps = Seq("events_asof_join", "events_sessionize",
+      "events_top_days")
+    println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
+    for (mult <- factMults) {
+      val dir =
+        if (mult == 1) src
+        else {
+          val d = s"/tmp/graft_amp_events_$mult"
+          amplifyEventsToDir(spark, src, d, mult)
+          d
+        }
+      for (q <- eventOps) {
         try SparkEntry.queries(q)(spark, dir).count()
         catch { case _: Throwable => () }
         val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())

@@ -78,6 +78,31 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(buckets(2) == 255)
   }
 
+  test("md5_band_codes: fast-sign shortcut agrees with the decimal fold") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // the all-zero vector drives every plane dot to exactly 0.0 —
+    // inside the 1e-6 window, so the BigDecimal fallback decides and
+    // must call the tie non-negative (sign bit set) for every plane
+    val zero = graft.functions.Md5Planes
+      .codes(ArrayData.toArrayData(Array.fill(16)(0.0f)), 2, 4)
+      .toIntArray()
+    assert(zero.toSeq == Seq(15, 15))
+    // generic vectors: expression path (codegen'd projection) agrees
+    // with direct kernel eval, codes stay within rowsPerBand bits
+    val vecs = Seq(
+      Tuple1(Array(1.0f, -2.0f, 0.5f, 3.0f)),
+      Tuple1(Array(-1.0f, 2.0f, -0.5f, -3.0f)))
+    val viaDf = vecs.toDF("v").select(
+      VectorFunctions.md5_band_codes($"v", 4, 4).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    vecs.map(_._1).zip(viaDf).foreach { case (arr, c) =>
+      val direct = graft.functions.Md5Planes
+        .codes(ArrayData.toArrayData(arr), 4, 4).toIntArray().toSeq
+      assert(direct == c.toSeq)
+      assert(c.forall(x => x >= 0 && x < 16))
+    }
+  }
+
   test("minhash_signature is partitioning-independent (partial agg merge)") {
     val data = (1 to 500).map(i => (i % 7L, s"shingle_$i"))
     val s1 = data.toDF("id", "sh").repartition(1).groupBy("id")
