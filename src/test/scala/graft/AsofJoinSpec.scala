@@ -78,6 +78,17 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(viaPlan == viaWindow)
   }
 
+  test("empty right side yields all-null matches; duplicate left times share one") {
+    val emptyR = Seq.empty[(Long, Long, Double)].toDF("rk", "rt", "v")
+    val allNull = AsofOps.asofJoin(left, emptyR, "t", "rt", "k", "rk")
+      .select("id", "v").collect()
+    assert(allNull.length == 5 && allNull.forall(_.isNullAt(1)))
+    val dupL = Seq((1L, 10L, 250L), (2L, 10L, 250L)).toDF("id", "k", "t")
+    val matches = AsofOps.asofJoin(dupL, right, "t", "rt", "k", "rk")
+      .select("id", "v").collect().map(_.getDouble(1)).toSeq
+    assert(matches == Seq(2.0, 2.0)) // both duplicates match rt=200
+  }
+
   test("plans as AsofJoinExec with co-partitioning exchanges, no cartesian") {
     val df = AsofOps.asofJoin(left, right, "t", "rt", "k", "rk")
     val plan = df.queryExecution.executedPlan
