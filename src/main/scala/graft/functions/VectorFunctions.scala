@@ -53,6 +53,10 @@ object VectorFunctions {
   def md5_band_codes(c: Column, bands: Int, rowsPerBand: Int): Column =
     GraftExpressionBridge.column(Md5BandCodes(
       GraftExpressionBridge.expression(c), bands, rowsPerBand))
+
+  def decimal_dot_fd(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DecimalDotFloatDouble(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }
 
 /** md5-derived hyperplane family shared by interpreted eval and
@@ -195,6 +199,50 @@ case class DecimalDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.DecimalDot.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[DecimalDot]] for a float-array × double-array pair (embedding ×
+  * centroid) — same per-product scale-18 HALF_UP rounding and exact
+  * sum, so it is bit-identical to the interpreted
+  * `aggregate(zip_with(CAST(x AS DOUBLE) * y, ...))` DECIMAL fold and
+  * the DuckDB oracle.
+  */
+object DecimalDotFD {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = a.getFloat(i).toDouble * b.getDouble(i)
+      sum = sum.add(java.math.BigDecimal.valueOf(p)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue
+  }
+}
+
+/** Fused exact-decimal dot of an `array<float>` column against an
+  * `array<double>` column (the IVF cell-assignment hot path) — a
+  * compiled loop replacing the interpreted decimal HOF fold, same
+  * exactness convention ([[DecimalDotFD.dot]]).
+  */
+case class DecimalDotFloatDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_dot_fd"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalDotFD.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DecimalDotFD.dot($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

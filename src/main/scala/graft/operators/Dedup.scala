@@ -285,10 +285,14 @@ object Dedup {
     * chunk banding (pigeonhole ≤3 Hamming). Fully
     * DuckDB-oracle-checkable, the hard evidence for the SimHash
     * banding pipeline; the one-pass `SimHash64` aggregate stays the
-    * bench path.
+    * bench path. Verification-artifact budget: runs on a
+    * deterministic 1-in-`sampleMod` document sample (like
+    * [[minHashLshMd5]] — the pipeline proof doesn't need the corpus).
     */
-  def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
+      sampleMod: Int = 2): DataFrame = {
     val hashes = docs
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
       .withColumn("h", expr(
@@ -318,11 +322,11 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[simHashPairsMd5]]. */
-  def simHashPairsMd5Sql(maxHamming: Int = 3): String =
+  def simHashPairsMd5Sql(maxHamming: Int = 3, sampleMod: Int = 2): String =
     s"""WITH toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |    FROM documents) t WHERE w <> ''),
+       |    FROM documents WHERE doc_id % $sampleMod = 0) t WHERE w <> ''),
        |hv AS (
        |  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
        |  FROM toks),

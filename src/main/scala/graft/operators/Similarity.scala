@@ -384,12 +384,11 @@ object Similarity {
           |  transform(centroid, x -> CAST(x * x AS DECIMAL(30,18))),
           |  CAST(0 AS DECIMAL(38,18)),
           |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin))
-    val assignDot = expr(
-      """CAST(aggregate(
-        |  zip_with(embedding, centroid,
-        |    (x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(30,18))),
-        |  CAST(0 AS DECIMAL(38,18)),
-        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)""".stripMargin)
+    // compiled kernel with the identical DECIMAL(38,18) fold semantics
+    // (see [[graft.functions.DecimalDotFD]]) — the cell-assignment
+    // cross join is |corpus| × |cells| dots, the twin's hot spot
+    val assignDot = graft.functions.VectorFunctions
+      .decimal_dot_fd(col("embedding"), col("centroid"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cent_sim").desc, col("cell"))
     val assigned = withNorm(embeddings)

@@ -64,7 +64,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("md5-portable simhash banding pairs duplicates at hamming 0") {
-    val pairs = Dedup.simHashPairsMd5(docs).collect()
+    val pairs = Dedup.simHashPairsMd5(docs, sampleMod = 1).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((0L, 1L)) == 0) // identical docs → identical simhash
     assert(pairs.keySet.forall(p => p._1 < p._2)) // ordered, no self-pairs
