@@ -138,18 +138,20 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val cands = banded.as("a")
+    // score each banded collision immediately (est_sim is a pure
+    // function of the pair, identical across its ≤`bands` copies),
+    // then dedup three scalars — not a distinct() hauling two
+    // 64-element signature arrays per candidate through the shuffle
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
-    cands
-      .withColumn("est_sim", expr(
-        s"""aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)),
-           |          0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)""".stripMargin))
+        expr(s"""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+           |          0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)""".stripMargin)
+          .as("est_sim"))
+      .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
       .select("d1", "d2", "est_sim")
       .orderBy("d1", "d2")
@@ -184,16 +186,16 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bsig")
+    // same per-collision scoring + scalar dedup as [[minHashLsh]]
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
-      .withColumn("est_sim", expr(
-        s"""CAST(aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)),
-           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin))
+        expr(s"""CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin)
+          .as("est_sim"))
+      .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
       .select("d1", "d2", "est_sim")
       .orderBy("d1", "d2")
