@@ -28,9 +28,14 @@ object BenchDbgen {
     }
     sys.props("graft.cacheTables") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions sized to data (≈1 per ~250k lineitem rows,
+    // min cpus): a fixed 32 means ~1M wide rows per partition at
+    // scale 5000 — sort/spill territory; AQE coalesces the excess
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt, scale * 6000 / 250000).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

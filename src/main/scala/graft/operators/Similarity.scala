@@ -342,14 +342,18 @@ object Similarity {
     val cents = labelCentroids(embeddings)
       .select(col("label").as("cell"),
         col("centroid").cast("array<float>").as("centroid"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_sim").desc, col("cell"))
+    // nearest-cell argmax as a max_by aggregate (ties → lowest cell):
+    // map-side combine collapses the |corpus| × |cells| expansion to
+    // one row per vector per partition BEFORE the shuffle — the window
+    // form shuffled and sorted every scored copy
     val assigned = embeddings
       .crossJoin(broadcast(cents))
       .withColumn("cent_sim", cosine_sim(col("embedding"), col("centroid")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("cell")),
+        struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cell").as("cell"))
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("cell"))
@@ -389,14 +393,16 @@ object Similarity {
     // cross join is |corpus| × |cells| dots, the twin's hot spot
     val assignDot = graft.functions.VectorFunctions
       .decimal_dot_fd(col("embedding"), col("centroid"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_sim").desc, col("cell"))
+    // same max_by argmax as [[ivfTopK]] (ties → lowest cell after the
+    // 6-decimal rounding, matching the oracle's row_number ordering)
     val assigned = withNorm(embeddings)
       .crossJoin(broadcast(cents))
       .withColumn("cent_sim", round(assignDot / (col("nrm") * col("cnrm")), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
+        struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell"))
