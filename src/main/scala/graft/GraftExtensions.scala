@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // + its filter-pushdown optimizer rule
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsofJoinColumns)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

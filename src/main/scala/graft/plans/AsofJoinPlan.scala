@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -55,6 +55,28 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper 
         val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
         rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+  }
+}
+
+/** Column pruning through the as-of join: a custom logical node is
+  * opaque to Catalyst's built-in `ColumnPruning`, so a narrow Project
+  * above a wide as-of join would otherwise scan every column of both
+  * inputs. Columns the projection doesn't reference (and that aren't
+  * the join's own on/by keys) are pruned into each child, which lets
+  * the standard rules carry the pruning all the way into the scans.
+  */
+object PruneAsofJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, aj: AsofJoin) =>
+      val required = p.references ++ aj.leftOn.references ++
+        aj.rightOn.references ++ aj.leftBy.references ++ aj.rightBy.references
+      val leftNeeded = aj.left.output.filter(required.contains)
+      val rightNeeded = aj.right.output.filter(required.contains)
+      if (leftNeeded.length == aj.left.output.length &&
+          rightNeeded.length == aj.right.output.length) p
+      else p.copy(child = aj.copy(
+        left = Project(leftNeeded, aj.left),
+        right = Project(rightNeeded, aj.right)))
   }
 }
 

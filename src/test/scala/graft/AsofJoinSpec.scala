@@ -99,6 +99,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(s.toLowerCase).size >= 2, s)
   }
 
+  test("narrow projections prune as-of join inputs down to the parquet scan") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val l = ev.select("event_id", "user_id", "event_type", "value", "props")
+    val r = ev.select(col("event_id").as("r_ev"), col("user_id").as("r_user"),
+      col("event_type").as("r_type"), col("value").as("r_value"),
+      col("props").as("r_props"))
+    val out = AsofOps.asofJoin(l, r, "event_id", "r_ev", "user_id", "r_user")
+      .select("event_id", "r_value")
+    // the unreferenced string columns must not reach the file scans
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("props"), physical)
+    assert(!physical.contains("event_type"), physical)
+    assert(out.count() > 0)
+  }
+
   test("left-only filters push below the as-of join") {
     val joined = AsofOps.asofJoin(left, right, "t", "rt", "k", "rk")
       .where(col("id") > 2L)
