@@ -79,4 +79,33 @@ object GraftProperties extends Properties("graft") {
           .forall(r => r.getDouble(1) == maxes(r.getInt(0)))
       }
     }
+
+  // (key, time) event streams for the as-of join invariant
+  private val streamGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 200L))),
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 200L))))
+      .map { case (ls, rs) =>
+        (ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+          // unique (key, time) on the right so "latest" is well-defined
+          rs.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+      }
+
+  property("as-of join matches the per-row latest-at-or-before definition") =
+    forAll(streamGen) { case (ls, rs) =>
+      ls.nonEmpty ==> {
+        val l = ls.toDF("id", "k", "t")
+        val r = rs.toDF("rk", "rt", "v")
+        val got = graft.operators.AsofOps
+          .asofJoin(l, r, "t", "rt", "k", "rk")
+          .select("id", "v").collect()
+          .map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+        ls.forall { case (id, k, t) =>
+          val expected = rs.filter(x => x._1 == k && x._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+          got(id) == expected
+        }
+      }
+    }
 }
