@@ -359,6 +359,9 @@ object Extensions {
     "events_json" -> (c => EventOps.jsonExtract(c.events)),
     "events_top_days" -> (c => EventOps.topDays(c.events)),
     "events_asof_join" -> (c => AsofOps.clicksWithLastView(c.events)),
+    "events_range_join" -> (c => RangeOps.errorClickFollowups(c.events)),
+    // deterministic sampling / splits
+    "sample_stratified" -> (c => Sampling.stratifiedSample(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
@@ -402,6 +405,8 @@ object Extensions {
     "events_json" -> EventOps.jsonExtractSql,
     "events_top_days" -> EventOps.topDaysSql(),
     "events_asof_join" -> AsofOps.clicksWithLastViewSql(),
+    "events_range_join" -> RangeOps.errorClickFollowupsSql(),
+    "sample_stratified" -> Sampling.stratifiedSampleSql,
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,

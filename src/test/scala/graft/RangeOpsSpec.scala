@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{RangeOps, Sampling}
+
+class RangeOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 10L, 1000L), // band (1000, 1600]
+    (2L, 10L, 1600L), // half-open: right at 1600 excluded, 2200 included
+    (3L, 20L, 500L),  // other key
+    (4L, 30L, 100L)   // key with no right rows
+  ).toDF("lid", "k", "lt")
+
+  private def rightDf = Seq(
+    (100L, 10L, 1000L), // equal time: excluded (strict lower bound)
+    (101L, 10L, 1001L),
+    (102L, 10L, 1600L), // hits lid=1 (inclusive hi), not lid=2 (strict lo)
+    (103L, 10L, 2200L), // hits lid=2 only
+    (104L, 10L, 2201L), // beyond every band
+    (105L, 20L, 900L),  // key 20, in band of lid=3
+    (106L, 20L, 5000L)
+  ).toDF("rid", "k", "rt")
+
+  test("banded range join matches the (lo, hi] definition per key") {
+    val pairs = RangeOps.rangeJoin(leftDf, rightDf, Seq("k"), "lt", "rt",
+        0L, 600L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 101L), (1L, 102L), (2L, 103L), (3L, 105L)))
+  }
+
+  test("band replication never duplicates a pair") {
+    val out = RangeOps.rangeJoin(leftDf, rightDf, Seq("k"), "lt", "rt",
+        0L, 600L)
+      .groupBy("lid", "rid").count().filter(col("count") > 1).count()
+    assert(out == 0L)
+  }
+
+  test("banded join equals the naive theta-join on random data") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("lid", "k", "lt")
+    val r = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("rid", "k", "rt")
+    val (lo, hi) = (250L, 1000L)
+    val banded = RangeOps.rangeJoin(l, r, Seq("k"), "lt", "rt", lo, hi)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.join(r, "k")
+      .filter(col("rt") - col("lt") > lo && col("rt") - col("lt") <= hi)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+  }
+
+  test("driver entry counts error→click followups per user") {
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000L)
+    val events = Seq(
+      (1L, ts(0L), 7L, "error", 0.0, "{}"),
+      (2L, ts(1000000L), 7L, "click", 0.0, "{}"),     // 1 s after error
+      (3L, ts(600000000L), 7L, "click", 0.0, "{}"),   // exactly 600 s: kept
+      (4L, ts(601000000L), 7L, "click", 0.0, "{}"),   // past the window
+      (5L, ts(0L), 8L, "click", 0.0, "{}"),           // other user, no error
+      (6L, ts(50L), 9L, "error", 0.0, "{}")           // error, no clicks
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = RangeOps.errorClickFollowups(events, windowSeconds = 600)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List((7L, 2L, 1L, 2L)))
+  }
+
+  test("stratified sample is deterministic and respects stratum rates") {
+    val docs = Seq.tabulate(2000)(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Sampling.stratifiedSample(docs).collect()
+    val s2 = Sampling.stratifiedSample(docs.repartition(7)).collect()
+    assert(s1.sameElements(s2)) // layout-independent
+    val byLang = s1.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    // en keeps ~40% of 1000, de ~90% of 1000 (md5 buckets are uniform)
+    assert(byLang("en") > 320 && byLang("en") < 480)
+    assert(byLang("de") > 840 && byLang("de") < 960)
+    val splits = s1.groupBy(_.getString(3)).map { case (s, rs) => s -> rs.length }
+    assert(splits("train") > splits("valid") && splits("train") > splits("test"))
+    assert(splits.values.sum == s1.length)
+  }
+}
