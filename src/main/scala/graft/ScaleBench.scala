@@ -138,8 +138,8 @@ object ScaleBench {
     }
 
     println("== Event-stream ops vs user-population scale ==")
-    val eventOps = Seq("events_asof_join", "events_sessionize",
-      "events_top_days")
+    val eventOps = Seq("events_asof_join", "events_range_join",
+      "events_sessionize", "events_top_days")
     println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
     for (mult <- factMults) {
       val dir =
