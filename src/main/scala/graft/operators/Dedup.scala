@@ -353,4 +353,156 @@ object Dedup {
        |  AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
        |ORDER BY d1, d2""".stripMargin
+
+  /** Exact word-3-gram-shingle Jaccard pairs via an inverted-index
+    * self-join (shared-shingle candidates → common counts → |A∩B| /
+    * |A∪B|). Unlike single-word Jaccard (dense on any same-domain
+    * corpus), shingle Jaccard is bimodal — noise pairs land < 0.1 and
+    * true near-dups ≥ 0.9 — so a mid threshold is robust to either
+    * side. Integer counts divide to bit-identical doubles across
+    * engines.
+    */
+  def shingleJaccardPairs(docs: DataFrame): DataFrame = {
+    // join on a 60-bit md5 of the shingle, not the string, and dedup
+    // AFTER hashing: both the distinct and the inverted-index shuffle
+    // then carry 8-byte keys instead of ~30-char text. Any hash
+    // collision is produced identically by the oracle (same md5), so
+    // results stay bit-exact cross-engine.
+    val sh = docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(size(ws) - 3, 0)),
+          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))""".stripMargin))
+        .as("sh"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("common") / (col("n1") + col("n2") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** Connected components by iterative min-label propagation: every
+    * node starts labelled with its own id; each round takes the min of
+    * its label and its neighbours' labels; at fixpoint each component
+    * carries its minimum node id — a canonical, iteration-count-
+    * independent cluster id. Each round is one join + one aggregate,
+    * both shuffling on node id; `localCheckpoint` cuts the growing
+    * lineage so round N's plan doesn't replay rounds 1…N−1. Rounds
+    * needed = component diameter, which for dedup graphs is tiny
+    * (near-dup clusters are dense); for adversarially long chains the
+    * published fix is alternating large-star/small-star (O(log n)
+    * rounds) — same join/agg building blocks, noted here for the
+    * 100 TB runbook.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    // materialize the edge set once — every round re-reads it, and
+    // without the checkpoint each round would replay the (possibly
+    // expensive) edge-generation pipeline upstream
+    val symRaw = edges.select(col("d1").as("node"), col("d2").as("nbr"))
+      .unionAll(edges.select(col("d2").as("node"), col("d1").as("nbr")))
+      .localCheckpoint()
+    // loop parallelism sized to the EDGE set, not the corpus: dedup
+    // graphs are sparse, and a tiny graph on wide shuffles is pure
+    // scheduler overhead (the dbgen lesson: partitions scale with data)
+    val parts = math.max(1, math.min(200, (symRaw.count() / 100000L).toInt))
+    val sym = symRaw.repartition(parts, col("nbr")).localCheckpoint()
+    // only nodes touching an edge can ever change label — singletons
+    // (the vast majority of a deduped corpus) skip the loop entirely
+    // and are unioned back self-labelled at the end
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .repartition(parts, col("node")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrLabels = labels.select(col("node").as("nbr"), col("lbl").as("nlbl"))
+      val nbrMin = sym.join(nbrLabels, "nbr")
+        .groupBy("node").agg(min("nlbl").as("nmin"))
+      // carry the convergence flag in the checkpointed rows so the
+      // changed-count is a scan of materialized data, not a re-join
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("chg"))
+        .repartition(parts, col("node")).localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "lbl")
+      it += 1
+    }
+    nodes.select(col("node"))
+      .join(labels.withColumnRenamed("lbl", "conn_lbl"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("conn_lbl"), col("node")).as("lbl"))
+  }
+
+  /** Dedup clustering — the canonical-document assignment a real
+    * pipeline needs AFTER pair generation: build the near-dup graph
+    * (here: exact shingle-Jaccard ≥ `tau` over the full corpus; at
+    * 100 TB the edge source is [[minHashLsh]] candidates + exact
+    * verify, same downstream), take connected components, and assign
+    * every document its component's min doc_id plus the cluster size.
+    * Keeping `cluster_id == doc_id` rows (singletons) makes the output
+    * a total map: `WHERE doc_id = cluster_id` is the keep-list,
+    * everything else is the drop-list.
+    */
+  def clusters(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    val edges = shingleJaccardPairs(docs)
+      .filter(col("jaccard") >= tau).select("d1", "d2")
+    val labels = connectedComponents(edges, docs.select(col("doc_id").as("node")))
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[clusters]]: the same edge set stated as raw
+    * SQL, components via a recursive transitive closure + MIN — an
+    * independent formulation (closure is quadratic per component, fine
+    * at oracle scale; the Spark side is the scalable iteration).
+    */
+  def clustersSql(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+       |  FROM (SELECT doc_id, arr,
+       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(trim(text), '\\s+') AS arr
+       |              FROM documents) t0) t1),
+       |shh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT d1, d2 FROM pairs
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $tau),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+       |        UNION ALL SELECT d2, d1 FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |        FROM reach GROUP BY 1),
+       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lbl l JOIN csize c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -336,6 +336,7 @@ object Extensions {
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
     "dedup_simhash_pairs_md5" -> (c => Dedup.simHashPairsMd5(c.documents)),
     "dedup_embedding_cosine" -> (c => Similarity.embeddingNearDups(c.embeddings)),
+    "dedup_clusters" -> (c => Dedup.clusters(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -390,6 +391,7 @@ object Extensions {
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
+    "dedup_clusters" -> Dedup.clustersSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),

@@ -79,4 +79,47 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("connected components label chains, cliques and singletons") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique
+    // 10-11-12, edge 20-21, singletons 30/31
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)
+      .toDF("node")
+    val lbl = Dedup.connectedComponents(edges, nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(lbl(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(lbl(_) == 10L))
+    assert(lbl(20L) == 20L && lbl(21L) == 20L)
+    assert(lbl(30L) == 30L && lbl(31L) == 31L)
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edgeList = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val lbl = Dedup.connectedComponents(
+        edgeList.toDF("d1", "d2"), (0 until n).map(_.toLong).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == expect)
+  }
+
+  test("dedup clustering groups near-dup docs and keeps singletons total") {
+    val out = Dedup.clusters(docs, tau = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // total map
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 0L && byId(4L)._2 == 0L) // near-dups of doc 0
+    assert(byId(3L)._2 == 3L && byId(3L)._3 == 1L) // singleton
+  }
 }
