@@ -119,7 +119,7 @@ object ScaleBench {
 
     println("== LLM-pipeline ops vs corpus scale ==")
     val pipelineOps = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
-      "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk")
+      "dedup_clusters", "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk")
     println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
     for (mult <- factMults) {
       val dir =

@@ -90,6 +90,31 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-stream range join — the incremental twin of
+    * `operators/RangeOps.rangeJoin`: pair each left event with right
+    * events of the same key whose time falls in (lT, lT + window].
+    * Spark's stream-stream join keeps both sides in the state store;
+    * the watermarks plus the time-range predicate bound how long each
+    * row is retained (a right row can only match lefts at most
+    * `window` older, so state is evicted once the watermark passes) —
+    * the same band-bounding idea as the batch bucket join, expressed
+    * as state TTL instead of bucket replication.
+    */
+  def rangeJoinStream(left: DataFrame, right: DataFrame, key: String,
+      window: String = "10 minutes", lateness: String = "10 minutes"): DataFrame = {
+    val l = left.select(col(key), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col(key).as("r_key"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup — the training-pipeline dedup operator in
     * its incremental form: state = fingerprints seen within the
     * watermark horizon; `dropDuplicates` keyed on the content

@@ -99,4 +99,35 @@ class StreamingSpec extends AnyFunSuite {
         s"closed=$closed total=$totalSessions users=$users")
     } finally q.stop()
   }
+
+  test("stream-stream range join matches the batch banded range join") {
+    val errors = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "error")
+    val clicks = EventStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    val q = EventStream.runToMemory(
+      EventStream.rangeJoinStream(errors, clicks, "user_id",
+        window = "4 hours"),
+      "range_join_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("range_join_test")
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Ctx(spark, sfDir).events
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("l_id"),
+          unix_micros(col("ts")).as("l_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("r_id"),
+          unix_micros(col("ts")).as("r_us"))
+      val batch = graft.operators.RangeOps
+        .rangeJoin(e, c, Seq("user_id"), "l_us", "r_us",
+          0L, 4L * 3600L * 1000000L)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
