@@ -376,14 +376,18 @@ object Dedup {
       .select(col("doc_id"), expr(
         "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"),
+    // set sizes ride along as a window count and flow THROUGH the
+    // self-join (first() per pair group), so no join back against a
+    // per-doc sizes table is needed; shuffle_hash because sorting the
+    // inverted index for a merge join is pure waste before a hash agg
+    val shN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    shN.as("a").hint("shuffle_hash")
+      .join(shN.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .agg(count(lit(1)).as("common"),
+        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
       .select(col("d1"), col("d2"),
         (col("common") / (col("n1") + col("n2") - col("common")))
           .as("jaccard"))
@@ -439,7 +443,8 @@ object Dedup {
       it += 1
     }
     nodes.select(col("node"))
-      .join(labels.withColumnRenamed("lbl", "conn_lbl"), Seq("node"), "left")
+      .join(labels.withColumnRenamed("lbl", "conn_lbl").hint("shuffle_hash"),
+        Seq("node"), "left")
       .select(col("node"), coalesce(col("conn_lbl"), col("node")).as("lbl"))
   }
 
@@ -457,10 +462,12 @@ object Dedup {
     val edges = shingleJaccardPairs(docs)
       .filter(col("jaccard") >= tau).select("d1", "d2")
     val labels = connectedComponents(edges, docs.select(col("doc_id").as("node")))
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    // cluster size as a window count over the label — one shuffle on
+    // the cluster id, no self-join (and no double evaluation of the
+    // label pipeline)
+    labels
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"))
+        count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_size"))
       .orderBy("doc_id")
   }
 
