@@ -477,7 +477,20 @@ object Dedup {
     * at oracle scale; the Spark side is the scalable iteration).
     */
   def clustersSql(tau: Double = 0.5): String =
-    s"""WITH RECURSIVE sh AS (
+    s"""WITH RECURSIVE ${clusterLblCtes(tau)},
+       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lbl l JOIN csize c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** CTE chain shingles → edges → recursive components → `lbl`
+    * (doc_id, cluster_id) — shared by [[clustersSql]] and the composed
+    * pipeline oracle ([[CorpusPipeline.corpusStatsSql]]). Must follow a
+    * `WITH RECURSIVE` keyword at the call site.
+    */
+  private[operators] def clusterLblCtes(tau: Double): String =
+    s"""sh AS (
        |  SELECT doc_id,
        |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
        |  FROM (SELECT doc_id, arr,
@@ -506,10 +519,5 @@ object Dedup {
        |  UNION
        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
        |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-       |        FROM reach GROUP BY 1),
-       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
-       |          FROM lbl GROUP BY 1)
-       |SELECT l.doc_id, l.cluster_id, c.cluster_size
-       |FROM lbl l JOIN csize c USING (cluster_id)
-       |ORDER BY doc_id""".stripMargin
+       |        FROM reach GROUP BY 1)""".stripMargin
 }
