@@ -108,4 +108,27 @@ object GraftProperties extends Properties("graft") {
         }
       }
     }
+
+  // random band bounds alongside the streams: lo in [0, 50), width ≥ 1
+  private val bandGen: Gen[(Long, Long)] =
+    Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(1L, 80L))
+      .map { case (lo, w) => (lo, lo + w) }
+
+  property("banded range join matches the (lo, hi] pair definition") =
+    forAll(streamGen, bandGen) { case ((ls, rs), (lo, hi)) =>
+      (ls.nonEmpty && rs.nonEmpty) ==> {
+        val l = ls.toDF("id", "k", "lt")
+        val r = rs.map { case (k, t, i) => (i, k, t) }.toDF("rid", "k", "rt")
+        val got = graft.operators.RangeOps
+          .rangeJoin(l, r, Seq("k"), "lt", "rt", lo, hi)
+          .select("id", "rid").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        val expected = (for {
+          (id, k, t) <- ls
+          (rk, rt, rid) <- rs
+          if rk == k && rt - t > lo && rt - t <= hi
+        } yield (id, rid)).toSet
+        got == expected
+      }
+    }
 }
