@@ -53,6 +53,25 @@ object RangeOps {
       .drop("__band")
   }
 
+  /** [[rangeJoin]] with band salting — for the keyless (or hot-key)
+    * case where one time band holds a burst: the left side gets a
+    * round-robin salt, the right side is replicated once per salt
+    * value, and the salt joins the bucket key, spreading a hot
+    * (keys, band) bucket over `saltFactor` reducers. Same result set;
+    * use when a burst concentrates the shuffle (the same trade
+    * [[Kernels.saltedJoin]] makes for equi-joins).
+    */
+  def rangeJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTimeUs: String, rightTimeUs: String,
+      loMicros: Long, hiMicros: Long, saltFactor: Int = 8): DataFrame = {
+    val lb = left.withColumn("__rsalt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
+    val rb = right.withColumn("__rsalt",
+      explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+    rangeJoin(lb, rb, keys :+ "__rsalt", leftTimeUs, rightTimeUs,
+      loMicros, hiMicros).drop("__rsalt")
+  }
+
   /** Driver entry: for every `error` event, the `click` events by the
     * same user within the following `windowSeconds` — aggregated per
     * user (pair count, errors that saw a follow-up click, distinct

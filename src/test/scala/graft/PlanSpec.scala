@@ -44,4 +44,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("range join: banded equi-join, never a nested-loop fallback") {
+    val p = planOf(graft.operators.RangeOps
+      .errorClickFollowups(ctx.events))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the band predicate must be an equi-join key, not a filter-only
+    assert(p.contains("__band"), p)
+  }
+
+  test("sample_stratified: pure scan + filter, no shuffle") {
+    val p = planOf(graft.operators.Sampling
+      .stratifiedSample(ctx.documents))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup clustering: sort-free join pipeline") {
+    val p = planOf(graft.operators.Dedup.clusters(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("composed pipeline: sort-free, no nested loops") {
+    val p = planOf(graft.operators.CorpusPipeline
+      .corpusStats(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -56,6 +56,31 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(banded == naive)
   }
 
+  test("salted and keyless range joins return the plain result set") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong))
+      .toDF("lid", "k", "lt")
+    val r = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(5000).toLong))
+      .toDF("rid", "k", "rt")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSet
+    val plain = pairs(RangeOps.rangeJoin(l, r, Seq("k"), "lt", "rt", 0L, 700L))
+    val salted = pairs(RangeOps.rangeJoinSalted(l, r, Seq("k"), "lt", "rt",
+      0L, 700L, saltFactor = 4))
+    assert(salted == plain)
+    // keyless: a pure temporal join (no equi keys at all)
+    val keyless = pairs(RangeOps.rangeJoin(l.drop("k"), r.drop("k"),
+      Seq.empty, "lt", "rt", 0L, 700L))
+    val naive = (for {
+      (lid, _, lt) <- l.as[(Long, Long, Long)].collect()
+      (rid, _, rt) <- r.as[(Long, Long, Long)].collect()
+      if rt - lt > 0 && rt - lt <= 700L
+    } yield (lid, rid)).toSet
+    assert(keyless == naive)
+  }
+
   test("driver entry counts error→click followups per user") {
     val ts = (us: Long) => new java.sql.Timestamp(us / 1000L)
     val events = Seq(
