@@ -125,6 +125,74 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
+  final case class AsofEvent(user_id: Long, eus: Long, is_right: Boolean,
+    id: Long, v: Double, ts: java.sql.Timestamp)
+  final case class AsofJoinState(rights: List[(Long, Double)],
+    pending: List[(Long, Long)])
+  final case class AsofMatch(user_id: Long, event_id: Long, eus: Long,
+    matched_eus: Option[Long], matched_value: Option[Double])
+
+  /** Streaming as-of join — the incremental twin of the batch
+    * [[graft.plans.AsofJoinExec]] via `AsofOps.clicksWithLastView`:
+    * enrich each `click` with the latest `view` value at-or-before its
+    * event time, per user. Correctness under out-of-order arrival
+    * comes from WATERMARK GATING: a click is emitted only once the
+    * watermark has passed its event time — at that point no earlier
+    * view can still arrive, so "latest at-or-before" is final.
+    * State per key is bounded: pending clicks live at most the
+    * watermark delay; of the views at-or-before the watermark only the
+    * latest is retained (older ones can never win again), views ahead
+    * of the watermark are kept until it passes them. Same-time views
+    * collapse to max(value), mirroring the batch entry's
+    * pre-aggregation. Clicks newer than the final watermark stay in
+    * state (correct for an unbounded stream — a later view could still
+    * precede them).
+    */
+  def asofEnrichStream(spark: SparkSession, events: DataFrame,
+      lateness: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    val tagged = events
+      .filter(col("event_type").isin("click", "view"))
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), unix_micros(col("ts")).as("eus"),
+        (col("event_type") === "view").as("is_right"),
+        col("event_id").as("id"), col("value").as("v"), col("ts"))
+      .as[AsofEvent]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[AsofEvent],
+         state: GroupState[AsofJoinState]) => {
+          // on timeout (watermark passed a pending click with no new
+          // events for this key) the emission logic below runs with an
+          // empty delta — the event-time timeout is what guarantees
+          // ripe clicks are flushed without waiting for key activity
+          val rs = if (state.hasTimedOut) Seq.empty[AsofEvent] else rows.toSeq
+          val st = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
+          // merge new views; same-time views keep max(value)
+          val rights = (st.rights ++ rs.filter(_.is_right).map(e => (e.eus, e.v)))
+            .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+            .toList.sortBy(_._1)
+          val pending = st.pending ++
+            rs.filter(!_.is_right).map(e => (e.id, e.eus))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, young) = pending.partition(_._2 <= wmUs)
+          val out = ripe.sortBy(_._1).map { case (id, t) =>
+            val m = rights.takeWhile(_._1 <= t).lastOption
+            AsofMatch(user, id, t, m.map(_._1), m.map(_._2))
+          }
+          val (past, ahead) = rights.partition(_._1 <= wmUs)
+          state.update(AsofJoinState(past.takeRight(1) ::: ahead, young))
+          // re-arm: fire again when the watermark passes the earliest
+          // still-pending click (all young > wmUs, so this is valid)
+          if (young.nonEmpty)
+            state.setTimeoutTimestamp(young.map(_._2).min / 1000L + 1L)
+          out.iterator
+        })
+      .toDF()
+  }
+
   // ts stays in the row so the watermarked column survives to the
   // flatMapGroupsWithState child (required for event-time timeout)
   final case class SessionEvent(user_id: Long, eus: Long, ts: java.sql.Timestamp)

@@ -100,6 +100,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches batch as-of on watermark-ripe clicks") {
+    import org.apache.spark.sql.expressions.Window
+    // stage the events as 4 time-ordered files so the watermark
+    // advances across micro-batches (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long ns
+    val n = raw.count()
+    val chunked = raw
+      .withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
+      .withColumn("chunk", ((col("rn") - 1) * 4 / n).cast("int"))
+    for (i <- 0 until 4) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_asof_c$i")
+      chunked.filter(col("chunk") === i).drop("rn", "chunk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val dest = dir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.runToMemory(
+      EventStream.asofEnrichStream(spark, stream), "asof_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      def key(r: org.apache.spark.sql.Row) = r.getLong(1)
+      def payload(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      val streamed = spark.table("asof_stream_test")
+        .select("user_id", "event_id", "eus", "matched_eus", "matched_value")
+        .collect().map(r => key(r) -> payload(r)).toMap
+      val batch = graft.operators.AsofOps
+        .clicksWithLastView(Ctx(spark, sfDir).events)
+        .select("user_id", "event_id", "eus", "matched_eus", "matched_value")
+        .collect().map(r => key(r) -> payload(r)).toMap
+      // exactness: every emitted click matches the batch as-of row
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (id, p) => assert(batch(id) == p, s"id=$id") }
+      // coverage: every click older than final watermark was emitted
+      val maxUs = raw.agg(max(expr("ts div 1000"))).head.getLong(0)
+      val ripe = batch.filter { case (_, p) => p._2 <= maxUs - 600000000L }
+      assert(ripe.keySet.subsetOf(streamed.keySet),
+        s"missing ${ripe.keySet -- streamed.keySet}")
+    } finally q.stop()
+  }
+
   test("stream-stream range join matches the batch banded range join") {
     val errors = EventStream.readEvents(spark, eventsDir)
       .filter(col("event_type") === "error")
