@@ -650,24 +650,30 @@ object TpchFull {
     * sketch `:755-782`): real receipt>commit waiting predicate.
     */
   def q21(c: DbgenCtx): DataFrame = {
+    // Aggregate rewrite of the EXISTS/NOT-EXISTS pair (SQL oracle
+    // unchanged): for a LATE l1 row, EXISTS(other supplier in the
+    // order) ⇔ the order has ≥2 distinct suppliers ⇔ min(suppkey) ≠
+    // max(suppkey); NOT-EXISTS(other LATE supplier) ⇔ exactly one
+    // distinct late supplier (l1 itself is late, so that one is l1's
+    // own) ⇔ min(late suppkey) = max(late suppkey), non-null. Plain
+    // min/max aggregates collapse map-side to ~one row per order per
+    // partition — unlike a distinct-count (or the original pair of
+    // lineitem-scale self-joins, three full fact shuffles and q21's
+    // 1.6×-per-2× dbgen slope), the shuffle carries order-level
+    // partials, not pair-level rows.
+    val lateSk = when(col("l_receiptdate") > col("l_commitdate"),
+      col("l_suppkey"))
+    val prof = c.lineitem.groupBy(col("l_orderkey").as("p_orderkey"))
+      .agg(min("l_suppkey").as("mn"), max("l_suppkey").as("mx"),
+        min(lateSk).as("lmn"), max(lateSk).as("lmx"))
+      .filter(col("mn") =!= col("mx") && col("lmn") === col("lmx"))
     val l1 = c.lineitem
       .filter(col("l_receiptdate") > col("l_commitdate"))
       .select(col("l_orderkey").as("l1_orderkey"),
         col("l_suppkey").as("l1_suppkey"))
-    val l2 = c.lineitem.select(col("l_orderkey").as("l2_orderkey"),
-      col("l_suppkey").as("l2_suppkey"))
-    val l3 = c.lineitem
-      .filter(col("l_receiptdate") > col("l_commitdate"))
-      .select(col("l_orderkey").as("l3_orderkey"),
-        col("l_suppkey").as("l3_suppkey"))
     l1.join(c.orders.filter(col("o_orderstatus") === "F"),
         col("l1_orderkey") === col("o_orderkey"))
-      .join(l2,
-        col("l2_orderkey") === col("l1_orderkey") &&
-          col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
-      .join(l3,
-        col("l3_orderkey") === col("l1_orderkey") &&
-          col("l3_suppkey") =!= col("l1_suppkey"), "left_anti")
+      .join(prof, col("l1_orderkey") === col("p_orderkey"), "left_semi")
       .join(broadcast(c.supplier), col("l1_suppkey") === col("s_suppkey"))
       // fixture: the 5 MIDDLE EAST nations (spec: SAUDI ARABIA only —
       // ~2 suppliers in the tiny fixture)
