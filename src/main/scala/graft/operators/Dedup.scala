@@ -206,7 +206,8 @@ object Dedup {
     * keys, estimation via a pairwise seed join.
     */
   def minHashLshMd5Sql(numHashes: Int = 16, bands: Int = 4,
-      minEstSim: Double = 0.5, sampleMod: Int = 2): String = {
+      minEstSim: Double = 0.5, sampleMod: Int = 2,
+      ordered: Boolean = true): String = {
     val rowsPerBand = numHashes / bands
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id,
@@ -237,8 +238,8 @@ object Dedup {
        |JOIN mins m1 ON m1.doc_id = d1
        |JOIN mins m2 ON m2.doc_id = d2 AND m1.seed = m2.seed
        |GROUP BY 1, 2
-       |HAVING est_sim >= $minEstSim
-       |ORDER BY d1, d2""".stripMargin
+       |HAVING est_sim >= $minEstSim""".stripMargin +
+      (if (ordered) "\nORDER BY d1, d2" else "")
   }
 
   /** Per-document 64-bit SimHash via the one-pass
@@ -461,15 +462,54 @@ object Dedup {
   def clusters(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val edges = shingleJaccardPairs(docs)
       .filter(col("jaccard") >= tau).select("d1", "d2")
-    val labels = connectedComponents(edges, docs.select(col("doc_id").as("node")))
-    // cluster size as a window count over the label — one shuffle on
-    // the cluster id, no self-join (and no double evaluation of the
-    // label pipeline)
-    labels
+    clusterize(edges, docs.select(col("doc_id").as("node")))
+  }
+
+  /** Components + canonical id + cluster size from an arbitrary edge
+    * set. Cluster size is a window count over the label — one shuffle
+    * on the cluster id, no self-join (and no double evaluation of the
+    * label pipeline).
+    */
+  private def clusterize(edges: DataFrame, nodes: DataFrame): DataFrame =
+    connectedComponents(edges, nodes)
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_size"))
       .orderBy("doc_id")
+
+  /** [[clusters]] with the 100 TB edge source: MinHash-LSH candidate
+    * pairs instead of the exact all-pairs index — the md5-portable LSH
+    * variant, so the ENTIRE production dedup path (shingle → minhash →
+    * band → candidate → component → canonical id) is DuckDB-checkable
+    * bit-for-bit. Nodes are the twin's 1-in-`sampleMod` document
+    * sample, so unsampled docs don't appear as spurious singletons.
+    */
+  def clustersLshMd5(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
+    val edges = minHashLshMd5(docs, sampleMod = sampleMod).select("d1", "d2")
+    val nodes = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select(col("doc_id").as("node"))
+    clusterize(edges, nodes)
   }
+
+  /** DuckDB oracle for [[clustersLshMd5]] — the md5-LSH pair SQL as a
+    * CTE feeding the same recursive-closure component formulation.
+    */
+  def clustersLshMd5Sql(sampleMod: Int = 2): String =
+    s"""WITH RECURSIVE cand AS (
+       |${minHashLshMd5Sql(sampleMod = sampleMod, ordered = false)}),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+       |        UNION ALL SELECT d2, d1 FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |        FROM reach GROUP BY 1),
+       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lbl l JOIN csize c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for [[clusters]]: the same edge set stated as raw
     * SQL, components via a recursive transitive closure + MIN — an

@@ -337,6 +337,7 @@ object Extensions {
     "dedup_simhash_pairs_md5" -> (c => Dedup.simHashPairsMd5(c.documents)),
     "dedup_embedding_cosine" -> (c => Similarity.embeddingNearDups(c.embeddings)),
     "dedup_clusters" -> (c => Dedup.clusters(c.documents)),
+    "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
@@ -393,6 +394,7 @@ object Extensions {
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
+    "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),

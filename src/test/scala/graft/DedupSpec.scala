@@ -114,6 +114,17 @@ class DedupSpec extends AnyFunSuite {
     assert(lbl == expect)
   }
 
+  test("LSH-edged clustering clusters the sampled near-dups") {
+    // sampleMod=2 keeps docs 0/2/4; 0 and 4 are near-dups (LSH pair),
+    // 2 differs case-wise (different shingles — own cluster)
+    val out = Dedup.clustersLshMd5(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 2L, 4L))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(4L)._2 == 0L && byId(0L)._3 == 2L)
+    assert(byId(2L)._2 == 2L && byId(2L)._3 == 1L)
+  }
+
   test("dedup clustering groups near-dup docs and keeps singletons total") {
     val out = Dedup.clusters(docs, tau = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
