@@ -144,9 +144,14 @@ object Tpch {
     c.orders
       .filter(col("o_orderdate") >= ts("1997-07-01") &&
         col("o_orderdate") < ts("1997-10-01"))
-      .join(c.lineitem,
+      // EXISTS(l with shipdate > orderdate) ⇔ the order's MAX shipdate
+      // beats it: the pre-aggregate collapses map-side to one row per
+      // order, so the semi join builds order-level rows instead of the
+      // raw fact table
+      .join(c.lineitem.groupBy(col("l_orderkey"))
+          .agg(max("l_shipdate").as("max_ship")),
         col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > col("o_orderdate"),
+          col("max_ship") > col("o_orderdate"),
         "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))

@@ -148,7 +148,12 @@ object TpchFull {
     c.orders
       .filter(col("o_orderdate") >= "1993-07-01" &&
         col("o_orderdate") < "1993-10-01")
-      .join(c.lineitem.filter(col("l_commitdate") < col("l_receiptdate")),
+      // EXISTS needs only the distinct late order keys: the pre-agg
+      // dedups map-side (TPC-H lineitem is clustered by order, ~4×),
+      // so the semi join builds/shuffles order-level keys instead of
+      // ~63% of the fact table's rows
+      .join(c.lineitem.filter(col("l_commitdate") < col("l_receiptdate"))
+          .select("l_orderkey").distinct(),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
