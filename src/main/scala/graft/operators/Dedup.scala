@@ -104,12 +104,18 @@ object Dedup {
       |JOIN sizes s2 ON d2 = s2.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Word 3-gram shingles per document. */
+  /** Word 3-gram shingles per document. `get()` (NULL out of bounds,
+    * matching DuckDB's 1-indexed `arr[j]`) instead of `ws[i]` — under
+    * ANSI mode a direct index THROWS for documents shorter than 3
+    * words, which real corpora contain even though the fixtures don't;
+    * `concat_ws` then drops the missing tail words on both engines
+    * identically.
+    */
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))""".stripMargin))
+          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
         .as("sh"))
       .distinct()
 
@@ -372,7 +378,7 @@ object Dedup {
     val sh = docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))""".stripMargin))
+          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
         .as("sh"))
       .select(col("doc_id"), expr(
         "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))

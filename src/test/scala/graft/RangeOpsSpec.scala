@@ -96,6 +96,38 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(out == List((7L, 2L, 1L, 2L)))
   }
 
+  test("composed corpus pipeline: gates, splits and totals are consistent") {
+    import graft.operators.{CorpusPipeline, Dedup, Sampling}
+    // unique words per doc: no near-dups, so the keep-list is total
+    // and short docs (< 3 words, < minTokens) exercise the edge paths
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, (0 until (i % 12)).map(j => s"w${i}_$j").mkString(" "),
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.corpusStats(docs, tau = 0.5, minTokens = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // domains
+    assert(out.keySet.forall { case (l, s) =>
+      Set("en", "de")(l) && Set("train", "valid", "test")(s) })
+    // invariant: n_docs equals an independent recomputation from the
+    // building blocks (keep-list ∘ sample ∘ token gate)
+    val keep = Dedup.clusters(docs, tau = 0.5)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val rate = when(col("lang") === "en", 400)
+      .when(col("lang") === "de", 900).otherwise(500)
+    val expected = docs.join(keep, "doc_id")
+      .filter(Sampling.hashBucket("smp:", col("doc_id")) < rate)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 5)
+      .filter(length(trim(col("text"))) > 0)
+      .count()
+    assert(out.values.map(_._1).sum == expected && expected > 0)
+    // per-group arithmetic: avg_tokens = sum/n, and the gate held
+    out.values.foreach { case (n, sum, avg) =>
+      assert(sum >= 5L * n && avg == sum.toDouble / n)
+    }
+  }
+
   test("stratified sample is deterministic and respects stratum rates") {
     val docs = Seq.tabulate(2000)(i =>
       (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L))
