@@ -136,9 +136,12 @@ object Extensions {
   def topBigrams(c: Ctx, k: Int = 20): DataFrame = {
     c.documents
       .select(graft.functions.TextFunctions.words(col("text")).as("ws"))
+      // get() tolerates the one-word-document edge (ws[i+1] would
+      // throw under ANSI); the contains-space filter below then drops
+      // the degenerate unigram rows, as the oracle's range bound does
       .select(explode(expr(
         """transform(sequence(0, greatest(size(ws) - 2, 0)),
-          |          i -> concat_ws(' ', ws[i], ws[i+1]))""".stripMargin))
+          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1)))""".stripMargin))
         .as("bigram"))
       .where(col("bigram").contains(" "))
       .groupBy("bigram")
