@@ -78,12 +78,17 @@ object Multimodal {
     */
   def decodeImage(r: MediaRecord): Option[MediaFeatures] =
     if (r.kind != "image") None
-    else Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.payload)))
-      .map { img =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-          img.getWidth, img.getHeight, 1, rollingChecksum(r.payload))
-      }
+    else try {
+      // ImageIO returns null for unrecognized bytes but THROWS on
+      // truncated/corrupt streams — a per-record failure must never
+      // kill the task at corpus scale, so both become None
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload)))
+        .map { img =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+            img.getWidth, img.getHeight, 1, rollingChecksum(r.payload))
+        }
+    } catch { case _: Exception => None }
 
   /** Deterministic audio shape for media_id: (sample rate, frames). */
   def audioShape(mediaId: Long): (Int, Int) =

@@ -29,6 +29,13 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRecord(1L, "audio", Array[Byte](1, 2, 3), "stub/v1")).isEmpty)
     assert(Multimodal.decodeImage(
       MediaRecord(1L, "image", Array[Byte](1, 2, 3), "png")).isEmpty)
+    // TRUNCATED valid PNG: a recognized header with a cut-off body
+    // makes ImageIO throw mid-decode (unlike garbage, which returns
+    // null) — a per-record corruption must yield None, never a task
+    // failure
+    val truncated = Multimodal.pngPayload(7L).take(40)
+    assert(Multimodal.decodeImage(
+      MediaRecord(7L, "image", truncated, "png")).isEmpty)
   }
 
   test("wavPayload round-trips through javax.sound with the generated shape") {
