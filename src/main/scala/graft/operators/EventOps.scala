@@ -115,7 +115,11 @@ object EventOps {
     */
   def jsonExtract(events: DataFrame): DataFrame =
     events
-      .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+      // try_cast: a props value with no digits extracts "" and an ANSI
+      // cast would fail the whole query — malformed rows become null
+      // and fall out of min/max/avg, same as the oracle's TRY_CAST
+      .withColumn("k",
+        regexp_extract(col("props"), "([0-9]+)", 1).try_cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
         (sum("k") / count("k")).as("avg_k"))
@@ -126,7 +130,7 @@ object EventOps {
       |  MIN(k) AS min_k, MAX(k) AS max_k,
       |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM (SELECT event_type,
-      |        CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+      |        TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
       |      FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
