@@ -2,6 +2,7 @@ package graft.api
 
 import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors,
   LinkedBlockingQueue, Semaphore => JSemaphore, TimeUnit, TimeoutException}
+import java.util.concurrent.atomic.AtomicBoolean
 import java.util.concurrent.locks.ReentrantLock
 import scala.concurrent.{ExecutionContext, Future, Promise}
 import scala.jdk.CollectionConverters._
@@ -85,14 +86,22 @@ object Coordination {
     */
   final class DistLock private[Coordination] (name: String) {
     private val permit = new JSemaphore(1, true)
-    def acquire(): Unit = permit.acquire()
-    def acquire(timeoutMs: Long): Boolean =
-      permit.tryAcquire(timeoutMs, TimeUnit.MILLISECONDS)
+    // release guard must be atomic: a check-then-act on availablePermits
+    // would let two concurrent releases both pass and push permits to 2,
+    // silently breaking mutual exclusion for every later holder
+    private val held = new AtomicBoolean(false)
+    def acquire(): Unit = { permit.acquire(); held.set(true) }
+    def acquire(timeoutMs: Long): Boolean = {
+      val ok = permit.tryAcquire(timeoutMs, TimeUnit.MILLISECONDS)
+      if (ok) held.set(true)
+      ok
+    }
     def release(): Unit = {
-      require(locked, s"lock $name released while not acquired")
+      require(held.compareAndSet(true, false),
+        s"lock $name released while not acquired")
       permit.release()
     }
-    def locked: Boolean = permit.availablePermits() == 0
+    def locked: Boolean = held.get()
     def withLock[B](f: => B): B = { acquire(); try f finally release() }
   }
   def lock(name: String): DistLock = slot("lock", name)(new DistLock(name))
@@ -117,9 +126,13 @@ object Coordination {
     def isSet: Boolean = lockObj.synchronized(flag)
     def waitSet(timeoutMs: Long = Long.MaxValue): Boolean =
       lockObj.synchronized {
-        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        val start = System.nanoTime()
+        // toNanos saturates at Long.MaxValue, so the default
+        // "wait forever" call can't overflow into an already-expired
+        // deadline (ms*1e6 wraps for timeoutMs >= ~9.2e12)
+        val budgetNs = TimeUnit.MILLISECONDS.toNanos(timeoutMs)
         while (!flag) {
-          val leftMs = (deadline - System.nanoTime()) / 1000000L
+          val leftMs = (budgetNs - (System.nanoTime() - start)) / 1000000L
           if (leftMs <= 0) return false
           lockObj.wait(leftMs)
         }

@@ -449,6 +449,11 @@ object Dedup {
       labels = next.select("node", "lbl")
       it += 1
     }
+    // never hand back non-converged (wrong) labels silently — callers
+    // feed these into oracle-checked cluster assignments
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter")
     nodes.select(col("node"))
       .join(labels.withColumnRenamed("lbl", "conn_lbl").hint("shuffle_hash"),
         Seq("node"), "left")

@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * 1× right rows, and the shuffle key (keys, bucket) spreads a hot equi
   * key across time — no quadratic blow-up, no nested-loop fallback.
   *
-  * Both time columns must be non-negative epoch MICROSECONDS (`div`
-  * truncates toward zero, which equals floor only for non-negative
-  * operands); use `unix_micros(ts)` upstream. Column names must be
-  * disjoint apart from the equi keys.
+  * Time columns are epoch MICROSECONDS (`unix_micros(ts)` upstream).
+  * Bucket ids use true floor division (`(a - pmod(a, w)) div w`), so
+  * negative band offsets (look-back joins, `loMicros < 0`) and
+  * pre-epoch timestamps bucket correctly — `div` alone truncates
+  * toward zero, which would misplace negative operands. Column names
+  * must be disjoint apart from the equi keys.
   */
 object RangeOps {
 
@@ -40,13 +42,16 @@ object RangeOps {
       loMicros: Long, hiMicros: Long): DataFrame = {
     require(hiMicros > loMicros, "range join needs a non-empty band")
     val w = hiMicros - loMicros
+    // floor division (pmod is always non-negative), exact in Long —
+    // plain `div` truncates toward zero and misbuckets negative values
+    def fdiv(a: String): String = s"(($a) - pmod($a, ${w}L)) div ${w}L"
     // a left band (lT+lo, lT+hi] of width w touches at most two
     // width-w buckets; array_distinct drops the duplicate when the
     // band sits inside one bucket
     val lb = left.withColumn("__band", explode(array_distinct(array(
-      expr(s"($leftTimeUs + ${loMicros}L) div ${w}L"),
-      expr(s"($leftTimeUs + ${hiMicros}L) div ${w}L")))))
-    val rb = right.withColumn("__band", expr(s"$rightTimeUs div ${w}L"))
+      expr(fdiv(s"($leftTimeUs + ${loMicros}L)")),
+      expr(fdiv(s"($leftTimeUs + ${hiMicros}L)"))))))
+    val rb = right.withColumn("__band", expr(fdiv(rightTimeUs)))
     lb.join(rb, keys :+ "__band")
       .filter(col(rightTimeUs) - col(leftTimeUs) > loMicros &&
         col(rightTimeUs) - col(leftTimeUs) <= hiMicros)

@@ -72,6 +72,31 @@ class CoordinationSpec extends AnyFunSuite {
     Coordination.delete("semaphore", "cs-sem")
   }
 
+  test("event waitSet with the default timeout blocks until set") {
+    // regression: Long.MaxValue ms * 1e6 overflowed to a deadline in
+    // the past, so the no-arg "wait forever" returned false instantly
+    val e = Coordination.event("ce-forever")
+    val waiter = Future(e.waitSet()) // default = wait forever
+    Thread.sleep(100)
+    assert(!waiter.isCompleted) // must still be blocked, not false
+    e.set()
+    assert(Await.result(waiter, 5.seconds))
+    Coordination.delete("event", "ce-forever")
+  }
+
+  test("concurrent double release cannot inflate the lock's permits") {
+    val l = Coordination.lock("cl-dblrel")
+    l.acquire()
+    // exactly one of two racing releases may win; the loser must throw
+    val rels = (1 to 2).map(_ => Future(scala.util.Try(l.release())))
+    val outcomes = Await.result(Future.sequence(rels), 5.seconds)
+    assert(outcomes.count(_.isSuccess) == 1)
+    // mutual exclusion still intact: re-acquire succeeds exactly once
+    assert(l.acquire(timeoutMs = 50) && !l.acquire(timeoutMs = 50))
+    l.release()
+    Coordination.delete("lock", "cl-dblrel")
+  }
+
   test("event wakes waiters on set and supports clear") {
     val e = Coordination.event("ce-ev")
     assert(!e.waitSet(timeoutMs = 50))

@@ -109,9 +109,11 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
-  // random band bounds alongside the streams: lo in [0, 50), width ≥ 1
+  // random band bounds alongside the streams: lo in [-60, 50) so
+  // look-back bands (negative offsets → negative bucket operands)
+  // are exercised, width ≥ 1
   private val bandGen: Gen[(Long, Long)] =
-    Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(1L, 80L))
+    Gen.zip(Gen.chooseNum(-60L, 49L), Gen.chooseNum(1L, 80L))
       .map { case (lo, w) => (lo, lo + w) }
 
   property("banded range join matches the (lo, hi] pair definition") =

@@ -56,6 +56,26 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(banded == naive)
   }
 
+  test("look-back bands and pre-epoch timestamps bucket correctly") {
+    // negative loMicros (a look-back join) and timestamps straddling 0
+    // make the bucket operands negative — floor division must hold
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(4000).toLong - 2000L))
+      .toDF("lid", "k", "lt")
+    val r = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(4000).toLong - 2000L))
+      .toDF("rid", "k", "rt")
+    for ((lo, hi) <- Seq((-700L, -100L), (-300L, 300L), (-50L, 1L))) {
+      val banded = RangeOps.rangeJoin(l, r, Seq("k"), "lt", "rt", lo, hi)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val naive = l.join(r, "k")
+        .filter(col("rt") - col("lt") > lo && col("rt") - col("lt") <= hi)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(banded == naive, s"band ($lo, $hi]")
+    }
+  }
+
   test("salted and keyless range joins return the plain result set") {
     val rnd = new scala.util.Random(11)
     val l = Seq.tabulate(200)(i =>
