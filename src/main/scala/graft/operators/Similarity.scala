@@ -474,6 +474,204 @@ object Similarity {
        |SELECT qid, cell, cid, cosine, rk FROM ranked WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
 
+  /** IVF over a k-means-TRAINED codebook — [[ivfTopK]] borrows the
+    * corpus's `label` column as its coarse quantizer; a real IVF index
+    * trains the codebook unsupervised (Lloyd's algorithm), which is
+    * what this operator does: `iters` assignment rounds with a
+    * centroid (per-cell element-wise mean) update between each, seeded
+    * deterministically with the embeddings of the `cells` lowest
+    * vec_ids, then each query probes only its own cell.
+    *
+    * Scale shape: the codebook is always broadcast (cells × dims
+    * doubles); each training round is one pass over the corpus — the
+    * |corpus| × cells scores collapse to one row per vector via the
+    * map-side `max_by` partial aggregate BEFORE the shuffle — and the
+    * update is a posexplode mean shuffling (cell, pos) pairs. Nothing
+    * is ever all-pairs. At 100 TB you'd train on a deterministic
+    * hash-sample ([[Sampling.hashBucket]]) and run one final
+    * full-corpus assignment; the fixture corpus is small enough to
+    * train on in full, which keeps the oracle twin in lock-step.
+    */
+  def ivfKmeansTopK(embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    require(iters >= 1, "k-means needs at least one assignment round")
+    var cents = embeddings.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      // nearest-cell argmax, ties → lowest cell (same shape as ivfTopK)
+      assigned = embeddings
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim", cosine_sim(col("embedding"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("cell")),
+          struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cell").as("cell"))
+      if (i < iters) cents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("col")).as("mean"))
+        .groupBy("cell")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, mean))), x -> CAST(x.mean AS FLOAT))")
+          .as("centroid"))
+    }
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("cell"))
+    val corpus = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cell", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** [[ivfKmeansTopK]] with every numeric step exact-decimal and
+    * rounded — the oracle twin proving the whole train → assign →
+    * probe pipeline bit-for-bit against DuckDB ([[ivfKmeansTopKSql]]
+    * unrolls the same Lloyd rounds as SQL CTEs). Centroid means and
+    * assignment/probe cosines fold through `DECIMAL(30,18)` with
+    * `round(…, 6)` at every comparison point, the [[ivfTopKExact]]
+    * convention. Same dataflow as the float path; only the arithmetic
+    * carrier differs.
+    */
+  def ivfKmeansTopKExact(embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
+      numQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.{decimal_dot, decimal_dot_fd}
+    require(iters >= 1, "k-means needs at least one assignment round")
+    val cnrmExpr =
+      """sqrt(CAST(aggregate(
+        |  transform(centroid, x -> CAST(x * x AS DECIMAL(30,18))),
+        |  CAST(0 AS DECIMAL(38,18)),
+        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin
+    // init: float→double casts are exact, so both engines start from
+    // the identical codebook without any rounding step
+    var cents = embeddings.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      val cb = cents.withColumn("cnrm", expr(cnrmExpr))
+      assigned = withNorm(embeddings)
+        .crossJoin(broadcast(cb))
+        .withColumn("cent_sim", round(
+          decimal_dot_fd(col("embedding"), col("centroid"))
+            / (col("nrm") * col("cnrm")), 6))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
+          struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.nrm").as("nrm"), col("best.cell").as("cell"))
+      if (i < iters) cents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(round(
+          sum(col("col").cast("double").cast("decimal(30,18)")).cast("double")
+            / count(lit(1)), 6).as("mean"))
+        .groupBy("cell")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)")
+          .as("centroid"))
+    }
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val corpus = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cell", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[ivfKmeansTopKExact]]: the Lloyd rounds
+    * unrolled as CTE generations — `cent_j` (codebook), `cn_j` (norm),
+    * `as_j` (scored), `asg_j` (argmax assignment) per round `j`, probe
+    * against the final `asg`.
+    */
+  def ivfKmeansTopKSql(cells: Int = 8, iters: Int = 2, numQueries: Int = 10,
+      k: Int = 5, dims: Int = 64): String = {
+    require(iters >= 1)
+    val gens = (0 until iters).map { j =>
+      val cent =
+        if (j == 0)
+          s"""cent_0 AS (
+             |  SELECT vec_id AS cell, i AS ci, CAST(embedding[i] AS DOUBLE) AS mean
+             |  FROM embeddings CROSS JOIN dims WHERE vec_id < $cells)"""
+            .stripMargin
+        else
+          s"""cent_$j AS (
+             |  SELECT a.cell, i AS ci,
+             |    round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
+             |          AS DOUBLE) / COUNT(*), 6) AS mean
+             |  FROM embeddings e
+             |  JOIN asg_${j - 1} a ON e.vec_id = a.vec_id
+             |  CROSS JOIN dims GROUP BY 1, 2)""".stripMargin
+      s"""$cent,
+         |cn_$j AS (
+         |  SELECT cell, sqrt(CAST(SUM(CAST(mean * mean AS DECIMAL(30,18)))
+         |         AS DOUBLE)) AS cnrm
+         |  FROM cent_$j GROUP BY 1),
+         |as_$j AS (
+         |  SELECT t.vec_id, t.cell, round(t.dot / (n.nrm * cn.cnrm), 6) AS cs
+         |  FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      CAST(SUM(CAST(CAST(e.embedding[c.ci] AS DOUBLE) * c.mean
+         |               AS DECIMAL(30,18))) AS DOUBLE) AS dot
+         |    FROM embeddings e CROSS JOIN cent_$j c GROUP BY 1, 2) t
+         |  JOIN norms n ON t.vec_id = n.vec_id
+         |  JOIN cn_$j cn ON t.cell = cn.cell),
+         |asg_$j AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+         |    FROM as_$j) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = s"asg_${iters - 1}"
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |$gens,
+       |prod AS (
+       |  SELECT q.vec_id AS qid, aq.cell, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN $last aq ON q.vec_id = aq.vec_id AND q.vec_id < $numQueries
+       |  JOIN $last ac ON ac.cell = aq.cell
+       |  JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2, 3),
+       |cosd AS (
+       |  SELECT qid, cell, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (
+       |  SELECT qid, cell, cid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+       |  FROM cosd)
+       |SELECT qid, cell, cid, cosine, rk FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** Per-label centroids of the embedding column — the IVF coarse
     * quantizer building block (and a typical training-data analysis:
     * class prototypes). Element-wise mean via posexplode + exact

@@ -352,6 +352,8 @@ object Extensions {
     "sim_ann_lsh_md5" -> (c => Similarity.annLshTopKMd5(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_ivf_topk_exact" -> (c => Similarity.ivfTopKExact(c.embeddings)),
+    "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
+    "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
@@ -401,6 +403,7 @@ object Extensions {
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
+    "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),

@@ -75,4 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("k-means IVF: codebook stays broadcast through every Lloyd round") {
+    val p = planOf(graft.operators.Similarity.ivfKmeansTopK(
+      ctx.embeddings, cells = 4, iters = 2))
+    // training scores are corpus × broadcast-codebook; the probe is a
+    // broadcast hash join on cell — a shuffle join of either would be
+    // the scale-killer shape
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

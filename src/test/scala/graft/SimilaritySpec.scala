@@ -67,4 +67,40 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(2))
     assert(rows.contains(4L)) // identical vector lands in the same cell
   }
+
+  // 3 well-separated direction clusters, 20 vectors each; the first 3
+  // vec_ids (the k-means seeds) land one per cluster, so Lloyd rounds
+  // must keep them apart and pull every member to its cluster's cell
+  private def clusteredEmb = {
+    val rnd = new scala.util.Random(5)
+    val axes = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f))
+    Seq.tabulate(60) { i =>
+      val a = axes(i % 3)
+      val v = a.map(x => x + rnd.nextFloat() * 0.1f)
+      (i.toLong, v, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivfKmeansTopK recovers separable clusters as cells") {
+    val out = Similarity.ivfKmeansTopK(clusteredEmb, cells = 3, iters = 3,
+      numQueries = 6, k = 5).collect()
+    // every query's neighbors come from its own ground-truth cluster
+    out.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(2) % 3,
+        s"query ${r.getLong(0)} matched cross-cluster ${r.getLong(2)}")
+    }
+    // all 6 queries produced a full top-5 (their cells hold 20 vecs)
+    assert(out.length == 30)
+  }
+
+  test("ivfKmeansTopKExact agrees with the float path on neighbor sets") {
+    val fl = Similarity.ivfKmeansTopK(clusteredEmb, cells = 3, iters = 2,
+      numQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ex = Similarity.ivfKmeansTopKExact(clusteredEmb, cells = 3, iters = 2,
+      numQueries = 6, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fl == ex) // well-separated data: rounding can't flip ranks
+  }
 }
