@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, decode / feature
   * extraction / frame sampling as partition-local transforms.
   *
-  * Image payloads are REAL: generated as PNG bytes and decoded with
-  * the JDK's `javax.imageio` (no external codecs needed), so
-  * width/height come from actual decoded pixels. Audio/video decode
-  * remains a clearly-marked deterministic STUB (no ffmpeg/soundfile in
-  * this container) — a production deployment swaps only that kernel;
-  * the Spark-side contract is identical and tested: the schema, the
-  * `Dataset[T]` encoders, the `mapPartitions` batch shape (one decoder
-  * instantiation per partition, the same contract a JNI/FFMPEG
-  * decoder needs), and the partitioning story (binary payloads never
-  * shuffle — features are extracted before any wide operation).
+  * All three media kinds decode for REAL with the JDK alone (no
+  * external codecs in this container): images are PNG via
+  * `javax.imageio`, audio is 16-bit PCM WAV via `javax.sound.sampled`,
+  * and video is multi-frame animated GIF via ImageIO's sequence
+  * reader — width/height/frame counts come from actually decoded
+  * containers. A production deployment swaps the per-kind kernels for
+  * ffmpeg/JNI codecs; the Spark-side contract is identical and tested:
+  * the schema, the `Dataset[T]` encoders, the `mapPartitions` batch
+  * shape (one decoder instantiation per partition, the same contract a
+  * JNI/FFMPEG decoder needs), and the partitioning story (binary
+  * payloads never shuffle — features are extracted before any wide
+  * operation).
   */
 object Multimodal {
 
@@ -134,13 +136,89 @@ object Multimodal {
       finally in.close()
     } catch { case _: Exception => None }
 
-  /** STUB decoder for video only — stands in for a real codec (ffmpeg
-    * is not in this container; images and audio decode for real via
-    * the JDK). Deterministic on the payload bytes so tests are exact.
-    * A production deployment swaps only this function; the Dataset
-    * plumbing around it is unchanged.
+  /** Deterministic video shape for media_id: (width, height, frames). */
+  def videoShape(mediaId: Long): (Int, Int, Int) =
+    (32 + (mediaId % 32).toInt, 18 + (mediaId % 24).toInt,
+      2 + (mediaId % 7).toInt)
+
+  /** Encode a real multi-frame video payload for media_id as an
+    * animated GIF — the one moving-picture container the JDK can both
+    * write and read without external codecs (`ImageWriter`
+    * sequence API). Each frame is a deterministic per-(id, frame)
+    * gradient, so the decoder must recover the frame count from the
+    * actual container structure.
     */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  def gifPayload(mediaId: Long): Array[Byte] = {
+    val (w, h, frames) = videoShape(mediaId)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (((mediaId * 37 + f * 101 + x * 7 + y * 13) % 0x1000000L).toInt))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Real video decode via the JDK's GIF `ImageReader`: frame count
+    * from the container's image sequence (`getNumImages`), dimensions
+    * from the first decoded frame. Returns None for undecodable bytes
+    * or non-video kinds — same per-record failure isolation as the
+    * image path.
+    */
+  def decodeVideo(r: MediaRecord): Option[MediaFeatures] =
+    if (r.kind != "video") None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val first = reader.read(0)
+              Some(MediaFeatures(r.media_id, r.kind,
+                r.payload.length.toLong, first.getWidth, first.getHeight,
+                n, rollingChecksum(r.payload)))
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Fallback features for payloads none of the real decoders accept
+    * (corrupt/unknown containers) — deterministic on the bytes, so a
+    * poisoned record degrades to byte-level features instead of
+    * killing the task.
+    */
+  def decodeFallback(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length.toLong
     val h = rollingChecksum(r.payload)
     val w = (math.abs(h) % 1920 + 64).toInt
@@ -148,11 +226,13 @@ object Multimodal {
       if (r.kind == "video") (n / 1024).toInt.max(1) else 1, h)
   }
 
-  /** Full decode kernel: real ImageIO for images, real
-    * javax.sound.sampled for audio, stub only for video.
+  /** Full decode kernel — every media kind decodes for real via the
+    * JDK (ImageIO PNG, javax.sound WAV, ImageIO animated-GIF video);
+    * the byte-level fallback only handles undecodable payloads.
     */
   def decode(r: MediaRecord): MediaFeatures =
-    decodeImage(r).orElse(decodeAudio(r)).getOrElse(decodeStub(r))
+    decodeImage(r).orElse(decodeAudio(r)).orElse(decodeVideo(r))
+      .getOrElse(decodeFallback(r))
 
   /** Decode/feature-extract: partition-local, one decoder per
     * partition (`mapPartitions`), no shuffle of payloads.
@@ -177,25 +257,25 @@ object Multimodal {
           .as("frame_idx"))
 
   /** Build a media table from the documents fixture: image rows carry
-    * REAL PNG payloads and audio rows REAL WAV payloads (generated
-    * partition-locally, decoded back by the JDK); video rows carry the
-    * UTF-8 text bytes as an opaque stand-in payload.
+    * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
+    * REAL animated-GIF payloads (all generated partition-locally and
+    * decoded back by the JDK).
     */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
+      case (id, _) =>
         (id % 3) match {
           case 0 => MediaRecord(id, "image", pngPayload(id), "png")
           case 1 => MediaRecord(id, "audio", wavPayload(id), "wav")
-          case _ => MediaRecord(id, "video", text.getBytes("UTF-8"), "stub/v1")
+          case _ => MediaRecord(id, "video", gifPayload(id), "gif")
         }
     }
   }
 
   /** End-to-end features query over the documents-derived media table
-    * (rows-only correctness check; image dims come from real ImageIO
-    * decode, audio/video from the stub; byte counts and checksums are
+    * (rows-only correctness check; every kind's dimensions/frame
+    * counts come from real JDK decodes; byte counts and checksums are
     * real everywhere).
     */
   def featuresQuery(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRecord
 
-/** Multimodal column pipeline: REAL PNG encode/decode through the
-  * JDK's ImageIO (no stub on the image path), stub decode for
-  * audio/video, and the end-to-end Dataset plumbing.
+/** Multimodal column pipeline: REAL decodes for all three kinds
+  * through the JDK (PNG via ImageIO, WAV via javax.sound, multi-frame
+  * animated GIF via ImageIO's sequence reader) and the end-to-end
+  * Dataset plumbing.
   */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -52,7 +53,30 @@ class MultimodalSpec extends AnyFunSuite {
       MediaRecord(1L, "audio", Array[Byte](1, 2, 3), "wav")).isEmpty)
   }
 
-  test("extractFeatures: image dims are decoded pixels, not stub values") {
+  test("gifPayload round-trips frame count and dims through ImageIO") {
+    for (id <- Seq(2L, 5L, 38L, 101L)) {
+      val (w, h, frames) = Multimodal.videoShape(id)
+      val feats = Multimodal.decodeVideo(
+        MediaRecord(id, "video", Multimodal.gifPayload(id), "gif"))
+      assert(feats.isDefined)
+      assert(feats.get.width == w && feats.get.height == h, s"id=$id dims")
+      assert(feats.get.n_frames == frames, s"id=$id frames")
+    }
+  }
+
+  test("decodeVideo rejects non-video kinds, garbage and truncation") {
+    assert(Multimodal.decodeVideo(
+      MediaRecord(1L, "image", Multimodal.gifPayload(1L), "gif")).isEmpty)
+    assert(Multimodal.decodeVideo(
+      MediaRecord(1L, "video", Array[Byte](1, 2, 3), "gif")).isEmpty)
+    // truncated GIF: recognized header, cut-off body — per-record
+    // corruption must yield None (fallback), never a task failure
+    val truncated = Multimodal.gifPayload(8L).take(30)
+    val f = Multimodal.decode(MediaRecord(8L, "video", truncated, "gif"))
+    assert(f.n_bytes == 30L) // fell back to byte-level features
+  }
+
+  test("extractFeatures: dims/frames are decoded containers, not stub values") {
     val docs = Seq(
       (0L, "doc zero"), (1L, "doc one"), (2L, "doc two"),
       (3L, "doc three"), (6L, "doc six")
@@ -66,12 +90,14 @@ class MultimodalSpec extends AnyFunSuite {
       assert(feats(id).kind == "image")
       assert(feats(id).width == w && feats(id).height == h)
     }
-    // id 1 is real WAV audio; id 2 is the video stub (text bytes)
+    // id 1 is real WAV audio; id 2 is real animated-GIF video
     assert(feats(1L).kind == "audio")
     val (rate1, frames1) = Multimodal.audioShape(1L)
     assert(feats(1L).n_frames == frames1 && feats(1L).width == rate1)
     assert(feats(2L).kind == "video")
-    assert(feats(2L).n_bytes == "doc two".getBytes("UTF-8").length)
+    val (w2, h2, frames2) = Multimodal.videoShape(2L)
+    assert(feats(2L).width == w2 && feats(2L).height == h2)
+    assert(feats(2L).n_frames == frames2)
   }
 
   test("featuresQuery groups all three kinds with real image dims") {
