@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -68,4 +69,127 @@ object CorpusPipeline {
        |FROM samp WHERE n_tokens >= $minTokens
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Benchmark decontamination — the training-data step that removes
+    * documents overlapping an evaluation/benchmark set before
+    * training. The benchmark here is the deterministic slice
+    * `doc_id % benchMod == 0` (standing in for a held-out eval suite);
+    * a corpus document is contaminated when ≥ `tau` of its word-3-gram
+    * shingles appear in some single benchmark document. Output: one
+    * row per contaminated doc with its worst benchmark match (ties →
+    * lowest bench_id) — the drop-list a pipeline subtracts before
+    * training.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval
+    * suites are MBs, corpora are TBs), so its shingle index is
+    * BROADCAST — the corpus never shuffles for the probe; the only
+    * wide operations are the per-doc shingle distinct and the
+    * per-(doc, bench) count, both keyed on 8-byte hashes
+    * ([[Dedup.shingleHashes]]).
+    */
+  def decontaminate(docs: DataFrame, tau: Double = 0.5,
+      benchMod: Long = 29L): DataFrame = {
+    val shh = Dedup.shingleHashes(docs)
+    val bench = shh.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val corp = shh.filter(col("doc_id") % benchMod =!= 0)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    corp.join(broadcast(bench), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("common"), first(col("n")).as("n"))
+      .withColumn("contamination",
+        round(col("common").cast("double") / col("n"), 6))
+      .groupBy("doc_id")
+      .agg(max_by(col("bench_id"),
+          struct(col("contamination"), (-col("bench_id")).as("nb")))
+          .as("bench_id"),
+        max(col("contamination")).as("contamination"))
+      .filter(col("contamination") >= tau)
+      .select("doc_id", "bench_id", "contamination")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[decontaminate]]. */
+  def decontaminateSql(tau: Double = 0.5, benchMod: Long = 29L): String =
+    s"""WITH ${Dedup.shingleHashCtes},
+       |bench AS (SELECT doc_id AS bench_id, h FROM shh
+       |          WHERE doc_id % $benchMod = 0),
+       |corp AS (SELECT doc_id, h FROM shh WHERE doc_id % $benchMod <> 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM corp GROUP BY 1),
+       |ov AS (
+       |  SELECT c.doc_id, b.bench_id, COUNT(*) AS common
+       |  FROM corp c JOIN bench b ON c.h = b.h GROUP BY 1, 2),
+       |rat AS (
+       |  SELECT o.doc_id, o.bench_id,
+       |    round(CAST(o.common AS DOUBLE) / s.n, 6) AS contamination
+       |  FROM ov o JOIN sizes s ON o.doc_id = s.doc_id),
+       |worst AS (
+       |  SELECT doc_id, bench_id, contamination FROM (
+       |    SELECT doc_id, bench_id, contamination,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY contamination DESC, bench_id) AS rn
+       |    FROM rat) t WHERE rn = 1)
+       |SELECT doc_id, bench_id, contamination FROM worst
+       |WHERE contamination >= $tau ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing — concatenate the corpus in doc_id order and
+    * chunk it into fixed `seqLen`-token training sequences; report
+    * which bin each document STARTS in (documents straddle bins, the
+    * standard concat-then-chunk packing). Output: per-bin document
+    * counts, started-token totals and doc-id ranges.
+    *
+    * The global running sum is computed as a DISTRIBUTED prefix sum —
+    * the single-partition window a naive `SUM() OVER (ORDER BY …)`
+    * plans is the scale-killer here. Documents are grouped into
+    * deterministic `blockSize` blocks (`doc_id div blockSize`):
+    * within-block running sums parallelize across blocks, the
+    * block-total ledger (corpus/blockSize rows — tiny by construction)
+    * is prefix-summed alone, and block offsets broadcast back. At
+    * 10^10 docs with 10^6-doc blocks the sequential step sees 10^4
+    * rows; everything corpus-sized stays parallel.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048L,
+      blockSize: Long = 1000L): DataFrame = {
+    require(seqLen > 0 && blockSize > 0)
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.regexTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("blk", expr(s"doc_id div ${blockSize}L"))
+    val within = toks.withColumn("cum_in_blk",
+      sum("n_tokens").over(Window.partitionBy("blk").orderBy("doc_id")))
+    val ledger = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("blk")
+      .agg(sum("n_tokens").as("blk_tokens"))
+      .withColumn("blk_offset",
+        coalesce(sum("blk_tokens").over(ledger), lit(0L)))
+      .select("blk", "blk_offset")
+    within.join(broadcast(offsets), "blk")
+      .withColumn("bin", expr(
+        s"(blk_offset + cum_in_blk - n_tokens) div ${seqLen}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_started"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB oracle for [[packSequences]] — states the packing as the
+    * plain global running sum the distributed form must equal.
+    */
+  def packSequencesSql(seqLen: Long = 2048L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextFunctions.tokenPattern}'))
+       |         AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+       |         AS BIGINT) AS strt
+       |  FROM toks)
+       |SELECT strt // $seqLen AS bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -370,19 +370,7 @@ object Dedup {
     * engines.
     */
   def shingleJaccardPairs(docs: DataFrame): DataFrame = {
-    // join on a 60-bit md5 of the shingle, not the string, and dedup
-    // AFTER hashing: both the distinct and the inverted-index shuffle
-    // then carry 8-byte keys instead of ~30-char text. Any hash
-    // collision is produced identically by the oracle (same md5), so
-    // results stay bit-exact cross-engine.
-    val sh = docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
-        .as("sh"))
-      .select(col("doc_id"), expr(
-        "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      .distinct()
+    val sh = shingleHashes(docs)
     // set sizes ride along as a window count and flow THROUGH the
     // self-join (first() per pair group), so no join back against a
     // per-doc sizes table is needed; shuffle_hash because sorting the
@@ -399,6 +387,43 @@ object Dedup {
         (col("common") / (col("n1") + col("n2") - col("common")))
           .as("jaccard"))
   }
+
+  /** DuckDB CTE pair `sh` (raw 3-gram shingles) + `shh` (distinct
+    * 60-bit md5 hashes) — the SQL twin of [[shingleHashes]], embedded
+    * by [[clusterLblCtes]] and the decontamination oracle.
+    */
+  private[operators] val shingleHashCtes: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+      |  FROM (SELECT doc_id, arr,
+      |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+      |        FROM (SELECT doc_id,
+      |                regexp_split_to_array(trim(text), '\s+') AS arr
+      |              FROM documents) t0) t1),
+      |shh AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM sh)""".stripMargin
+
+  /** Distinct (doc_id, 60-bit-md5-of-shingle) pairs — the shared
+    * front end of [[shingleJaccardPairs]] and
+    * [[CorpusPipeline.decontaminate]]. Joining on a 60-bit md5 of the
+    * shingle, not the string, and deduping AFTER hashing means both
+    * the distinct and any downstream inverted-index shuffle carry
+    * 8-byte keys instead of ~30-char text. Any hash collision is
+    * produced identically by the oracle (same md5), so results stay
+    * bit-exact cross-engine. SQL form: [[shingleHashCtes]].
+    */
+  private[operators] def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, greatest(size(ws) - 3, 0)),
+          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
+        .as("sh"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
 
   /** Connected components by iterative min-label propagation: every
     * node starts labelled with its own id; each round takes the min of
@@ -541,18 +566,7 @@ object Dedup {
     * `WITH RECURSIVE` keyword at the call site.
     */
   private[operators] def clusterLblCtes(tau: Double): String =
-    s"""sh AS (
-       |  SELECT doc_id,
-       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
-       |  FROM (SELECT doc_id, arr,
-       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
-       |        FROM (SELECT doc_id,
-       |                regexp_split_to_array(trim(text), '\\s+') AS arr
-       |              FROM documents) t0) t1),
-       |shh AS (
-       |  SELECT DISTINCT doc_id,
-       |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
-       |  FROM sh),
+    s"""$shingleHashCtes,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common

@@ -342,6 +342,8 @@ object Extensions {
     "dedup_clusters" -> (c => Dedup.clusters(c.documents)),
     "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
+    "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
+    "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -401,6 +403,8 @@ object Extensions {
     "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
+    "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
+    "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
