@@ -300,19 +300,26 @@ object Dedup {
     */
   def simHashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
       sampleMod: Int = 2): DataFrame = {
+    // per-bit votes as 60 parallel sum columns instead of a 60x row
+    // explode: vote_j > 0 ⇔ 2*ones_j > n_words, so one map-side
+    // partially-aggregated groupBy(doc_id) replaces the 60x-inflated
+    // (doc_id, j) shuffle the first version paid (4.0 s → ~1 s at
+    // sf0.1). The oracle states the per-(doc, j) ±1 vote form — same
+    // bits, different dataflow.
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"(h >> $j) & 1")).as(s"b$j"))
+    val simhashExpr = (0 until 60)
+      .map(j => s"IF(2 * b$j > nw, shiftleft(CAST(1 AS BIGINT), $j), CAST(0 AS BIGINT))")
+      .mkString(" + ")
     val hashes = docs
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
       .withColumn("h", expr(
         "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("IF(((h >> j) & 1) = 1, 1, -1)")).as("vote"))
       .groupBy("doc_id")
-      .agg(sum(expr(
-        "IF(vote > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
-        .as("simhash"))
+      .agg(count(lit(1)).as("nw"), bitSums: _*)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
     val banded = hashes.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (shiftright(simhash, c*15) & 32767))")))
