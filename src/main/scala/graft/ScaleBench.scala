@@ -88,6 +88,13 @@ object ScaleBench {
       .split(",").map(_.trim.toInt).toSeq
     val matmulSizes = (if (args.length > 1) args(1) else "2048,4096,8192")
       .split(",").map(_.trim.toInt).toSeq
+    // optional 3rd arg: comma list of sections to run
+    // (tpch,pipeline,events,svd,matmul) — default all
+    val sections = (if (args.length > 2) args(2)
+      else "tpch,pipeline,events,svd,matmul")
+      .split(",").map(_.trim).toSet
+    def section(name: String)(body: => Unit): Unit =
+      if (sections(name)) body
     val spark = Engine.session("graft-scale-bench", master = "local[32]")
     val src = "/root/testdata/sf0.1"
     val heavy = Seq("q1", "q5", "q9", "q17", "q18", "q21")
@@ -98,92 +105,103 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    println("== TPC-H heavy hitters vs fact-table scale ==")
-    println(f"${"mult"}%-6s${"query"}%-8s${"sec"}%8s${"rows"}%10s")
-    for (mult <- factMults) {
-      val dir =
-        if (mult == 1) src
-        else {
-          val d = s"/tmp/graft_amp_$mult"
-          amplifyToDir(spark, src, d, mult)
-          d
+    section("tpch") {
+      println("== TPC-H heavy hitters vs fact-table scale ==")
+      println(f"${"mult"}%-6s${"query"}%-8s${"sec"}%8s${"rows"}%10s")
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_$mult"
+            amplifyToDir(spark, src, d, mult)
+            d
+          }
+        // warm-up pass (codegen + footers), then measured
+        for (q <- heavy) {
+          try SparkEntry.queries(q)(spark, dir).count()
+          catch { case _: Throwable => () }
+          val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+          println(f"$mult%-6d$q%-8s$sec%8.2f$rows%10d")
         }
-      // warm-up pass (codegen + footers), then measured
-      for (q <- heavy) {
-        try SparkEntry.queries(q)(spark, dir).count()
-        catch { case _: Throwable => () }
-        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
-        println(f"$mult%-6d$q%-8s$sec%8.2f$rows%10d")
       }
     }
 
-    println("== LLM-pipeline ops vs corpus scale ==")
-    val pipelineOps = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
-      "dedup_clusters", "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk")
-    println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
-    for (mult <- factMults) {
-      val dir =
-        if (mult == 1) src
-        else {
-          val d = s"/tmp/graft_amp_corpus_$mult"
-          amplifyCorpusToDir(spark, src, d, mult)
-          d
+    section("pipeline") {
+      println("== LLM-pipeline ops vs corpus scale ==")
+      val pipelineOps = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_clusters", "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk",
+        "sim_ivf_kmeans", "pipeline_decontaminate", "pipeline_pack_sequences")
+      println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_corpus_$mult"
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        for (q <- pipelineOps) {
+          try SparkEntry.queries(q)(spark, dir).count()
+          catch { case _: Throwable => () }
+          val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+          println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
         }
-      for (q <- pipelineOps) {
-        try SparkEntry.queries(q)(spark, dir).count()
-        catch { case _: Throwable => () }
-        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
-        println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
       }
     }
 
-    println("== Event-stream ops vs user-population scale ==")
-    val eventOps = Seq("events_asof_join", "events_range_join",
-      "events_sessionize", "events_top_days")
-    println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
-    for (mult <- factMults) {
-      val dir =
-        if (mult == 1) src
-        else {
-          val d = s"/tmp/graft_amp_events_$mult"
-          amplifyEventsToDir(spark, src, d, mult)
-          d
+    section("events") {
+      println("== Event-stream ops vs user-population scale ==")
+      val eventOps = Seq("events_asof_join", "events_range_join",
+        "events_sessionize", "events_top_days")
+      println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_events_$mult"
+            amplifyEventsToDir(spark, src, d, mult)
+            d
+          }
+        for (q <- eventOps) {
+          try SparkEntry.queries(q)(spark, dir).count()
+          catch { case _: Throwable => () }
+          val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
+          println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
         }
-      for (q <- eventOps) {
-        try SparkEntry.queries(q)(spark, dir).count()
-        catch { case _: Throwable => () }
-        val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
-        println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
       }
     }
 
-    println("== Tall-skinny SVD vs scale (k=16) ==")
-    // up to the reference's 1M x 1k headline (svd_tall_skinny_matrix
-    // .py:24-25): Gram-matrix path — cost is one pass + a cols^2
-    // reduce (1k cols -> an 8 MB Gram, trivially driver-collectable)
-    println(f"${"rows x cols"}%-14s${"sec"}%8s")
-    for ((r, c) <- Seq((20000L, 64), (200000L, 256), (1000000L, 256),
-        (1000000L, 1024))) {
-      val (sec, _) = time {
-        val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
-          graft.ml.MLParity.randomMatrix(spark, r, c, rowsPerBlock = 16384)
-            .rows.map(_.vector))
-        graft.ml.MLParity.svd(m, 16)
-        1L
+    section("svd") {
+      println("== Tall-skinny SVD vs scale (k=16) ==")
+      // up to the reference's 1M x 1k headline (svd_tall_skinny_matrix
+      // .py:24-25): Gram-matrix path — cost is one pass + a cols^2
+      // reduce (1k cols -> an 8 MB Gram, trivially driver-collectable)
+      println(f"${"rows x cols"}%-14s${"sec"}%8s")
+      for ((r, c) <- Seq((20000L, 64), (200000L, 256), (1000000L, 256),
+          (1000000L, 1024))) {
+        val (sec, _) = time {
+          val m = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+            graft.ml.MLParity.randomMatrix(spark, r, c, rowsPerBlock = 16384)
+              .rows.map(_.vector))
+          graft.ml.MLParity.svd(m, 16)
+          1L
+        }
+        println(f"${s"${r}x$c"}%-14s$sec%8.2f")
       }
-      println(f"${s"${r}x$c"}%-14s$sec%8.2f")
     }
 
-    println("== Block matmul (512-blocks, pure-Java BLAS) ==")
-    println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
-    for (n <- matmulSizes) {
-      val (sec, _) = time {
-        val a = graft.ml.MLParity.randomBlockMatrix(spark, n, 512)
-        val b = graft.ml.MLParity.randomBlockMatrix(spark, n, 512, seed = 7L)
-        a.multiply(b).blocks.count()
+    section("matmul") {
+      println("== Block matmul (512-blocks, pure-Java BLAS) ==")
+      println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
+      for (n <- matmulSizes) {
+        val (sec, _) = time {
+          val a = graft.ml.MLParity.randomBlockMatrix(spark, n, 512)
+          val b = graft.ml.MLParity.randomBlockMatrix(spark, n, 512, seed = 7L)
+          a.multiply(b).blocks.count()
+        }
+        val gflops = 2.0 * n.toDouble * n * n / sec / 1e9
+        println(f"$n%-8d$sec%8.2f$gflops%10.2f")
       }
-      val gflops = 2.0 * n.toDouble * n * n / sec / 1e9
-      println(f"$n%-8d$sec%8.2f$gflops%10.2f")
     }
     spark.stop()
   }
