@@ -190,6 +190,44 @@ object ScaleBench {
       }
     }
 
+    section("mlref") {
+      println("== Reference-size ML exercises ==")
+      // kmeans.py:22-29: make_blobs 10M samples (2 features by
+      // default), 1M chunks, k=3 — X persisted before fit, mirrored
+      // here (the fit is what's timed in both harnesses)
+      locally {
+        val df = spark.createDataFrame(
+          graft.ml.MLParity.randomMatrix(spark, 10000000L, 2,
+              rowsPerBlock = 1000000)
+            .rows.map(r => Tuple1(
+              org.apache.spark.ml.linalg.Vectors.dense(r.vector.toArray))))
+          .toDF("features").persist()
+        df.count()
+        val (sec, _) = time { graft.ml.MLParity.kmeans(df, 3); 1L }
+        println(f"${"kmeans 10Mx2 k=3"}%-26s$sec%8.2f")
+        df.unpersist()
+      }
+      // parallelizing_svm.py:24-40: predict over 100M x 20 (sklearn
+      // make_classification default n_features=20) in 5M chunks; the
+      // reference's timed predict materializes the lazy random input,
+      // so generation is billed into the timer here as well
+      locally {
+        val emb = graft.ml.MLParity.embeddingFeatures(
+          spark.read.parquet(s"$src/embeddings.parquet"))
+        val model = graft.ml.MLParity.fitSvc(
+          emb.selectExpr("features", "cast(label < 5 as double) as label"))
+        val big = spark.createDataFrame(
+          graft.ml.MLParity.randomMatrix(spark, 100000000L, 20,
+              rowsPerBlock = 5000000)
+            .rows.map(r => Tuple1(
+              org.apache.spark.ml.linalg.Vectors.dense(r.vector.toArray))))
+          .toDF("features")
+        val (sec, n) =
+          time(graft.ml.MLParity.parallelPredictSvc(big, model).count())
+        println(f"${"svc_predict 100Mx20"}%-26s$sec%8.2f  rows=$n")
+      }
+    }
+
     section("matmul") {
       println("== Block matmul (512-blocks, pure-Java BLAS) ==")
       println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
