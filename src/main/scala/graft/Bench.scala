@@ -99,8 +99,11 @@ object Bench {
       timed("ml_kmeans_embeddings") {
         val feats = MLParity.embeddingFeatures(
           spark.read.parquet(s"$sfDir/embeddings.parquet"))
-        MLParity.parallelPredict(feats,
-          MLParity.kmeans(feats, k = 10)).count()
+        // aggregate over the prediction column — with a bare count()
+        // Catalyst prunes the scoring expression out of the plan
+        MLParity.parallelPredict(feats, MLParity.kmeans(feats, k = 10))
+          .agg(org.apache.spark.sql.functions.sum("prediction"))
+          .collect()
       },
       timed("ml_treereduce_1m") {
         val s = spark.sparkContext.range(0L, 1000000L, numSlices = 32)
@@ -124,8 +127,13 @@ object Bench {
               org.apache.spark.ml.linalg.Vectors.dense(r.vector.toArray))))
           .toDF("features").persist()
         big.count() // materialize outside the timer
+        // aggregate over the prediction column — with a bare count()
+        // Catalyst prunes the scoring UDF out of the plan entirely and
+        // the timer measures a cached-row count, not inference
         val r = timed("ml_svc_predict_1m") {
-          MLParity.parallelPredictSvc(big, model).count()
+          MLParity.parallelPredictSvc(big, model)
+            .agg(org.apache.spark.sql.functions.sum("prediction"))
+            .collect()
         }
         big.unpersist()
         r

@@ -212,18 +212,32 @@ object ScaleBench {
       // reference's timed predict materializes the lazy random input,
       // so generation is billed into the timer here as well
       locally {
-        val emb = graft.ml.MLParity.embeddingFeatures(
-          spark.read.parquet(s"$src/embeddings.parquet"))
-        val model = graft.ml.MLParity.fitSvc(
-          emb.selectExpr("features", "cast(label < 5 as double) as label"))
+        // fit on a 1k-sample 20-feature set (sklearn
+        // make_classification's defaults in parallelizing_svm.py:32);
+        // the separating direction is the feature sum — enough to give
+        // LinearSVC a real decision boundary to broadcast
+        val train = spark.createDataFrame(
+          graft.ml.MLParity.randomMatrix(spark, 1000L, 20,
+              rowsPerBlock = 1000)
+            .rows.map { r =>
+              val a = r.vector.toArray
+              (org.apache.spark.ml.linalg.Vectors.dense(a),
+                if (a.sum > 0) 1.0 else 0.0)
+            }).toDF("features", "label")
+        val model = graft.ml.MLParity.fitSvc(train)
         val big = spark.createDataFrame(
           graft.ml.MLParity.randomMatrix(spark, 100000000L, 20,
               rowsPerBlock = 5000000)
             .rows.map(r => Tuple1(
               org.apache.spark.ml.linalg.Vectors.dense(r.vector.toArray))))
           .toDF("features")
-        val (sec, n) =
-          time(graft.ml.MLParity.parallelPredictSvc(big, model).count())
+        // aggregate OVER the prediction column: a bare count() lets
+        // Catalyst prune the scoring UDF away and times nothing
+        val (sec, n) = time {
+          graft.ml.MLParity.parallelPredictSvc(big, model)
+            .agg(count(col("prediction")), sum(col("prediction")))
+            .collect().head.getLong(0)
+        }
         println(f"${"svc_predict 100Mx20"}%-26s$sec%8.2f  rows=$n")
       }
     }

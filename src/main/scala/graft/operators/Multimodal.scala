@@ -159,17 +159,17 @@ object Multimodal {
       writer.prepareWriteSequence(null)
       var f = 0
       while (f < frames) {
+        // gray frames written straight into the raster: the GIF
+        // writer's per-pixel RGB→palette quantization dominated the
+        // encode cost and the decoder only reads dims/frame count
         val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.setRGB(x, y,
-              (((mediaId * 37 + f * 101 + x * 7 + y * 13) % 0x1000000L).toInt))
-            x += 1
-          }
-          y += 1
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < data.length) {
+          data(i) = ((mediaId * 37 + f * 101 + i * 7) % 251).toByte
+          i += 1
         }
         writer.writeToSequence(
           new javax.imageio.IIOImage(img, null, null), null)
