@@ -460,9 +460,12 @@ object Dedup {
     val sym = symRaw.repartition(parts, col("nbr")).localCheckpoint()
     // only nodes touching an edge can ever change label — singletons
     // (the vast majority of a deduped corpus) skip the loop entirely
-    // and are unioned back self-labelled at the end
-    var labels = sym.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // and are unioned back self-labelled at the end. Seeding with
+    // least(node, min(nbr)) IS round one of the propagation (neighbor
+    // labels still equal neighbor ids) as a plain aggregation — one
+    // join round saved before the loop starts
+    var labels = sym.groupBy("node")
+      .agg(least(col("node"), min(col("nbr"))).as("lbl"))
       .repartition(parts, col("node")).localCheckpoint()
     var changed = 1L
     var it = 0
