@@ -116,6 +116,33 @@ object GraftProperties extends Properties("graft") {
     Gen.zip(Gen.chooseNum(-60L, 49L), Gen.chooseNum(1L, 80L))
       .map { case (lo, w) => (lo, lo + w) }
 
+  // token counts 0..8 (zero-token docs exist in real corpora, never in
+  // the fixtures), block size deliberately smaller than the doc count
+  private val packGen: Gen[(List[Int], Long, Long)] =
+    Gen.zip(Gen.listOfN(30, Gen.chooseNum(0, 8)),
+      Gen.chooseNum(1L, 20L), Gen.chooseNum(1L, 64L))
+
+  property("sequence packing equals the sequential reference") =
+    forAll(packGen) { case (toks, blockSize, seqLen) =>
+      val docs = toks.zipWithIndex.map { case (n, i) =>
+        (i.toLong, List.fill(n)("tok").mkString(" "), "en", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.operators.CorpusPipeline
+        .packSequences(docs, seqLen, blockSize)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toList
+      var cum = 0L
+      val ref = toks.zipWithIndex.map { case (n, i) =>
+        val start = cum; cum += n
+        (start / seqLen, i.toLong, n.toLong)
+      }.groupBy(_._1).toList.sortBy(_._1).map { case (bin, xs) =>
+        (bin, xs.length.toLong, xs.map(_._3).sum,
+          xs.map(_._2).min, xs.map(_._2).max)
+      }
+      got == ref
+    }
+
   property("banded range join matches the (lo, hi] pair definition") =
     forAll(streamGen, bandGen) { case ((ls, rs), (lo, hi)) =>
       (ls.nonEmpty && rs.nonEmpty) ==> {
