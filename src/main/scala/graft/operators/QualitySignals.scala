@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus quality-signal operators a training-data pipeline runs after
+  * basic stats and before sampling: repetition scoring (the
+  * Gopher-style "repetitious document" signals), unigram
+  * language-model scoring (cheap fluency/perplexity proxy), and PII
+  * scan + redaction. All are built-in expression compositions — no
+  * UDFs — and every cross-row float aggregate travels through a
+  * scaled-BIGINT carrier (`floor(x·1e9 + 0.5)`) so the sums are exact,
+  * order-free, and bit-identical in the DuckDB oracle (the same
+  * convention as `Kernels.dsum`, fitted to values that are not money).
+  *
+  * Scale shapes: repetition is explode + hash-agg keyed on
+  * (doc_id, gram) — partial aggregation applies, nothing quadratic;
+  * the unigram LM builds a vocabulary with one hash-agg and BROADCASTS
+  * it (vocabularies are MBs even at 100 TB corpus scale — the corpus
+  * itself never shuffles for scoring beyond the per-doc agg); the PII
+  * scan is a pure map + filter, embarrassingly parallel.
+  */
+object QualitySignals {
+
+  // ---------------------------------------------------------------
+  // Repetition signals (per-document)
+  // ---------------------------------------------------------------
+
+  /** Per-document repetition signals: fraction of tokens that are the
+    * single most frequent word, and the fraction of n-gram occurrences
+    * belonging to n-grams seen more than once in the document (n=2,3)
+    * — the standard cheap "document is degenerate/boilerplate"
+    * filters. `flagged=1` marks documents over any threshold.
+    *
+    * Thresholds default to roughly the p90 of the synthetic corpus so
+    * the flag actually partitions the data (topFrac 0.14 / dup2 0.12 /
+    * dup3 0.02).
+    */
+  def repetition(docs: DataFrame, topFrac: Double = 0.14,
+      dup2Frac: Double = 0.12, dup3Frac: Double = 0.02): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextFunctions.words(col("text")).as("ws"))
+
+    val top = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("mx"), sum("c").as("n_tok"))
+
+    // duplicated-n-gram occupancy: grams are built map-side from the
+    // token array (no window/shuffle), counted per (doc, gram) with
+    // partial aggregation, then reduced per doc
+    def dupFrac(n: Int, out: String): DataFrame = {
+      val gram = (0 until n).map(j => s"element_at(ws, i + $j)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      val grams = when(size(col("ws")) >= n,
+        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> $gram)"))
+        .otherwise(expr("slice(ws, 1, 0)"))
+      base.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .cast("double") / sum(col("c"))).as(out))
+    }
+
+    top
+      .join(dupFrac(2, "dup2_frac"), Seq("doc_id"), "left")
+      .join(dupFrac(3, "dup3_frac"), Seq("doc_id"), "left")
+      .withColumn("top_word_frac", col("mx").cast("double") / col("n_tok"))
+      .withColumn("dup2_frac", coalesce(col("dup2_frac"), lit(0.0)))
+      .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
+      .withColumn("flagged",
+        (col("top_word_frac") > topFrac || col("dup2_frac") > dup2Frac ||
+          col("dup3_frac") > dup3Frac).cast("int"))
+      .select("doc_id", "n_tok", "top_word_frac", "dup2_frac", "dup3_frac",
+        "flagged")
+      .orderBy("doc_id")
+  }
+
+  def repetitionSql(topFrac: Double = 0.14, dup2Frac: Double = 0.12,
+      dup3Frac: Double = 0.02): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |wc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(ws) AS w FROM t)
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS n_tok
+       |  FROM wc GROUP BY 1),
+       |g2 AS (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])) AS g
+       |  FROM t),
+       |gc2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |      / SUM(c) AS dup2_frac
+       |  FROM gc2 GROUP BY 1),
+       |g3 AS (
+       |  SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM t),
+       |gc3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+       |d3 AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |      / SUM(c) AS dup3_frac
+       |  FROM gc3 GROUP BY 1)
+       |SELECT top.doc_id, n_tok,
+       |  CAST(mx AS DOUBLE) / n_tok AS top_word_frac,
+       |  COALESCE(dup2_frac, 0.0) AS dup2_frac,
+       |  COALESCE(dup3_frac, 0.0) AS dup3_frac,
+       |  CAST(CAST(mx AS DOUBLE) / n_tok > $topFrac
+       |    OR COALESCE(dup2_frac, 0.0) > $dup2Frac
+       |    OR COALESCE(dup3_frac, 0.0) > $dup3Frac AS INTEGER) AS flagged
+       |FROM top LEFT JOIN d2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Unigram LM scoring (broadcast vocabulary)
+  // ---------------------------------------------------------------
+
+  /** Unigram language-model scoring: build corpus unigram frequencies,
+    * broadcast them, and score each document by its average per-token
+    * negative log-likelihood (the cheap perplexity proxy used as a
+    * fluency gate). Reported per (lang, source): token-weighted
+    * average NLL plus the best/worst per-document NLL.
+    *
+    * Exactness: each log-probability is snapped to a 1e-9 grid and
+    * carried as a BIGINT (`floor(ln(p)·1e9 + 0.5)`), so all sums are
+    * exact integer sums regardless of partitioning, and a single
+    * final division produces the double. The 1e9 grid bounds group
+    * token counts at ~1e8 per group before BIGINT overflow — per-group
+    * (not corpus-wide) at 100 TB; document it rather than pay a
+    * 128-bit carrier.
+    */
+  def unigramLm(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("total"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
+          lit(0.5)).cast("bigint"))
+      .select("w", "lps")
+    val perDoc = w.join(broadcast(lp), "w")
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n"), sum("lps").as("s"))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        round(-(sum("s").cast("double")) / sum("n").cast("double") / lit(1e9),
+          6).as("avg_nll_token"),
+        round(min(-(col("s").cast("double")) / col("n") / lit(1e9)), 6)
+          .as("min_doc_nll"),
+        round(max(-(col("s").cast("double")) / col("n") / lit(1e9)), 6)
+          .as("max_doc_nll"))
+      .orderBy("lang", "source")
+  }
+
+  val unigramLmSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, source, w FROM (
+      |    SELECT doc_id, lang, source,
+      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+      |lp AS (
+      |  SELECT w,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
+      |      AS lps
+      |  FROM vocab, tot),
+      |perdoc AS (
+      |  SELECT doc_id, lang, source, COUNT(*) AS n,
+      |    CAST(SUM(lps) AS BIGINT) AS s
+      |  FROM w JOIN lp USING (w) GROUP BY 1, 2, 3)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  round(-CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9, 6)
+      |    AS avg_nll_token,
+      |  round(MIN(-CAST(s AS DOUBLE) / n / 1e9), 6) AS min_doc_nll,
+      |  round(MAX(-CAST(s AS DOUBLE) / n / 1e9), 6) AS max_doc_nll
+      |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // PII scan + redaction
+  // ---------------------------------------------------------------
+
+  /** Shared-subset (Java regex ∩ RE2) PII patterns. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b555-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The synthetic corpus is PII-free word salad, so the driver entry
+    * exercises the scanner over a deterministic fixture augmentation:
+    * documents with doc_id divisible by 7/11/13 get an email / phone /
+    * IPv4 appended, derived purely from doc_id — the oracle SQL
+    * performs the identical augmentation, so the scan itself is what
+    * gets checked bit-for-bit. Library callers scan their real text by
+    * skipping the augmentation (`augment = false`).
+    */
+  def augmented(docs: DataFrame): Column =
+    concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+        .otherwise(lit("")))
+
+  /** Per-document PII hit counts + md5 of the redacted text (emails →
+    * `[EMAIL]`, phones → `[PHONE]`, IPs → `[IP]`), only for documents
+    * with at least one hit. A pure map + filter — no shuffle at any
+    * scale; the md5 column proves the redacted output itself is
+    * identical across engines, not just the counts.
+    */
+  def piiRedact(docs: DataFrame, augment: Boolean = true): DataFrame = {
+    val text = if (augment) augmented(docs) else col("text")
+    docs.withColumn("aug", text)
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          .cast("bigint"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+          .cast("bigint"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+          .cast("bigint"))
+      .where(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"),
+          ipRe, "[IP]"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN ' call 555-'
+       |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |              || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+       |         ELSE '' END AS t
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT)
+       |      AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT)
+       |      AS n_phones,
+       |    CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+       |    md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$emailRe', '[EMAIL]', 'g'),
+       |      '$phoneRe', '[PHONE]', 'g'),
+       |      '$ipRe', '[IP]', 'g')) AS redacted_md5
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5
+       |FROM hits WHERE n_emails + n_phones + n_ips > 0
+       |ORDER BY doc_id""".stripMargin
+}

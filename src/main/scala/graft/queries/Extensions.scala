@@ -362,6 +362,12 @@ object Extensions {
     "text_token_count" -> (c => TextAnalysis.tokenCounts(c.documents)),
     "text_quality" -> (c => TextAnalysis.quality(c.documents)),
     "text_lang_id" -> (c => TextAnalysis.langId(c.documents)),
+    // quality signals (repetition / LM scoring / PII)
+    "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
+    "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
+    "text_pii_redact" -> (c => QualitySignals.piiRedact(c.documents)),
+    // embedding quantization
+    "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
     // time windows / events
     "events_tumbling" -> (c => EventOps.tumblingHourly(c.events)),
     "events_sliding" -> (c => EventOps.slidingTwoHour(c.events)),
@@ -415,6 +421,10 @@ object Extensions {
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_lang_id" -> TextAnalysis.langIdSql,
+    "text_repetition" -> QualitySignals.repetitionSql(),
+    "text_unigram_lm" -> QualitySignals.unigramLmSql,
+    "text_pii_redact" -> QualitySignals.piiRedactSql,
+    "sim_quantize_int8" -> Quantize.int8StatsSql,
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,
     "events_sessionize" -> EventOps.sessionizeSql(),

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{QualitySignals, Quantize}
+
+class QualitySignalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a a a a", "en", "s1", 7L), // fully repetitive
+    (1L, "a b c d", "en", "s1", 7L), // fully diverse
+    (2L, "x", "en", "s2", 1L), // too short for any 2-gram
+    (3L, "p q p q p q", "en", "s2", 11L) // repeated bigram
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("repetition: degenerate doc maxes every signal, diverse doc zeroes them") {
+    val out = QualitySignals.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: "a a a a" — top word = 4/4, all three 2-grams are "a a"
+    assert(out(0L).getDouble(2) == 1.0)
+    assert(out(0L).getDouble(3) == 1.0)
+    assert(out(0L).getInt(5) == 1)
+    // doc 1: unique words — top 1/4, no duplicated grams
+    assert(out(1L).getDouble(2) == 0.25)
+    assert(out(1L).getDouble(3) == 0.0)
+    assert(out(1L).getDouble(4) == 0.0)
+    // doc 2: single word — gram fractions default to 0, not null
+    assert(out(2L).getDouble(3) == 0.0 && out(2L).getDouble(4) == 0.0)
+    // doc 3: "p q" appears 3×, "q p" 2× of 5 grams → dup2 = 1.0
+    assert(out(3L).getDouble(3) == 1.0)
+  }
+
+  test("unigramLm: docs of rare words score higher NLL than docs of common words") {
+    val many = (0 until 8).map(i => (10L + i, "w w w w", "en", "s1", 7L))
+    val d = (many :+ ((99L, "rare other", "en", "s2", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.unigramLm(d).collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(out("s2") > out("s1")) // rare-word doc is less likely
+    // 32 'w' of 34 tokens: s1 NLL = -ln(32/34), exact to the 1e-9 grid
+    assert(math.abs(out("s1") - -math.log(32.0 / 34.0)) < 1e-6)
+  }
+
+  test("piiRedact finds and redacts emails, phones, IPs (augment off)") {
+    val d = Seq(
+      (1L, "mail me at bob@corp.io or call 555-0199", "en", "s1", 40L),
+      (2L, "server 10.1.2.3 and 10.4.5.6 down", "en", "s1", 33L),
+      (3L, "nothing sensitive here", "en", "s1", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.piiRedact(d, augment = false).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 filtered out
+    val r1 = out(0)
+    assert(r1.getLong(1) == 1 && r1.getLong(2) == 1 && r1.getLong(3) == 0)
+    val r2 = out(1)
+    assert(r2.getLong(3) == 2)
+    // the md5 is of the fully redacted text — recompute it directly
+    val expected = spark.sql(
+      "SELECT md5('mail me at [EMAIL] or call [PHONE]')").first().getString(0)
+    assert(r1.getString(4) == expected)
+  }
+
+  test("piiRedact fixture augmentation hits the deterministic doc_id slices") {
+    val d = (0L until 100L).map(i => (i, "plain words", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.piiRedact(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == ((1L, 1L, 1L))) // 0 divides 7, 11 and 13
+    assert(out(14L) == ((1L, 0L, 0L)))
+    assert(out(22L) == ((0L, 1L, 0L)))
+    assert(out(26L) == ((0L, 0L, 1L)))
+    assert(!out.contains(1L)) // no PII appended → filtered
+  }
+
+  test("int8Stats: quantization is exact for representable vectors") {
+    val d = Seq(
+      (1L, Array(127.0f, -127.0f, 0.0f, 63.5f), 1),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 2) // zero vector guard
+    ).toDF("vec_id", "embedding", "label")
+    val out = Quantize.int8Stats(d).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // m=127 → q = (127, -127, 0, 64); L1 = 318; only 63.5 has error
+    assert(out(1).getLong(3) == 318L)
+    assert(out(1).getDouble(4) == 127.0)
+    val step = 127.0 / 127.0 // m/127 = 1.0 → err = 64*1 - 63.5 = 0.5
+    val mse = 0.5 * step * 0.5 * step / 4
+    assert(math.abs(out(1).getDouble(5) - mse) < 1e-6)
+    // zero vector: no codes, no error, scale 0
+    assert(out(2).getLong(3) == 0L)
+    assert(out(2).getDouble(4) == 0.0 && out(2).getDouble(5) == 0.0)
+  }
+}
