@@ -15,6 +15,12 @@ object TextFunctions {
   /** Whitespace tokenization; safe on empty/blank strings. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** [[words]] as a SQL-expression fragment, for use inside `expr`
+    * strings (higher-order-function pipelines).
+    */
+  def wordsSql(colName: String): String =
+    s"split(trim($colName), '\\\\s+')"
+
   /** Token count under whitespace tokenization. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(words(text)))

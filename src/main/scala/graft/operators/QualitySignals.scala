@@ -39,37 +39,44 @@ object QualitySignals {
     */
   def repetition(docs: DataFrame, topFrac: Double = 0.14,
       dup2Frac: Double = 0.12, dup3Frac: Double = 0.02): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      TextFunctions.words(col("text")).as("ws"))
-
-    val top = base.select(col("doc_id"), explode(col("ws")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("mx"), sum("c").as("n_tok"))
-
-    // duplicated-n-gram occupancy: grams are built map-side from the
-    // token array (no window/shuffle), counted per (doc, gram) with
-    // partial aggregation, then reduced per doc
-    def dupFrac(n: Int, out: String): DataFrame = {
-      val gram = (0 until n).map(j => s"element_at(ws, i + $j)")
+    // SINGLE corpus pass: words, 2-grams and 3-grams are built
+    // map-side from one token array, tagged with a kind (1/2/3),
+    // concatenated, and exploded once — so the text column is scanned
+    // once and there is exactly one wide shuffle, keyed
+    // (doc_id, kind, gram), with map-side partial aggregation. A doc
+    // contributes |ws|·3 − 3 rows; nothing is quadratic.
+    def gramArr(n: Int): String = {
+      val gram = (s"'$n'" +: (0 until n).map(j => s"element_at(ws, i + $j)"))
         .mkString("concat_ws(' ', ", ", ", ")")
-      val grams = when(size(col("ws")) >= n,
-        expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> $gram)"))
-        .otherwise(expr("slice(ws, 1, 0)"))
-      base.select(col("doc_id"), explode(grams).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
-          .cast("double") / sum(col("c"))).as(out))
+      s"""CASE WHEN size(ws) >= $n
+         |  THEN transform(sequence(1, size(ws) - ${n - 1}), i -> $gram)
+         |  ELSE slice(ws, 1, 0) END""".stripMargin
     }
+    val tagged = docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"concat(transform(ws, w -> concat('1 ', w)), " +
+          s"${gramArr(2)}, ${gramArr(3)})")).as("g"))
 
-    top
-      .join(dupFrac(2, "dup2_frac"), Seq("doc_id"), "left")
-      .join(dupFrac(3, "dup3_frac"), Seq("doc_id"), "left")
+    tagged
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .withColumn("k", substring(col("g"), 1, 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(max(when(col("k") === 1, col("c"))).as("mx"),
+        sum(when(col("k") === 1, col("c"))).as("n_tok"),
+        sum(when(col("k") === 2 && col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup2_sum"),
+        sum(when(col("k") === 2, col("c"))).as("g2_tot"),
+        sum(when(col("k") === 3 && col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup3_sum"),
+        sum(when(col("k") === 3, col("c"))).as("g3_tot"))
       .withColumn("top_word_frac", col("mx").cast("double") / col("n_tok"))
-      .withColumn("dup2_frac", coalesce(col("dup2_frac"), lit(0.0)))
-      .withColumn("dup3_frac", coalesce(col("dup3_frac"), lit(0.0)))
+      .withColumn("dup2_frac",
+        coalesce(col("dup2_sum").cast("double") / col("g2_tot"), lit(0.0)))
+      .withColumn("dup3_frac",
+        coalesce(col("dup3_sum").cast("double") / col("g3_tot"), lit(0.0)))
       .withColumn("flagged",
         (col("top_word_frac") > topFrac || col("dup2_frac") > dup2Frac ||
           col("dup3_frac") > dup3Frac).cast("int"))
