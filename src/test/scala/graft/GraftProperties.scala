@@ -160,4 +160,73 @@ object GraftProperties extends Properties("graft") {
         got == expected
       }
     }
+
+  // random word-salad documents over a small vocabulary
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(6, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "dd", "ee")).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def docsDf(ds: List[(Long, String)]) =
+    ds.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  property("repetition signals match the sequential definition") =
+    forAll(docGen) { ds =>
+      ds.nonEmpty ==> {
+        val got = graft.operators.QualitySignals.repetition(docsDf(ds))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4)))).toMap
+        ds.forall { case (id, text) =>
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty).toList
+          def dupFrac(n: Int): Double = {
+            val gs = ws.sliding(n).filter(_.size == n).map(_.mkString(" "))
+              .toList
+            if (gs.isEmpty) 0.0
+            else {
+              val counts = gs.groupBy(identity).values.map(_.size)
+              counts.filter(_ > 1).sum.toDouble / gs.size
+            }
+          }
+          val wc = ws.groupBy(identity).values.map(_.size)
+          val (nTok, topF, d2, d3) = got(id)
+          nTok == ws.size && topF == wc.max.toDouble / ws.size &&
+            d2 == dupFrac(2) && d3 == dupFrac(3)
+        }
+      }
+    }
+
+  property("PII redaction is idempotent and counts are stable") =
+    forAll(docGen) { ds =>
+      ds.nonEmpty ==> {
+        import graft.operators.QualitySignals
+        val once = QualitySignals.piiRedact(docsDf(ds)).collect()
+          .map(r => (r.getLong(0), r.getString(4))).toMap
+        // re-redacting already-redacted text finds nothing: run the
+        // scan over the redacted placeholders
+        val redacted = ds.map { case (id, _) =>
+          (id, "[EMAIL] [PHONE] [IP] plain words") }
+        val again = QualitySignals
+          .piiRedact(docsDf(redacted), augment = false).collect()
+        once.nonEmpty ==> (again.isEmpty)
+      }
+    }
+
+  property("int8 codes are scale-invariant; absmax scales linearly") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))) {
+      vs =>
+      vs.exists(_ != 0.0f) ==> {
+        import graft.operators.Quantize
+        val one = Seq((1L, vs.toArray, 0)).toDF("vec_id", "embedding", "label")
+        val four = Seq((1L, vs.toArray.map(_ * 4.0f), 0))
+          .toDF("vec_id", "embedding", "label")
+        val a = Quantize.int8Stats(one).head
+        val b = Quantize.int8Stats(four).head
+        // quantization is relative to the per-vector absmax: scaling
+        // the vector leaves the codes (and their L1 checksum) intact
+        a.getLong(3) == b.getLong(3) &&
+          math.abs(b.getDouble(4) - 4.0 * a.getDouble(4)) < 1e-5
+      }
+    }
 }
