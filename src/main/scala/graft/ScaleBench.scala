@@ -130,7 +130,8 @@ object ScaleBench {
       println("== LLM-pipeline ops vs corpus scale ==")
       val pipelineOps = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
         "dedup_clusters", "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk",
-        "sim_ivf_kmeans", "pipeline_decontaminate", "pipeline_pack_sequences",
+        "sim_ivf_kmeans", "dedup_incremental", "pipeline_decontaminate",
+        "pipeline_pack_sequences",
         "text_repetition", "text_unigram_lm", "text_pii_redact",
         "sim_quantize_int8")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")

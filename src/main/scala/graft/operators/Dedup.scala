@@ -129,21 +129,28 @@ object Dedup {
     * never all pairs. xxhash64 is Spark-specific → rows-only check (no
     * DuckDB oracle), covered by unit test instead.
     */
-  def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minEstSim: Double = 0.5): DataFrame = {
+  /** xxhash64 signatures banded to (doc_id, sig, band, band_hash) —
+    * the shared front end of [[minHashLsh]] and [[incrementalLsh]].
+    */
+  private def bandedXxSigs(docs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs)
     // one-pass signature via the custom TypedImperativeAggregate —
     // k× smaller expression tree than k separate min(xxhash64(...))
     // columns, same single-shuffle partial-agg shape
-    val sigs = sh.groupBy("doc_id").agg(
+    val sigs = shingles(docs).groupBy("doc_id").agg(
       graft.functions.VectorFunctions
         .minhash_signature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      minEstSim: Double = 0.5): DataFrame = {
+    val banded = bandedXxSigs(docs, numHashes, bands)
     // score each banded collision immediately (est_sim is a pure
     // function of the pair, identical across its ≤`bands` copies),
     // then dedup three scalars — not a distinct() hauling two
@@ -175,8 +182,12 @@ object Dedup {
     * sample — the proof of pipeline shape doesn't need the full corpus
     * or the full signature width.
     */
-  def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      minEstSim: Double = 0.5, sampleMod: Int = 2): DataFrame = {
+  /** md5-family signatures banded to (doc_id, sig, band, bsig) over a
+    * deterministic 1-in-`sampleMod` document sample — the shared front
+    * end of [[minHashLshMd5]] and [[incrementalLshMd5]].
+    */
+  private def bandedMd5Sigs(docs: DataFrame, numHashes: Int, bands: Int,
+      sampleMod: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val mins = shingles(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
       .select(col("doc_id"), col("sh"),
@@ -187,11 +198,16 @@ object Dedup {
     val sigs = mins.groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
         .as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bsig")
+  }
+
+  def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      minEstSim: Double = 0.5, sampleMod: Int = 2): DataFrame = {
+    val banded = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
     // same per-collision scoring + scalar dedup as [[minHashLsh]]
     banded.as("a")
       .join(banded.as("b"),
@@ -246,6 +262,133 @@ object Dedup {
        |GROUP BY 1, 2
        |HAVING est_sim >= $minEstSim""".stripMargin +
       (if (ordered) "\nORDER BY d1, d2" else "")
+  }
+
+  /** Shared back end of the incremental dedup pair: asymmetric
+    * delta-vs-base band join over pre-banded signatures, per-collision
+    * scoring, then one verdict row PER DELTA DOC (n_dups=0 rows
+    * included — the keep-list a pipeline actually consumes).
+    */
+  private def incrementalReport(banded: DataFrame, keyCol: String,
+      deltaDocs: DataFrame, deltaMod: Int, numHashes: Int,
+      minEstSim: Double): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
+    val d = banded.filter(isDelta)
+    val b = banded.filter(!isDelta)
+    // shuffle_hash on both joins: sorting band buckets (or the final
+    // verdict assembly) for a merge join is pure waste before hash
+    // lookups, and it keeps the suite's zero-SMJ invariant at any size
+    val sims = d.as("a").hint("shuffle_hash")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") &&
+          col(s"a.$keyCol") === col(s"b.$keyCol"))
+      .select(col("a.doc_id").as("dd"), col("b.doc_id").as("db"),
+        expr(s"""CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin)
+          .as("est_sim"))
+      .groupBy("dd", "db").agg(first("est_sim").as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+    val agg = sims.groupBy("dd")
+      .agg(count(lit(1)).as("n_dups"),
+        max("est_sim").as("best_sim"),
+        max_by(col("db"), struct(col("est_sim"), (-col("db")).as("nb")))
+          .as("best_match"))
+      .withColumnRenamed("dd", "doc_id")
+    deltaDocs.select(col("doc_id")).filter(isDelta)
+      .join(agg.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (delta-vs-base) near-dup detection — the production
+    * ingestion mode: a new batch (here the deterministic slice
+    * `doc_id % deltaMod == 0`) is checked against the existing corpus
+    * WITHOUT regenerating base-vs-base pairs. The band join is
+    * asymmetric (delta × base only), so ingesting a delta of size d
+    * into a corpus of size N shuffles O(d·bands) delta rows against
+    * the stored base signatures — at 100 TB the base side is the
+    * persisted signature store (amortized across batches), never
+    * recomputed, and cost per batch is independent of N except
+    * through bucket occupancy. Output: one verdict row per delta doc
+    * (dup count, best base match, estimated similarity).
+    * xxhash64 family → rows-only check; [[incrementalLshMd5]] is the
+    * oracle-checked portable twin.
+    */
+  def incrementalLsh(docs: DataFrame, deltaMod: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      minEstSim: Double = 0.5): DataFrame =
+    incrementalReport(bandedXxSigs(docs, numHashes, bands), "band_hash",
+      docs, deltaMod, numHashes, minEstSim)
+
+  /** [[incrementalLsh]] with the md5-portable hash family (16×4
+    * signatures over a 1-in-`sampleMod` sample — the capped-budget
+    * twin convention): fully DuckDB-oracle-checkable, proving the
+    * asymmetric delta/base banding, scoring and verdict assembly
+    * bit-for-bit.
+    */
+  def incrementalLshMd5(docs: DataFrame, deltaMod: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
+      sampleMod: Int = 2): DataFrame =
+    incrementalReport(bandedMd5Sigs(docs, numHashes, bands, sampleMod),
+      "bsig", docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
+      deltaMod, numHashes, minEstSim)
+
+  /** DuckDB oracle for [[incrementalLshMd5]]. */
+  def incrementalLshMd5Sql(deltaMod: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, minEstSim: Double = 0.5,
+      sampleMod: Int = 2): String = {
+    val rowsPerBand = numHashes / bands
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+       |  FROM (SELECT doc_id, arr,
+       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(trim(text), '\\s+') AS arr
+       |              FROM documents
+       |              WHERE doc_id % $sampleMod = 0) t0) t1),
+       |mins AS (
+       |  SELECT doc_id, seed,
+       |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    LIST(mh ORDER BY seed) AS bsig
+       |  FROM mins GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS dd, b.doc_id AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id % $deltaMod = 0 AND b.doc_id % $deltaMod <> 0),
+       |sims AS (
+       |  SELECT dd, db,
+       |    CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / $numHashes AS est_sim
+       |  FROM cands
+       |  JOIN mins m1 ON m1.doc_id = dd
+       |  JOIN mins m2 ON m2.doc_id = db AND m1.seed = m2.seed
+       |  GROUP BY 1, 2
+       |  HAVING est_sim >= $minEstSim),
+       |rk AS (
+       |  SELECT dd, db, est_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY dd
+       |      ORDER BY est_sim DESC, db) AS rn,
+       |    COUNT(*) OVER (PARTITION BY dd) AS n_dups,
+       |    MAX(est_sim) OVER (PARTITION BY dd) AS best_sim
+       |  FROM sims),
+       |agg AS (SELECT dd, n_dups, db AS best_match, best_sim
+       |        FROM rk WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_dups, 0) AS n_dups,
+       |  COALESCE(best_match, -1) AS best_match,
+       |  COALESCE(best_sim, 0.0) AS best_sim
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id % $sampleMod = 0 AND doc_id % $deltaMod = 0) d
+       |LEFT JOIN agg ON agg.dd = d.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Per-document 64-bit SimHash via the one-pass

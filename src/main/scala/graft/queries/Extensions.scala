@@ -341,6 +341,8 @@ object Extensions {
     "dedup_embedding_cosine" -> (c => Similarity.embeddingNearDups(c.embeddings)),
     "dedup_clusters" -> (c => Dedup.clusters(c.documents)),
     "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
+    "dedup_incremental" -> (c => Dedup.incrementalLsh(c.documents)),
+    "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
@@ -408,6 +410,7 @@ object Extensions {
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
+    "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),

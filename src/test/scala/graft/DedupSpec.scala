@@ -133,4 +133,26 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(1L)._2 == 0L && byId(4L)._2 == 0L) // near-dups of doc 0
     assert(byId(3L)._2 == 3L && byId(3L)._3 == 1L) // singleton
   }
+
+  test("incremental LSH flags delta dups against base only, totally") {
+    // deltaMod=3 → delta = {0, 3}; base = {1, 2, 4}
+    val out = Dedup.incrementalLsh(docs, deltaMod = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 3L)) // one verdict row PER delta doc
+    val (n0, best0, sim0) = out(0L)
+    assert(n0 >= 1 && best0 == 1L && sim0 == 1.0) // exact dup in base
+    assert(out(3L) == ((0L, -1L, 0.0))) // unique doc: explicit keep row
+  }
+
+  test("incremental md5 twin produces the same verdict structure") {
+    // sampleMod=1: no sampling, all 5 docs; delta = {0, 3}
+    val out = Dedup.incrementalLshMd5(docs, deltaMod = 3, sampleMod = 1)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 3L))
+    assert(out(0L)._2 == 1L && out(0L)._3 == 1.0)
+    assert(out(3L) == ((0L, -1L, 0.0)))
+  }
 }
