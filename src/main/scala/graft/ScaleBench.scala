@@ -243,6 +243,22 @@ object ScaleBench {
         }
         println(f"${"svc_predict 100Mx20"}%-26s$sec%8.2f  rows=$n")
       }
+      // svd_square_matrix.py:18-29: da.random 16k×16k in 4k chunks,
+      // svd_compressed(k=5) — the randomized (Halko) SVD; one power
+      // iteration like dask's default
+      locally {
+        val a = graft.ml.MLParity
+          .randomBlockMatrix(spark, 16384, 4096, seed = 42L)
+        a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.blocks.count()
+        val (sec, _) = time {
+          val (_, sv, _) =
+            graft.ml.MLParity.svdCompressed(a, k = 5, powerIters = 1)
+          sv.length.toLong
+        }
+        println(f"${"svd_compressed 16kx16k k=5"}%-26s$sec%8.2f")
+        a.blocks.unpersist()
+      }
     }
 
     section("matmul") {

@@ -104,6 +104,75 @@ object MLParity {
     (s.U, s.s.toArray, s.V)
   }
 
+  /** M4 proper: compressed (randomized) SVD of a SQUARE distributed
+    * matrix — the reference's `da.linalg.svd_compressed(x, k=5)` over
+    * 16k×16k with 4k chunks (`svd_square_matrix.py:18-29`), where the
+    * tall-skinny Gram path does not apply. Halko range-finder scheme:
+    *
+    *   1. Y = A·Ω with a seeded local n×l test matrix (l = k +
+    *      oversample) — one distributed pass, NO shuffle (Ω rides the
+    *      closure);
+    *   2. optional power iterations Y ← A·(Aᵀ·Y) to sharpen the
+    *      spectrum (two block matmuls each — the only shuffles here);
+    *   3. orthonormalize Y via its l×l Gram (eigendecomposition on
+    *      the driver — l² is tiny by construction), Q = Y·(V·Σ^-½);
+    *   4. project: Bᵀ = Aᵀ·Q (n×l, collected — MBs), local SVD of Bᵀ,
+    *      then U = Q·Z distributed.
+    *
+    * Everything distributed is a matmul; everything local is O(n·l) —
+    * exactly the compute/communication split dask's task graph builds
+    * for `svd_compressed`.
+    */
+  def svdCompressed(a: BlockMatrix, k: Int, oversample: Int = 5,
+      powerIters: Int = 1, seed: Long = 42L)
+      : (IndexedRowMatrix, Array[Double], DenseMatrix) = {
+    import breeze.linalg.{eigSym, svd => bsvd, DenseMatrix => BDM}
+    val n = a.numCols().toInt
+    val l = math.min(k + oversample, n)
+    // seeded splitmix64 test matrix (column-major), deterministic
+    val omega = new DenseMatrix(n, l, Array.tabulate(n * l) { t =>
+      var z = seed + t * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    })
+    val ari = a.toIndexedRowMatrix()
+    val at = a.transpose
+    var y = ari.multiply(omega)
+    for (_ <- 0 until powerIters) {
+      // inner block dims must agree: Aᵀ's colsPerBlock = A's rowsPerBlock
+      val z = at.multiply(y.toBlockMatrix(a.rowsPerBlock, l))
+      y = a.multiply(z).toIndexedRowMatrix()
+    }
+    // Gram-based orthonormalization (l×l on the driver)
+    val g = y.toRowMatrix().computeGramianMatrix()
+    val gb = new BDM(l, l, g.toArray)
+    val es = eigSym(gb)
+    // keep numerically nonzero directions (rank-deficient inputs)
+    val keep = (0 until l).filter(i => es.eigenvalues(i) > 1e-10 *
+      es.eigenvalues.data.max).reverse // descending
+    val scale = BDM.zeros[Double](l, keep.size)
+    keep.zipWithIndex.foreach { case (src, dst) =>
+      val inv = 1.0 / math.sqrt(es.eigenvalues(src))
+      (0 until l).foreach(r => scale(r, dst) = es.eigenvectors(r, src) * inv)
+    }
+    val q = y.multiply(new DenseMatrix(l, keep.size, scale.data))
+    // Bᵀ = Aᵀ·Q — n×l', collected local (MBs); SVD locally
+    val bt = at.multiply(q.toBlockMatrix(a.rowsPerBlock, keep.size))
+      .toLocalMatrix()
+    val btB = new BDM(bt.numRows, bt.numCols, bt.toArray)
+    val s = bsvd.reduced(btB)
+    val kk = math.min(k, s.singularValues.length)
+    // B = Z Σ Wᵀ with W = s.U, Z = s.Vt.T → A ≈ (Q·Z) Σ Wᵀ
+    val zB = s.Vt.t.toDenseMatrix
+    val zLocal = new DenseMatrix(zB.rows, kk,
+      zB(::, 0 until kk).toDenseMatrix.data)
+    val u = q.multiply(zLocal)
+    val v = new DenseMatrix(n, kk,
+      s.U(::, 0 until kk).toDenseMatrix.data)
+    (u, s.singularValues.data.take(kk), v)
+  }
+
   /** M5: pairwise tree reduction (`delayed(add)` pairs in the
     * reference) — `treeReduce` builds the same log-depth combine tree.
     */

@@ -120,4 +120,36 @@ class MLParitySpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(acc > 0.97, s"separable accuracy: $acc")
   }
+
+  test("svdCompressed recovers a low-rank square matrix exactly") {
+    // A = L·R with rank 3: the range finder captures the full range,
+    // so the randomized SVD is exact up to float error
+    val l3 = MLParity.randomMatrix(spark, 120L, 3, rowsPerBlock = 32,
+      seed = 7L).toBlockMatrix(32, 3)
+    val r3 = MLParity.randomMatrix(spark, 3L, 120, rowsPerBlock = 1,
+      seed = 11L).toBlockMatrix(3, 32)
+    val a = l3.multiply(r3) // 120×120, rank 3
+    val (_, sv, _) = MLParity.svdCompressed(a, k = 5, powerIters = 0)
+    val exact = a.toIndexedRowMatrix().toRowMatrix().computeSVD(3).s.toArray
+    assert(sv.length >= 3)
+    (0 until 3).foreach { i =>
+      assert(math.abs(sv(i) - exact(i)) < 1e-6 * exact(0),
+        s"sigma$i: ${sv(i)} vs ${exact(i)}")
+    }
+    // rank-3 input → trailing recovered values collapse to ~0
+    sv.drop(3).foreach(s => assert(s < 1e-6 * exact(0)))
+  }
+
+  test("svdCompressed approximates the top spectrum of a full-rank matrix") {
+    val a = MLParity.randomBlockMatrix(spark, 96, 32, seed = 5L)
+    val (u, sv, v) = MLParity.svdCompressed(a, k = 3, oversample = 5,
+      powerIters = 2)
+    val exact = a.toIndexedRowMatrix().toRowMatrix().computeSVD(3).s.toArray
+    // power-iterated rSVD: dominant value tight, next ones close
+    assert(math.abs(sv(0) - exact(0)) < 0.01 * exact(0))
+    (1 until 3).foreach(i =>
+      assert(sv(i) <= exact(i) * 1.001 && sv(i) > 0.8 * exact(i)))
+    // shapes: U m×k', V n×k
+    assert(u.numCols() >= 3 && v.numRows == 96 && v.numCols == 3)
+  }
 }
