@@ -133,7 +133,7 @@ object ScaleBench {
         "sim_ivf_kmeans", "dedup_incremental", "pipeline_decontaminate",
         "pipeline_pack_sequences",
         "text_repetition", "text_unigram_lm", "text_pii_redact",
-        "sim_quantize_int8")
+        "text_heavy_hitters", "sim_quantize_int8")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

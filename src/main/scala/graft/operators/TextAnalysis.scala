@@ -93,6 +93,72 @@ object TextAnalysis {
       |FROM documents d JOIN toks ON d.doc_id = toks.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Deterministic distributed heavy hitters (frequent words):
+    *
+    *   - phase 1: per-partition Misra-Gries summaries of capacity `k`
+    *     via `mapPartitions` — one pass, bounded memory, NO shuffle.
+    *     Pigeonhole guarantee: any word with global count > N/k must
+    *     exceed count_p > n_p/k in at least one partition, so the
+    *     candidate union is a guaranteed superset of the true heavy
+    *     hitters (capacity k ⇒ local survivors include everything
+    *     above n_p/(k+1)).
+    *   - phase 2: exact recount of the candidates only — a broadcast
+    *     semi-join filters the corpus, so the only wide shuffle
+    *     carries candidate occurrences, never the full vocabulary.
+    *
+    * The candidate SET depends on partitioning, but the exact filter
+    * `cnt·k > N` makes the OUTPUT deterministic and layout-independent
+    * — which is what lets a sketch-based operator be DuckDB-oracle-
+    * checked bit-for-bit (the oracle states the plain exact
+    * definition). This is the one sanctioned `mapPartitions` use:
+    * genuinely imperative bounded-state per-partition logic, like the
+    * reference's partition-local sketches.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val cands = words.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        m.get(w) match {
+          case Some(v) => m(w) = v + 1
+          case None if m.size < k => m(w) = 1L
+          case None =>
+            for (key <- m.keys.toArray) {
+              val v = m(key)
+              if (v == 1L) m.remove(key) else m(key) = v - 1
+            }
+        }
+      }
+      m.keysIterator
+    }.toDF("w").distinct()
+    val tot = words.agg(count(lit(1)).as("n"))
+    words.join(broadcast(cands), "w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("w"), col("cnt"),
+        (col("cnt").cast("double") / col("n")).as("frac"))
+      .orderBy(desc("cnt"), col("w"))
+  }
+
+  /** DuckDB oracle for [[heavyHitters]] — the plain exact definition
+    * the sketch+recount pipeline must reproduce.
+    */
+  def heavyHittersSql(k: Int = 30): String =
+    s"""WITH w0 AS (
+       |  SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |ww AS (SELECT w FROM w0 WHERE w <> ''),
+       |tot AS (SELECT COUNT(*) AS n FROM ww),
+       |c AS (SELECT w, COUNT(*) AS cnt FROM ww GROUP BY 1)
+       |SELECT w, cnt, CAST(cnt AS DOUBLE) / n AS frac
+       |FROM c, tot WHERE cnt * $k > n
+       |ORDER BY cnt DESC, w""".stripMargin
+
   /** Stopword-hit language ID: count stopword matches per candidate
     * language, predict the argmax (ties → lexicographically first;
     * all-zero → 'und'), reported as a (actual, predicted) confusion

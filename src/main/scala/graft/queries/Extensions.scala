@@ -364,6 +364,7 @@ object Extensions {
     "text_token_count" -> (c => TextAnalysis.tokenCounts(c.documents)),
     "text_quality" -> (c => TextAnalysis.quality(c.documents)),
     "text_lang_id" -> (c => TextAnalysis.langId(c.documents)),
+    "text_heavy_hitters" -> (c => TextAnalysis.heavyHitters(c.documents)),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -424,6 +425,7 @@ object Extensions {
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_lang_id" -> TextAnalysis.langIdSql,
+    "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,

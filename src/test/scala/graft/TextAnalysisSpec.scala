@@ -41,6 +41,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(("en", "und")) == 1) // doc 2 has no stopwords
   }
 
+  test("heavyHitters finds exactly the words above N/k, despite eviction") {
+    // skewed corpus: 'hot' dominates, 25 singletons force MG eviction
+    // at capacity k=3; spread over 8 partitions so per-partition
+    // summaries actually evict and disagree
+    val texts = (Seq.fill(30)("hot") ++ ('a' to 'y').map(_.toString))
+      .grouped(7).map(_.mkString(" ")).toSeq
+    val d = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8)
+    val out = TextAnalysis.heavyHitters(d, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // N = 55; only 'hot' (30) exceeds 55/3
+    assert(out.toSeq == Seq(("hot", 30L)))
+    // with a loose threshold everything above N/56 (=0) qualifies
+    val all = TextAnalysis.heavyHitters(d, k = 56).collect()
+    assert(all.length == 26 && all.head.getString(0) == "hot")
+  }
+
   test("quality combines length, diversity and stopword ratio") {
     val q = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
