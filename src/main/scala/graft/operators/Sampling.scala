@@ -59,6 +59,51 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Per-source quota capping — the anti-bias selection stage: keep at
+    * most `quota` documents per source, chosen by salted-hash rank so
+    * the selection is deterministic, layout-independent and stable
+    * under appends (a kept doc is only ever displaced by a
+    * lower-hashed newcomer, never by reordering). One window shuffle
+    * keyed on source; ties broken by doc_id so the rank is total. At
+    * 100 TB a hot source is exactly the case AQE skew-split handles —
+    * the window partitions by source alone, nothing is global.
+    */
+  def sourceQuota(documents: DataFrame, quota: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(hashBucketFull("quo:", col("doc_id")), col("doc_id"))
+    documents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** Full-range (un-modded) salted-md5 rank — a total deterministic
+    * order for quota selection; 60 bits, portable (see
+    * [[hashBucket]]).
+    */
+  def hashBucketFull(salt: String, key: Column): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
+      16, 10).cast("bigint")
+
+  def sourceQuotaSql(quota: Int = 20): String =
+    s"""SELECT source, COUNT(*) AS n_kept,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY CAST('0x' || substring(md5('quo:' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS rk
+       |  FROM documents) t
+       |WHERE rk <= $quota
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def stratifiedSampleSql: String = {
     val rateCase = ratePermille
       .map { case (l, r) => s"WHEN '$l' THEN $r" }

@@ -381,6 +381,7 @@ object Extensions {
     "events_range_join" -> (c => RangeOps.errorClickFollowups(c.events)),
     // deterministic sampling / splits
     "sample_stratified" -> (c => Sampling.stratifiedSample(c.documents)),
+    "sample_source_quota" -> (c => Sampling.sourceQuota(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
@@ -438,6 +439,7 @@ object Extensions {
     "events_asof_join" -> AsofOps.clicksWithLastViewSql(),
     "events_range_join" -> RangeOps.errorClickFollowupsSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql,
+    "sample_source_quota" -> Sampling.sourceQuotaSql(),
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,

@@ -148,6 +148,22 @@ class RangeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("source quota caps per-source counts deterministically") {
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"text $i", "en", s"src${i % 3}", (10 + i % 5).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q1 = Sampling.sourceQuota(docs, quota = 15).collect()
+    val q2 = Sampling.sourceQuota(docs.repartition(11), quota = 15).collect()
+    assert(q1.sameElements(q2)) // layout-independent
+    assert(q1.map(_.getString(0)).toSeq == Seq("src0", "src1", "src2"))
+    assert(q1.forall(_.getLong(1) == 15L)) // 100 available → capped at 15
+    // a source under quota keeps everything
+    val small = Sampling.sourceQuota(docs.filter(col("doc_id") < 9), 15)
+      .collect()
+    assert(small.map(r => r.getString(0) -> r.getLong(1)).toMap
+      .values.toSeq == Seq(3L, 3L, 3L))
+  }
+
   test("stratified sample is deterministic and respects stratum rates") {
     val docs = Seq.tabulate(2000)(i =>
       (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L))
