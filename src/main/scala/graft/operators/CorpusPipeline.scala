@@ -132,6 +132,106 @@ object CorpusPipeline {
        |SELECT doc_id, bench_id, contamination FROM worst
        |WHERE contamination >= $tau ORDER BY doc_id""".stripMargin
 
+  /** BPE merge induction — training the subword tokenizer itself, the
+    * step between corpus curation and sequence packing. Standard
+    * word-level byte-pair encoding: the trainer operates on the
+    * word-FREQUENCY dictionary (one hash-agg over the corpus, then
+    * everything is dictionary-sized — the classic scale collapse);
+    * each round counts adjacent-symbol pairs weighted by word
+    * frequency, picks the most frequent pair (ties → lexicographically
+    * first), and merges it greedily left-to-right in every word.
+    *
+    * Representation trick that makes the greedy merge a plain string
+    * `replace` with IDENTICAL semantics in Spark and DuckDB: symbols
+    * are joined with DOUBLE spaces and the string is wrapped in single
+    * spaces, so the pattern `' s1  s2 '` consumes one boundary space
+    * on each side and leaves the neighbour's boundary intact —
+    * non-overlapping left-to-right replace then implements exact
+    * greedy BPE pairing (`' a  a  a  a '` → `' aa  aa '`).
+    *
+    * Scale: round r is explode+hash-agg over the dictionary, a 1-row
+    * argmax broadcast back (the scalar-subquery pattern), and a
+    * map-side replace — no corpus pass after round 0; `dictLimit`
+    * bounds the working set the way real BPE trainers prune to top-V
+    * words. Output (merge rank, pair, merged symbol, weighted count)
+    * is exact and deterministic → fully oracle-checked, with the
+    * rounds unrolled as DuckDB CTE generations like the k-means IVF
+    * twin.
+    */
+  def bpeMerges(docs: DataFrame, numMerges: Int = 8,
+      dictLimit: Int = 100000): DataFrame = {
+    val dict0 = docs
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(dictLimit)
+      .select(expr("concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')")
+        .as("syms"), col("freq"))
+    // materialize the dictionary once (the only corpus pass) and after
+    // every merge round — without this, round r's lazy plan replays
+    // rounds 1…r−1 from the corpus and the loop goes quadratic in
+    // corpus passes (the connectedComponents lesson)
+    var dict = dict0.localCheckpoint()
+    var result: DataFrame = null
+    for (r <- 1 to numMerges) {
+      val pairs = dict
+        .withColumn("arr", split(trim(col("syms")), "  "))
+        .select(col("freq"), explode(when(size(col("arr")) >= 2,
+          expr("transform(sequence(1, size(arr) - 1), " +
+            "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"))
+          .otherwise(expr("slice(arr, 1, 0)"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      val best = pairs
+        .agg(min_by(struct(col("pair"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("pair"))).as("b"))
+        .select(col("b.pair").as("mpair"), col("b.cnt").as("mcnt"))
+        .where(col("mpair").isNotNull)
+        .localCheckpoint() // 1 row; referenced by the merge AND the output
+      dict = dict.crossJoin(broadcast(best))
+        .withColumn("syms", expr(
+          """replace(syms, concat(' ', replace(mpair, ' ', '  '), ' '),
+            |        concat(' ', replace(mpair, ' ', ''), ' '))""".stripMargin))
+        .select("syms", "freq")
+        .localCheckpoint()
+      val row = best.select(lit(r).as("merge_rank"), col("mpair").as("pair"),
+        expr("replace(mpair, ' ', '')").as("merged"), col("mcnt").as("freq"))
+      result = if (result == null) row else result.unionAll(row)
+    }
+    result.orderBy("merge_rank")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — the merge rounds unrolled as
+    * CTE generations.
+    */
+  def bpeMergesSql(numMerges: Int = 8): String = {
+    def pairsCte(i: Int): String =
+      s"""p$i AS (
+         |  SELECT g AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, UNNEST(list_transform(range(1, len(arr)),
+         |        j -> arr[j] || ' ' || arr[j + 1])) AS g
+         |    FROM (SELECT freq, string_split(trim(syms), '  ') AS arr
+         |          FROM d$i) t0) t1
+         |  GROUP BY 1),
+         |b${i + 1} AS (
+         |  SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |d${i + 1} AS (
+         |  SELECT replace(syms, ' ' || replace(pair, ' ', '  ') || ' ',
+         |           ' ' || replace(pair, ' ', '') || ' ') AS syms, freq
+         |  FROM d$i, b${i + 1})""".stripMargin
+    val gens = (0 until numMerges).map(pairsCte).mkString(",\n")
+    val rows = (1 to numMerges).map(i =>
+      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt AS freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH d0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+       |    AS syms, freq
+       |  FROM (SELECT w, COUNT(*) AS freq FROM (
+       |          SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |          FROM documents) t WHERE w <> '' GROUP BY 1)),
+       |$gens
+       |SELECT * FROM ($rows) u ORDER BY merge_rank""".stripMargin
+  }
+
   /** Sequence packing — concatenate the corpus in doc_id order and
     * chunk it into fixed `seqLen`-token training sequences; report
     * which bin each document STARTS in (documents straddle bins, the

@@ -346,6 +346,7 @@ object Extensions {
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
+    "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -416,6 +417,7 @@ object Extensions {
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
+    "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),

