@@ -203,7 +203,7 @@ object CorpusPipeline {
   /** DuckDB oracle for [[bpeMerges]] — the merge rounds unrolled as
     * CTE generations.
     */
-  def bpeMergesSql(numMerges: Int = 8): String = {
+  def bpeMergesSql(numMerges: Int = 8, dictLimit: Int = 100000): String = {
     def pairsCte(i: Int): String =
       s"""p$i AS (
          |  SELECT g AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -227,7 +227,8 @@ object CorpusPipeline {
        |    AS syms, freq
        |  FROM (SELECT w, COUNT(*) AS freq FROM (
        |          SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |          FROM documents) t WHERE w <> '' GROUP BY 1)),
+       |          FROM documents) t WHERE w <> '' GROUP BY 1
+       |        ORDER BY freq DESC, w LIMIT $dictLimit)),
        |$gens
        |SELECT * FROM ($rows) u ORDER BY merge_rank""".stripMargin
   }

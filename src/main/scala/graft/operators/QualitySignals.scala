@@ -237,23 +237,24 @@ object QualitySignals {
     */
   def piiRedact(docs: DataFrame, augment: Boolean = true): DataFrame = {
     val text = if (augment) augmented(docs) else col("text")
+    // counts are taken SEQUENTIALLY, each on the text as the previous
+    // redaction left it — so a span consumed by the email pass (e.g.
+    // '555-1234@x.io') is never double-reported as a phone, and every
+    // count is a faithful description of the redacted output
     docs.withColumn("aug", text)
       .withColumn("n_emails",
         size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
           .cast("bigint"))
+      .withColumn("s1", regexp_replace(col("aug"), emailRe, "[EMAIL]"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+        size(regexp_extract_all(col("s1"), lit(phoneRe), lit(0)))
           .cast("bigint"))
+      .withColumn("s2", regexp_replace(col("s1"), phoneRe, "[PHONE]"))
       .withColumn("n_ips",
-        size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+        size(regexp_extract_all(col("s2"), lit(ipRe), lit(0)))
           .cast("bigint"))
+      .withColumn("redacted", regexp_replace(col("s2"), ipRe, "[IP]"))
       .where(col("n_emails") + col("n_phones") + col("n_ips") > 0)
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("aug"), emailRe, "[EMAIL]"),
-            phoneRe, "[PHONE]"),
-          ipRe, "[IP]"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
@@ -275,18 +276,23 @@ object QualitySignals {
        |              || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
        |         ELSE '' END AS t
        |  FROM documents),
-       |hits AS (
+       |st1 AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT)
        |      AS n_emails,
-       |    CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT)
+       |    regexp_replace(t, '$emailRe', '[EMAIL]', 'g') AS s1
+       |  FROM aug),
+       |st2 AS (
+       |  SELECT doc_id, n_emails,
+       |    CAST(len(regexp_extract_all(s1, '$phoneRe')) AS BIGINT)
        |      AS n_phones,
-       |    CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
-       |    md5(regexp_replace(regexp_replace(regexp_replace(t,
-       |      '$emailRe', '[EMAIL]', 'g'),
-       |      '$phoneRe', '[PHONE]', 'g'),
-       |      '$ipRe', '[IP]', 'g')) AS redacted_md5
-       |  FROM aug)
+       |    regexp_replace(s1, '$phoneRe', '[PHONE]', 'g') AS s2
+       |  FROM st1),
+       |hits AS (
+       |  SELECT doc_id, n_emails, n_phones,
+       |    CAST(len(regexp_extract_all(s2, '$ipRe')) AS BIGINT) AS n_ips,
+       |    md5(regexp_replace(s2, '$ipRe', '[IP]', 'g')) AS redacted_md5
+       |  FROM st2)
        |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5
        |FROM hits WHERE n_emails + n_phones + n_ips > 0
        |ORDER BY doc_id""".stripMargin

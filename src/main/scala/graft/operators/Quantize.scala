@@ -58,7 +58,7 @@ object Quantize {
       |  FROM embeddings),
       |mm AS (
       |  SELECT label, CAST(len(xs) AS BIGINT) AS d, xs,
-      |    list_max(list_transform(xs, x -> abs(x))) AS m
+      |    COALESCE(list_max(list_transform(xs, x -> abs(x))), 0.0) AS m
       |  FROM v),
       |qq AS (
       |  SELECT label, d, m,

@@ -27,11 +27,13 @@ object Sampling {
     * in DuckDB via `CAST('0x'||substring(md5(…),1,15) AS BIGINT)`.
     */
   def hashBucket(salt: String, key: Column): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
-      16, 10).cast("bigint") % 1000
+    hashBucketFull(salt, key) % 1000
 
   def hashBucketSql(salt: String, keyExpr: String): String =
-    s"CAST('0x' || substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 1000"
+    s"${hashBucketFullSql(salt, keyExpr)} % 1000"
+
+  def hashBucketFullSql(salt: String, keyExpr: String): String =
+    s"CAST('0x' || substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT)"
 
   /** Per-language permille keep rates for the driver entry: keep
     * English-heavy corpus balanced by downsampling `en`, keep the rest
@@ -98,8 +100,7 @@ object Sampling {
        |FROM (
        |  SELECT source, doc_id, n_chars,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY CAST('0x' || substring(md5('quo:' ||
-       |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS rk
+       |      ORDER BY ${hashBucketFullSql("quo:", "doc_id")}, doc_id) AS rk
        |  FROM documents) t
        |WHERE rk <= $quota
        |GROUP BY source ORDER BY source""".stripMargin

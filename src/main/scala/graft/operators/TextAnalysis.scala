@@ -120,9 +120,14 @@ object TextAnalysis {
     val words = docs
       .select(explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
-    val cands = words.as[String].mapPartitions { it =>
+    // one sketch pass emits BOTH the survivors and the partition's
+    // word total (empty-string sentinel — never a word, they are
+    // filtered nonempty), so N needs no extra corpus scan
+    val sketch = words.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       it.foreach { w =>
+        np += 1
         m.get(w) match {
           case Some(v) => m(w) = v + 1
           case None if m.size < k => m(w) = 1L
@@ -133,9 +138,10 @@ object TextAnalysis {
             }
         }
       }
-      m.keysIterator
-    }.toDF("w").distinct()
-    val tot = words.agg(count(lit(1)).as("n"))
+      m.keysIterator.map(w => (w, 0L)) ++ Iterator(("", np))
+    }.toDF("w", "np").localCheckpoint()
+    val cands = sketch.where(col("w") =!= "").select("w").distinct()
+    val tot = sketch.where(col("w") === "").agg(sum("np").as("n"))
     words.join(broadcast(cands), "w")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(tot))

@@ -113,9 +113,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toList
     assert(got == expected, s"\ngot:      $got\nexpected: $expected")
-    // greedy pairing proof: 'a a' counts 2 per 'aaaa' occurrence
-    assert(expected.exists { case (_, p, _, c) => p == "a a" && c == 8 }
-      || got.forall(_._4 > 0))
+  }
+
+  test("bpeMerges pairs greedily left-to-right, not overlapping") {
+    // 'aaaa' alone: round 1 merges (a,a) with weighted count 3·freq;
+    // GREEDY pairing gives [aa, aa], so round 2 must merge (aa, aa) —
+    // a non-greedy [aa, a, a] split would merge (aa, a) instead, and
+    // the sequential reference (which is greedy by construction)
+    // would catch it
+    val docs = Seq.tabulate(5)(i => (i.toLong, "aaaa", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = CorpusPipeline.bpeMerges(docs, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "a a", "aa", 15L), (2, "aa aa", "aaaa", 5L)),
+      got.toString)
+    assert(got == seqBpe(Map("aaaa" -> 5L), 2))
   }
 
   test("bpeMerges is layout-independent") {

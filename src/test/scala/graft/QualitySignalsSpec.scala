@@ -61,6 +61,19 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(r1.getString(4) == expected)
   }
 
+  test("piiRedact counts describe the redaction when patterns overlap") {
+    // the email pass consumes '555-1234@x.io' (digits/dash are legal
+    // local-part chars) — the phone count must then be 0, matching
+    // the redacted output, not 1 from an independent scan
+    val d = Seq((1L, "reach me at 555-1234@example.com", "en", "s1", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = QualitySignals.piiRedact(d, augment = false).collect()(0)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 0 && r.getLong(3) == 0)
+    val expected = spark.sql(
+      "SELECT md5('reach me at [EMAIL]')").first().getString(0)
+    assert(r.getString(4) == expected)
+  }
+
   test("piiRedact fixture augmentation hits the deterministic doc_id slices") {
     val d = (0L until 100L).map(i => (i, "plain words", "en", "s1", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
