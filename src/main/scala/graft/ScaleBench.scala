@@ -132,6 +132,7 @@ object ScaleBench {
         "dedup_clusters", "sim_ann_lsh", "sim_cosine_topk", "sim_ivf_topk",
         "sim_ivf_kmeans", "dedup_incremental", "pipeline_decontaminate",
         "pipeline_pack_sequences", "pipeline_bpe_merges",
+        "pipeline_bpe_encode",
         "text_repetition", "text_unigram_lm", "text_pii_redact",
         "text_heavy_hitters", "sim_quantize_int8")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")

@@ -203,7 +203,11 @@ object CorpusPipeline {
   /** DuckDB oracle for [[bpeMerges]] — the merge rounds unrolled as
     * CTE generations.
     */
-  def bpeMergesSql(numMerges: Int = 8, dictLimit: Int = 100000): String = {
+  /** Shared SQL front end of the BPE oracles: the top-`dictLimit`
+    * word-frequency dictionary `v0`, symbol form `d0`, and the
+    * unrolled merge generations `p{i}/b{i+1}/d{i+1}`.
+    */
+  private def bpeCtes(numMerges: Int, dictLimit: Int): String = {
     def pairsCte(i: Int): String =
       s"""p$i AS (
          |  SELECT g AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -219,19 +223,120 @@ object CorpusPipeline {
          |           ' ' || replace(pair, ' ', '') || ' ') AS syms, freq
          |  FROM d$i, b${i + 1})""".stripMargin
     val gens = (0 until numMerges).map(pairsCte).mkString(",\n")
-    val rows = (1 to numMerges).map(i =>
-      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt AS freq FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH d0 AS (
+    s"""v0 AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |      SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |      FROM documents) t WHERE w <> '' GROUP BY 1
+       |  ORDER BY freq DESC, w LIMIT $dictLimit),
+       |d0 AS (
        |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
        |    AS syms, freq
-       |  FROM (SELECT w, COUNT(*) AS freq FROM (
-       |          SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |          FROM documents) t WHERE w <> '' GROUP BY 1
-       |        ORDER BY freq DESC, w LIMIT $dictLimit)),
-       |$gens
-       |SELECT * FROM ($rows) u ORDER BY merge_rank""".stripMargin
+       |  FROM v0),
+       |$gens""".stripMargin
   }
+
+  private def bpeMergeRows(numMerges: Int): String =
+    (1 to numMerges).map(i =>
+      s"SELECT $i AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt AS freq FROM b$i")
+      .mkString("\nUNION ALL ")
+
+  def bpeMergesSql(numMerges: Int = 8, dictLimit: Int = 100000): String =
+    s"""WITH ${bpeCtes(numMerges, dictLimit)}
+       |SELECT * FROM (${bpeMergeRows(numMerges)}) u
+       |ORDER BY merge_rank""".stripMargin
+
+  /** BPE ENCODE — apply the merges [[bpeMerges]] learned back to the
+    * corpus (the tokenizer's forward pass) and report the per-language
+    * compression: words, subword tokens, tokens/word, and the distinct
+    * subword inventory actually used. Scale shape: the merge list is a
+    * 1-row array broadcast into a fold over the DICTIONARY (each
+    * distinct word is encoded once, map-side, via the same double-
+    * space replace — `aggregate`/`list_reduce` is the engine-portable
+    * fold); the corpus then joins the broadcast word→encoding map, so
+    * the corpus-sized work is one explode + broadcast join + agg.
+    */
+  def bpeEncode(docs: DataFrame, numMerges: Int = 8,
+      dictLimit: Int = 100000): DataFrame = {
+    val marr = bpeMerges(docs, numMerges, dictLimit)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(merge_rank, pair))), x -> x.pair)")
+        .as("ms"))
+    val dict = docs
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(dictLimit)
+      .select(col("w"),
+        expr("concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')")
+          .as("syms"))
+    val enc = dict.crossJoin(broadcast(marr))
+      .withColumn("enc", expr(
+        """aggregate(ms, syms, (acc, p) ->
+          |  replace(acc, concat(' ', replace(p, ' ', '  '), ' '),
+          |               concat(' ', replace(p, ' ', ''), ' ')))""".stripMargin))
+      .withColumn("n_sub", size(split(trim(col("enc")), "  ")).cast("bigint"))
+      .select("w", "enc", "n_sub")
+    val corpus = docs
+      .select(col("lang"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val j = corpus.join(broadcast(enc), "w")
+    val counts = j.groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subword_tokens"))
+    val vocab = j
+      .select(col("lang"), explode(split(trim(col("enc")), "  ")).as("sym"))
+      .groupBy("lang").agg(countDistinct("sym").as("n_distinct_subwords"))
+    counts.join(vocab, "lang")
+      .withColumn("tokens_per_word",
+        col("n_subword_tokens").cast("double") / col("n_words"))
+      .select("lang", "n_words", "n_subword_tokens", "n_distinct_subwords",
+        "tokens_per_word")
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — merges re-derived by the
+    * unrolled generations, then applied with `list_reduce` seeded via
+    * `list_prepend` (2-arg reduce; the accumulator is the word's
+    * symbol string).
+    */
+  def bpeEncodeSql(numMerges: Int = 8, dictLimit: Int = 100000): String =
+    s"""WITH ${bpeCtes(numMerges, dictLimit)},
+       |mg AS (${bpeMergeRows(numMerges)}),
+       |mlist AS (
+       |  SELECT COALESCE(LIST(pair ORDER BY merge_rank),
+       |    CAST([] AS VARCHAR[])) AS ms FROM mg),
+       |dct AS (
+       |  SELECT w,
+       |    ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+       |      AS syms
+       |  FROM v0),
+       |enc AS (
+       |  SELECT w,
+       |    list_reduce(list_prepend(syms, ms), (acc, p) ->
+       |      replace(acc, ' ' || replace(p, ' ', '  ') || ' ',
+       |                   ' ' || replace(p, ' ', '') || ' ')) AS enc
+       |  FROM dct, mlist),
+       |enc2 AS (
+       |  SELECT w, enc,
+       |    CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_sub
+       |  FROM enc),
+       |corpus AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang,
+       |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t WHERE w <> ''),
+       |j AS (SELECT lang, enc, n_sub FROM corpus JOIN enc2 USING (w)),
+       |counts AS (
+       |  SELECT lang, COUNT(*) AS n_words,
+       |    CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
+       |  FROM j GROUP BY 1),
+       |vocab AS (
+       |  SELECT lang, COUNT(DISTINCT sym) AS n_distinct_subwords FROM (
+       |    SELECT lang, UNNEST(string_split(trim(enc), '  ')) AS sym
+       |    FROM j) t GROUP BY 1)
+       |SELECT lang, n_words, n_subword_tokens, n_distinct_subwords,
+       |  CAST(n_subword_tokens AS DOUBLE) / n_words AS tokens_per_word
+       |FROM counts JOIN vocab USING (lang)
+       |ORDER BY lang""".stripMargin
 
   /** Sequence packing — concatenate the corpus in doc_id order and
     * chunk it into fixed `seqLen`-token training sequences; report

@@ -131,6 +131,36 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(got == seqBpe(Map("aaaa" -> 5L), 2))
   }
 
+  test("bpeEncode token counts equal sequential merge application") {
+    val words = Seq.fill(10)("lower") ++ Seq.fill(6)("lowest") ++
+      Seq.fill(8)("newer")
+    val docs = words.grouped(4).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.mkString(" "), "en", "s", 10L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val freq = words.groupBy(identity).map { case (w, g) =>
+      w -> g.size.toLong
+    }
+    // sequential: learn merges, then apply them to each word in order
+    val merges = seqBpe(freq, 4).map(_._2)
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList) { (syms, m) =>
+        val Array(a, b) = m.split(" ")
+        def go(s: List[String]): List[String] = s match {
+          case x :: y :: rest if x == a && y == b => (x + y) :: go(rest)
+          case x :: rest => x :: go(rest)
+          case Nil => Nil
+        }
+        go(syms)
+      }
+    val expTokens = words.map(w => encode(w).size.toLong).sum
+    val expVocab = words.flatMap(encode).distinct.size.toLong
+    val row = CorpusPipeline.bpeEncode(docs, numMerges = 4).collect()(0)
+    assert(row.getString(0) == "en")
+    assert(row.getLong(1) == words.size)
+    assert(row.getLong(2) == expTokens, s"${row.getLong(2)} vs $expTokens")
+    assert(row.getLong(3) == expVocab)
+  }
+
   test("bpeMerges is layout-independent") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, s"alpha beta gamma delta w$i", "en", "s", 10L))
