@@ -285,7 +285,7 @@ object CorpusPipeline {
     val vocab = j
       .select(col("lang"), explode(split(trim(col("enc")), "  ")).as("sym"))
       .groupBy("lang").agg(countDistinct("sym").as("n_distinct_subwords"))
-    counts.join(vocab, "lang")
+    counts.join(broadcast(vocab), "lang")
       .withColumn("tokens_per_word",
         col("n_subword_tokens").cast("double") / col("n_words"))
       .select("lang", "n_words", "n_subword_tokens", "n_distinct_subwords",
