@@ -85,4 +85,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("repetition signals: one text scan, one wide gram shuffle") {
+    val p = planOf(graft.operators.QualitySignals
+      .repetition(ctx.documents))
+    // the kind-tagged fused form: a single parquet scan feeds words,
+    // 2-grams and 3-grams — three scans would triple the corpus read
+    // (count the "(n) Scan parquet" detail entries; the tree renders
+    // each operator a second time)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("PII redaction: pure map + filter, no exchange at all") {
+    val p = planOf(graft.operators.QualitySignals
+      .piiRedact(ctx.documents).limit(10))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("incremental dedup: hash joins only, verdict join included") {
+    val p = planOf(graft.operators.Dedup
+      .incrementalLsh(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("heavy hitters: candidate recount is a broadcast join") {
+    val p = planOf(graft.operators.TextAnalysis
+      .heavyHitters(ctx.documents))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("BPE encode: dictionary fold rides broadcast joins only") {
+    val p = planOf(graft.operators.CorpusPipeline
+      .bpeEncode(ctx.documents, numMerges = 2))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
