@@ -521,18 +521,32 @@ object Dedup {
     */
   def shingleJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs)
-    // set sizes ride along as a window count and flow THROUGH the
-    // self-join (first() per pair group), so no join back against a
-    // per-doc sizes table is needed; shuffle_hash because sorting the
-    // inverted index for a merge join is pure waste before a hash agg
-    val shN = sh.withColumn("n",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
-    shN.as("a").hint("shuffle_hash")
-      .join(shN.as("b"),
+    // per-doc set sizes are computed MAP-SIDE from the shingle array
+    // (size∘array_distinct over the same md5 hashes — identical
+    // semantics to counting the exploded distinct rows) and joined to
+    // the PAIR aggregate, which is far smaller than the shingle set.
+    // The earlier window form shuffled every shingle row by doc_id
+    // twice (once per self-join side) just to attach n; this shape
+    // shuffles only the inverted index (by h) and the pair set.
+    // shuffle_hash: sorting for a merge join is pure waste before a
+    // hash agg, and AQE upgrades the small sizes side to broadcast.
+    val sizes = docs
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"), expr(
+        """size(array_distinct(transform(
+          |  transform(sequence(0, greatest(size(ws) - 3, 0)),
+          |            i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2))),
+          |  sh -> CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT))))""".stripMargin)
+        .cast("bigint").as("n"))
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"),
-        first(col("a.n")).as("n1"), first(col("b.n")).as("n2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+        .hint("shuffle_hash"), "d2")
       .select(col("d1"), col("d2"),
         (col("common") / (col("n1") + col("n2") - col("common")))
           .as("jaccard"))
