@@ -165,8 +165,7 @@ object CorpusPipeline {
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(dictLimit)
-      .select(expr("concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')")
-        .as("syms"), col("freq"))
+      .select(expr(symsExpr).as("syms"), col("freq"))
     // materialize the dictionary once (the only corpus pass) and after
     // every merge round — without this, round r's lazy plan replays
     // rounds 1…r−1 from the corpus and the loop goes quadratic in
@@ -229,8 +228,7 @@ object CorpusPipeline {
        |      FROM documents) t WHERE w <> '' GROUP BY 1
        |  ORDER BY freq DESC, w LIMIT $dictLimit),
        |d0 AS (
-       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
-       |    AS syms, freq
+       |  SELECT $symsExprSql AS syms, freq
        |  FROM v0),
        |$gens""".stripMargin
   }
@@ -261,14 +259,15 @@ object CorpusPipeline {
       .agg(expr(
         "transform(array_sort(collect_list(struct(merge_rank, pair))), x -> x.pair)")
         .as("ms"))
+    // ENCODE covers every distinct corpus word — dictLimit bounds only
+    // what the merges were LEARNED on (like real trainers); the fold
+    // applies the learned merges to out-of-dictionary words exactly
+    // the same way, so nothing is dropped from the reported counts
     val dict = docs
       .select(explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w")).limit(dictLimit)
-      .select(col("w"),
-        expr("concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')")
-          .as("syms"))
+      .distinct()
+      .select(col("w"), expr(symsExpr).as("syms"))
     val enc = dict.crossJoin(broadcast(marr))
       .withColumn("enc", expr(
         """aggregate(ms, syms, (acc, p) ->
@@ -282,7 +281,10 @@ object CorpusPipeline {
     val j = corpus.join(broadcast(enc), "w")
     val counts = j.groupBy("lang")
       .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subword_tokens"))
-    val vocab = j
+    // inventory from distinct (lang, word) pairs — exploding the
+    // encoding once per corpus OCCURRENCE would do duplication-factor
+    // times the work for the same countDistinct
+    val vocab = corpus.distinct().join(broadcast(enc), "w")
       .select(col("lang"), explode(split(trim(col("enc")), "  ")).as("sym"))
       .groupBy("lang").agg(countDistinct("sym").as("n_distinct_subwords"))
     counts.join(broadcast(vocab), "lang")
@@ -292,6 +294,14 @@ object CorpusPipeline {
         "tokens_per_word")
       .orderBy("lang")
   }
+
+  /** The double-space symbol form of a word — ONE definition shared by
+    * training ([[bpeMerges]]) and encode; SQL twin: [[symsExprSql]].
+    */
+  private val symsExpr: String =
+    "concat(' ', trim(regexp_replace(w, '(.)', '$1  ')), ' ')"
+  private val symsExprSql: String =
+    "' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '"
 
   /** DuckDB oracle for [[bpeEncode]] — merges re-derived by the
     * unrolled generations, then applied with `list_reduce` seeded via
@@ -304,11 +314,14 @@ object CorpusPipeline {
        |mlist AS (
        |  SELECT COALESCE(LIST(pair ORDER BY merge_rank),
        |    CAST([] AS VARCHAR[])) AS ms FROM mg),
+       |corpus AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang,
+       |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t WHERE w <> ''),
        |dct AS (
-       |  SELECT w,
-       |    ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
-       |      AS syms
-       |  FROM v0),
+       |  SELECT w, $symsExprSql AS syms
+       |  FROM (SELECT DISTINCT w FROM corpus) t),
        |enc AS (
        |  SELECT w,
        |    list_reduce(list_prepend(syms, ms), (acc, p) ->
@@ -319,11 +332,6 @@ object CorpusPipeline {
        |  SELECT w, enc,
        |    CAST(len(string_split(trim(enc), '  ')) AS BIGINT) AS n_sub
        |  FROM enc),
-       |corpus AS (
-       |  SELECT lang, w FROM (
-       |    SELECT lang,
-       |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |    FROM documents) t WHERE w <> ''),
        |j AS (SELECT lang, enc, n_sub FROM corpus JOIN enc2 USING (w)),
        |counts AS (
        |  SELECT lang, COUNT(*) AS n_words,
@@ -332,7 +340,8 @@ object CorpusPipeline {
        |vocab AS (
        |  SELECT lang, COUNT(DISTINCT sym) AS n_distinct_subwords FROM (
        |    SELECT lang, UNNEST(string_split(trim(enc), '  ')) AS sym
-       |    FROM j) t GROUP BY 1)
+       |    FROM (SELECT DISTINCT lang, w FROM corpus) d
+       |    JOIN enc2 USING (w)) t GROUP BY 1)
        |SELECT lang, n_words, n_subword_tokens, n_distinct_subwords,
        |  CAST(n_subword_tokens AS DOUBLE) / n_words AS tokens_per_word
        |FROM counts JOIN vocab USING (lang)

@@ -111,12 +111,23 @@ object Dedup {
     * `concat_ws` then drops the missing tail words on both engines
     * identically.
     */
+  /** SQL-expression fragment building the word-3-gram shingle array
+    * from a token array `ws` — the ONE definition every shingle
+    * consumer (explode paths and the map-side set-size computation)
+    * shares, so the Jaccard denominator can never silently diverge
+    * from the joined shingle sets.
+    */
+  private val shingleArrExpr: String =
+    """transform(sequence(0, greatest(size(ws) - 3, 0)),
+      |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin
+
+  /** The repo's portable 60-bit md5 hash of a shingle string `sh`. */
+  private val shingleHashExpr: String =
+    "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+
   private def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
-        .as("sh"))
+      .select(col("doc_id"), explode(expr(shingleArrExpr)).as("sh"))
       .distinct()
 
   /** MinHash + LSH banding near-dup candidates — the scale path.
@@ -533,10 +544,7 @@ object Dedup {
     val sizes = docs
       .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
       .select(col("doc_id"), expr(
-        """size(array_distinct(transform(
-          |  transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |            i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2))),
-          |  sh -> CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT))))""".stripMargin)
+        s"size(array_distinct(transform($shingleArrExpr, sh -> $shingleHashExpr)))")
         .cast("bigint").as("n"))
     sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"),
@@ -581,12 +589,8 @@ object Dedup {
     */
   private[operators] def shingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, greatest(size(ws) - 3, 0)),
-          |          i -> concat_ws(' ', get(ws, i), get(ws, i+1), get(ws, i+2)))""".stripMargin))
-        .as("sh"))
-      .select(col("doc_id"), expr(
-        "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("doc_id"), explode(expr(shingleArrExpr)).as("sh"))
+      .select(col("doc_id"), expr(shingleHashExpr).as("h"))
       .distinct()
 
   /** Connected components by iterative min-label propagation: every

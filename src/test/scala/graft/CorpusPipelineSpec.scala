@@ -161,6 +161,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(row.getLong(3) == expVocab)
   }
 
+  test("bpeEncode covers out-of-dictionary words (dictLimit only bounds training)") {
+    val words = Seq.fill(8)("lower") ++ Seq.fill(6)("newer") ++
+      Seq("rare", "rarer", "rarest")
+    val docs = words.grouped(5).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.mkString(" "), "en", "s", 10L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // merges learn only from the top-2 words, but EVERY word is
+    // encoded — including the rare ones the dictionary pruned
+    val row = CorpusPipeline.bpeEncode(docs, numMerges = 2, dictLimit = 2)
+      .collect()(0)
+    assert(row.getLong(1) == words.size.toLong) // nothing dropped
+    assert(row.getLong(2) > 0)
+  }
+
   test("bpeMerges is layout-independent") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, s"alpha beta gamma delta w$i", "en", "s", 10L))
