@@ -235,13 +235,14 @@ object QualitySignals {
     * scale; the md5 column proves the redacted output itself is
     * identical across engines, not just the counts.
     */
-  def piiRedact(docs: DataFrame, augment: Boolean = true): DataFrame = {
+  def piiRedact(docs: DataFrame, augment: Boolean = true,
+      ordered: Boolean = true): DataFrame = {
     val text = if (augment) augmented(docs) else col("text")
     // counts are taken SEQUENTIALLY, each on the text as the previous
     // redaction left it — so a span consumed by the email pass (e.g.
     // '555-1234@x.io') is never double-reported as a phone, and every
     // count is a faithful description of the redacted output
-    docs.withColumn("aug", text)
+    val out = docs.withColumn("aug", text)
       .withColumn("n_emails",
         size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
           .cast("bigint"))
@@ -257,7 +258,10 @@ object QualitySignals {
       .where(col("n_emails") + col("n_phones") + col("n_ips") > 0)
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         md5(col("redacted")).as("redacted_md5"))
-      .orderBy("doc_id")
+    // ordered=false is the STREAMING form: a global sort is neither
+    // supported nor meaningful in append mode; the driver entry keeps
+    // the total order for the oracle compare
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   val piiRedactSql: String =

@@ -125,6 +125,16 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming corpus quality gate — the PII scan/redaction applied to
+    * a DOCUMENT stream as it ingests. The operator is a pure
+    * map + filter (no state, no watermark, no shuffle), so the batch
+    * implementation streams unchanged in append mode; only the
+    * batch-side total order is dropped (meaningless on a stream).
+    * Parity with the batch operator is spec-checked row for row.
+    */
+  def piiGateStream(docs: DataFrame): DataFrame =
+    graft.operators.QualitySignals.piiRedact(docs, ordered = false)
+
   final case class AsofEvent(user_id: Long, eus: Long, is_right: Boolean,
     id: Long, v: Double, ts: java.sql.Timestamp)
   final case class AsofJoinState(rights: List[(Long, Double)],

@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII gate equals the batch redaction row for row") {
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = EventStream.runToMemory(EventStream.piiGateStream(stream),
+      "pii_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("pii_gate_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val batch = graft.operators.QualitySignals
+        .piiRedact(Ctx(spark, sfDir).documents).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val dim = Ctx(spark, sfDir).events.groupBy("user_id")
