@@ -531,7 +531,10 @@ object Dedup {
     * engines.
     */
   def shingleJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleHashes(docs)
+    // materialize the distinct shingle set once — each self-join side
+    // would otherwise replay the scan+explode+md5+DISTINCT (a full
+    // shuffle) independently
+    val sh = shingleHashes(docs).localCheckpoint()
     // per-doc set sizes are computed MAP-SIDE from the shingle array
     // (size∘array_distinct over the same md5 hashes — identical
     // semantics to counting the exploded distinct rows) and joined to
