@@ -157,6 +157,9 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+      // materialized once: the downstream self-join would otherwise
+      // replay the whole signature pipeline per side
+      .localCheckpoint()
   }
 
   def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
@@ -214,6 +217,9 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bsig")
+      // materialized once: the downstream self-join would otherwise
+      // replay the whole md5 signature pipeline per side
+      .localCheckpoint()
   }
 
   def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
