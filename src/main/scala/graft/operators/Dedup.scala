@@ -432,6 +432,9 @@ object Dedup {
         "transform(sequence(0, 3), k -> (shiftright(simhash, k*16) & 65535))")))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+      // materialized once — the self-join would replay the simhash
+      // aggregation per side (same trade as the minhash banding)
+      .localCheckpoint()
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") &&
