@@ -148,9 +148,20 @@ object MLParity {
     val g = y.toRowMatrix().computeGramianMatrix()
     val gb = new BDM(l, l, g.toArray)
     val es = eigSym(gb)
-    // keep numerically nonzero directions (rank-deficient inputs)
-    val keep = (0 until l).filter(i => es.eigenvalues(i) > 1e-10 *
-      es.eigenvalues.data.max).reverse // descending
+    // keep numerically nonzero directions (rank-deficient inputs).
+    // eigSym can return slightly NEGATIVE eigenvalues for a PSD Gram,
+    // and an all-zero input makes every eigenvalue ~0 — so the cut is
+    // max(absolute floor, relative floor on the POSITIVE part of the
+    // spectrum): nothing negative ever passes (1/sqrt would be NaN and
+    // silently corrupt Q) and a degenerate input fails loudly below
+    // instead of feeding breeze a 0-column matrix.
+    val thresh = math.max(1e-12,
+      1e-10 * math.max(0.0, es.eigenvalues.data.max))
+    val keep = (0 until l).filter(i => es.eigenvalues(i) > thresh)
+      .reverse // descending
+    require(keep.nonEmpty,
+      s"svdCompressed: numerically zero range (max Gram eigenvalue " +
+        s"${es.eigenvalues.data.max}) — input has no detectable spectrum")
     val scale = BDM.zeros[Double](l, keep.size)
     keep.zipWithIndex.foreach { case (src, dst) =>
       val inv = 1.0 / math.sqrt(es.eigenvalues(src))

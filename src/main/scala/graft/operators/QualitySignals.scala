@@ -142,8 +142,13 @@ object QualitySignals {
     * exact integer sums regardless of partitioning, and a single
     * final division produces the double. The 1e9 grid bounds group
     * token counts at ~1e8 per group before BIGINT overflow — per-group
-    * (not corpus-wide) at 100 TB; document it rather than pay a
-    * 128-bit carrier.
+    * (not corpus-wide) at 100 TB. The bound is ENFORCED, not just
+    * documented: a DECIMAL(38,0) carrier of Σ|lps| rides alongside
+    * (exact 128-bit, one extra agg column), and any group whose
+    * abs-sum exceeds Long.MaxValue raises at execution time instead of
+    * wrapping into a plausible-but-wrong statistic. Σ|lps| bounds
+    * every BIGINT partial sum at both the per-doc and per-group level
+    * (|Σ subset| ≤ Σ|x|), so "guard passes" ⇒ no overflow anywhere.
     */
   def unigramLm(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), col("lang"), col("source"),
@@ -158,11 +163,21 @@ object QualitySignals {
       .select("w", "lps")
     val perDoc = w.join(broadcast(lp), "w")
       .groupBy("doc_id", "lang", "source")
-      .agg(count(lit(1)).as("n"), sum("lps").as("s"))
+      .agg(count(lit(1)).as("n"), sum("lps").as("s"),
+        sum(abs(col("lps")).cast("decimal(38,0)")).as("sabs"))
     perDoc.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n").as("total_tokens"),
-        round(-(sum("s").cast("double")) / sum("n").cast("double") / lit(1e9),
+        round(
+          when(
+            sum(col("sabs")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+            raise_error(concat(
+              lit("unigramLm: BIGINT log-prob carrier overflow for group ("),
+              col("lang"), lit(","), col("source"),
+              lit(") — shard the group or rescale the grid")
+            )).cast("double"))
+            .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
+              lit(1e9)),
           6).as("avg_nll_token"),
         round(min(-(col("s").cast("double")) / col("n") / lit(1e9)), 6)
           .as("min_doc_nll"),

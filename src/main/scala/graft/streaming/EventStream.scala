@@ -131,9 +131,16 @@ object EventStream {
     * implementation streams unchanged in append mode; only the
     * batch-side total order is dropped (meaningless on a stream).
     * Parity with the batch operator is spec-checked row for row.
+    *
+    * `augment = false` is the real-ingest default: the deterministic
+    * fixture augmentation (synthetic PII appended by doc_id) exists
+    * only so the PII-free synthetic corpus exercises the scanner —
+    * production streams must scan their text as-is. Only the
+    * spec/driver parity path opts in.
     */
-  def piiGateStream(docs: DataFrame): DataFrame =
-    graft.operators.QualitySignals.piiRedact(docs, ordered = false)
+  def piiGateStream(docs: DataFrame, augment: Boolean = false): DataFrame =
+    graft.operators.QualitySignals.piiRedact(docs, augment = augment,
+      ordered = false)
 
   final case class AsofEvent(user_id: Long, eus: Long, is_right: Boolean,
     id: Long, v: Double, ts: java.sql.Timestamp)

@@ -140,6 +140,19 @@ class MLParitySpec extends AnyFunSuite {
     sv.drop(3).foreach(s => assert(s < 1e-6 * exact(0)))
   }
 
+  test("svdCompressed fails loudly on a numerically zero matrix") {
+    import org.apache.spark.mllib.linalg.distributed.{BlockMatrix, IndexedRow, IndexedRowMatrix}
+    import org.apache.spark.mllib.linalg.Vectors
+    val zero = new IndexedRowMatrix(
+      spark.sparkContext.parallelize((0L until 16L).map(i =>
+        IndexedRow(i, Vectors.dense(Array.fill(16)(0.0)))), 2),
+      16L, 16).toBlockMatrix(8, 8)
+    val e = intercept[IllegalArgumentException] {
+      MLParity.svdCompressed(zero, k = 3)
+    }
+    assert(e.getMessage.contains("no detectable spectrum"))
+  }
+
   test("svdCompressed approximates the top spectrum of a full-rank matrix") {
     val a = MLParity.randomBlockMatrix(spark, 96, 32, seed = 5L)
     val (u, sv, v) = MLParity.svdCompressed(a, k = 3, oversample = 5,

@@ -49,7 +49,8 @@ class StreamingSpec extends AnyFunSuite {
     }
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(docsDir)
-    val q = EventStream.runToMemory(EventStream.piiGateStream(stream),
+    val q = EventStream.runToMemory(
+      EventStream.piiGateStream(stream, augment = true),
       "pii_gate_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
     try {
@@ -62,6 +63,13 @@ class StreamingSpec extends AnyFunSuite {
           r.getString(4))).toSet
       assert(streamed == batch && streamed.nonEmpty)
     } finally q.stop()
+    // real-ingest default: NO fixture augmentation — the synthetic
+    // corpus is PII-free, so the gate must pass nothing through
+    val q2 = EventStream.runToMemory(
+      EventStream.piiGateStream(stream), "pii_gate_plain",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try assert(spark.table("pii_gate_plain").count() == 0L)
+    finally q2.stop()
   }
 
   test("stream-static join enriches events with a dimension") {
