@@ -768,4 +768,82 @@ object Dedup {
        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
        |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
        |        FROM reach GROUP BY 1)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Passage-level (line-level) dedup — the CCNet/C4 boilerplate filter
+  // ---------------------------------------------------------------
+
+  /** Passage-level exact dedup: split each document into passages,
+    * count each passage's occurrences CORPUS-WIDE, strip passages that
+    * occur at least `maxOccurrences` times (headers, footers, cookie
+    * banners — the CCNet/C4 line-dedup boilerplate filter), and
+    * reassemble the surviving text in document order. Output per doc:
+    * passage counts and the md5 of the reassembled text (proving the
+    * reconstruction itself matches across engines, not just counts).
+    *
+    * The production splitting rule is newline; the synthetic corpus is
+    * single-line word salad, so the driver entry splits into
+    * fixed-width `width`-word passages — the splitter is the pluggable
+    * part, everything downstream is identical.
+    *
+    * Scale shape: passages are keyed by their 60-bit md5 (CLAUDE.md
+    * portable-hash convention), so the count aggregation and the
+    * count-back join shuffle narrow (hash, pos) rows — never full
+    * text; reassembly is one hash-agg keyed on doc_id whose state is
+    * bounded by the document itself. Three shuffles total, nothing
+    * quadratic, no broadcast of anything corpus-sized.
+    */
+  def passageDedup(docs: DataFrame, width: Int = 3,
+      maxOccurrences: Int = 3): DataFrame = {
+    val passages = docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ws) < 1 THEN array()
+           |ELSE transform(sequence(1, int(ceil(size(ws) / $width.0))),
+           |               i -> concat_ws(' ', slice(ws, (i-1)*$width+1, $width)))
+           |END""".stripMargin)))
+      .toDF("doc_id", "pos", "passage")
+      .withColumn("ph",
+        conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("bigint"))
+    val counts = passages.groupBy("ph").agg(count(lit(1)).as("c"))
+    passages.join(counts, "ph")
+      .withColumn("keep", col("c") < maxOccurrences)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("passage"))))),
+            s => s.getField("passage")),
+          " ")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  def passageDedupSql(width: Int = 3, maxOccurrences: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(ws[(i-1)*$width+1 : (i-1)*$width+$width], ' ')
+       |      AS passage
+       |  FROM t, UNNEST(range(1, CAST(ceil(len(ws)/$width.0) AS BIGINT)+1))
+       |    AS u(i)),
+       |h AS (
+       |  SELECT doc_id, pos, passage,
+       |    CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS ph
+       |  FROM p),
+       |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_passages,
+       |  COUNT(CASE WHEN c < $maxOccurrences THEN 1 END) AS n_kept,
+       |  md5(COALESCE(string_agg(passage, ' ' ORDER BY pos)
+       |        FILTER (WHERE c < $maxOccurrences), '')) AS kept_md5
+       |FROM h JOIN c USING (ph)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

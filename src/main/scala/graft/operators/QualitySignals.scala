@@ -213,6 +213,75 @@ object QualitySignals {
       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // Hash-trick linear quality classifier (fasttext-style inference)
+  // ---------------------------------------------------------------
+
+  /** Linear text-classifier INFERENCE via the hashing trick — the
+    * fasttext-style quality-filter shape every production corpus runs:
+    * each token hashes into one of `buckets` feature buckets, the
+    * document's score is the mean bucket weight, and the label is the
+    * score's sign. There is no vocabulary lookup and no model join —
+    * the whole scorer is one codegen'd `aggregate` fold over the token
+    * array, a pure map at ANY corpus size (the only shuffle below is
+    * the output orderBy).
+    *
+    * The weight table is a deterministic fixture (bucket → md5-derived
+    * integer in [-1e6, 1e6], i.e. weight·1e6 on an integer grid) — a
+    * real deployment swaps in trained weights either as a plan-time
+    * literal array (≤ a few MB for 2^20 buckets) or a broadcast join;
+    * the dataflow is identical. Integer-grid weights make the token
+    * sum exact and order-free, so the mean (one double division) is
+    * bit-identical in DuckDB — the same fixed-point discipline as the
+    * rest of the repo (CLAUDE.md).
+    */
+  def linearClassifier(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val bucket =
+      s"cast(conv(substring(md5(concat('qc:', w)), 1, 15), 16, 10) as bigint)" +
+        s" % $buckets"
+    val wgrid =
+      s"(cast(conv(substring(md5(concat('qw:', cast(($bucket) as string))), " +
+        s"1, 15), 16, 10) as bigint) % 2000001) - 1000000"
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .where(size(col("ws")) > 0)
+      .withColumn("n_tok", size(col("ws")).cast("bigint"))
+      .withColumn("swt",
+        expr(s"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ($wgrid))"))
+      // no rounding: swt and n_tok are exact integers < 2^53, so the
+      // two IEEE divisions are bit-identical across engines — while
+      // round(…,6) would DIVERGE whenever the rational score lands on
+      // a half-way tie (Spark decimal HALF_UP vs DuckDB binary round)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("swt").cast("double") / col("n_tok") / lit(1e6)).as("score"),
+        (col("swt").cast("double") / col("n_tok") / lit(1e6) > 0)
+          .cast("int").as("label"))
+      .orderBy("doc_id")
+  }
+
+  def linearClassifierSql(buckets: Int = 1024): String = {
+    val bucket =
+      s"CAST('0x' || substring(md5('qc:' || w), 1, 15) AS BIGINT) % $buckets"
+    val wgrid =
+      s"(CAST('0x' || substring(md5('qw:' || CAST(($bucket) AS VARCHAR)), " +
+        s"1, 15) AS BIGINT) % 2000001) - 1000000"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tok,
+       |    list_sum(list_transform(ws, w -> $wgrid)) AS swt
+       |  FROM t WHERE len(ws) > 0)
+       |SELECT doc_id, lang, n_tok,
+       |  CAST(swt AS DOUBLE) / n_tok / 1e6 AS score,
+       |  CAST(CAST(swt AS DOUBLE) / n_tok / 1e6 > 0 AS INTEGER) AS label
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // PII scan + redaction
   // ---------------------------------------------------------------
 

@@ -105,6 +105,66 @@ object Sampling {
        |WHERE rk <= $quota
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Temperature-based mixture sampling (α-sampling, the multilingual
+    * LM data-mixing rule): resample so language l's share follows
+    * p_l^α instead of its natural share p_l — α < 1 flattens the
+    * mixture, boosting low-resource languages and downsampling the
+    * dominant one. α is fixed at 0.5 so the exponent is `sqrt`
+    * (correctly rounded IEEE in both engines, hence portable — an
+    * arbitrary `pow` is not). With target size T = N/2, language l's
+    * keep-rate is min(1, q_l·T/n_l) with q_l = √n_l / Σ√n_m.
+    *
+    * Exactness: each √n is snapped to the 1e9 BIGINT grid up front, so
+    * the normalizer Σ is an exact integer sum (order-free); the rate
+    * computation is a fixed shape of IEEE double ops mirrored
+    * token-for-token in the oracle. Membership is the repo's salted-
+    * md5 permille filter — deterministic, layout-independent, stable
+    * under appends.
+    *
+    * Scale: one hash-agg for the per-language counts (a handful of
+    * rows), broadcast back over the corpus, pure-map filter —
+    * identical shape to [[stratifiedSample]] but with DATA-DERIVED
+    * rates.
+    */
+  def temperatureSample(documents: DataFrame): DataFrame = {
+    val g = documents.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("s",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("bigint"))
+    val tot = g.agg(sum("s").as("stot"), sum("n_docs").as("ntot"))
+    val rates = g.crossJoin(broadcast(tot))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          floor((lit(1000.0) * col("s")) / col("stot") *
+            (col("ntot") / lit(2.0)) / col("n_docs")).cast("bigint")))
+      .select("lang", "n_docs", "rate_permille")
+    documents.join(broadcast(rates), "lang")
+      .groupBy("lang", "n_docs", "rate_permille")
+      .agg(count(when(hashBucket("tmp:", col("doc_id")) < col("rate_permille"),
+        lit(1))).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val temperatureSampleSql: String =
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |g AS (SELECT lang, n_docs,
+       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |          AS s
+       |      FROM n),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
+       |               CAST(SUM(n_docs) AS BIGINT) AS ntot FROM g),
+       |r AS (SELECT lang, n_docs,
+       |        least(1000, CAST(floor(
+       |          (1000.0 * s) / stot * (ntot / 2.0) / n_docs) AS BIGINT))
+       |          AS rate_permille
+       |      FROM g, tot)
+       |SELECT r.lang, r.n_docs, r.rate_permille,
+       |  COUNT(CASE WHEN ${hashBucketSql("tmp:", "doc_id")} < r.rate_permille
+       |             THEN 1 END) AS n_kept
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   def stratifiedSampleSql: String = {
     val rateCase = ratePermille
       .map { case (l, r) => s"WHEN '$l' THEN $r" }

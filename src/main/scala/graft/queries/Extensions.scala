@@ -343,6 +343,7 @@ object Extensions {
     "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
     "dedup_incremental" -> (c => Dedup.incrementalLsh(c.documents)),
     "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
+    "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
@@ -371,6 +372,7 @@ object Extensions {
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
     "text_pii_redact" -> (c => QualitySignals.piiRedact(c.documents)),
+    "text_quality_classifier" -> (c => QualitySignals.linearClassifier(c.documents)),
     // embedding quantization
     "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
     // time windows / events
@@ -384,6 +386,7 @@ object Extensions {
     // deterministic sampling / splits
     "sample_stratified" -> (c => Sampling.stratifiedSample(c.documents)),
     "sample_source_quota" -> (c => Sampling.sourceQuota(c.documents)),
+    "sample_temperature" -> (c => Sampling.temperatureSample(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
@@ -415,6 +418,7 @@ object Extensions {
     "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
+    "dedup_passages" -> Dedup.passageDedupSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
@@ -434,6 +438,7 @@ object Extensions {
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,
+    "text_quality_classifier" -> QualitySignals.linearClassifierSql(),
     "sim_quantize_int8" -> Quantize.int8StatsSql,
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,
@@ -444,6 +449,7 @@ object Extensions {
     "events_range_join" -> RangeOps.errorClickFollowupsSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "sample_source_quota" -> Sampling.sourceQuotaSql(),
+    "sample_temperature" -> Sampling.temperatureSampleSql,
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,

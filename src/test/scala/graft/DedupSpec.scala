@@ -155,4 +155,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0L)._2 == 1L && out(0L)._3 == 1.0)
     assert(out(3L) == ((0L, -1L, 0.0)))
   }
+
+  test("passage dedup strips corpus-frequent passages and reassembles the rest") {
+    // passages are 2-word chunks; "x x" appears in docs 0,1,2 (3 ≥
+    // maxOccurrences) → stripped everywhere; everything else unique
+    val d = Seq(
+      (0L, "x x a b"), (1L, "x x c d"), (2L, "x x e f"),
+      (3L, "g h i j"),
+      (4L, "x x") // ONLY the hot passage → fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(d, width = 2, maxOccurrences = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L)._1 == 2 && out(0L)._2 == 1) // 2 passages, 1 kept
+    assert(out(3L) == ((2L, 2L, md5Of("g h i j"))))
+    assert(out(0L)._3 == md5Of("a b"))
+    // fully-removed doc keeps a row with md5 of the empty string
+    assert(out(4L) == ((1L, 0L, md5Of(""))))
+    // layout-independent
+    val again = Dedup.passageDedup(d.repartition(7), 2, 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(again == out)
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

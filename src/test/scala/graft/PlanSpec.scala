@@ -122,4 +122,25 @@ class PlanSpec extends AnyFunSuite {
       .bpeEncode(ctx.documents, numMerges = 2))
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("passage dedup: narrow hash-keyed joins, no sort-merge, no loops") {
+    val p = planOf(graft.operators.Dedup.passageDedup(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("linear classifier: pure map — no exchange before the output sort") {
+    val p = planOf(graft.operators.QualitySignals
+      .linearClassifier(ctx.documents).limit(10))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastHashJoin"), p) // no model join either
+  }
+
+  test("temperature sample: rates broadcast back over the corpus") {
+    val p = planOf(graft.operators.Sampling
+      .temperatureSample(ctx.documents))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -104,4 +104,32 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(out(2).getLong(3) == 0L)
     assert(out(2).getDouble(4) == 0.0 && out(2).getDouble(5) == 0.0)
   }
+
+  test("linearClassifier: score is the mean bucket weight, label its sign") {
+    val d = Seq(
+      (1L, "alpha beta alpha", "en", "s1", 16L),
+      (2L, "alpha", "en", "s1", 5L),
+      (3L, "  ", "en", "s1", 2L) // blank doc → filtered, not a div-by-0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.linearClassifier(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    // recompute doc 2's weight directly from the documented hash chain
+    val w = {
+      def h60(s: String) = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16)
+      (h60("qw:" + (h60("qc:alpha") % 1024)) % 2000001) - 1000000
+    }
+    assert(math.abs(out(2L)._2 - w / 1e6) < 1e-9)
+    assert(out(2L)._3 == (if (w > 0) 1 else 0))
+    // deterministic under repartition
+    val again = QualitySignals.linearClassifier(d.repartition(5)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(again == out)
+  }
 }

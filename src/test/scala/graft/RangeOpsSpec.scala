@@ -179,4 +179,32 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(splits("train") > splits("valid") && splits("train") > splits("test"))
     assert(splits.values.sum == s1.length)
   }
+
+  test("temperature sample flattens the language mixture deterministically") {
+    // 1600 en / 200 de / 200 fr: α=0.5 boosts the minorities' SHARE
+    val docs = Seq.tabulate(2000) { i =>
+      val lang = if (i < 1600) "en" else if (i < 1800) "de" else "fr"
+      (i.toLong, s"text $i", lang, s"src${i % 3}", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.temperatureSample(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("en", "de", "fr"))
+    val (nEn, rEn, kEn) = out("en")
+    val (nDe, rDe, kDe) = out("de")
+    assert(nEn == 1600L && nDe == 200L)
+    // minority languages get a strictly higher keep-rate
+    assert(rDe > rEn && out("fr")._2 == rDe)
+    // α=0.5, T=N/2: q_en = √1600/(√1600+2√200) ≈ .586 → rate ≈ .366
+    assert(rEn > 300 && rEn < 430)
+    assert(rDe > 900) // q_de·T/n_de ≈ 1.04 → capped near 1000
+    // kept counts follow the rates (md5 buckets are uniform)
+    assert(math.abs(kEn - nEn * rEn / 1000.0) < 60)
+    assert(math.abs(kDe - nDe * rDe / 1000.0) < 30)
+    // layout-independent
+    val again = Sampling.temperatureSample(docs.repartition(7)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
 }
