@@ -134,7 +134,8 @@ object ScaleBench {
         "pipeline_pack_sequences", "pipeline_bpe_merges",
         "pipeline_bpe_encode",
         "text_repetition", "text_unigram_lm", "text_pii_redact",
-        "text_heavy_hitters", "sim_quantize_int8")
+        "text_heavy_hitters", "sim_quantize_int8",
+        "dedup_passages", "text_quality_classifier", "sample_temperature")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

@@ -770,6 +770,79 @@ object Dedup {
        |        FROM reach GROUP BY 1)""".stripMargin
 
   // ---------------------------------------------------------------
+  // Cluster resolution: keep the BEST copy, not the first
+  // ---------------------------------------------------------------
+
+  /** Near-dup cluster RESOLUTION — the decision step a real pipeline
+    * runs after clustering: per cluster keep the highest-quality
+    * member, not the lowest doc_id. Composes the production dedup path
+    * ([[clustersLshMd5]]: shingle → minhash → band → candidate →
+    * component) with the hash-trick quality score
+    * ([[QualitySignals.linearClassifier]]); winner = max score, ties
+    * by min doc_id (total order). One window shuffle keyed on
+    * cluster_id on top of the cluster pipeline — cluster sizes bound
+    * the window state, nothing global.
+    *
+    * Score comparisons are cross-engine safe: the score is a ratio of
+    * exact integers, so the doubles (and hence the argmax) are
+    * bit-identical in DuckDB.
+    */
+  def keepBest(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
+    val cl = clustersLshMd5(docs, sampleMod)
+    val scores = graft.operators.QualitySignals.qualityScore(docs)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    cl.join(scores, "doc_id")
+      .withColumn("rk", F.row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("kept_doc"), col("score").as("kept_score"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  def keepBestSql(sampleMod: Int = 2): String = {
+    val bucket =
+      s"CAST('0x' || substring(md5('qc:' || w), 1, 15) AS BIGINT) % 1024"
+    val wgrid =
+      s"(CAST('0x' || substring(md5('qw:' || CAST(($bucket) AS VARCHAR)), " +
+        s"1, 15) AS BIGINT) % 2000001) - 1000000"
+    s"""WITH RECURSIVE cand AS (
+       |${minHashLshMd5Sql(sampleMod = sampleMod, ordered = false)}),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
+       |        UNION ALL SELECT d2, d1 FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |        FROM reach GROUP BY 1),
+       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lbl GROUP BY 1),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |score AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(ws, w -> $wgrid)) AS DOUBLE)
+       |      / CAST(len(ws) AS BIGINT) / 1e6 AS score
+       |  FROM tok WHERE len(ws) > 0),
+       |ranked AS (
+       |  SELECT l.cluster_id, c.cluster_size, l.doc_id, s.score,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY s.score DESC, l.doc_id ASC) AS rk
+       |  FROM lbl l JOIN csize c USING (cluster_id)
+       |  JOIN score s USING (doc_id))
+       |SELECT cluster_id, cluster_size, doc_id AS kept_doc,
+       |  score AS kept_score, cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Passage-level (line-level) dedup — the CCNet/C4 boilerplate filter
   // ---------------------------------------------------------------
 

@@ -234,21 +234,8 @@ object QualitySignals {
     * bit-identical in DuckDB — the same fixed-point discipline as the
     * rest of the repo (CLAUDE.md).
     */
-  def linearClassifier(docs: DataFrame, buckets: Int = 1024): DataFrame = {
-    val bucket =
-      s"cast(conv(substring(md5(concat('qc:', w)), 1, 15), 16, 10) as bigint)" +
-        s" % $buckets"
-    val wgrid =
-      s"(cast(conv(substring(md5(concat('qw:', cast(($bucket) as string))), " +
-        s"1, 15), 16, 10) as bigint) % 2000001) - 1000000"
-    docs
-      .select(col("doc_id"), col("lang"),
-        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
-          .as("ws"))
-      .where(size(col("ws")) > 0)
-      .withColumn("n_tok", size(col("ws")).cast("bigint"))
-      .withColumn("swt",
-        expr(s"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ($wgrid))"))
+  def linearClassifier(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    scoredTokens(docs, buckets, Seq(col("lang")))
       // no rounding: swt and n_tok are exact integers < 2^53, so the
       // two IEEE divisions are bit-identical across engines — while
       // round(…,6) would DIVERGE whenever the rational score lands on
@@ -258,6 +245,36 @@ object QualitySignals {
         (col("swt").cast("double") / col("n_tok") / lit(1e6) > 0)
           .cast("int").as("label"))
       .orderBy("doc_id")
+
+  /** Just the per-document score (no lang/label) — the form other
+    * operators compose with (e.g. [[Dedup.keepBest]] cluster
+    * resolution). Same hash chain and exactness as
+    * [[linearClassifier]].
+    */
+  def qualityScore(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    scoredTokens(docs, buckets, Nil)
+      .select(col("doc_id"),
+        (col("swt").cast("double") / col("n_tok") / lit(1e6)).as("score"))
+
+  /** Shared scorer core: doc_id (+carried cols) with token count and
+    * the exact integer weight sum from one `aggregate` fold.
+    */
+  private def scoredTokens(docs: DataFrame, buckets: Int,
+      carry: Seq[Column]): DataFrame = {
+    val bucket =
+      s"cast(conv(substring(md5(concat('qc:', w)), 1, 15), 16, 10) as bigint)" +
+        s" % $buckets"
+    val wgrid =
+      s"(cast(conv(substring(md5(concat('qw:', cast(($bucket) as string))), " +
+        s"1, 15), 16, 10) as bigint) % 2000001) - 1000000"
+    docs
+      .select(col("doc_id") +: carry :+
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"): _*)
+      .where(size(col("ws")) > 0)
+      .withColumn("n_tok", size(col("ws")).cast("bigint"))
+      .withColumn("swt",
+        expr(s"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ($wgrid))"))
   }
 
   def linearClassifierSql(buckets: Int = 1024): String = {

@@ -344,6 +344,7 @@ object Extensions {
     "dedup_incremental" -> (c => Dedup.incrementalLsh(c.documents)),
     "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
+    "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
@@ -419,6 +420,7 @@ object Extensions {
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
     "dedup_passages" -> Dedup.passageDedupSql(),
+    "dedup_keep_best" -> Dedup.keepBestSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),

@@ -156,6 +156,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, -1L, 0.0)))
   }
 
+  test("keepBest resolves each near-dup cluster to its highest-quality member") {
+    // sampleMod=1: all docs are nodes; docs 0/1 are exact dups → one
+    // cluster; winner decided by the hash-trick score with doc_id ties
+    val out = Dedup.keepBest(docs.toDF("doc_id", "text"), sampleMod = 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // every cluster resolves to exactly one kept doc
+    assert(out.values.map(_._2).toSet.size == out.size)
+    val dupCluster = out(0L) // cluster_id = min member id = 0
+    assert(dupCluster._1 >= 2 && dupCluster._4 == dupCluster._1 - 1)
+    assert(Set(0L, 1L).contains(dupCluster._2))
+    // identical texts → identical scores → tie broken by min doc_id
+    assert(dupCluster._2 == 0L)
+    // deterministic under repartition
+    val again = Dedup.keepBest(docs.toDF("doc_id", "text").repartition(7),
+      sampleMod = 1).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(again == out)
+  }
+
   test("passage dedup strips corpus-frequent passages and reassembles the rest") {
     // passages are 2-word chunks; "x x" appears in docs 0,1,2 (3 ≥
     // maxOccurrences) → stripped everywhere; everything else unique
