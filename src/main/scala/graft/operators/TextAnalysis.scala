@@ -222,4 +222,77 @@ object TextAnalysis {
        |SELECT lang, predicted, COUNT(*) AS n FROM pred
        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Winnowing fingerprints (rolling-window k-gram minima)
+  // ---------------------------------------------------------------
+
+  /** Document fingerprinting by WINNOWING (Schleimer et al., the MOSS
+    * scheme): hash every word `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum — a
+    * guaranteed-coverage fingerprint subset (any shared run of
+    * `k + w - 1` words between two documents shares at least one
+    * fingerprint). Output per doc: gram/fingerprint counts and the md5
+    * of the sorted fingerprint list, proving the SELECTED SET itself
+    * matches across engines.
+    *
+    * Entirely map-side — the grams, hashes, window minima and dedup
+    * are one chain of array HOFs per row (no explode, no shuffle
+    * before the output sort). Gram hashes use the portable 60-bit md5
+    * convention; documents shorter than one window contribute their
+    * single overall minimum, matching the paper's "every document gets
+    * at least one fingerprint".
+    */
+  def winnowFingerprint(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val gram = (0 until k).map(j => s"element_at(ws, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .withColumn("hs", expr(
+        s"""CASE WHEN size(ws) < $k THEN array()
+           |ELSE transform(sequence(1, size(ws) - ${k - 1}),
+           |  i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))
+           |END""".stripMargin))
+      .withColumn("prints", expr(
+        s"""CASE WHEN size(hs) = 0 THEN array()
+           |ELSE array_sort(array_distinct(
+           |  transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)),
+           |            i -> array_min(slice(hs, i, $w)))))
+           |END""".stripMargin))
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as("n_grams"),
+        size(col("prints")).cast("bigint").as("n_prints"),
+        md5(expr("array_join(transform(prints, p -> cast(p as string)), ',')"))
+          .as("prints_md5"))
+      .orderBy("doc_id")
+  }
+
+  def winnowFingerprintSql(k: Int = 3, w: Int = 4): String = {
+    val gram = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < $k THEN []
+       |    ELSE list_transform(range(1, len(ws) - ${k - 1} + 1),
+       |      i -> CAST('0x' || substring(md5($gram), 1, 15) AS BIGINT))
+       |    END AS hs
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, hs,
+       |    CASE WHEN len(hs) = 0 THEN []
+       |    ELSE list_sort(list_distinct(
+       |      list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+       |                     i -> list_min(hs[i : i + ${w - 1}]))))
+       |    END AS prints
+       |  FROM g)
+       |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       |  CAST(len(prints) AS BIGINT) AS n_prints,
+       |  md5(array_to_string(prints, ',')) AS prints_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 }

@@ -66,4 +66,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q(2L) < q(1L)) // repeated-word doc scores below diverse doc
     assert(q.values.forall(v => v > 0 && v <= 1))
   }
+
+  test("winnowing: shared k+w-1 runs share a fingerprint; short docs get one") {
+    import spark.implicits._
+    // k=3, w=4: any shared 6-word run guarantees a common fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (0L, s"one two $shared three four", "en", "s1", 10L),
+      (1L, s"nine eight $shared seven six five", "en", "s1", 10L),
+      (2L, "tiny doc", "en", "s1", 8L), // < k words → zero grams
+      (3L, "u v w", "en", "s1", 5L) // exactly one gram, < one window
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.winnowFingerprint(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(2L) == ((0L, 0L, md5Hex(""))))
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L) // one gram, one print
+    // recompute the actual fingerprint SETS to check the guarantee
+    def prints(text: String): Set[Long] = {
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val hs = ws.sliding(3).map(g => java.lang.Long.parseLong(
+        md5Hex(g.mkString(" ")).take(15), 16)).toArray
+      if (hs.isEmpty) Set.empty
+      else (0 until math.max(hs.length - 3, 1)).map(i =>
+        hs.slice(i, i + 4).min).toSet
+    }
+    val p0 = prints(s"one two $shared three four")
+    val p1 = prints(s"nine eight $shared seven six five")
+    assert((p0 & p1).nonEmpty) // the winnowing coverage guarantee
+    assert(out(0L)._2 == p0.size && out(1L)._2 == p1.size)
+    // layout-independent
+    val again = TextAnalysis.winnowFingerprint(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(again == out)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
