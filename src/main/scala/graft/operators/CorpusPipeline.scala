@@ -407,4 +407,111 @@ object CorpusPipeline {
        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Curation pipeline v2 — the round-6 operators composed into one
+    * declarative DAG, the shape a production corpus refresh runs:
+    *
+    *   1. passage-level dedup ([[Dedup.passageClean]]): boilerplate
+    *      passages stripped corpus-wide, survivors reassembled;
+    *   2. quality gate ([[QualitySignals.qualityScore]] on the CLEANED
+    *      text): keep documents whose hash-trick score is positive;
+    *   3. temperature (α=0.5) mixture resampling over the GATED
+    *      per-language counts — rates derive from the data that
+    *      survived the gate, exactly like a real refresh;
+    *   4. per-language stats of what ships to training.
+    *
+    * The scorer is applied INLINE on the cleaned pass (a pure map —
+    * no self-join), and the gated set is materialized once because
+    * two consumers read it (the rates aggregation and the final
+    * selection); the rates aggregation is rows = #languages,
+    * broadcast back.
+    */
+  def curate(docs: DataFrame, width: Int = 3,
+      maxOccurrences: Int = 3): DataFrame = {
+    val cleaned = Dedup.passageClean(docs, width, maxOccurrences)
+    val base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+    // score INLINE (the scorer is a pure map — a join-back would
+    // evaluate the passage pipeline twice), then materialize the
+    // gated set once: it feeds both the rates aggregation and the
+    // final selection (runbook rule 5 — on a cluster:
+    // persist(MEMORY_AND_DISK))
+    val gated = QualitySignals
+      .scoredTokens(base.withColumn("text", col("clean")), 1024,
+        Seq(col("lang")))
+      .filter(col("swt").cast("double") / col("n_tok") / lit(1e6) > 0)
+      .select("doc_id", "lang", "n_tok")
+      .localCheckpoint()
+    val g = gated.groupBy("lang").agg(count(lit(1)).as("n_gated"))
+      .withColumn("s",
+        floor(sqrt(col("n_gated").cast("double")) * lit(1e9) + lit(0.5))
+          .cast("bigint"))
+    val tot = g.agg(sum("s").as("stot"), sum("n_gated").as("ntot"))
+    val rates = g.crossJoin(broadcast(tot))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          floor((lit(1000.0) * col("s")) / col("stot") *
+            (col("ntot") / lit(2.0)) / col("n_gated")).cast("bigint")))
+      .select("lang", "rate_permille")
+    gated.join(broadcast(rates), "lang")
+      .filter(Sampling.hashBucket("cur:", col("doc_id")) <
+        col("rate_permille"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        (sum("n_tok").cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+  }
+
+  def curateSql(width: Int = 3, maxOccurrences: Int = 3): String = {
+    val wgrid = QualitySignals.wgridSqlExpr()
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(ws[(i-1)*$width+1 : (i-1)*$width+$width], ' ')
+       |      AS passage
+       |  FROM t, UNNEST(range(1, CAST(ceil(len(ws)/$width.0) AS BIGINT)+1))
+       |    AS u(i)),
+       |h AS (
+       |  SELECT doc_id, pos, passage,
+       |    CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS ph
+       |  FROM p),
+       |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1),
+       |clean AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(passage, ' ' ORDER BY pos)
+       |      FILTER (WHERE c < $maxOccurrences), '') AS clean
+       |  FROM h JOIN c USING (ph) GROUP BY doc_id),
+       |tok AS (
+       |  SELECT clean.doc_id, d.lang,
+       |    list_filter(regexp_split_to_array(trim(clean), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM clean JOIN documents d USING (doc_id)),
+       |gated AS (
+       |  SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tok
+       |  FROM tok WHERE len(ws) > 0
+       |    AND CAST(list_sum(list_transform(ws, w -> $wgrid)) AS DOUBLE)
+       |          / CAST(len(ws) AS BIGINT) / 1e6 > 0),
+       |n AS (SELECT lang, COUNT(*) AS n_gated FROM gated GROUP BY 1),
+       |g AS (SELECT lang, n_gated,
+       |        CAST(floor(sqrt(CAST(n_gated AS DOUBLE)) * 1e9 + 0.5)
+       |             AS BIGINT) AS s
+       |      FROM n),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
+       |               CAST(SUM(n_gated) AS BIGINT) AS ntot FROM g),
+       |r AS (SELECT lang,
+       |        least(1000, CAST(floor(
+       |          (1000.0 * s) / stot * (ntot / 2.0) / n_gated) AS BIGINT))
+       |          AS rate_permille
+       |      FROM g, tot)
+       |SELECT gated.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+       |FROM gated JOIN r ON gated.lang = r.lang
+       |WHERE ${Sampling.hashBucketSql("cur:", "doc_id")} < r.rate_permille
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -802,11 +802,7 @@ object Dedup {
   }
 
   def keepBestSql(sampleMod: Int = 2): String = {
-    val bucket =
-      s"CAST('0x' || substring(md5('qc:' || w), 1, 15) AS BIGINT) % 1024"
-    val wgrid =
-      s"(CAST('0x' || substring(md5('qw:' || CAST(($bucket) AS VARCHAR)), " +
-        s"1, 15) AS BIGINT) % 2000001) - 1000000"
+    val wgrid = QualitySignals.wgridSqlExpr()
     s"""WITH RECURSIVE cand AS (
        |${minHashLshMd5Sql(sampleMod = sampleMod, ordered = false)}),
        |nodes AS (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0),
@@ -867,7 +863,41 @@ object Dedup {
     * quadratic, no broadcast of anything corpus-sized.
     */
   def passageDedup(docs: DataFrame, width: Int = 3,
-      maxOccurrences: Int = 3): DataFrame = {
+      maxOccurrences: Int = 3): DataFrame =
+    flaggedPassages(docs, width, maxOccurrences)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("passage"))))),
+            s => s.getField("passage")),
+          " ")).as("kept_md5"))
+      .orderBy("doc_id")
+
+  /** The cleaned corpus itself — surviving passages reassembled in
+    * document order as a `clean` text column, the form downstream
+    * stages (classifier gate, tokenization) consume. Same pipeline as
+    * [[passageDedup]]; that entry's oracle checks this reconstruction
+    * via its md5.
+    */
+  def passageClean(docs: DataFrame, width: Int = 3,
+      maxOccurrences: Int = 3): DataFrame =
+    flaggedPassages(docs, width, maxOccurrences)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("passage"))))),
+          s => s.getField("passage")),
+        " ").as("clean"))
+
+  /** (doc_id, pos, passage, keep) with corpus-wide occurrence flags —
+    * the shared front end of [[passageDedup]]/[[passageClean]].
+    */
+  private def flaggedPassages(docs: DataFrame, width: Int,
+      maxOccurrences: Int): DataFrame = {
     val passages = docs
       .select(col("doc_id"),
         expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
@@ -883,16 +913,6 @@ object Dedup {
     val counts = passages.groupBy("ph").agg(count(lit(1)).as("c"))
     passages.join(counts, "ph")
       .withColumn("keep", col("c") < maxOccurrences)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_passages"),
-        count(when(col("keep"), lit(1))).as("n_kept"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(when(col("keep"),
-              struct(col("pos"), col("passage"))))),
-            s => s.getField("passage")),
-          " ")).as("kept_md5"))
-      .orderBy("doc_id")
   }
 
   def passageDedupSql(width: Int = 3, maxOccurrences: Int = 3): String =

@@ -253,13 +253,16 @@ object QualitySignals {
     */
   def qualityScore(docs: DataFrame, buckets: Int = 1024): DataFrame =
     scoredTokens(docs, buckets, Nil)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tok"),
         (col("swt").cast("double") / col("n_tok") / lit(1e6)).as("score"))
 
   /** Shared scorer core: doc_id (+carried cols) with token count and
-    * the exact integer weight sum from one `aggregate` fold.
+    * the exact integer weight sum from one `aggregate` fold. Exposed
+    * package-side so composed pipelines can score WITHOUT a self-join
+    * (the score is a pure map over its input — joining it back to the
+    * same input would evaluate the upstream subtree twice).
     */
-  private def scoredTokens(docs: DataFrame, buckets: Int,
+  private[operators] def scoredTokens(docs: DataFrame, buckets: Int,
       carry: Seq[Column]): DataFrame = {
     val bucket =
       s"cast(conv(substring(md5(concat('qc:', w)), 1, 15), 16, 10) as bigint)" +
@@ -277,12 +280,18 @@ object QualitySignals {
         expr(s"aggregate(ws, cast(0 as bigint), (acc, w) -> acc + ($wgrid))"))
   }
 
-  def linearClassifierSql(buckets: Int = 1024): String = {
+  /** DuckDB form of the token→bucket→weight hash chain (lambda var
+    * `w`), shared by every oracle that embeds the scorer.
+    */
+  private[operators] def wgridSqlExpr(buckets: Int = 1024): String = {
     val bucket =
       s"CAST('0x' || substring(md5('qc:' || w), 1, 15) AS BIGINT) % $buckets"
-    val wgrid =
-      s"(CAST('0x' || substring(md5('qw:' || CAST(($bucket) AS VARCHAR)), " +
-        s"1, 15) AS BIGINT) % 2000001) - 1000000"
+    s"(CAST('0x' || substring(md5('qw:' || CAST(($bucket) AS VARCHAR)), " +
+      s"1, 15) AS BIGINT) % 2000001) - 1000000"
+  }
+
+  def linearClassifierSql(buckets: Int = 1024): String = {
+    val wgrid = wgridSqlExpr(buckets)
     s"""WITH t AS (
        |  SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),

@@ -350,6 +350,7 @@ object Extensions {
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
     "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     "pipeline_bpe_encode" -> (c => CorpusPipeline.bpeEncode(c.documents)),
+    "pipeline_curate" -> (c => CorpusPipeline.curate(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -427,6 +428,7 @@ object Extensions {
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
     "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "pipeline_bpe_encode" -> CorpusPipeline.bpeEncodeSql(),
+    "pipeline_curate" -> CorpusPipeline.curateSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),

@@ -183,4 +183,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val b = CorpusPipeline.bpeMerges(docs.repartition(9), 4).collect()
     assert(a.sameElements(b))
   }
+
+  test("curate composes passage dedup, quality gate and temperature sampling") {
+    // 60 docs across two langs; every doc carries the same 3-word
+    // boilerplate header, which passage dedup must strip corpus-wide
+    val docs = Seq.tabulate(60) { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      (i.toLong, s"hot hot hot unique$i word$i tail$i", lang, "s", 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.curate(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the boilerplate is gone: every surviving doc contributes exactly
+    // its 3 unique words (width=3 → ["hot hot hot", "uniqueN wordN tailN"])
+    out.values.foreach { case (n, sum, avg) =>
+      assert(sum == 3 * n && avg == 3.0)
+    }
+    // gate + sampling only drop docs — never more docs than the corpus
+    assert(out.values.map(_._1).sum <= 60)
+    assert(out.values.forall(_._1 > 0))
+    // layout-independent
+    val again = CorpusPipeline.curate(docs.repartition(11)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(again == out)
+  }
 }

@@ -143,4 +143,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("curation pipeline: one lazy DAG, sort-free") {
+    val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the 1-row normalizer broadcast (the
+    // scalar-subquery pattern used throughout the repo) — never a
+    // data-sized loop. Formatted explain names each node twice
+    // (tree + details), so ONE such join = 2 mentions.
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3, p)
+  }
 }
