@@ -142,6 +142,17 @@ object EventStream {
     graft.operators.QualitySignals.piiRedact(docs, augment = augment,
       ordered = false)
 
+  /** Streaming quality-classifier gate — the hash-trick linear scorer
+    * ([[graft.operators.QualitySignals.qualityScore]]) applied to a
+    * document stream, keeping documents with a positive score. Like
+    * the PII gate this is a pure map + filter (no state, no
+    * watermark), so the batch implementation streams unchanged in
+    * append mode; parity with batch is spec-checked row for row.
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.QualitySignals.qualityScore(docs)
+      .filter(col("score") > 0)
+
   final case class AsofEvent(user_id: Long, eus: Long, is_right: Boolean,
     id: Long, v: Double, ts: java.sql.Timestamp)
   final case class AsofJoinState(rights: List[(Long, Double)],

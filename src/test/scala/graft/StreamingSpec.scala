@@ -70,6 +70,19 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.streaming.OutputMode.Append())
     try assert(spark.table("pii_gate_plain").count() == 0L)
     finally q2.stop()
+    // the quality-classifier gate streams the batch scorer unchanged
+    val q3 = EventStream.runToMemory(
+      EventStream.qualityGateStream(stream), "quality_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.table("quality_gate_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.QualitySignals
+        .qualityScore(Ctx(spark, sfDir).documents)
+        .filter(org.apache.spark.sql.functions.col("score") > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q3.stop()
   }
 
   test("stream-static join enriches events with a dimension") {
