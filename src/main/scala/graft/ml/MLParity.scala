@@ -150,18 +150,20 @@ object MLParity {
     val es = eigSym(gb)
     // keep numerically nonzero directions (rank-deficient inputs).
     // eigSym can return slightly NEGATIVE eigenvalues for a PSD Gram,
-    // and an all-zero input makes every eigenvalue ~0 — so the cut is
-    // max(absolute floor, relative floor on the POSITIVE part of the
-    // spectrum): nothing negative ever passes (1/sqrt would be NaN and
-    // silently corrupt Q) and a degenerate input fails loudly below
-    // instead of feeding breeze a 0-column matrix.
-    val thresh = math.max(1e-12,
-      1e-10 * math.max(0.0, es.eigenvalues.data.max))
+    // and an all-zero input makes every eigenvalue ~0. Degeneracy is
+    // judged SCALE-RELATIVELY: a non-positive spectrum maximum fails
+    // loudly (the only genuinely rank-0 case), and the keep-cut is
+    // relative to that maximum — so a well-conditioned matrix of tiny
+    // magnitude (entries ~1e-8, Gram eigenvalues ~1e-15) still
+    // decomposes, while nothing negative can ever reach 1/sqrt (the
+    // threshold is strictly positive).
+    val lambdaMax = es.eigenvalues.data.max
+    require(lambdaMax > 0.0,
+      s"svdCompressed: numerically zero range (max Gram eigenvalue " +
+        s"$lambdaMax) — input has no detectable spectrum")
+    val thresh = 1e-10 * lambdaMax
     val keep = (0 until l).filter(i => es.eigenvalues(i) > thresh)
       .reverse // descending
-    require(keep.nonEmpty,
-      s"svdCompressed: numerically zero range (max Gram eigenvalue " +
-        s"${es.eigenvalues.data.max}) — input has no detectable spectrum")
     val scale = BDM.zeros[Double](l, keep.size)
     keep.zipWithIndex.foreach { case (src, dst) =>
       val inv = 1.0 / math.sqrt(es.eigenvalues(src))

@@ -441,16 +441,8 @@ object CorpusPipeline {
       .filter(col("swt").cast("double") / col("n_tok") / lit(1e6) > 0)
       .select("doc_id", "lang", "n_tok")
       .localCheckpoint()
-    val g = gated.groupBy("lang").agg(count(lit(1)).as("n_gated"))
-      .withColumn("s",
-        floor(sqrt(col("n_gated").cast("double")) * lit(1e9) + lit(0.5))
-          .cast("bigint"))
-    val tot = g.agg(sum("s").as("stot"), sum("n_gated").as("ntot"))
-    val rates = g.crossJoin(broadcast(tot))
-      .withColumn("rate_permille",
-        least(lit(1000L),
-          floor((lit(1000.0) * col("s")) / col("stot") *
-            (col("ntot") / lit(2.0)) / col("n_gated")).cast("bigint")))
+    val rates = Sampling.permilleRates(
+        gated.groupBy("lang").agg(count(lit(1)).as("n_gated")), "n_gated")
       .select("lang", "rate_permille")
     gated.join(broadcast(rates), "lang")
       .filter(Sampling.hashBucket("cur:", col("doc_id")) <
@@ -464,22 +456,7 @@ object CorpusPipeline {
 
   def curateSql(width: Int = 3, maxOccurrences: Int = 3): String = {
     val wgrid = QualitySignals.wgridSqlExpr()
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |                w -> w <> '') AS ws
-       |  FROM documents),
-       |p AS (
-       |  SELECT doc_id, i AS pos,
-       |    array_to_string(ws[(i-1)*$width+1 : (i-1)*$width+$width], ' ')
-       |      AS passage
-       |  FROM t, UNNEST(range(1, CAST(ceil(len(ws)/$width.0) AS BIGINT)+1))
-       |    AS u(i)),
-       |h AS (
-       |  SELECT doc_id, pos, passage,
-       |    CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS ph
-       |  FROM p),
-       |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1),
+    s"""WITH ${Dedup.passageCtes(width)},
        |clean AS (
        |  SELECT doc_id,
        |    COALESCE(string_agg(passage, ' ' ORDER BY pos)
@@ -496,17 +473,7 @@ object CorpusPipeline {
        |    AND CAST(list_sum(list_transform(ws, w -> $wgrid)) AS DOUBLE)
        |          / CAST(len(ws) AS BIGINT) / 1e6 > 0),
        |n AS (SELECT lang, COUNT(*) AS n_gated FROM gated GROUP BY 1),
-       |g AS (SELECT lang, n_gated,
-       |        CAST(floor(sqrt(CAST(n_gated AS DOUBLE)) * 1e9 + 0.5)
-       |             AS BIGINT) AS s
-       |      FROM n),
-       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
-       |               CAST(SUM(n_gated) AS BIGINT) AS ntot FROM g),
-       |r AS (SELECT lang,
-       |        least(1000, CAST(floor(
-       |          (1000.0 * s) / stot * (ntot / 2.0) / n_gated) AS BIGINT))
-       |          AS rate_permille
-       |      FROM g, tot)
+       |${Sampling.permilleRatesCtes("n", "n_gated")}
        |SELECT gated.lang, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens

@@ -713,7 +713,18 @@ object Dedup {
     * CTE feeding the same recursive-closure component formulation.
     */
   def clustersLshMd5Sql(sampleMod: Int = 2): String =
-    s"""WITH RECURSIVE cand AS (
+    s"""WITH RECURSIVE ${clusterLshLblCtes(sampleMod)}
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lbl l JOIN csize c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** CTE chain md5-LSH candidates → recursive components → `lbl`
+    * (doc_id, cluster_id) + `csize` — shared by [[clustersLshMd5Sql]]
+    * and [[keepBestSql]] so the component formulation can never
+    * diverge between the two oracles. Must follow `WITH RECURSIVE`.
+    */
+  private[operators] def clusterLshLblCtes(sampleMod: Int): String =
+    s"""cand AS (
        |${minHashLshMd5Sql(sampleMod = sampleMod, ordered = false)}),
        |nodes AS (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0),
        |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
@@ -725,10 +736,7 @@ object Dedup {
        |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
        |        FROM reach GROUP BY 1),
        |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
-       |          FROM lbl GROUP BY 1)
-       |SELECT l.doc_id, l.cluster_id, c.cluster_size
-       |FROM lbl l JOIN csize c USING (cluster_id)
-       |ORDER BY doc_id""".stripMargin
+       |          FROM lbl GROUP BY 1)""".stripMargin
 
   /** DuckDB oracle for [[clusters]]: the same edge set stated as raw
     * SQL, components via a recursive transitive closure + MIN — an
@@ -789,7 +797,10 @@ object Dedup {
     */
   def keepBest(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
     val cl = clustersLshMd5(docs, sampleMod)
-    val scores = graft.operators.QualitySignals.qualityScore(docs)
+    // only the 1-in-sampleMod node sample can survive the cluster
+    // join — score exactly that slice, not the whole corpus
+    val scores = graft.operators.QualitySignals.qualityScore(
+      docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     cl.join(scores, "doc_id")
@@ -803,24 +814,12 @@ object Dedup {
 
   def keepBestSql(sampleMod: Int = 2): String = {
     val wgrid = QualitySignals.wgridSqlExpr()
-    s"""WITH RECURSIVE cand AS (
-       |${minHashLshMd5Sql(sampleMod = sampleMod, ordered = false)}),
-       |nodes AS (SELECT doc_id FROM documents WHERE doc_id % $sampleMod = 0),
-       |sym AS (SELECT d1 AS src, d2 AS dst FROM cand
-       |        UNION ALL SELECT d2, d1 FROM cand),
-       |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM nodes
-       |  UNION
-       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
-       |        FROM reach GROUP BY 1),
-       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
-       |          FROM lbl GROUP BY 1),
+    s"""WITH RECURSIVE ${clusterLshLblCtes(sampleMod)},
        |tok AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |                w -> w <> '') AS ws
-       |  FROM documents),
+       |  FROM documents WHERE doc_id % $sampleMod = 0),
        |score AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(ws, w -> $wgrid)) AS DOUBLE)
@@ -916,7 +915,23 @@ object Dedup {
   }
 
   def passageDedupSql(width: Int = 3, maxOccurrences: Int = 3): String =
-    s"""WITH t AS (
+    s"""WITH ${passageCtes(width)}
+       |SELECT doc_id,
+       |  COUNT(*) AS n_passages,
+       |  COUNT(CASE WHEN c < $maxOccurrences THEN 1 END) AS n_kept,
+       |  md5(COALESCE(string_agg(passage, ' ' ORDER BY pos)
+       |        FILTER (WHERE c < $maxOccurrences), '')) AS kept_md5
+       |FROM h JOIN c USING (ph)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** CTE chain documents → fixed-width passages → 60-bit keys →
+    * corpus-wide counts (`t`/`p`/`h`/`c`) — shared by
+    * [[passageDedupSql]] and `CorpusPipeline.curateSql` so the
+    * splitter (the pluggable part) can never diverge between the
+    * standalone and composed oracles.
+    */
+  private[operators] def passageCtes(width: Int): String =
+    s"""t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
        |                w -> w <> '') AS ws
@@ -931,12 +946,5 @@ object Dedup {
        |  SELECT doc_id, pos, passage,
        |    CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS ph
        |  FROM p),
-       |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1)
-       |SELECT doc_id,
-       |  COUNT(*) AS n_passages,
-       |  COUNT(CASE WHEN c < $maxOccurrences THEN 1 END) AS n_kept,
-       |  md5(COALESCE(string_agg(passage, ' ' ORDER BY pos)
-       |        FILTER (WHERE c < $maxOccurrences), '')) AS kept_md5
-       |FROM h JOIN c USING (ph)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1)""".stripMargin
 }

@@ -127,18 +127,8 @@ object Sampling {
     * rates.
     */
   def temperatureSample(documents: DataFrame): DataFrame = {
-    val g = documents.groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"))
-      .withColumn("s",
-        floor(sqrt(col("n_docs").cast("double")) * lit(1e9) + lit(0.5))
-          .cast("bigint"))
-    val tot = g.agg(sum("s").as("stot"), sum("n_docs").as("ntot"))
-    val rates = g.crossJoin(broadcast(tot))
-      .withColumn("rate_permille",
-        least(lit(1000L),
-          floor((lit(1000.0) * col("s")) / col("stot") *
-            (col("ntot") / lit(2.0)) / col("n_docs")).cast("bigint")))
-      .select("lang", "n_docs", "rate_permille")
+    val rates = permilleRates(
+      documents.groupBy("lang").agg(count(lit(1)).as("n_docs")), "n_docs")
     documents.join(broadcast(rates), "lang")
       .groupBy("lang", "n_docs", "rate_permille")
       .agg(count(when(hashBucket("tmp:", col("doc_id")) < col("rate_permille"),
@@ -146,19 +136,48 @@ object Sampling {
       .orderBy("lang")
   }
 
+  /** α=0.5 permille keep-rates from per-language counts — THE
+    * temperature-sampling formula, factored so every composition
+    * ([[temperatureSample]], `CorpusPipeline.curate`) shares one copy:
+    * the double-op sequence must stay token-identical with
+    * [[permilleRatesCtes]] or cross-engine bit-parity breaks.
+    * Input: (lang, `nCol`); output adds `rate_permille`.
+    */
+  private[operators] def permilleRates(counts: DataFrame,
+      nCol: String): DataFrame = {
+    val g = counts.withColumn("s",
+      floor(sqrt(col(nCol).cast("double")) * lit(1e9) + lit(0.5))
+        .cast("bigint"))
+    val tot = g.agg(sum("s").as("stot"), sum(nCol).as("ntot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          floor((lit(1000.0) * col("s")) / col("stot") *
+            (col("ntot") / lit(2.0)) / col(nCol)).cast("bigint")))
+      .drop("s", "stot", "ntot")
+  }
+
+  /** DuckDB twin of [[permilleRates]]: CTEs `g`/`tot`/`r` over a
+    * source CTE holding (lang, `nCol`); `r` = (lang, nCol,
+    * rate_permille).
+    */
+  private[operators] def permilleRatesCtes(srcCte: String,
+      nCol: String): String =
+    s"""g AS (SELECT lang, $nCol,
+       |        CAST(floor(sqrt(CAST($nCol AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |          AS s
+       |      FROM $srcCte),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
+       |               CAST(SUM($nCol) AS BIGINT) AS ntot FROM g),
+       |r AS (SELECT lang, $nCol,
+       |        least(1000, CAST(floor(
+       |          (1000.0 * s) / stot * (ntot / 2.0) / $nCol) AS BIGINT))
+       |          AS rate_permille
+       |      FROM g, tot)""".stripMargin
+
   val temperatureSampleSql: String =
     s"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-       |g AS (SELECT lang, n_docs,
-       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
-       |          AS s
-       |      FROM n),
-       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
-       |               CAST(SUM(n_docs) AS BIGINT) AS ntot FROM g),
-       |r AS (SELECT lang, n_docs,
-       |        least(1000, CAST(floor(
-       |          (1000.0 * s) / stot * (ntot / 2.0) / n_docs) AS BIGINT))
-       |          AS rate_permille
-       |      FROM g, tot)
+       |${permilleRatesCtes("n", "n_docs")}
        |SELECT r.lang, r.n_docs, r.rate_permille,
        |  COUNT(CASE WHEN ${hashBucketSql("tmp:", "doc_id")} < r.rate_permille
        |             THEN 1 END) AS n_kept
