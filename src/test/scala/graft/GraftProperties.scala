@@ -213,6 +213,47 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("passage dedup strips exactly the corpus-frequent passages") =
+    forAll(docGen) { ds =>
+      ds.nonEmpty ==> {
+        import graft.operators.Dedup
+        val w = 2
+        // sequential reference: chunk every doc, count corpus-wide,
+        // keep chunks seen < 3 times
+        val chunks = ds.map { case (id, t) =>
+          id -> t.split("\\s+").filter(_.nonEmpty).grouped(w)
+            .map(_.mkString(" ")).toList }
+        val freq = chunks.flatMap(_._2).groupBy(identity)
+          .map { case (p, o) => p -> o.size }
+        val got = Dedup.passageDedup(docsDf(ds), width = w,
+            maxOccurrences = 3).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        chunks.forall { case (id, ps) =>
+          got(id) == ((ps.size.toLong,
+            ps.count(p => freq(p) < 3).toLong))
+        }
+      }
+    }
+
+  property("winnowing fingerprints are gram-hash minima (subset, bounded)") =
+    forAll(docGen) { ds =>
+      ds.nonEmpty ==> {
+        import graft.operators.TextAnalysis
+        val got = TextAnalysis.winnowFingerprint(docsDf(ds)).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        ds.forall { case (id, t) =>
+          val n = t.split("\\s+").count(_.nonEmpty)
+          val nGrams = math.max(n - 2, 0)
+          val (g, p) = got(id)
+          // gram count exact; fingerprints non-empty iff grams exist,
+          // and never more than the window count
+          g == nGrams &&
+            (if (nGrams == 0) p == 0
+             else p >= 1 && p <= math.max(nGrams - 3, 1))
+        }
+      }
+    }
+
   property("int8 codes are scale-invariant; absmax scales linearly") =
     forAll(Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))) {
       vs =>
