@@ -97,8 +97,10 @@ object CorpusPipeline {
     corp.join(broadcast(bench), "h")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("common"), first(col("n")).as("n"))
+      // unrounded: common/n is an exact-integer ratio, bit-identical
+      // across engines (CLAUDE.md integer-ratio rule)
       .withColumn("contamination",
-        round(col("common").cast("double") / col("n"), 6))
+        col("common").cast("double") / col("n"))
       .groupBy("doc_id")
       .agg(max_by(col("bench_id"),
           struct(col("contamination"), (-col("bench_id")).as("nb")))
@@ -121,7 +123,7 @@ object CorpusPipeline {
        |  FROM corp c JOIN bench b ON c.h = b.h GROUP BY 1, 2),
        |rat AS (
        |  SELECT o.doc_id, o.bench_id,
-       |    round(CAST(o.common AS DOUBLE) / s.n, 6) AS contamination
+       |    CAST(o.common AS DOUBLE) / s.n AS contamination
        |  FROM ov o JOIN sizes s ON o.doc_id = s.doc_id),
        |worst AS (
        |  SELECT doc_id, bench_id, contamination FROM (

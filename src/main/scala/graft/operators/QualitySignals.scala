@@ -168,20 +168,21 @@ object QualitySignals {
     perDoc.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n").as("total_tokens"),
-        round(
-          when(
-            sum(col("sabs")) > lit(Long.MaxValue).cast("decimal(38,0)"),
-            raise_error(concat(
-              lit("unigramLm: BIGINT log-prob carrier overflow for group ("),
-              col("lang"), lit(","), col("source"),
-              lit(") — shard the group or rescale the grid")
-            )).cast("double"))
-            .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
-              lit(1e9)),
-          6).as("avg_nll_token"),
-        round(min(-(col("s").cast("double")) / col("n") / lit(1e9)), 6)
+        // UNROUNDED: operands are exact integers, so the IEEE division
+        // chain is bit-identical in DuckDB — round(…,6) would risk a
+        // half-way-tie divergence (CLAUDE.md integer-ratio rule)
+        when(
+          sum(col("sabs")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("unigramLm: BIGINT log-prob carrier overflow for group ("),
+            col("lang"), lit(","), col("source"),
+            lit(") — shard the group or rescale the grid")
+          )).cast("double"))
+          .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
+            lit(1e9)).as("avg_nll_token"),
+        min(-(col("s").cast("double")) / col("n") / lit(1e9))
           .as("min_doc_nll"),
-        round(max(-(col("s").cast("double")) / col("n") / lit(1e9)), 6)
+        max(-(col("s").cast("double")) / col("n") / lit(1e9))
           .as("max_doc_nll"))
       .orderBy("lang", "source")
   }
@@ -206,10 +207,10 @@ object QualitySignals {
       |  FROM w JOIN lp USING (w) GROUP BY 1, 2, 3)
       |SELECT lang, source, COUNT(*) AS n_docs,
       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
-      |  round(-CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9, 6)
+      |  -CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9
       |    AS avg_nll_token,
-      |  round(MIN(-CAST(s AS DOUBLE) / n / 1e9), 6) AS min_doc_nll,
-      |  round(MAX(-CAST(s AS DOUBLE) / n / 1e9), 6) AS max_doc_nll
+      |  MIN(-CAST(s AS DOUBLE) / n / 1e9) AS min_doc_nll,
+      |  MAX(-CAST(s AS DOUBLE) / n / 1e9) AS max_doc_nll
       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------

@@ -45,10 +45,12 @@ object Quantize {
       .agg(count(lit(1)).as("n_vecs"),
         sum("d").as("total_elems"),
         sum("ql1").as("sum_q_l1"),
-        round(sum(floor(col("m") * lit(1e9) + lit(0.5)).cast("bigint"))
-          .cast("double") / lit(1e9) / count(lit(1)), 6).as("avg_absmax"),
-        round(sum("e2s").cast("double") / (sum("d").cast("double") * lit(1e12)),
-          9).as("avg_mse"))
+        // unrounded: exact-integer ratios are bit-identical across
+        // engines (CLAUDE.md integer-ratio rule)
+        (sum(floor(col("m") * lit(1e9) + lit(0.5)).cast("bigint"))
+          .cast("double") / lit(1e9) / count(lit(1))).as("avg_absmax"),
+        (sum("e2s").cast("double") / (sum("d").cast("double") * lit(1e12)))
+          .as("avg_mse"))
       .orderBy("label")
 
   val int8StatsSql: String =
@@ -75,9 +77,9 @@ object Quantize {
       |SELECT label, COUNT(*) AS n_vecs,
       |  CAST(SUM(d) AS BIGINT) AS total_elems,
       |  CAST(SUM(ql1) AS BIGINT) AS sum_q_l1,
-      |  round(CAST(SUM(CAST(floor(m * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-      |    / 1e9 / COUNT(*), 6) AS avg_absmax,
-      |  round(CAST(SUM(e2s) AS DOUBLE) / (CAST(SUM(d) AS DOUBLE) * 1e12), 9)
+      |  CAST(SUM(CAST(floor(m * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1e9 / COUNT(*) AS avg_absmax,
+      |  CAST(SUM(e2s) AS DOUBLE) / (CAST(SUM(d) AS DOUBLE) * 1e12)
       |    AS avg_mse
       |FROM qq GROUP BY label ORDER BY label""".stripMargin
 }
