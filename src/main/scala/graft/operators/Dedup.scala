@@ -892,6 +892,58 @@ object Dedup {
           s => s.getField("passage")),
         " ").as("clean"))
 
+  /** WITHIN-document passage dedup — the in-document twin of
+    * [[passageDedup]]: keep each passage's FIRST occurrence inside its
+    * own document, drop repeats (navigation blocks, repeated
+    * boilerplate paragraphs within a page — the in-doc half of the
+    * Gopher repetition findings, as a removal instead of a flag).
+    * Corpus state is never consulted, so this is a PURE MAP: split,
+    * keep-first and reassembly are one array-HOF chain per row — zero
+    * shuffles at any corpus size (plus the output sort). The md5 of
+    * the reassembled text proves the reconstruction cross-engine.
+    */
+  def withinDocDedup(docs: DataFrame, width: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .withColumn("ps", expr(
+        s"""CASE WHEN size(ws) < 1 THEN array()
+           |ELSE transform(sequence(1, int(ceil(size(ws) / $width.0))),
+           |               i -> concat_ws(' ', slice(ws, (i-1)*$width+1, $width)))
+           |END""".stripMargin))
+      // keep-first: a passage survives iff its index is the FIRST
+      // position where it occurs in this document (order-preserving)
+      .withColumn("kept",
+        expr("filter(ps, (p, i) -> array_position(ps, p) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("bigint").as("n_passages"),
+        size(col("kept")).cast("bigint").as("n_unique"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  def withinDocDedupSql(width: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < 1 THEN []
+       |    ELSE list_transform(range(1, CAST(ceil(len(ws)/$width.0) AS BIGINT)+1),
+       |      i -> array_to_string(ws[(i-1)*$width+1 : (i-1)*$width+$width], ' '))
+       |    END AS ps
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, ps,
+       |    list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
+       |  FROM p)
+       |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_passages,
+       |  CAST(len(kept) AS BIGINT) AS n_unique,
+       |  md5(array_to_string(kept, ' ')) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+
   /** (doc_id, pos, passage, keep) with corpus-wide occurrence flags —
     * the shared front end of [[passageDedup]]/[[passageClean]].
     */

@@ -345,6 +345,7 @@ object Extensions {
     "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
+    "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
@@ -423,6 +424,7 @@ object Extensions {
     "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
     "dedup_passages" -> Dedup.passageDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
+    "dedup_within_doc" -> Dedup.withinDocDedupSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),

@@ -201,6 +201,22 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("within-doc dedup keeps first occurrences in order, per doc only") {
+    val d = Seq(
+      (0L, "x x a b x x c d"), // "x x" repeats WITHIN doc 0
+      (1L, "x x e f") // same passage here is doc 1's first → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.withinDocDedup(d, width = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((4L, 3L, md5Of("x x a b c d"))))
+    assert(out(1L) == ((2L, 2L, md5Of("x x e f"))))
+    val again = Dedup.withinDocDedup(d.repartition(3), 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(again == out)
+  }
+
   private def md5Of(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
