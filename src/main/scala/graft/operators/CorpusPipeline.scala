@@ -431,7 +431,9 @@ object CorpusPipeline {
   def curate(docs: DataFrame, width: Int = 3,
       maxOccurrences: Int = 3): DataFrame = {
     val cleaned = Dedup.passageClean(docs, width, maxOccurrences)
-    val base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+    // big-big at scale — hash join, never a sort (AQE broadcasts when small)
+    val base = docs.select("doc_id", "lang")
+      .join(cleaned.hint("shuffle_hash"), "doc_id")
     // score INLINE (the scorer is a pure map — a join-back would
     // evaluate the passage pipeline twice), then materialize the
     // gated set once: it feeds both the rates aggregation and the

@@ -803,7 +803,8 @@ object Dedup {
       docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    cl.join(scores, "doc_id")
+    // big-big at scale — hash join, never a sort (AQE broadcasts when small)
+    cl.join(scores.hint("shuffle_hash"), "doc_id")
       .withColumn("rk", F.row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("cluster_size"),
@@ -962,7 +963,10 @@ object Dedup {
       .withColumn("ph",
         conv(substring(md5(col("passage")), 1, 15), 16, 10).cast("bigint"))
     val counts = passages.groupBy("ph").agg(count(lit(1)).as("c"))
-    passages.join(counts, "ph")
+    // at 100 TB both sides are big: hint shuffle_hash so Catalyst
+    // never sorts for a join whose build side comes straight out of a
+    // hash aggregate (AQE still converts to broadcast when small)
+    passages.join(counts.hint("shuffle_hash"), "ph")
       .withColumn("keep", col("c") < maxOccurrences)
   }
 
