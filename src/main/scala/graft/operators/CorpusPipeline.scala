@@ -444,7 +444,10 @@ object CorpusPipeline {
         Seq(col("lang")))
       .filter(col("swt").cast("double") / col("n_tok") / lit(1e6) > 0)
       .select("doc_id", "lang", "n_tok")
-      .localCheckpoint()
+      // eager=false: merely CONSTRUCTING the entry (Explain, query-map
+      // listing) must not execute the passage pipeline; the checkpoint
+      // materializes on first action and is shared by both consumers
+      .localCheckpoint(eager = false)
     val rates = Sampling.permilleRates(
         gated.groupBy("lang").agg(count(lit(1)).as("n_gated")), "n_gated")
       .select("lang", "rate_permille")

@@ -993,7 +993,7 @@ object Dedup {
        |                w -> w <> '') AS ws
        |  FROM documents),
        |p AS (
-       |  SELECT doc_id, i AS pos,
+       |  SELECT doc_id, i - 1 AS pos,
        |    array_to_string(ws[(i-1)*$width+1 : (i-1)*$width+$width], ' ')
        |      AS passage
        |  FROM t, UNNEST(range(1, CAST(ceil(len(ws)/$width.0) AS BIGINT)+1))

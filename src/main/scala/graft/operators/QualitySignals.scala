@@ -175,7 +175,8 @@ object QualitySignals {
           sum(col("sabs")) > lit(Long.MaxValue).cast("decimal(38,0)"),
           raise_error(concat(
             lit("unigramLm: BIGINT log-prob carrier overflow for group ("),
-            col("lang"), lit(","), col("source"),
+            coalesce(col("lang"), lit("<null>")), lit(","),
+            coalesce(col("source"), lit("<null>")),
             lit(") — shard the group or rescale the grid")
           )).cast("double"))
           .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
