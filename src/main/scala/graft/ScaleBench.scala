@@ -91,7 +91,7 @@ object ScaleBench {
     // optional 3rd arg: comma list of sections to run
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
-      else "tpch,pipeline,events,svd,matmul")
+      else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -153,6 +153,77 @@ object ScaleBench {
           val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
           println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
         }
+      }
+    }
+
+    section("lloyd") {
+      // per-round cost must stay FLAT as iters grows: before the
+      // per-round codebook checkpoint, round i replayed assignments
+      // 1…i−1 over the corpus (quadratic corpus passes in iters)
+      println("== IVF k-means: total sec vs Lloyd iterations ==")
+      println(f"${"iters"}%-7s${"sec"}%8s${"sec/iter"}%10s")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      for (iters <- Seq(2, 4, 8, 16)) {
+        graft.operators.Similarity
+          .ivfKmeansTopK(emb, iters = iters).count() // warm-up
+        val (sec, _) = time(graft.operators.Similarity
+          .ivfKmeansTopK(emb, iters = iters).count())
+        println(f"$iters%-7d$sec%8.2f${sec / iters}%10.3f")
+      }
+    }
+
+    section("ccchain") {
+      // adversarial long-chain graphs: star contraction must converge
+      // in O(log n) rounds where min-label propagation needs n
+      println("== Connected components: rounds vs chain length ==")
+      println(f"${"n"}%-9s${"rounds"}%7s${"sec"}%8s")
+      for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+        val edges = spark.range(0L, n - 1, 1L, 32)
+          .select(col("id").as("d1"), (col("id") + 1L).as("d2"))
+        val nodes = spark.range(0L, n, 1L, 32).select(col("id").as("node"))
+        val t0 = System.nanoTime()
+        val (lbl, rounds) = graft.operators.Dedup.ccWithRounds(
+          edges.toDF, nodes.toDF, maxIter = 60)
+        val distinctLbls = lbl.select("lbl").distinct().count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(distinctLbls == 1L, s"chain split into $distinctLbls labels")
+        println(f"$n%-9d$rounds%7d$sec%8.2f")
+      }
+    }
+
+    section("incstore") {
+      // per-batch cost must stay ~flat as the persisted base grows:
+      // the base side is a column-pruned parquet read of stored
+      // signatures (no shingle/md5 recompute), and amplified copies
+      // are caesar-rotated so bucket occupancy doesn't grow by
+      // construction — growth here would mean the join rescans or
+      // recomputes the base
+      println("== Store-backed incremental dedup vs base-corpus size ==")
+      println(f"${"mult"}%-6s${"store_write_s"}%14s${"batch_s"}%9s${"rows"}%8s")
+      val delta = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_corpus_$mult"
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_sigstore_scale_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val (wsec, _) = time {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
+            graft.operators.Dedup.writeSignatureStore(base, store)
+          1L
+        }
+        graft.operators.Dedup.incrementalLshStore(store, delta).count()
+        val (sec, rows) = time(
+          graft.operators.Dedup.incrementalLshStore(store, delta).count())
+        println(f"$mult%-6d$wsec%14.2f$sec%9.2f$rows%8d")
       }
     }
 
@@ -266,7 +337,16 @@ object ScaleBench {
     }
 
     section("matmul") {
-      println("== Block matmul (512-blocks, pure-Java BLAS) ==")
+      // record WHICH BLAS backs the run on every execution slot (the
+      // runOnExecutors env-probe use case): dev.ludovic.netlib loads
+      // the OS libblas when present, silently falls back to Java —
+      // the two differ ~10× in rate, so a ladder number without its
+      // backend is meaningless
+      val blas = graft.api.Coordination.runOnExecutors(spark) { () =>
+        dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
+      }
+      println(s"== Block matmul (512-blocks; BLAS per executor: " +
+        blas.map { case (e, b) => s"$e=$b" }.mkString(", ") + ") ==")
       println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")
       for (n <- matmulSizes) {
         val (sec, _) = time {

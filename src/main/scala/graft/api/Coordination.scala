@@ -197,4 +197,44 @@ object Coordination {
 
   /** ExecutionContext for composing actor futures with [[AsyncOps]]. */
   lazy val directEc: ExecutionContext = ExecutionContext.parasitic
+
+  /** The reference's `Client.run` (`client.py`, docs
+    * `docs/source/api.rst`): run a diagnostic closure on every worker
+    * and gather the results keyed by worker. Spark executors host no
+    * callable server, but the same shape is one barrier job: one task
+    * per execution slot (`defaultParallelism` partitions), held at a
+    * `BarrierTaskContext.barrier()` so ALL slots are occupied
+    * simultaneously — which forces every executor in the cluster to
+    * run at least one invocation (no slot can be reused until all have
+    * started). Results collapse to one per executor, the reference's
+    * per-worker view; [[runOnSlots]] returns the raw per-slot results.
+    *
+    * Use cases mirror `Client.run`'s: environment probes (JVM
+    * version, heap, native-BLAS presence), cache warming, GC nudges.
+    * The U7 boundary is unchanged: the closure runs ON executors but
+    * cannot launch jobs or reach driver-side primitives from there.
+    */
+  def runOnExecutors[A: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession)(f: () => A): Map[String, A] =
+    runOnSlots(spark)(f).groupBy(_._1)
+      .map { case (exec, rs) => exec -> rs.minBy(_._2)._3 }
+
+  /** [[runOnExecutors]] without the per-executor collapse: one
+    * `(executorId, slot, result)` triple per execution slot.
+    */
+  def runOnSlots[A: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession)(
+      f: () => A): Seq[(String, Int, A)] = {
+    val sc = spark.sparkContext
+    val slots = math.max(sc.defaultParallelism, 1)
+    sc.range(0L, slots.toLong, 1L, slots)
+      .barrier()
+      .mapPartitions { _ =>
+        val tc = org.apache.spark.BarrierTaskContext.get()
+        tc.barrier()
+        Iterator((org.apache.spark.SparkEnv.get.executorId,
+          tc.partitionId(), f()))
+      }
+      .collect().toSeq
+  }
 }

@@ -290,8 +290,17 @@ object Dedup {
       deltaDocs: DataFrame, deltaMod: Int, numHashes: Int,
       minEstSim: Double): DataFrame = {
     val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
-    val d = banded.filter(isDelta)
-    val b = banded.filter(!isDelta)
+    incrementalReportSplit(banded.filter(isDelta), banded.filter(!isDelta),
+      keyCol, deltaDocs.filter(isDelta), numHashes, minEstSim)
+  }
+
+  /** [[incrementalReport]] with the delta and base signature sets as
+    * separate frames — the entry point the persisted-store path uses,
+    * where the base side is READ from parquet, never recomputed.
+    */
+  private def incrementalReportSplit(d: DataFrame, b: DataFrame,
+      keyCol: String, deltaDocs: DataFrame, numHashes: Int,
+      minEstSim: Double): DataFrame = {
     // shuffle_hash on both joins: sorting band buckets (or the final
     // verdict assembly) for a merge join is pure waste before hash
     // lookups, and it keeps the suite's zero-SMJ invariant at any size
@@ -311,7 +320,7 @@ object Dedup {
         max_by(col("db"), struct(col("est_sim"), (-col("db")).as("nb")))
           .as("best_match"))
       .withColumnRenamed("dd", "doc_id")
-    deltaDocs.select(col("doc_id")).filter(isDelta)
+    deltaDocs.select(col("doc_id"))
       .join(agg.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
@@ -406,6 +415,66 @@ object Dedup {
        |      WHERE doc_id % $sampleMod = 0 AND doc_id % $deltaMod = 0) d
        |LEFT JOIN agg ON agg.dd = d.doc_id
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Persist the base corpus's banded MinHash signature store — the
+    * durable artifact a production ingest pipeline keeps BETWEEN
+    * batches so base signatures are computed once, ever. Layout:
+    * hive-partitioned by `band` ([[graft.sources.PartitionedSink]]),
+    * so a band-bucket join reads whole-band directories with partition
+    * pruning, and appending the next batch's signatures later is a
+    * directory-level merge.
+    */
+  def writeSignatureStore(baseDocs: DataFrame, path: String,
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit =
+    graft.sources.PartitionedSink.writePartitioned(
+      bandedMd5Sigs(baseDocs, numHashes, bands, sampleMod),
+      path, Seq("band"))
+
+  /** Read back a persisted signature store (schema
+    * `doc_id, sig, bsig, band`). */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.sources.PartitionedSink.read(spark, path)
+
+  /** [[incrementalLshMd5]] against a PERSISTED base signature store —
+    * the real production ingestion shape: the base side is READ from
+    * [[writeSignatureStore]] output, never recomputed, and each batch
+    * computes only its OWN signatures before the asymmetric band join.
+    * Per-batch cost is O(delta · bands) plus bucket-occupancy probes,
+    * independent of how large the base corpus has grown (the store
+    * scan is a column-pruned parquet read, no shingling or md5 work).
+    * With base/delta carved from one corpus by `doc_id % deltaMod`,
+    * the output is bit-identical to [[incrementalLshMd5]] on the
+    * combined frame, so [[incrementalLshMd5Sql]] doubles as this
+    * path's oracle — proving store round-trip + split-frame banding
+    * changes nothing.
+    */
+  def incrementalLshStore(storePath: String, delta: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
+      sampleMod: Int = 2): DataFrame = {
+    val spark = delta.sparkSession
+    val base = readSignatureStore(spark, storePath)
+      .select("doc_id", "sig", "band", "bsig")
+    incrementalReportSplit(
+      bandedMd5Sigs(delta, numHashes, bands, sampleMod), base, "bsig",
+      delta.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
+      numHashes, minEstSim)
+  }
+
+  /** Build-once helper for the driver entries: write the store for
+    * `baseDocs` under a deterministic per-fixture path unless it
+    * already exists (the amortized-across-batches semantics — a real
+    * pipeline writes the store once and every later batch reuses it).
+    */
+  def ensureSignatureStore(baseDocs: DataFrame, tag: String,
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): String = {
+    val path = s"/tmp/graft_sigstore_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      writeSignatureStore(baseDocs, path, numHashes, bands, sampleMod)
+    path
   }
 
   /** Per-document 64-bit SimHash via the one-pass
@@ -605,67 +674,115 @@ object Dedup {
       .select(col("doc_id"), expr(shingleHashExpr).as("h"))
       .distinct()
 
-  /** Connected components by iterative min-label propagation: every
-    * node starts labelled with its own id; each round takes the min of
-    * its label and its neighbours' labels; at fixpoint each component
-    * carries its minimum node id — a canonical, iteration-count-
-    * independent cluster id. Each round is one join + one aggregate,
-    * both shuffling on node id; `localCheckpoint` cuts the growing
-    * lineage so round N's plan doesn't replay rounds 1…N−1. Rounds
-    * needed = component diameter, which for dedup graphs is tiny
-    * (near-dup clusters are dense); for adversarially long chains the
-    * published fix is alternating large-star/small-star (O(log n)
-    * rounds) — same join/agg building blocks, noted here for the
-    * 100 TB runbook.
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC '14): each round rewires neighbours to the
+    * minimum of a node's closed neighbourhood — large-star rewires the
+    * LARGER neighbours, small-star collapses the smaller ones — and
+    * the edge set converges to depth-1 stars rooted at each
+    * component's minimum node id in O(log n) rounds even on
+    * adversarial long chains, where plain min-label propagation needs
+    * diameter-many rounds (the round-6 scale flaw). Labels are
+    * canonical (component-min id), independent of round count and
+    * partitioning. Each half-round is one aggregate + one hash join +
+    * one distinct, all shuffling on node id; `localCheckpoint` cuts
+    * the growing lineage so round N never replays rounds 1…N−1.
+    *
+    * Loop parallelism derives from the EDGE volume (~100k edges per
+    * task) with NO upper cap — a fixed ceiling throttles the 100 TB
+    * dedup backbone, where LSH candidate edges run to billions —
+    * floored at 1 so tiny graphs don't pay scheduler overhead, and
+    * snapped to a multiple of `spark.sql.shuffle.partitions` once the
+    * graph saturates the session's configured width.
+    *
+    * Convergence detection is EXACT, not probabilistic: a directed
+    * (hi→lo) edge set is a fixpoint of both stars iff no node appears
+    * as both a child and a root, checked with one semi-join per round
+    * — a checksum compare could collide and silently hand back wrong
+    * labels to oracle-checked cluster assignments.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      maxIter: Int = 30): DataFrame = {
-    // materialize the edge set once — every round re-reads it, and
-    // without the checkpoint each round would replay the (possibly
-    // expensive) edge-generation pipeline upstream
-    val symRaw = edges.select(col("d1").as("node"), col("d2").as("nbr"))
-      .unionAll(edges.select(col("d2").as("node"), col("d1").as("nbr")))
-      .localCheckpoint()
-    // loop parallelism sized to the EDGE set, not the corpus: dedup
-    // graphs are sparse, and a tiny graph on wide shuffles is pure
-    // scheduler overhead (the dbgen lesson: partitions scale with data)
-    val parts = math.max(1, math.min(200, (symRaw.count() / 100000L).toInt))
-    val sym = symRaw.repartition(parts, col("nbr")).localCheckpoint()
-    // only nodes touching an edge can ever change label — singletons
-    // (the vast majority of a deduped corpus) skip the loop entirely
-    // and are unioned back self-labelled at the end. Seeding with
-    // least(node, min(nbr)) IS round one of the propagation (neighbor
-    // labels still equal neighbor ids) as a plain aggregation — one
-    // join round saved before the loop starts
-    var labels = sym.groupBy("node")
-      .agg(least(col("node"), min(col("nbr"))).as("lbl"))
-      .repartition(parts, col("node")).localCheckpoint()
-    var changed = 1L
+      maxIter: Int = 30): DataFrame =
+    ccWithRounds(edges, nodes, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star-contraction
+    * rounds taken — observable so tests and the scale ladder can
+    * assert O(log n) convergence on long-chain graphs. */
+  private[graft] def ccWithRounds(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int) = {
+    // canonical directed edge set (hi → lo), deduped, materialized
+    // once — without the checkpoint every round would replay the
+    // (possibly expensive) edge-generation pipeline upstream
+    val e0 = edges
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    val sess = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val desired = (e0.count() / 100000L).toInt
+    val parts =
+      if (desired <= 1) 1
+      else if (desired < sess) desired
+      else ((desired + sess - 1) / sess) * sess
+
+    // large-star: every node u sends its LARGER neighbours to
+    // m = min(Γ(u) ∪ {u}); each directed edge is processed once, from
+    // its smaller endpoint. Output stays directed hi → lo.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins.hint("shuffle_hash"), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node u collapses its smaller neighbourhood
+    // onto m = min(Γ⁻(u)); emits (v, m) for each smaller neighbour
+    // v ≠ m plus (u, m). Output stays directed hi → lo.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = e.join(mins.hint("shuffle_hash"), "u")
+      joined.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(joined.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // exact fixpoint test: a directed hi→lo edge set is a star forest
+    // iff child and root node sets are disjoint
+    def isStarForest(e: DataFrame): Boolean =
+      e.select("u")
+        .join(e.select(col("v").as("u")).hint("shuffle_hash"),
+          Seq("u"), "left_semi")
+        .isEmpty
+
+    var e = e0.repartition(parts, col("u")).localCheckpoint()
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrLabels = labels.select(col("node").as("nbr"), col("lbl").as("nlbl"))
-      val nbrMin = sym.join(nbrLabels, "nbr")
-        .groupBy("node").agg(min("nlbl").as("nmin"))
-      // carry the convergence flag in the checkpointed rows so the
-      // changed-count is a scan of materialized data, not a re-join
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).as("chg"))
-        .repartition(parts, col("node")).localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select("node", "lbl")
+    var converged = isStarForest(e)
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e))
+        .repartition(parts, col("u")).localCheckpoint()
       it += 1
+      converged = isStarForest(e)
     }
     // never hand back non-converged (wrong) labels silently — callers
     // feed these into oracle-checked cluster assignments
-    require(changed == 0,
-      s"connected components did not converge in $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter")
-    nodes.select(col("node"))
+    require(converged,
+      s"connected components did not converge in $maxIter rounds; " +
+        "raise maxIter")
+    // at the fixpoint e is (child → component-min root): children
+    // label with their root, roots label themselves; only nodes
+    // touching an edge ever enter the loop — singletons (the vast
+    // majority of a deduped corpus) are self-labelled by the coalesce
+    val labels = e.select(col("u").as("node"), col("v").as("lbl"))
+      .unionAll(e.select(col("v").as("node"), col("v").as("lbl")))
+      .groupBy("node").agg(min(col("lbl")).as("lbl"))
+    val out = nodes.select(col("node"))
       .join(labels.withColumnRenamed("lbl", "conn_lbl").hint("shuffle_hash"),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("conn_lbl"), col("node")).as("lbl"))
+    (out, it)
   }
 
   /** Dedup clustering — the canonical-document assignment a real

@@ -517,7 +517,16 @@ object Similarity {
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, mean))), x -> CAST(x.mean AS FLOAT))")
           .as("centroid"))
+        // cut the Lloyd lineage per round (cells×dims rows — tiny):
+        // without it round i's broadcast replays assignments 1…i−1
+        // over the corpus — quadratic corpus passes in iters (the
+        // bpeMerges lesson). eager=false so merely constructing the
+        // entry stays lazy (the curate lesson).
+        .localCheckpoint(eager = false)
     }
+    // the final assignment feeds BOTH the query and the corpus side of
+    // the probe join — checkpoint so it's one corpus pass, not two
+    assigned = assigned.localCheckpoint(eager = false)
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("cell"))
@@ -580,7 +589,12 @@ object Similarity {
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)")
           .as("centroid"))
+        // per-round lineage cut, same as the float path: lazy so entry
+        // construction doesn't execute, materialized once per round
+        .localCheckpoint(eager = false)
     }
+    // final assignment read twice (queries + corpus) — one pass, not two
+    assigned = assigned.localCheckpoint(eager = false)
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell"))

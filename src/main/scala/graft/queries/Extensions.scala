@@ -343,6 +343,16 @@ object Extensions {
     "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
     "dedup_incremental" -> (c => Dedup.incrementalLsh(c.documents)),
     "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
+    // base signatures come from a PERSISTED parquet store (written
+    // once per fixture, reused across invocations) — proves the
+    // store round-trip changes nothing vs the one-frame md5 twin
+    "dedup_incremental_store" -> (c => {
+      val base = c.documents.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val delta = c.documents.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val store = Dedup.ensureSignatureStore(base,
+        new java.io.File(c.dir).getName + "_incstore")
+      Dedup.incrementalLshStore(store, delta)
+    }),
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
@@ -422,6 +432,9 @@ object Extensions {
     "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
+    // same oracle as the one-frame twin: base/delta split + parquet
+    // round-trip must be invisible in the verdicts
+    "dedup_incremental_store" -> Dedup.incrementalLshMd5Sql(),
     "dedup_passages" -> Dedup.passageDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_within_doc" -> Dedup.withinDocDedupSql(),

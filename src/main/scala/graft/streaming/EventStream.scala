@@ -83,6 +83,53 @@ object EventStream {
     q
   }
 
+  /** documents fixture schema for file-source document streams. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of documents parquet. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  /** Streaming incremental near-dup gate against a PERSISTED base
+    * signature store ([[graft.operators.Dedup.writeSignatureStore]])
+    * — the streaming composition of the store-backed batch path: each
+    * micro-batch of newly-ingested documents computes ITS OWN MinHash
+    * signatures and band-joins them against the static store, landing
+    * one verdict row per ingested doc (dup count, best base match,
+    * estimated similarity) as appended parquet. MinHash signing is a
+    * multi-stage batch aggregation, so it runs per micro-batch via
+    * `foreachBatch` (the standard shape for compound batch logic on a
+    * stream); the store is static within the run — base growth is a
+    * directory-level append between runs. Verdicts depend only on the
+    * doc's own signatures vs the store (no delta-delta interaction),
+    * so output is independent of micro-batch boundaries; per-batch
+    * cost is O(batch · bands) + bucket probes, independent of base
+    * size. Parity with the batch
+    * [[graft.operators.Dedup.incrementalLshStore]] is spec-checked
+    * row for row.
+    */
+  def incrementalDedupStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpointDir: String,
+      sampleMod: Int = 2): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .incrementalLshStore(storePath, batch.toDF(), sampleMod = sampleMod)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (broadcast per micro-batch — the standard Spark
     * pattern; the static side may be a slowly-refreshed table).

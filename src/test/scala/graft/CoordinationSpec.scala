@@ -134,4 +134,29 @@ class CoordinationSpec extends AnyFunSuite {
     a.stop()
     Coordination.delete("actor", "ca-counter")
   }
+
+  test("runOnExecutors runs once per slot and gathers per executor") {
+    val spark = TestSpark.spark
+    CoordinationSpec.invocations.set(0)
+    val perExec = Coordination.runOnExecutors(spark) { () =>
+      CoordinationSpec.invocations.incrementAndGet()
+      System.getProperty("java.version")
+    }
+    val slots = spark.sparkContext.defaultParallelism
+    // the barrier held every slot simultaneously → exactly one
+    // invocation per slot, none reused
+    assert(CoordinationSpec.invocations.get() == slots)
+    // local mode = a single "driver" executor; results keyed per
+    // executor, the reference Client.run view
+    assert(perExec.keySet == Set("driver"))
+    assert(perExec("driver") == System.getProperty("java.version"))
+    val perSlot = Coordination.runOnSlots(spark)(() => 1)
+    assert(perSlot.map(_._2).sorted == (0 until slots))
+    assert(perSlot.map(_._3).sum == slots)
+  }
+}
+
+object CoordinationSpec {
+  /** JVM-static so executor-side increments are visible in local mode. */
+  val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -95,6 +95,37 @@ class DedupSpec extends AnyFunSuite {
     assert(lbl(30L) == 30L && lbl(31L) == 31L)
   }
 
+  test("store-backed incremental dedup matches the one-frame twin") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // sampleMod=1: tiny 5-doc fixture, no sampling
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val store = java.nio.file.Files.createTempDirectory("sigstore")
+      .resolve("store").toString
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
+    val out = Dedup.incrementalLshStore(store, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    val twin = Dedup.incrementalLshMd5(docs, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(out.sameElements(twin),
+      "persisted-store path diverged from the one-frame twin")
+    assert(out.nonEmpty)
+  }
+
+  test("connected components converge in O(log n) rounds on a long chain") {
+    // path graph 0-1-…-1023: diameter 1023, so min-label propagation
+    // needs ~n rounds; star contraction must stay logarithmic
+    val n = 1024
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("d1", "d2")
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val (out, rounds) = Dedup.ccWithRounds(edges, nodes)
+    val lbl = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until n).forall(i => lbl(i.toLong) == 0L))
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a " +
+      s"diameter-${n - 1} chain; expected O(log n)")
+  }
+
   test("connected components match union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     val n = 60

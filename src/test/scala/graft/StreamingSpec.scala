@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("streaming incremental dedup matches the store-backed batch path") {
+    import graft.operators.Dedup
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    val outDir = tmp.resolve("out").toString
+    Dedup.writeSignatureStore(base, store)
+    // stage the delta as a directory the file source can ingest;
+    // multiple files → multiple micro-batches under AvailableNow,
+    // so batch-boundary independence is actually exercised
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.incrementalDedupStream(
+      EventStream.readDocuments(spark, deltaDir), store, outDir,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = spark.read.parquet(outDir)
+        .collect().map(_.toString).sorted
+      val batch = Dedup.incrementalLshStore(store, delta)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val dim = Ctx(spark, sfDir).events.groupBy("user_id")
