@@ -462,6 +462,20 @@ object Dedup {
       numHashes, minEstSim)
   }
 
+  /** Fold a processed delta INTO the signature store — the second half
+    * of the production ingest loop: after a batch is gated
+    * ([[incrementalLshStore]]), its kept documents' signatures join the
+    * base so the NEXT batch dedups against them too. Signatures are
+    * computed once per batch either way; parquet `append` into the same
+    * band-partitioned layout is a directory-level merge, no rewrite of
+    * existing base files. Equivalence of grow-by-append with
+    * build-from-scratch is spec-checked.
+    */
+  def appendToSignatureStore(deltaDocs: DataFrame, path: String,
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit =
+    bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
+      .write.mode("append").partitionBy("band").parquet(path)
+
   /** Build-once helper for the driver entries: write the store for
     * `baseDocs` under a deterministic per-fixture path unless it
     * already exists (the amortized-across-batches semantics — a real

@@ -112,6 +112,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("growing the signature store by append equals building it fresh") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore_grow")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    // ingest loop: write base, then fold the next batch in by append
+    Dedup.writeSignatureStore(b0, grown, sampleMod = 1)
+    Dedup.appendToSignatureStore(b1, grown, sampleMod = 1)
+    Dedup.writeSignatureStore(b0.unionAll(b1), fresh, sampleMod = 1)
+    val viaGrown = Dedup.incrementalLshStore(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    val viaFresh = Dedup.incrementalLshStore(fresh, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(viaGrown.sameElements(viaFresh) && viaGrown.nonEmpty)
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     // path graph 0-1-…-1023: diameter 1023, so min-label propagation
     // needs ~n rounds; star contraction must stay logarithmic
