@@ -775,8 +775,15 @@ object Dedup {
     var it = 0
     var converged = isStarForest(e)
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e))
-        .repartition(parts, col("u")).localCheckpoint()
+      // each half-round already ends in a distinct (a shuffle) that
+      // AQE right-sizes at runtime, so a per-round repartition would
+      // normally add a full extra shuffle of the edge set for nothing;
+      // it's forced ONLY when the edge-derived width exceeds the
+      // session's configured shuffle width — i.e. when the config
+      // would under-provision the loop at very large edge volumes
+      val next = smallStar(largeStar(e))
+      e = (if (parts > sess) next.repartition(parts, col("u")) else next)
+        .localCheckpoint()
       it += 1
       converged = isStarForest(e)
     }

@@ -93,6 +93,39 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15),
       16, 10).cast("bigint")
 
+  /** Deterministic corpus shuffle — the reproducible training-order
+    * assignment a pretraining pipeline runs before sequence packing:
+    * a salted 60-bit md5 key gives every document a stable
+    * pseudo-random rank, documents land in `numShards` output shards
+    * (key mod shards — the output-file axis) and take a dense
+    * within-shard position ordered by (key, doc_id). (shard, pos) is
+    * a total order that is layout-independent and append-stable for
+    * existing docs; a fresh epoch-wide reshuffle is one salt change.
+    * At 100 TB: one hash shuffle on shard + per-shard sorts — the
+    * window partitions on shard, so no global single-partition sort
+    * exists anywhere, and shards map 1:1 to writer output files.
+    */
+  def deterministicShuffle(docs: DataFrame, salt: String = "shuf:",
+      numShards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("skey", "doc_id")
+    docs.select(col("doc_id"))
+      .withColumn("skey", hashBucketFull(salt, col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
+  def deterministicShuffleSql(salt: String = "shuf:",
+      numShards: Int = 64): String = {
+    val key = hashBucketFullSql(salt, "doc_id")
+    s"""SELECT doc_id, $key AS skey, $key % $numShards AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY $key % $numShards
+       |    ORDER BY $key, doc_id) AS BIGINT) AS pos
+       |FROM documents
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   def sourceQuotaSql(quota: Int = 20): String =
     s"""SELECT source, COUNT(*) AS n_kept,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,

@@ -401,6 +401,7 @@ object Extensions {
     "sample_stratified" -> (c => Sampling.stratifiedSample(c.documents)),
     "sample_source_quota" -> (c => Sampling.sourceQuota(c.documents)),
     "sample_temperature" -> (c => Sampling.temperatureSample(c.documents)),
+    "sample_shuffle" -> (c => Sampling.deterministicShuffle(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
     "set_union_kinds" -> (unionKinds _),
     "set_except_nations" -> (exceptNations _),
@@ -471,6 +472,7 @@ object Extensions {
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "sample_source_quota" -> Sampling.sourceQuotaSql(),
     "sample_temperature" -> Sampling.temperatureSampleSql,
+    "sample_shuffle" -> Sampling.deterministicShuffleSql(),
     "set_union_kinds" -> unionKindsSql,
     "set_except_nations" -> exceptNationsSql,
     "join_right_outer" -> rightOuterJoinSql,

@@ -144,6 +144,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("deterministic shuffle: window partitions on shard, no global sort") {
+    val p = planOf(graft.operators.Sampling
+      .deterministicShuffle(ctx.documents))
+    // the rank window must hash-partition on shard — a single-partition
+    // window would serialize the whole corpus through one task
+    // formatted mode details the exchange as "Arguments: hashpartitioning(…"
+    assert(p.contains("hashpartitioning(shard"), p)
+    // the only acceptable non-hash exchange is the final presentation
+    // orderBy (range partitioning) — never a single-partition funnel
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("store-backed incremental dedup: hash joins only over the store scan") {
+    val store = graft.operators.Dedup.ensureSignatureStore(
+      ctx.documents.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(3L)) =!= 0),
+      "plan_spec_store")
+    val p = planOf(graft.operators.Dedup.incrementalLshStore(
+      store, ctx.documents.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(3L)) === 0)))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the base side is the parquet store scan, not a recompute
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("curation pipeline: one lazy DAG, sort-free") {
     val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)

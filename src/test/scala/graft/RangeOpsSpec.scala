@@ -180,6 +180,27 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(splits.values.sum == s1.length)
   }
 
+  test("deterministic shuffle is a layout-independent total permutation") {
+    val docs = Seq.tabulate(2000)(i =>
+      (i.toLong, s"text $i", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Sampling.deterministicShuffle(docs).collect()
+    val s2 = Sampling.deterministicShuffle(docs.repartition(7)).collect()
+    assert(s1.sameElements(s2)) // layout-independent
+    // a permutation: every doc exactly once
+    assert(s1.map(_.getLong(0)).sorted.sameElements(0L until 2000L))
+    // dense 1..n positions within every shard
+    s1.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    }
+    // actually shuffled: doc order within a shard isn't id order
+    val shard0 = s1.filter(_.getLong(2) == 0L).map(_.getLong(0))
+    assert(!shard0.sorted.sameElements(shard0))
+    // a different salt yields a different epoch order
+    val e2 = Sampling.deterministicShuffle(docs, salt = "ep2:").collect()
+    assert(!e2.map(_.getLong(0)).sameElements(s1.map(_.getLong(0))))
+  }
+
   test("temperature sample flattens the language mixture deterministically") {
     // 1600 en / 200 de / 200 fr: α=0.5 boosts the minorities' SHARE
     val docs = Seq.tabulate(2000) { i =>
