@@ -295,4 +295,63 @@ object TextAnalysis {
        |  md5(array_to_string(prints, ',')) AS prints_md5
        |FROM p ORDER BY doc_id""".stripMargin
   }
+
+  /** Cross-document repeated n-gram spans — the exact-substring
+    * duplication signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (arXiv:2107.06499), as a per-doc
+    * report: for every `width`-token window (stride 1), does the
+    * identical window occur in ≥2 distinct documents? Emitted per doc:
+    * window count, duplicated-window count, duplicated fraction (an
+    * exact-integer ratio — unrounded by the house rule). At 100 TB the
+    * window explosion is the same cardinality class as the shingle
+    * front end (one row per token), the gram tally is one hash-agg on
+    * the portable 60-bit md5 key, and the count-back join is
+    * hash-hinted — the passage-dedup shape with overlapping windows.
+    * Docs shorter than one window carry no signal and are excluded
+    * (identically in the oracle).
+    */
+  def repeatedNgrams(docs: DataFrame, width: Int = 8): DataFrame = {
+    val gram = (0 until width).map(j => s"element_at(ws, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) < $width THEN array()
+           |ELSE transform(sequence(1, size(ws) - ${width - 1}),
+           |  i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))
+           |END""".stripMargin)).as("gh"))
+    val tally = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(tally.hint("shuffle_hash"), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def repeatedNgramsSql(width: Int = 8): String = {
+    val gram = (0 until width).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5($gram), 1, 15) AS BIGINT) AS gh
+       |  FROM t,
+       |    UNNEST(range(1, greatest(len(ws) - ${width - 1}, 0) + 1)) AS u(i)),
+       |c AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_windows,
+       |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) AS BIGINT)
+       |    AS n_dup_windows,
+       |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) AS DOUBLE)
+       |    / COUNT(*) AS dup_frac
+       |FROM g JOIN c USING (gh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

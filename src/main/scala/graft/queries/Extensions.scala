@@ -382,6 +382,7 @@ object Extensions {
     "text_lang_id" -> (c => TextAnalysis.langId(c.documents)),
     "text_heavy_hitters" -> (c => TextAnalysis.heavyHitters(c.documents)),
     "text_winnow_fingerprint" -> (c => TextAnalysis.winnowFingerprint(c.documents)),
+    "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -457,6 +458,7 @@ object Extensions {
     "text_lang_id" -> TextAnalysis.langIdSql,
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "text_winnow_fingerprint" -> TextAnalysis.winnowFingerprintSql(),
+    "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,

@@ -102,6 +102,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("repeated n-grams: shared 8-token runs are flagged cross-doc") {
+    import spark.implicits._
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one width-8 window
+    val d = Seq(
+      (0L, s"$shared tail0 tail1", "en", "s1", 10L),     // 3 windows
+      (1L, s"head0 $shared", "en", "s1", 10L),           // 2 windows
+      (2L, "a totally different run of nine words here now", "en", "s1", 10L),
+      (3L, "too short", "en", "s1", 10L)                 // < 8 tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.repeatedNgrams(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // doc 3 has no window → excluded by design
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // exactly the one shared window is duplicated in docs 0 and 1
+    assert(out(0L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    // layout-independent
+    val again = TextAnalysis.repeatedNgrams(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(again == out)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
