@@ -112,6 +112,14 @@ object EventStream {
     * size. Parity with the batch
     * [[graft.operators.Dedup.incrementalLshStore]] is spec-checked
     * row for row.
+    *
+    * The sink is IDEMPOTENT under micro-batch replay: verdicts land in
+    * a `batch=<id>` directory overwritten whole, so a batch re-run
+    * after a crash-restart (Spark replays the last uncommitted batch
+    * from the checkpoint) replaces its own output instead of appending
+    * duplicates — effective exactly-once, the foreachBatch contract
+    * done right. Readers see `batch` as a partition column and drop
+    * it.
     */
   def incrementalDedupStream(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String,
@@ -120,10 +128,10 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup
           .incrementalLshStore(storePath, batch.toDF(), sampleMod = sampleMod)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.processAllAvailable()

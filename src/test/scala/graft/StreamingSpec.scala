@@ -103,7 +103,9 @@ class StreamingSpec extends AnyFunSuite {
       EventStream.readDocuments(spark, deltaDir), store, outDir,
       tmp.resolve("ckpt").toString)
     try {
-      val streamed = spark.read.parquet(outDir)
+      // batch=<id> is the idempotent-replay partition axis — dropped
+      // on read
+      val streamed = spark.read.parquet(outDir).drop("batch")
         .collect().map(_.toString).sorted
       val batch = Dedup.incrementalLshStore(store, delta)
         .collect().map(_.toString).sorted
