@@ -474,6 +474,51 @@ object Similarity {
        |SELECT qid, cell, cid, cosine, rk FROM ranked WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
 
+  /** ANN quality evaluation — recall@k of the IVF index against the
+    * brute-force ground truth, per query: |approx ∩ exact| / k. The
+    * measurement every production ANN deployment runs before trusting
+    * an index; here it is ITSELF oracle-checked, because both inputs
+    * are the exact-decimal twins ([[cosineTopKAgg]] ground truth,
+    * [[ivfTopKExact]] index) whose DuckDB oracles compose as CTEs —
+    * the recall number is bit-for-bit reproducible cross-engine, not
+    * a sampled estimate. Scale shape: both sides are the already-
+    * audited pipelines; the overlap join is k·queries rows.
+    */
+  def annRecall(embeddings: DataFrame, numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val exact = cosineTopKAgg(embeddings, numQueries, k)
+      .select(col("qid"), col("cid"))
+    val approx = ivfTopKExact(embeddings, numQueries, k)
+      .select(col("qid"), col("cid"), lit(1L).as("hit"))
+    // the index side is k·queries rows — broadcast, never a sort
+    exact.join(broadcast(approx), Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      // exact-integer ratio — unrounded by the house rule
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / col("k").cast("double"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[annRecall]] — the two twins' oracles spliced
+    * as CTE subqueries (each keeps its own WITH scope).
+    */
+  def annRecallSql(numQueries: Int = 10, k: Int = 5,
+      dims: Int = 64): String =
+    s"""WITH exact AS (
+       |${cosineTopKSql(numQueries, k, dims)}
+       |), approx AS (
+       |${ivfTopKExactSql(numQueries, k, dims)}
+       |)
+       |SELECT e.qid, COUNT(*) AS k,
+       |  CAST(COALESCE(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 END), 0)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 END), 0)
+       |    AS DOUBLE) / COUNT(*) AS recall_at_k
+       |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** IVF over a k-means-TRAINED codebook — [[ivfTopK]] borrows the
     * corpus's `label` column as its coarse quantizer; a real IVF index
     * trains the codebook unsupervised (Lloyd's algorithm), which is

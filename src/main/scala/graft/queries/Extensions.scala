@@ -372,6 +372,7 @@ object Extensions {
     "sim_ann_lsh_md5" -> (c => Similarity.annLshTopKMd5(c.embeddings)),
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_ivf_topk_exact" -> (c => Similarity.ivfTopKExact(c.embeddings)),
+    "sim_ann_recall" -> (c => Similarity.annRecall(c.embeddings)),
     "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
@@ -448,6 +449,7 @@ object Extensions {
     "pipeline_curate" -> CorpusPipeline.curateSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
+    "sim_ann_recall" -> Similarity.annRecallSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),

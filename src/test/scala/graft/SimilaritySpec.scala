@@ -46,6 +46,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(win.toSeq == agg.toSeq)
   }
 
+  test("annRecall measures IVF overlap with the brute-force ground truth") {
+    val out = Similarity.annRecall(emb, numQueries = 2, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L))
+    out.values.foreach { case (k, hits, recall) =>
+      assert(k == 2L && hits >= 0L && hits <= k)
+      assert(recall == hits.toDouble / k)
+    }
+    // layout-independent
+    val again = Similarity.annRecall(emb.repartition(3), numQueries = 2, k = 2)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == out)
+  }
+
   test("embeddingNearDups verifies banded candidates against the exact cosine") {
     val pairs = Similarity.embeddingNearDups(emb, minCosine = 0.9, dims = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
