@@ -710,10 +710,16 @@ object Dedup {
     * graph saturates the session's configured width.
     *
     * Convergence detection is EXACT, not probabilistic: a directed
-    * (hi→lo) edge set is a fixpoint of both stars iff no node appears
-    * as both a child and a root, checked with one semi-join per round
-    * — a checksum compare could collide and silently hand back wrong
-    * labels to oracle-checked cluster assignments.
+    * (hi→lo) edge set is a depth-1 star forest iff (a) no node appears
+    * as both a child and a root AND (b) every child has exactly one
+    * parent — both violation sources are unioned into one per-round
+    * job. Disjointness alone is NOT sufficient: the hub graph
+    * {1–3, 2–3} canonicalizes to {(3→1),(3→2)}, whose child set {3}
+    * and root set {1,2} are disjoint while node 3 still has two
+    * parents; accepting it would label node 2 as 2 instead of the
+    * component min 1. A checksum compare could likewise collide and
+    * silently hand back wrong labels to oracle-checked cluster
+    * assignments.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 30): DataFrame =
@@ -763,13 +769,19 @@ object Dedup {
         .distinct()
     }
 
-    // exact fixpoint test: a directed hi→lo edge set is a star forest
-    // iff child and root node sets are disjoint
-    def isStarForest(e: DataFrame): Boolean =
-      e.select("u")
+    // exact fixpoint test: a directed hi→lo edge set is a depth-1
+    // star forest iff child/root node sets are disjoint AND no child
+    // has two distinct parents (see scaladoc — disjointness alone
+    // accepts the multi-parent hub state {(3→1),(3→2)})
+    def isStarForest(e: DataFrame): Boolean = {
+      val childIsRoot = e.select("u")
         .join(e.select(col("v").as("u")).hint("shuffle_hash"),
           Seq("u"), "left_semi")
-        .isEmpty
+      val multiParent = e.groupBy("u")
+        .agg(countDistinct(col("v")).as("np"))
+        .where(col("np") > 1).select("u")
+      childIsRoot.unionAll(multiParent).isEmpty
+    }
 
     var e = e0.repartition(parts, col("u")).localCheckpoint()
     var it = 0

@@ -95,6 +95,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lbl(30L) == 30L && lbl(31L) == 31L)
   }
 
+  test("connected components label a hub whose id exceeds its leaves") {
+    // regression (round-8 ADVICE): {1-3, 2-3} canonicalizes to the
+    // multi-parent state {(3→1),(3→2)}, whose child/root sets are
+    // disjoint — a convergence test checking only disjointness accepts
+    // it before any contraction and labels node 2 as 2 instead of the
+    // component min 1
+    val lbl = Dedup.connectedComponents(
+        Seq((1L, 3L), (2L, 3L)).toDF("d1", "d2"),
+        Seq(1L, 2L, 3L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // wider hub (id above ≥2 mutually-unpaired leaves) + a bystander
+    // component, so the fix is exercised with mixed shapes in one graph
+    val lbl2 = Dedup.connectedComponents(
+        Seq((4L, 9L), (5L, 9L), (6L, 9L), (7L, 9L), (20L, 21L))
+          .toDF("d1", "d2"),
+        (Seq(4L, 5L, 6L, 7L, 9L, 20L, 21L)).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(4L, 5L, 6L, 7L, 9L).forall(lbl2(_) == 4L))
+    assert(lbl2(20L) == 20L && lbl2(21L) == 20L)
+  }
+
   test("store-backed incremental dedup matches the one-frame twin") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     // sampleMod=1: tiny 5-doc fixture, no sampling
