@@ -91,7 +91,8 @@ object ScaleBench {
     // optional 3rd arg: comma list of sections to run
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
-      else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore")
+      else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
+        "megabucket,incstore_compact")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -227,6 +228,78 @@ object ScaleBench {
       }
     }
 
+    section("incstore_compact") {
+      // the ingest loop appends one file set per batch per band; after
+      // ~50 small appends the store scan pays 50× the file open /
+      // footer cost per band and the per-batch gate creeps even
+      // though signing cost is flat. compactSignatureStore rewrites
+      // fat band dirs; the gate must return to the fresh-store time.
+      println("== Store-backed batch gate vs append count + compaction ==")
+      val docsAll = spark.read.parquet(s"$src/documents.parquet")
+      val delta = docsAll.filter(col("doc_id") % 3 === 0)
+      val base = docsAll.filter(col("doc_id") % 3 =!= 0)
+      val store = "/tmp/graft_sigstore_compact_rung"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.operators.Dedup.writeSignatureStore(
+        base.filter(col("doc_id") % 500 >= 50), store)
+      def gate(): Double = {
+        graft.operators.Dedup.incrementalLshStore(store, delta).count()
+        val (s1, _) = time(graft.operators.Dedup
+          .incrementalLshStore(store, delta).count())
+        val (s2, _) = time(graft.operators.Dedup
+          .incrementalLshStore(store, delta).count())
+        math.min(s1, s2)
+      }
+      def files(): Int = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).sum
+      println(f"${"state"}%-22s${"files"}%7s${"batch_s"}%9s")
+      println(f"${"fresh"}%-22s${files()}%7d${gate()}%9.2f")
+      for (k <- 0 until 50)
+        graft.operators.Dedup.appendToSignatureStore(
+          base.filter(col("doc_id") % 500 === k), store)
+      println(f"${"after 50 appends"}%-22s${files()}%7d${gate()}%9.2f")
+      val nc = graft.operators.Dedup.compactSignatureStore(spark, store)
+      println(f"${s"compacted ($nc bands)"}%-22s${files()}%7d${gate()}%9.2f")
+    }
+
+    section("megabucket") {
+      // adversarial degenerate-bucket fixture: one boilerplate string
+      // repeated n times on top of the normal sf0.1 corpus — every
+      // LSH band bucket for it holds all n copies, the web-corpus
+      // pathology (templates/empty texts) that made the unguarded
+      // band self-join emit n²/2 pairs on one shuffle key. With the
+      // occupancy guard (cap=DefaultBucketCap) candidates grow
+      // LINEARLY in n: n−1 star edges + the flat ambient pair set.
+      // The unguarded mode is run once at the smallest n as the
+      // quadratic baseline (≈n²/2 pairs).
+      println("== LSH mega-bucket guard: candidates vs boilerplate copies ==")
+      println(f"${"boilerN"}%-9s${"mode"}%-11s${"sec"}%8s${"pairs"}%12s")
+      val corpus = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "text")
+      for (n <- Seq(1000L, 4000L, 10000L)) {
+        val boiler = spark.range(0L, n, 1L, 32)
+          .select((col("id") + 1000000000L).as("doc_id"),
+            lit("standard legal footer boilerplate repeated verbatim " +
+              "across every page of the web corpus").as("text"))
+        val df = corpus.unionAll(boiler)
+        val modes: Seq[(String, Int)] =
+          if (n == 1000L)
+            Seq("guarded" -> graft.operators.Dedup.DefaultBucketCap,
+              "unguarded" -> Int.MaxValue)
+          else Seq("guarded" -> graft.operators.Dedup.DefaultBucketCap)
+        for ((label, cap) <- modes) {
+          graft.operators.Dedup.minHashLsh(df, bucketCap = cap).count()
+          val (sec, rows) = time(
+            graft.operators.Dedup.minHashLsh(df, bucketCap = cap).count())
+          println(f"$n%-9d$label%-11s$sec%8.2f$rows%12d")
+        }
+      }
+    }
+
     section("events") {
       println("== Event-stream ops vs user-population scale ==")
       val eventOps = Seq("events_asof_join", "events_range_join",
@@ -342,9 +415,13 @@ object ScaleBench {
       // the OS libblas when present, silently falls back to Java —
       // the two differ ~10× in rate, so a ladder number without its
       // backend is meaningless
-      val blas = graft.api.Coordination.runOnExecutors(spark) { () =>
-        dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
-      }
+      // best-effort (non-barrier) probe: this runs unconditionally in
+      // a shared session, where demanding every slot simultaneously
+      // free could abort the whole ladder for a diagnostic label
+      val blas = graft.api.Coordination
+        .runOnExecutors(spark, requireAllSlots = false) { () =>
+          dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
+        }
       println(s"== Block matmul (512-blocks; BLAS per executor: " +
         blas.map { case (e, b) => s"$e=$b" }.mkString(", ") + ") ==")
       println(f"${"n"}%-8s${"sec"}%8s${"gflops"}%10s")

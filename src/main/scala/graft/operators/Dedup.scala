@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -137,8 +137,11 @@ object Dedup {
     * self-join per bucket yields candidates (threshold ≈ (1/16)^(1/4)
     * ≈ 0.5); estimated similarity = matching signature fraction.
     * At 100 TB: candidate generation shuffles only (doc, band) rows —
-    * never all pairs. xxhash64 is Spark-specific → rows-only check (no
-    * DuckDB oracle), covered by unit test instead.
+    * never all pairs — and degenerate buckets are occupancy-guarded
+    * (see [[DefaultBucketCap]]): buckets over the cap link members to
+    * the bucket-min doc linearly instead of pairing quadratically.
+    * xxhash64 is Spark-specific → rows-only check (no DuckDB oracle),
+    * covered by unit test instead.
     */
   /** xxhash64 signatures banded to (doc_id, sig, band, band_hash) —
     * the shared front end of [[minHashLsh]] and [[incrementalLsh]].
@@ -162,22 +165,91 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Default per-(band, bucket) occupancy cap for the LSH band
+    * self-joins. A band join emits occupancy² candidate pairs per
+    * bucket; real web-scale corpora GUARANTEE degenerate buckets
+    * (boilerplate templates, empty/near-empty texts) of 10⁴–10⁶ docs,
+    * and one 10⁶-occupancy bucket is 5·10¹¹ pairs on a single shuffle
+    * key — a stage that never finishes. Buckets at or under the cap
+    * pair exactly; buckets over it take a LINEAR star-edge shortcut
+    * (members of a mega-bucket share a full band signature and are
+    * near-certain duplicates, so linking each to the bucket-min doc
+    * preserves the downstream connected component without pairing).
+    * 256 keeps the worst normal bucket at ≤32k pairs while never
+    * triggering at fixture scale, so every oracle entry's plan and
+    * output are unchanged there.
+    */
+  val DefaultBucketCap: Int = 256
+
+  /** Over-cap (mega) buckets of a banded signature frame: one row per
+    * (keys…) bucket whose occupancy exceeds `cap`, carrying the
+    * bucket-min doc_id. One map-side-combined aggregate over the
+    * banded frame, checkpointed so the drivers below can branch on
+    * emptiness without re-running it.
+    */
+  private def overCapBuckets(banded: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("bmin"))
+      .filter(col("occ") > cap)
+      .select((keys :+ "bmin").map(col): _*)
+      .localCheckpoint()
+
+  /** Occupancy-guarded band self-join — the shared candidate
+    * generator behind [[minHashLsh]], [[minHashLshMd5]] and
+    * [[simHashPairs]]. Emits one (d1, d2, score) row per banded
+    * collision (call sites dedup): buckets ≤ `cap` self-join exactly
+    * as before; mega buckets emit bucket-min → member star edges,
+    * linear in occupancy. When no bucket exceeds the cap (every
+    * fixture) the plan is EXACTLY the unguarded self-join — the only
+    * added work is the occupancy aggregate. The mega-bucket frame is
+    * broadcast when small and shuffle-hash-joined past 100k buckets
+    * (degenerate-beyond-degenerate corpora), so the guard itself
+    * can't become the bottleneck.
+    */
+  private def guardedSelfJoinPairs(banded: DataFrame, keys: Seq[String],
+      cap: Int)(score: Column, scoreName: String): DataFrame = {
+    def pairJoin(left: DataFrame, right: DataFrame,
+        ordered: Boolean): DataFrame = {
+      val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _)
+      val cond =
+        if (ordered) keyCond && col("a.doc_id") < col("b.doc_id")
+        else keyCond
+      left.as("a").join(right.as("b"), cond)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          score.as(scoreName))
+    }
+    val mega = overCapBuckets(banded, keys, cap)
+    val megaCount = mega.count()
+    if (megaCount == 0L) pairJoin(banded, banded, ordered = true)
+    else {
+      val keyed =
+        if (megaCount <= 100000L) broadcast(mega)
+        else mega.hint("shuffle_hash")
+      val normal = banded.join(keyed.select(keys.map(col): _*),
+        keys, "left_anti")
+      val flagged = banded.join(keyed, keys)
+        .select((banded.columns :+ "bmin").map(col): _*)
+      val roots = flagged.filter(col("doc_id") === col("bmin")).drop("bmin")
+      val members = flagged.filter(col("doc_id") =!= col("bmin")).drop("bmin")
+      pairJoin(normal, normal, ordered = true)
+        .unionAll(pairJoin(roots, members, ordered = false))
+    }
+  }
+
   def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      minEstSim: Double = 0.5): DataFrame = {
+      minEstSim: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val banded = bandedXxSigs(docs, numHashes, bands)
     // score each banded collision immediately (est_sim is a pure
     // function of the pair, identical across its ≤`bands` copies),
     // then dedup three scalars — not a distinct() hauling two
     // 64-element signature arrays per candidate through the shuffle
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+    guardedSelfJoinPairs(banded, Seq("band", "band_hash"), bucketCap)(
         expr(s"""aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
-           |          0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)""".stripMargin)
-          .as("est_sim"))
+           |          0, (acc, v) -> acc + v) / CAST($numHashes AS DOUBLE)""".stripMargin),
+        "est_sim")
       .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
       .select("d1", "d2", "est_sim")
@@ -223,17 +295,14 @@ object Dedup {
   }
 
   def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      minEstSim: Double = 0.5, sampleMod: Int = 2): DataFrame = {
+      minEstSim: Double = 0.5, sampleMod: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val banded = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
     // same per-collision scoring + scalar dedup as [[minHashLsh]]
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+    guardedSelfJoinPairs(banded, Seq("band", "bsig"), bucketCap)(
         expr(s"""CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
-           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin)
-          .as("est_sim"))
+           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin),
+        "est_sim")
       .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
       .select("d1", "d2", "est_sim")
@@ -288,10 +357,10 @@ object Dedup {
     */
   private def incrementalReport(banded: DataFrame, keyCol: String,
       deltaDocs: DataFrame, deltaMod: Int, numHashes: Int,
-      minEstSim: Double): DataFrame = {
+      minEstSim: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
     incrementalReportSplit(banded.filter(isDelta), banded.filter(!isDelta),
-      keyCol, deltaDocs.filter(isDelta), numHashes, minEstSim)
+      keyCol, deltaDocs.filter(isDelta), numHashes, minEstSim, bucketCap)
   }
 
   /** [[incrementalReport]] with the delta and base signature sets as
@@ -300,12 +369,42 @@ object Dedup {
     */
   private def incrementalReportSplit(d: DataFrame, b: DataFrame,
       keyCol: String, deltaDocs: DataFrame, numHashes: Int,
-      minEstSim: Double): DataFrame = {
+      minEstSim: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    // occupancy guard, asymmetric form: a mega base bucket
+    // (boilerplate signatures shared by 10⁴⁺ stored docs) would pair
+    // every matching delta row against ALL of them. Base buckets over
+    // the cap are truncated to their `cap` LOWEST doc_ids — the
+    // verdict for a colliding delta doc still flags it as a dup with
+    // a deterministic best_match; only its n_dups undercounts (at
+    // ≥cap, which at that magnitude reads "many"). Deterministic
+    // truncation keeps the store path ≡ one-frame twin (both guard
+    // identically), and no fixture bucket reaches the cap, so oracle
+    // outputs are unchanged. Normal buckets pass through the
+    // anti-join untouched.
+    val megaB = overCapBuckets(b, Seq("band", keyCol), bucketCap)
+    val megaCount = megaB.count()
+    val bG =
+      if (megaCount == 0L) b
+      else {
+        val keys = megaB.select(col("band"), col(keyCol))
+        val keyed =
+          if (megaCount <= 100000L) broadcast(keys)
+          else keys.hint("shuffle_hash")
+        val capped = b.join(keyed, Seq("band", keyCol))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("band"), col(keyCol))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") <= bucketCap)
+          .select(b.columns.map(col): _*)
+        b.join(keyed, Seq("band", keyCol), "left_anti")
+          .select(b.columns.map(col): _*)
+          .unionAll(capped)
+      }
     // shuffle_hash on both joins: sorting band buckets (or the final
     // verdict assembly) for a merge join is pure waste before hash
     // lookups, and it keeps the suite's zero-SMJ invariant at any size
     val sims = d.as("a").hint("shuffle_hash")
-      .join(b.as("b"),
+      .join(bG.as("b"),
         col("a.band") === col("b.band") &&
           col(s"a.$keyCol") === col(s"b.$keyCol"))
       .select(col("a.doc_id").as("dd"), col("b.doc_id").as("db"),
@@ -344,10 +443,10 @@ object Dedup {
     * oracle-checked portable twin.
     */
   def incrementalLsh(docs: DataFrame, deltaMod: Int = 3,
-      numHashes: Int = 64, bands: Int = 16,
-      minEstSim: Double = 0.5): DataFrame =
+      numHashes: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
     incrementalReport(bandedXxSigs(docs, numHashes, bands), "band_hash",
-      docs, deltaMod, numHashes, minEstSim)
+      docs, deltaMod, numHashes, minEstSim, bucketCap)
 
   /** [[incrementalLsh]] with the md5-portable hash family (16×4
     * signatures over a 1-in-`sampleMod` sample — the capped-budget
@@ -357,10 +456,10 @@ object Dedup {
     */
   def incrementalLshMd5(docs: DataFrame, deltaMod: Int = 3,
       numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
-      sampleMod: Int = 2): DataFrame =
+      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap): DataFrame =
     incrementalReport(bandedMd5Sigs(docs, numHashes, bands, sampleMod),
       "bsig", docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
-      deltaMod, numHashes, minEstSim)
+      deltaMod, numHashes, minEstSim, bucketCap)
 
   /** DuckDB oracle for [[incrementalLshMd5]]. */
   def incrementalLshMd5Sql(deltaMod: Int = 3, numHashes: Int = 16,
@@ -426,10 +525,73 @@ object Dedup {
     * directory-level merge.
     */
   def writeSignatureStore(baseDocs: DataFrame, path: String,
-      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit =
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit = {
+    // atomic publish: write under a temp sibling, then rename into
+    // place — a crash mid-write leaves only the temp dir, never a
+    // half-written store that a bare exists-check would later trust
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
     graft.sources.PartitionedSink.writePartitioned(
       bandedMd5Sigs(baseDocs, numHashes, bands, sampleMod),
-      path, Seq("band"))
+      tmp.toString, Seq("band"))
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** A published signature store is COMPLETE iff the parquet
+    * `_SUCCESS` marker exists — [[writeSignatureStore]] publishes via
+    * temp+rename so the marker and the data become visible together;
+    * a directory without it is a crashed partial write.
+    */
+  def isCompleteSignatureStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
+
+  /** Rewrite any band directory whose parquet file count exceeds
+    * `maxFilesPerBand` into one file set — the maintenance half of
+    * the append-based ingest loop: [[appendToSignatureStore]] adds one
+    * file set per batch per band, so thousands of batches degrade
+    * store SCANS linearly in file count (open/footer cost) even
+    * though per-batch signing stays flat. Compaction is per-band
+    * atomic: the replacement is written to a temp sibling and swapped
+    * in via two renames, so a reader never sees a half-compacted
+    * band. Target file count derives from the band's byte size
+    * (~128 MB per file, min 1). Returns the number of bands
+    * compacted.
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBand: Int = 8): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bandDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+    var compacted = 0
+    for (bd <- bandDirs) {
+      val files = fs.listStatus(bd.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFilesPerBand) {
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1, (bytes / (128L << 20)).toInt)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path, bd.getPath.getName + ".compacting")
+        fs.delete(tmp, true)
+        spark.read.parquet(bd.getPath.toString)
+          .repartition(target)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(
+          path, bd.getPath.getName + ".precompact")
+        fs.delete(old, true)
+        require(fs.rename(bd.getPath, old) && fs.rename(tmp, bd.getPath),
+          s"compaction swap failed for ${bd.getPath}")
+        fs.delete(old, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
 
   /** Read back a persisted signature store (schema
     * `doc_id, sig, bsig, band`). */
@@ -452,14 +614,14 @@ object Dedup {
     */
   def incrementalLshStore(storePath: String, delta: DataFrame,
       numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
-      sampleMod: Int = 2): DataFrame = {
+      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val spark = delta.sparkSession
     val base = readSignatureStore(spark, storePath)
       .select("doc_id", "sig", "band", "bsig")
     incrementalReportSplit(
       bandedMd5Sigs(delta, numHashes, bands, sampleMod), base, "bsig",
       delta.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
-      numHashes, minEstSim)
+      numHashes, minEstSim, bucketCap)
   }
 
   /** Fold a processed delta INTO the signature store — the second half
@@ -477,16 +639,29 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(path)
 
   /** Build-once helper for the driver entries: write the store for
-    * `baseDocs` under a deterministic per-fixture path unless it
-    * already exists (the amortized-across-batches semantics — a real
-    * pipeline writes the store once and every later batch reuses it).
+    * `baseDocs` under a deterministic per-fixture path unless a
+    * COMPLETE store for the same content already exists (the
+    * amortized-across-batches semantics — a real pipeline writes the
+    * store once and every later batch reuses it). Two safeguards over
+    * a bare exists-check: (a) completeness requires the `_SUCCESS`
+    * marker ([[isCompleteSignatureStore]]) so a crashed partial write
+    * is rebuilt, not trusted; (b) the path is keyed on a content
+    * fingerprint (row count + max doc_id + store params) of the base
+    * frame, so a store built from since-regenerated fixture data
+    * under the same tag goes stale by PATH and is rebuilt rather
+    * than silently yielding wrong dedup verdicts. The fingerprint is
+    * one column-pruned count over the base — cheap next to signing.
     */
   def ensureSignatureStore(baseDocs: DataFrame, tag: String,
       numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): String = {
-    val path = s"/tmp/graft_sigstore_$tag"
+    val fp = baseDocs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_sigstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${numHashes}x${bands}m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    if (!isCompleteSignatureStore(fs, path))
       writeSignatureStore(baseDocs, path, numHashes, bands, sampleMod)
     path
   }
@@ -508,7 +683,8 @@ object Dedup {
     * a chunk (pigeonhole), so candidate generation is again a shuffle
     * on (chunk index, chunk value), never all pairs.
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val hashes = docSimHashes(docs)
     val banded = hashes.select(col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -518,13 +694,8 @@ object Dedup {
       // materialized once — the self-join would replay the simhash
       // aggregation per side (same trade as the minhash banding)
       .localCheckpoint()
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+    guardedSelfJoinPairs(banded, Seq("chunk", "chunk_val"), bucketCap)(
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"), "hamming")
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
@@ -720,6 +891,14 @@ object Dedup {
     * component min 1. A checksum compare could likewise collide and
     * silently hand back wrong labels to oracle-checked cluster
     * assignments.
+    *
+    * NOTE — eager by necessity: unlike the lazy Lloyd/BPE loops
+    * (`eager = false` checkpoints), CONSTRUCTING this result runs the
+    * contraction loop, because the driver-coordinated fixpoint test
+    * must execute each round to decide whether another is needed.
+    * Merely building a plan over `dedup_clusters` (e.g. in Explain /
+    * plan tooling) therefore executes the edge pipeline; there is no
+    * lazy formulation of a data-dependent round count.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
       maxIter: Int = 30): DataFrame =

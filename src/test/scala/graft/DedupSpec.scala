@@ -95,6 +95,56 @@ class DedupSpec extends AnyFunSuite {
     assert(lbl(30L) == 30L && lbl(31L) == 31L)
   }
 
+  test("bucket-occupancy guard turns mega-bucket pairing linear") {
+    // 20 identical boilerplate docs (every band bucket holds all 20)
+    // + 2 distinct docs; cap=4 triggers the guard on the boilerplate
+    val boiler = (0 until 20)
+      .map(i => (i.toLong, "standard legal footer text repeated verbatim"))
+    val other = Seq((100L, "a unique document about spark physical plans"),
+      (101L, "another unique document about catalyst optimizer rules"))
+    val df = (boiler ++ other).toDF("doc_id", "text")
+    val guarded = Dedup.minHashLshMd5(df, sampleMod = 1, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // linear star edges: exactly (0, m) for each of the 19 members —
+    // NOT the C(20,2)=190 quadratic pair set
+    assert(guarded.length == 19)
+    assert(guarded.forall { case (d1, d2, sim) =>
+      d1 == 0L && d2 >= 1L && d2 <= 19L && sim == 1.0 })
+    // under-cap buckets are untouched: default cap reproduces the
+    // full pair set bit-for-bit on the standard fixture
+    val base = Dedup.minHashLshMd5(docs, minEstSim = 0.4, sampleMod = 1)
+      .collect().map(_.toString)
+    val capped200 = Dedup.minHashLshMd5(docs, minEstSim = 0.4,
+      sampleMod = 1, bucketCap = 200).collect().map(_.toString)
+    assert(base.sameElements(capped200))
+    // downstream connectivity is preserved: star edges still collapse
+    // the whole mega-bucket into one component
+    val lbl = graft.operators.Dedup.connectedComponents(
+        Dedup.minHashLshMd5(df, sampleMod = 1, bucketCap = 4)
+          .select($"d1", $"d2"),
+        df.select($"doc_id".as("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 20L).forall(lbl(_) == 0L))
+    assert(lbl(100L) == 100L && lbl(101L) == 101L)
+  }
+
+  test("incremental guard caps mega base buckets deterministically") {
+    // base: 12 identical boilerplate docs; delta doc 0 is the same
+    // boilerplate (deltaMod=13 puts only doc 0 in the delta)
+    val df = (0 until 13)
+      .map(i => (i.toLong, "standard legal footer text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalLshMd5(df, deltaMod = 13, sampleMod = 1,
+        bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 1)
+    val (docId, nDups, bestMatch, bestSim) = out.head
+    // n_dups undercounts at the cap (4, reads "many"); best_match is
+    // the deterministic lowest-id rep; the dup verdict itself is kept
+    assert(docId == 0L && nDups == 4L && bestMatch == 1L && bestSim == 1.0)
+  }
+
   test("connected components label a hub whose id exceeds its leaves") {
     // regression (round-8 ADVICE): {1-3, 2-3} canonicalizes to the
     // multi-parent state {(3→1),(3→2)}, whose child/root sets are
@@ -151,6 +201,56 @@ class DedupSpec extends AnyFunSuite {
     val viaFresh = Dedup.incrementalLshStore(fresh, delta, sampleMod = 1)
       .collect().map(_.toString)
     assert(viaGrown.sameElements(viaFresh) && viaGrown.nonEmpty)
+  }
+
+  test("compaction rewrites many-file bands without changing verdicts") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore_compact")
+    val grown = tmp.resolve("grown").toString
+    Dedup.writeSignatureStore(b0, grown, sampleMod = 1)
+    Dedup.appendToSignatureStore(b1, grown, sampleMod = 1)
+    val before = Dedup.incrementalLshStore(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    def bandFiles(): Int = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(grown))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).sum
+    }
+    val filesBefore = bandFiles()
+    val compacted = Dedup.compactSignatureStore(spark, grown,
+      maxFilesPerBand = 1)
+    assert(compacted > 0, "no band met the compaction threshold")
+    assert(bandFiles() < filesBefore,
+      s"file count did not shrink ($filesBefore -> ${bandFiles()})")
+    val after = Dedup.incrementalLshStore(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(after.sameElements(before) && after.nonEmpty,
+      "compaction changed store-backed dedup verdicts")
+  }
+
+  test("ensureSignatureStore rebuilds partial stores and keys on content") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val tag = s"spec${System.nanoTime()}"
+    val p1 = Dedup.ensureSignatureStore(base, tag, sampleMod = 1)
+    assert(Dedup.isCompleteSignatureStore(fs, p1))
+    // a crashed partial write (no _SUCCESS) must be rebuilt, not
+    // trusted by a bare directory-exists check
+    fs.delete(new org.apache.hadoop.fs.Path(p1 + "/_SUCCESS"), false)
+    val p2 = Dedup.ensureSignatureStore(base, tag, sampleMod = 1)
+    assert(p2 == p1 && Dedup.isCompleteSignatureStore(fs, p2))
+    // regenerated fixture content under the SAME tag lands on a
+    // different fingerprinted path instead of reusing the stale store
+    val p3 = Dedup.ensureSignatureStore(docs, tag, sampleMod = 1)
+    assert(p3 != p1 && Dedup.isCompleteSignatureStore(fs, p3))
   }
 
   test("connected components converge in O(log n) rounds on a long chain") {
