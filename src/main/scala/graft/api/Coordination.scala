@@ -215,26 +215,44 @@ object Coordination {
     * cannot launch jobs or reach driver-side primitives from there.
     */
   def runOnExecutors[A: scala.reflect.ClassTag](
-      spark: org.apache.spark.sql.SparkSession)(f: () => A): Map[String, A] =
-    runOnSlots(spark)(f).groupBy(_._1)
+      spark: org.apache.spark.sql.SparkSession,
+      requireAllSlots: Boolean = true)(f: () => A): Map[String, A] =
+    runOnSlots(spark, requireAllSlots)(f).groupBy(_._1)
       .map { case (exec, rs) => exec -> rs.minBy(_._2)._3 }
 
   /** [[runOnExecutors]] without the per-executor collapse: one
     * `(executorId, slot, result)` triple per execution slot.
+    *
+    * PRECONDITION (`requireAllSlots = true`, the default): all
+    * `defaultParallelism` slots must be simultaneously free — the
+    * barrier stage cannot schedule otherwise and the job aborts after
+    * retries (e.g. under dynamic allocation or concurrent jobs). When
+    * the every-executor guarantee isn't worth a potential abort —
+    * opportunistic probes, cache warming alongside other work — pass
+    * `requireAllSlots = false` for the non-barrier BEST-EFFORT form:
+    * the same per-slot tasks without the rendezvous, schedulable on
+    * however many slots are free, but free to reuse a slot, so some
+    * executors may be probed twice and others not at all.
     */
   def runOnSlots[A: scala.reflect.ClassTag](
-      spark: org.apache.spark.sql.SparkSession)(
+      spark: org.apache.spark.sql.SparkSession,
+      requireAllSlots: Boolean = true)(
       f: () => A): Seq[(String, Int, A)] = {
     val sc = spark.sparkContext
     val slots = math.max(sc.defaultParallelism, 1)
-    sc.range(0L, slots.toLong, 1L, slots)
-      .barrier()
-      .mapPartitions { _ =>
-        val tc = org.apache.spark.BarrierTaskContext.get()
-        tc.barrier()
-        Iterator((org.apache.spark.SparkEnv.get.executorId,
-          tc.partitionId(), f()))
-      }
-      .collect().toSeq
+    val rdd = sc.range(0L, slots.toLong, 1L, slots)
+    val probed =
+      if (requireAllSlots)
+        rdd.barrier().mapPartitions { _ =>
+          val tc = org.apache.spark.BarrierTaskContext.get()
+          tc.barrier()
+          Iterator((org.apache.spark.SparkEnv.get.executorId,
+            tc.partitionId(), f()))
+        }
+      else
+        rdd.mapPartitionsWithIndex { (pid, _) =>
+          Iterator((org.apache.spark.SparkEnv.get.executorId, pid, f()))
+        }
+    probed.collect().toSeq
   }
 }

@@ -396,9 +396,19 @@ object Tpch {
     val perPart = c.lineitem.groupBy("l_partkey")
       .agg(dsum(valueExpr).as("value"))
     val total = c.lineitem.agg(dsum(valueExpr).as("total_value"))
+    // TPC-H scales q11's HAVING fraction by 1/SF; a fixed fraction
+    // returns an EMPTY set once SF grows (each part's share of total
+    // value shrinks as 1/nparts). Deriving it from the part count —
+    // fraction = 1/nparts, i.e. parts above the MEAN part value, the
+    // fixed 0.0005's behavior at sf0.01 (953/2000 rows) — keeps the
+    // query selective AND non-empty at every SF. value·nparts > total
+    // uses an integer multiplier only: both engines run the identical
+    // IEEE double ops, so membership is bit-deterministic (no
+    // decimal-literal parsing divergence).
+    val nparts = c.part.agg(count(lit(1)).as("nparts"))
     perPart
-      .crossJoin(broadcast(total))
-      .filter(col("value") > col("total_value") * 0.0005)
+      .crossJoin(broadcast(total)).crossJoin(broadcast(nparts))
+      .filter(col("value") * col("nparts") > col("total_value"))
       .select("l_partkey", "value")
       .orderBy(col("value").desc, col("l_partkey"))
   }
@@ -407,8 +417,9 @@ object Tpch {
     s"""SELECT l_partkey, ${dsumSql("l_extendedprice * l_quantity")} AS value
        |FROM lineitem
        |GROUP BY l_partkey
-       |HAVING ${dsumSql("l_extendedprice * l_quantity")} >
-       |  (SELECT ${dsumSql("l_extendedprice * l_quantity")} FROM lineitem) * 0.0005
+       |HAVING ${dsumSql("l_extendedprice * l_quantity")}
+       |    * (SELECT COUNT(*) FROM part) >
+       |  (SELECT ${dsumSql("l_extendedprice * l_quantity")} FROM lineitem)
        |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** Q12 shipping modes & order priority — ref `queries.py:512-539`

@@ -101,7 +101,12 @@ object EventStream {
     * micro-batch of newly-ingested documents computes ITS OWN MinHash
     * signatures and band-joins them against the static store, landing
     * one verdict row per ingested doc (dup count, best base match,
-    * estimated similarity) as appended parquet. MinHash signing is a
+    * estimated similarity) as appended parquet — every ingested doc
+    * with the default `sampleMod = 1`; a production gate must rule on
+    * the whole batch, so the md5 twin's 1-in-`sampleMod`
+    * verification-budget sampling is opt-in here (verdict rows then
+    * cover only the sampled docs, and the store must be built with
+    * the same `sampleMod`). MinHash signing is a
     * multi-stage batch aggregation, so it runs per micro-batch via
     * `foreachBatch` (the standard shape for compound batch logic on a
     * stream); the store is static within the run — base growth is a
@@ -123,7 +128,7 @@ object EventStream {
     */
   def incrementalDedupStream(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String,
-      sampleMod: Int = 2): StreamingQuery = {
+      sampleMod: Int = 1): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

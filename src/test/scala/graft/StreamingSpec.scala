@@ -94,7 +94,10 @@ class StreamingSpec extends AnyFunSuite {
     val store = tmp.resolve("store").toString
     val deltaDir = tmp.resolve("delta").toString
     val outDir = tmp.resolve("out").toString
-    Dedup.writeSignatureStore(base, store)
+    // sampleMod=1 throughout: the streaming gate rules on EVERY
+    // ingested doc by default, so the store and the batch twin must
+    // be unsampled too
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
     // stage the delta as a directory the file source can ingest;
     // multiple files → multiple micro-batches under AvailableNow,
     // so batch-boundary independence is actually exercised
@@ -107,7 +110,7 @@ class StreamingSpec extends AnyFunSuite {
       // on read
       val streamed = spark.read.parquet(outDir).drop("batch")
         .collect().map(_.toString).sorted
-      val batch = Dedup.incrementalLshStore(store, delta)
+      val batch = Dedup.incrementalLshStore(store, delta, sampleMod = 1)
         .collect().map(_.toString).sorted
       assert(streamed.sameElements(batch))
       assert(streamed.nonEmpty)
