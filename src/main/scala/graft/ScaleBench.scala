@@ -138,7 +138,8 @@ object ScaleBench {
         "text_heavy_hitters", "sim_quantize_int8",
         "dedup_passages", "text_quality_classifier", "sample_temperature",
         "dedup_keep_best", "text_winnow_fingerprint", "pipeline_curate",
-        "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams")
+        "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams",
+        "dedup_spans")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

@@ -1274,6 +1274,105 @@ object Dedup {
        |  md5(array_to_string(kept, ' ')) AS clean_md5
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** CROSS-document duplicated-SPAN removal — the removal half of the
+    * Lee et al. pipeline ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499) whose detection half is
+    * [[TextAnalysis.repeatedNgrams]]: a `width`-token window
+    * (stride 1) is duplicated iff the identical window occurs in ≥2
+    * DISTINCT documents; every token covered by at least one
+    * duplicated window is stripped, in EVERY document (the
+    * strip-everywhere variant, like [[passageDedup]]'s corpus-wide
+    * boilerplate filter — deterministic and symmetric, no privileged
+    * first copy), and the surviving tokens reassemble in order.
+    * Output per doc: token count, removed count, md5 of the
+    * reassembled text (proving the reconstruction cross-engine, the
+    * passage-dedup convention). Docs shorter than one window carry no
+    * windows and pass through untouched.
+    *
+    * Scale shape: the window explosion is one row per token keyed by
+    * the portable 60-bit md5 (the [[TextAnalysis.repeatedNgrams]]
+    * front end with the start position kept); the tally is a hash-agg
+    * on the 8-byte key; dup starts flow back as narrow (doc_id, i)
+    * rows into one per-doc list (bounded by the doc itself — same
+    * state class as reassembly in [[passageDedup]]); the rebuild is a
+    * map-side array-HOF over the token array. Four shuffles, nothing
+    * quadratic, no corpus-sized broadcast.
+    */
+  def spanDedup(docs: DataFrame, width: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+        .as("ws"))
+    val gram = (0 until width).map(j => s"element_at(ws, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val grams = toks.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) < $width THEN array()
+           |ELSE transform(sequence(1, size(ws) - ${width - 1}),
+           |  i -> struct(i AS i,
+           |    cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint)
+           |      AS gh))
+           |END""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gh").as("gh"))
+    val tally = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val dupStarts = grams.join(tally.hint("shuffle_hash"), "gh")
+      .filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(collect_list(col("i")).as("starts"))
+    toks.join(dupStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("ss",
+        coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        s"""CASE WHEN size(ws) < 1 THEN array()
+           |ELSE transform(
+           |  filter(sequence(1, size(ws)),
+           |    p -> NOT exists(ss, s -> p >= s AND p <= s + ${width - 1})),
+           |  p -> element_at(ws, p))
+           |END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("bigint")
+          .as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[spanDedup]] — same 1-based window starts,
+    * same 60-bit md5 gram keys, same covered-token rebuild.
+    */
+  def spanDedupSql(width: Int = 8): String = {
+    val gram = (0 until width).map(j => s"ws[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    CAST('0x' || substring(md5($gram), 1, 15) AS BIGINT) AS gh
+       |  FROM t,
+       |    UNNEST(range(1, greatest(len(ws) - ${width - 1}, 0) + 1))
+       |      AS u(i)),
+       |c AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, LIST(i) AS starts
+       |  FROM g JOIN c USING (gh) WHERE nd >= 2 GROUP BY doc_id),
+       |r AS (
+       |  SELECT t.doc_id, t.ws, COALESCE(s.starts, []) AS ss
+       |  FROM t LEFT JOIN s USING (doc_id)),
+       |k AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(
+       |      list_filter(range(1, len(ws) + 1),
+       |        p -> len(list_filter(ss,
+       |               s -> p >= s AND p <= s + ${width - 1})) = 0),
+       |      p -> ws[p]) AS kept
+       |  FROM r)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** (doc_id, pos, passage, keep) with corpus-wide occurrence flags —
     * the shared front end of [[passageDedup]]/[[passageClean]].
     */

@@ -354,6 +354,7 @@ object Extensions {
       Dedup.incrementalLshStore(store, delta)
     }),
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
+    "dedup_spans" -> (c => Dedup.spanDedup(c.documents)),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
@@ -439,6 +440,7 @@ object Extensions {
     // round-trip must be invisible in the verdicts
     "dedup_incremental_store" -> Dedup.incrementalLshMd5Sql(),
     "dedup_passages" -> Dedup.passageDedupSql(),
+    "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_within_doc" -> Dedup.withinDocDedupSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),

@@ -373,6 +373,31 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("span dedup strips cross-doc duplicated runs and reassembles") {
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (0L, s"u1 u2 $span u3"), // span mid-doc
+      (1L, s"v1 $span v2 v3"), // same span, different context
+      (2L, "w1 w2 w3"),        // shorter than one window — untouched
+      (3L, span)               // nothing but the span — fully stripped
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // only the exact 8-token window occurs in ≥2 docs; its 8 covered
+    // tokens are stripped from EVERY doc, context words survive
+    assert(out(0L) == ((11L, 8L, md5("u1 u2 u3"))))
+    assert(out(1L) == ((11L, 8L, md5("v1 v2 v3"))))
+    assert(out(2L) == ((3L, 0L, md5("w1 w2 w3"))))
+    assert(out(3L) == ((8L, 8L, md5(""))))
+    // layout independence: same verdicts from any input partitioning
+    val re = Dedup.spanDedup(df.repartition(7)).collect().map(_.toString)
+    assert(re.sameElements(Dedup.spanDedup(df).collect().map(_.toString)))
+  }
+
   test("within-doc dedup keeps first occurrences in order, per doc only") {
     val d = Seq(
       (0L, "x x a b x x c d"), // "x x" repeats WITHIN doc 0

@@ -130,6 +130,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("span dedup: narrow hash-keyed joins, no sort-merge, no loops") {
+    val p = planOf(graft.operators.Dedup.spanDedup(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("linear classifier: pure map — no exchange before the output sort") {
     val p = planOf(graft.operators.QualitySignals
       .linearClassifier(ctx.documents).limit(10))
