@@ -92,7 +92,7 @@ object ScaleBench {
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
-        "megabucket,incstore_compact")
+        "megabucket,incstore_compact,semdedup")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -139,7 +139,7 @@ object ScaleBench {
         "dedup_passages", "text_quality_classifier", "sample_temperature",
         "dedup_keep_best", "text_winnow_fingerprint", "pipeline_curate",
         "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams",
-        "dedup_spans")
+        "dedup_spans", "dedup_keep_best_store", "sim_semantic_dedup")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =
@@ -298,6 +298,34 @@ object ScaleBench {
             graft.operators.Dedup.minHashLsh(df, bucketCap = cap).count())
           println(f"$n%-9d$label%-11s$sec%8.2f$rows%12d")
         }
+      }
+    }
+
+    section("semdedup") {
+      // SemDeDup's cost law: the quadratic step is the within-cell
+      // self-join — Σ occupancy² ≈ n·occ candidate cosines — so CELL
+      // COUNT is the knob a 100 TB run raises ∝ corpus (the paper ran
+      // 50k cells). Two sweeps prove it: the same corpus under more
+      // cells (cost falls with occupancy), and a 16× corpus at
+      // CONSTANT occupancy (cost grows ~linearly, never corpus²).
+      // semanticDedup is eager (CC fixpoint), so timing wraps
+      // construction.
+      println("== Semantic dedup: cost vs cell occupancy ==")
+      println(f"${"n"}%-8s${"cells"}%7s${"occ"}%7s${"sec"}%8s${"dropped"}%9s")
+      def synth(n: Long): DataFrame = spark.range(0L, n, 1L, 32)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+            .as("embedding"))
+      def run(n: Long, cells: Int): Long =
+        graft.operators.Similarity
+          .semanticDedup(synth(n), cells = cells, iters = 1, tau = 0.3)
+          .filter(!col("keep")).count()
+      for ((n, cells) <- Seq((8000L, 8), (8000L, 32), (8000L, 128),
+          (2000L, 8), (32000L, 128))) {
+        run(n, cells)
+        val (sec, dropped) = time(run(n, cells))
+        println(f"$n%-8d$cells%7d${n / cells}%7d$sec%8.2f$dropped%9d")
       }
     }
 

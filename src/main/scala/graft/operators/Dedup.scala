@@ -541,10 +541,10 @@ object Dedup {
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
   }
 
-  /** A published signature store is COMPLETE iff the parquet
-    * `_SUCCESS` marker exists — [[writeSignatureStore]] publishes via
-    * temp+rename so the marker and the data become visible together;
-    * a directory without it is a crashed partial write.
+  /** A published parquet artifact is COMPLETE iff the `_SUCCESS`
+    * marker exists — [[writeSignatureStore]] (and [[writeClusterMap]])
+    * publish via temp+rename so the marker and the data become visible
+    * together; a directory without it is a crashed partial write.
     */
   def isCompleteSignatureStore(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Boolean =
@@ -1124,8 +1124,21 @@ object Dedup {
     * exact integers, so the doubles (and hence the argmax) are
     * bit-identical in DuckDB.
     */
-  def keepBest(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
-    val cl = clustersLshMd5(docs, sampleMod)
+  def keepBest(docs: DataFrame, sampleMod: Int = 2): DataFrame =
+    keepBestFromClusters(docs, clustersLshMd5(docs, sampleMod), sampleMod)
+
+  /** [[keepBest]]'s resolution half over a PRECOMPUTED cluster map —
+    * the compositional shape a 100 TB pipeline actually runs: the
+    * cluster assignment (the expensive shingle → minhash → band → CC
+    * path) is computed once and held as an artifact
+    * ([[writeClusterMap]]), and resolution passes (different quality
+    * models, re-runs, audits) consume it without re-clustering.
+    * `clusters` must be a `(doc_id, cluster_id, cluster_size)` map
+    * over the 1-in-`sampleMod` document sample ([[clustersLshMd5]]'s
+    * output schema).
+    */
+  def keepBestFromClusters(docs: DataFrame, clusters: DataFrame,
+      sampleMod: Int = 2): DataFrame = {
     // only the 1-in-sampleMod node sample can survive the cluster
     // join — score exactly that slice, not the whole corpus
     val scores = graft.operators.QualitySignals.qualityScore(
@@ -1133,13 +1146,67 @@ object Dedup {
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score").desc, col("doc_id").asc)
     // big-big at scale — hash join, never a sort (AQE broadcasts when small)
-    cl.join(scores.hint("shuffle_hash"), "doc_id")
+    clusters.join(scores.hint("shuffle_hash"), "doc_id")
       .withColumn("rk", F.row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("cluster_size"),
         col("doc_id").as("kept_doc"), col("score").as("kept_score"),
         (col("cluster_size") - 1).as("n_dropped"))
       .orderBy("cluster_id")
+  }
+
+  /** Persist the [[clustersLshMd5]] cluster map as a durable parquet
+    * artifact — same atomic temp+rename publish discipline as
+    * [[writeSignatureStore]], so a crash mid-write never leaves a
+    * trustable-looking partial map.
+    */
+  def writeClusterMap(docs: DataFrame, path: String,
+      sampleMod: Int = 2): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    clustersLshMd5(docs, sampleMod).write.parquet(tmp.toString)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** Read back a persisted cluster map
+    * (`doc_id, cluster_id, cluster_size`). */
+  def readClusterMap(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[keepBest]] fed from a PERSISTED cluster map — resolution reads
+    * the artifact ([[readClusterMap]]), never re-runs the clustering
+    * pipeline. With the map written by [[writeClusterMap]] over the
+    * same corpus, the output is bit-identical to the one-shot
+    * [[keepBest]], so [[keepBestSql]] doubles as this path's oracle —
+    * proving the store round-trip changes nothing.
+    */
+  def keepBestFromStore(docs: DataFrame, storePath: String,
+      sampleMod: Int = 2): DataFrame =
+    keepBestFromClusters(docs,
+      readClusterMap(docs.sparkSession, storePath), sampleMod)
+
+  /** Build-once helper for the driver entries — the cluster-map twin
+    * of [[ensureSignatureStore]]: same `_SUCCESS` completeness gate
+    * and content-fingerprint path keying, so crashed partials and
+    * stale maps from regenerated fixtures are rebuilt, never trusted.
+    */
+  def ensureClusterMap(docs: DataFrame, tag: String,
+      sampleMod: Int = 2): String = {
+    val fp = docs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_clustermap_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_m$sampleMod"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSignatureStore(fs, path))
+      writeClusterMap(docs, path, sampleMod)
+    path
   }
 
   def keepBestSql(sampleMod: Int = 2): String = {

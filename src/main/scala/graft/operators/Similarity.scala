@@ -599,7 +599,43 @@ object Similarity {
     */
   def ivfKmeansTopKExact(embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
       numQueries: Int = 10, k: Int = 5): DataFrame = {
-    import graft.functions.VectorFunctions.{decimal_dot, decimal_dot_fd}
+    import graft.functions.VectorFunctions.decimal_dot
+    // final assignment read twice (queries + corpus) — the trainer's
+    // lazy checkpoint makes it one corpus pass, not two
+    val assigned = lloydAssignExact(embeddings, cells, iters)
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val corpus = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
+    broadcast(queries)
+      .join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cell", "cid", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Exact-decimal Lloyd trainer shared by [[ivfKmeansTopKExact]] and
+    * [[semanticDedup]]: `iters` assignment rounds over a broadcast
+    * codebook seeded from the `cells` lowest vec_ids, every centroid
+    * mean and cosine folded through `DECIMAL(30,18)` with
+    * `round(…, 6)` at each comparison point, so the resulting
+    * assignment is bit-reproducible in DuckDB ([[lloydCtesSql]] is the
+    * matching CTE generator). One row per vector:
+    * `(vec_id, embedding, nrm, cell, csim)` where `csim` is the
+    * rounded cosine to the assigned centroid — the argmax score
+    * itself, kept because SemDeDup ranks duplicate-group members by
+    * centroid similarity. Lazily checkpointed: constructing a consumer
+    * stays plan-only, and all readers share one materialized pass.
+    */
+  private[operators] def lloydAssignExact(embeddings: DataFrame,
+      cells: Int, iters: Int): DataFrame = {
+    import graft.functions.VectorFunctions.decimal_dot_fd
     require(iters >= 1, "k-means needs at least one assignment round")
     val cnrmExpr =
       """sqrt(CAST(aggregate(
@@ -620,10 +656,12 @@ object Similarity {
           decimal_dot_fd(col("embedding"), col("centroid"))
             / (col("nrm") * col("cnrm")), 6))
         .groupBy("vec_id")
-        .agg(max_by(struct(col("embedding"), col("nrm"), col("cell")),
+        .agg(max_by(
+          struct(col("embedding"), col("nrm"), col("cell"), col("cent_sim")),
           struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
         .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.nrm").as("nrm"), col("best.cell").as("cell"))
+          col("best.nrm").as("nrm"), col("best.cell").as("cell"),
+          col("best.cent_sim").as("csim"))
       if (i < iters) cents = assigned
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
@@ -638,23 +676,7 @@ object Similarity {
         // construction doesn't execute, materialized once per round
         .localCheckpoint(eager = false)
     }
-    // final assignment read twice (queries + corpus) — one pass, not two
-    assigned = assigned.localCheckpoint(eager = false)
-    val queries = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell"))
-    val corpus = assigned.select(col("vec_id").as("cid"),
-      col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
-    broadcast(queries)
-      .join(corpus, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cosine",
-        round(decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("qid", "cell", "cid", "cosine", "rk")
-      .orderBy("qid", "rk")
+    assigned.localCheckpoint(eager = false)
   }
 
   /** DuckDB oracle for [[ivfKmeansTopKExact]]: the Lloyd rounds
@@ -662,10 +684,15 @@ object Similarity {
     * `as_j` (scored), `asg_j` (argmax assignment) per round `j`, probe
     * against the final `asg`.
     */
-  def ivfKmeansTopKSql(cells: Int = 8, iters: Int = 2, numQueries: Int = 10,
-      k: Int = 5, dims: Int = 64): String = {
+  /** CTE generator for the unrolled Lloyd rounds — the SQL mirror of
+    * [[lloydAssignExact]], shared by [[ivfKmeansTopKSql]] and
+    * [[semanticDedupSql]]. Callers must define `dims` and `norms`
+    * CTEs; the final assignment (with its centroid-cosine `cs`) is
+    * `asg_{iters-1}`.
+    */
+  private[operators] def lloydCtesSql(cells: Int, iters: Int): String = {
     require(iters >= 1)
-    val gens = (0 until iters).map { j =>
+    (0 until iters).map { j =>
       val cent =
         if (j == 0)
           s"""cent_0 AS (
@@ -695,11 +722,16 @@ object Similarity {
          |  JOIN norms n ON t.vec_id = n.vec_id
          |  JOIN cn_$j cn ON t.cell = cn.cell),
          |asg_$j AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
+         |  SELECT vec_id, cell, cs FROM (
+         |    SELECT vec_id, cell, cs,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
          |    FROM as_$j) t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+  }
+
+  def ivfKmeansTopKSql(cells: Int = 8, iters: Int = 2, numQueries: Int = 10,
+      k: Int = 5, dims: Int = 64): String = {
+    val gens = lloydCtesSql(cells, iters)
     val last = s"asg_${iters - 1}"
     s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
        |norms AS (
@@ -729,6 +761,112 @@ object Similarity {
        |  FROM cosd)
        |SELECT qid, cell, cid, cosine, rk FROM ranked WHERE rk <= $k
        |ORDER BY qid, rk""".stripMargin
+  }
+
+  /** Semantic dedup — the SemDeDup recipe (Abbas et al.,
+    * arXiv:2303.09540) composed from the engine's own parts: k-means
+    * the embedding corpus into `cells` ([[lloydAssignExact]] — exact-
+    * decimal Lloyd, broadcast codebook), generate candidate pairs ONLY
+    * within a cell, verify with the exact-decimal cosine ≥ `tau`, take
+    * connected components of the verified pairs
+    * ([[Dedup.connectedComponents]], large-star/small-star), and per
+    * duplicate group keep the member with the LOWEST cosine to its
+    * cell centroid (the paper's keep-farthest rule — it preserves
+    * diversity; ties break to the lowest vec_id). Output is a total
+    * map — one row per vector with its cell, centroid cosine, group
+    * id/size and keep verdict, so `WHERE keep` is the training
+    * keep-list and `WHERE NOT keep` the drop-list.
+    *
+    * Scale shape: the quadratic step is confined to within-cell
+    * pairing, so cost scales with Σ occupancy², not corpus² — `cells`
+    * is the occupancy knob a 100 TB run raises ∝ corpus (SemDeDup
+    * used 50k cells); the codegen'd float cosine prefilter (margin
+    * 0.01, provably lossless at round-6 precision — the
+    * [[embeddingNearDups]] argument) discards non-candidates before
+    * the interpreted decimal verify; the CC loop and the one
+    * group-window shuffle ride on the tiny pair set. Like
+    * `dedup_clusters`, CONSTRUCTING this result runs the contraction
+    * loop (driver-coordinated fixpoint — inherently eager).
+    */
+  def semanticDedup(embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
+      tau: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine_sim, decimal_dot}
+    val asg = lloydAssignExact(embeddings, cells, iters)
+    val side = asg.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("cell"))
+    val edges = side.as("a")
+      .join(side.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine_sim(col("a.embedding"), col("b.embedding")) >= tau - 0.01)
+      .withColumn("cosine", round(
+        decimal_dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+    val grp = Dedup.connectedComponents(edges,
+        asg.select(col("vec_id").as("node")))
+      .select(col("node").as("vec_id"), col("lbl").as("group_id"))
+    val sized = grp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("centroid_sim").asc, col("vec_id").asc)
+    asg.select(col("vec_id"), col("cell"), col("csim").as("centroid_sim"))
+      .join(grp.hint("shuffle_hash"), "vec_id")
+      .join(sized.hint("shuffle_hash"), "group_id")
+      .withColumn("keep", row_number().over(w) === lit(1))
+      .select("vec_id", "cell", "centroid_sim", "group_id", "group_size",
+        "keep")
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: [[lloydCtesSql]] rounds, the
+    * within-cell pair + exact cosine verify, a recursive-reach
+    * components CTE (the [[Dedup.clustersSql]] pattern), and the
+    * keep-farthest window.
+    */
+  def semanticDedupSql(cells: Int = 8, iters: Int = 2, tau: Double = 0.4,
+      dims: Int = 64): String = {
+    val gens = lloydCtesSql(cells, iters)
+    val last = s"asg_${iters - 1}"
+    s"""WITH RECURSIVE dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |$gens,
+       |prod AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |    CAST(SUM(CAST(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM $last a JOIN $last b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  CROSS JOIN dims GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT d1, d2 FROM prod
+       |  JOIN norms n1 ON d1 = n1.vec_id
+       |  JOIN norms n2 ON d2 = n2.vec_id
+       |  WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $tau),
+       |sym AS (SELECT d1 AS src, d2 AS dst FROM edges
+       |        UNION ALL SELECT d2, d1 FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |lbl AS (SELECT src AS vec_id, MIN(dst) AS group_id
+       |        FROM reach GROUP BY 1),
+       |gsz AS (SELECT group_id, COUNT(*) AS group_size FROM lbl GROUP BY 1),
+       |ranked AS (
+       |  SELECT l.vec_id, a.cell, a.cs AS centroid_sim, l.group_id,
+       |    g.group_size,
+       |    ROW_NUMBER() OVER (PARTITION BY l.group_id
+       |      ORDER BY a.cs ASC, l.vec_id ASC) AS rn
+       |  FROM lbl l
+       |  JOIN $last a ON a.vec_id = l.vec_id
+       |  JOIN gsz g USING (group_id))
+       |SELECT vec_id, cell, centroid_sim, group_id, group_size,
+       |  rn = 1 AS keep
+       |FROM ranked ORDER BY vec_id""".stripMargin
   }
 
   /** Per-label centroids of the embedding column — the IVF coarse

@@ -356,6 +356,14 @@ object Extensions {
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
     "dedup_spans" -> (c => Dedup.spanDedup(c.documents)),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
+    // resolution over a PERSISTED cluster map (written once per
+    // fixture, reused) — proves store-fed keep-best ≡ the one-shot
+    // path, so the same oracle covers both
+    "dedup_keep_best_store" -> (c => {
+      val map = Dedup.ensureClusterMap(c.documents,
+        new java.io.File(c.dir).getName + "_clmap")
+      Dedup.keepBestFromStore(c.documents, map)
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -375,6 +383,7 @@ object Extensions {
     "sim_ivf_topk_exact" -> (c => Similarity.ivfTopKExact(c.embeddings)),
     "sim_ann_recall" -> (c => Similarity.annRecall(c.embeddings)),
     "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
+    "sim_semantic_dedup" -> (c => Similarity.semanticDedup(c.embeddings)),
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     // text analysis
@@ -442,6 +451,7 @@ object Extensions {
     "dedup_passages" -> Dedup.passageDedupSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
+    "dedup_keep_best_store" -> Dedup.keepBestSql(),
     "dedup_within_doc" -> Dedup.withinDocDedupSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
@@ -453,6 +463,7 @@ object Extensions {
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ann_recall" -> Similarity.annRecallSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
+    "sim_semantic_dedup" -> Similarity.semanticDedupSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),

@@ -373,6 +373,23 @@ class DedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("keep-best from a persisted cluster map equals the one-shot path") {
+    val tmp = java.nio.file.Files.createTempDirectory("clmap")
+      .resolve("map").toString
+    Dedup.writeClusterMap(docs, tmp, sampleMod = 1)
+    val viaStore = Dedup.keepBestFromStore(docs, tmp, sampleMod = 1)
+      .collect().map(_.toString)
+    val oneShot = Dedup.keepBest(docs, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(viaStore.sameElements(oneShot) && viaStore.nonEmpty)
+    // an artifact without its _SUCCESS marker (crashed partial write)
+    // is never trusted by the build-once helper
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp + "/_SUCCESS"), false)
+    assert(!Dedup.isCompleteSignatureStore(fs, tmp))
+  }
+
   test("span dedup strips cross-doc duplicated runs and reassembles") {
     def md5(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

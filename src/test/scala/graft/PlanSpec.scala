@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic dedup: within-cell pairing rides hash joins, no SMJ") {
+    val p = planOf(graft.operators.Similarity.semanticDedup(
+      ctx.embeddings, cells = 4, iters = 1))
+    // the quadratic step must stay confined to the cell-keyed hash
+    // self-join; a sort-merge or cartesian would be the scale-killer
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("span dedup: narrow hash-keyed joins, no sort-merge, no loops") {
     val p = planOf(graft.operators.Dedup.spanDedup(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)

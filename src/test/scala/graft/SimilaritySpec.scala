@@ -119,4 +119,28 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(fl == ex) // well-separated data: rounding can't flip ranks
   }
+
+  test("semanticDedup keeps the member farthest from the centroid") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), // centroid-identical copy of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal — singleton
+      (3L, Array(0.9f, 0.1f, 0.0f), 0)  // near 0/1 but off-centroid
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(df, cells = 1, iters = 1, tau = 0.9)
+    val out = run(e).collect().map(r => r.getLong(0) ->
+      ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // {0,1,3} form one duplicate group (pairwise cosine ≥ 0.9);
+    // SemDeDup's rule keeps the LOWEST centroid cosine — vec 3 —
+    // and drops both centroid-identical copies
+    assert(out(0L) == ((0L, 3L, false)))
+    assert(out(1L) == ((0L, 3L, false)))
+    assert(out(3L) == ((0L, 3L, true)))
+    assert(out(2L) == ((2L, 1L, true)))
+    // total map + layout independence: one keeper per group, verdicts
+    // identical from any input partitioning
+    val re = run(e.repartition(5)).collect().map(_.toString)
+    assert(re.sameElements(run(e).collect().map(_.toString)))
+  }
 }
