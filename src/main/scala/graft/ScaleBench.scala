@@ -327,6 +327,21 @@ object ScaleBench {
         val (sec, dropped) = time(run(n, cells))
         println(f"$n%-8d$cells%7d${n / cells}%7d$sec%8.2f$dropped%9d")
       }
+      // degenerate mass: 8000 distinct + 8000 IDENTICAL boilerplate
+      // embeddings. The exact-dup collapse keeps the self-join at the
+      // distinct set, so cost stays near the plain 8000-row rung
+      // instead of paying an occupancy-8000 cell (32M pairs).
+      val boiler = spark.range(8000L, 16000L, 1L, 32)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), j -> CAST(0.5 AS FLOAT))")
+            .as("embedding"))
+      def runBoiler(): Long = graft.operators.Similarity
+        .semanticDedup(synth(8000L).unionAll(boiler),
+          cells = 32, iters = 1, tau = 0.3)
+        .filter(!col("keep")).count()
+      runBoiler()
+      val (bsec, bdropped) = time(runBoiler())
+      println(f"${"8000+8k dup mass"}%-22s${32}%7d$bsec%8.2f$bdropped%9d")
     }
 
     section("events") {

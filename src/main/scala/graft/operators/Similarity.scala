@@ -780,7 +780,12 @@ object Similarity {
     * Scale shape: the quadratic step is confined to within-cell
     * pairing, so cost scales with Σ occupancy², not corpus² — `cells`
     * is the occupancy knob a 100 TB run raises ∝ corpus (SemDeDup
-    * used 50k cells); the codegen'd float cosine prefilter (margin
+    * used 50k cells). EXACT-duplicate embeddings — the degenerate
+    * mega-cell mass a web corpus guarantees (boilerplate, empty docs)
+    * — never reach the self-join: they collapse to a min-id
+    * representative first (linear, semantics-preserving; see inline
+    * note), the cell-level analogue of the LSH bucket-occupancy
+    * guard. The codegen'd float cosine prefilter (margin
     * 0.01, provably lossless at round-6 precision — the
     * [[embeddingNearDups]] argument) discards non-candidates before
     * the interpreted decimal verify; the CC loop and the one
@@ -792,7 +797,26 @@ object Similarity {
       tau: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions.{cosine_sim, decimal_dot}
     val asg = lloydAssignExact(embeddings, cells, iters)
-    val side = asg.select(col("vec_id"), col("embedding"), col("nrm"),
+    // collapse EXACT-duplicate embeddings before the quadratic stage —
+    // the cell-level analogue of the LSH mega-bucket guard: identical
+    // embeddings (web boilerplate / empty docs) all quantize to one
+    // cell and alone would emit occupancy² pairs, yet they are
+    // cosine-1 duplicates BY IDENTITY. Members link to their min-id
+    // representative (one hash-agg + one join, linear); only distinct
+    // vectors enter the self-join; verdicts expand afterwards.
+    // Bit-identical output: members share the rep's cell/csim (the
+    // argmax is a pure function of the embedding), the group label is
+    // the min member id either way, and the keep rule's (csim, vec_id)
+    // order elects the rep among its members exactly as pairwise
+    // cosine-1 edges would.
+    val reps = asg.groupBy("embedding").agg(
+      min(col("vec_id")).as("vec_id"), first(col("nrm")).as("nrm"),
+      first(col("cell")).as("cell"))
+    val mapped = asg.select(col("vec_id"), col("embedding"))
+      .join(reps.select(col("embedding"), col("vec_id").as("rep")),
+        Seq("embedding"))
+      .select(col("vec_id"), col("rep"))
+    val side = reps.select(col("vec_id"), col("embedding"), col("nrm"),
       col("cell"))
     val edges = side.as("a")
       .join(side.as("b"),
@@ -803,9 +827,12 @@ object Similarity {
           / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cosine") >= tau)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-    val grp = Dedup.connectedComponents(edges,
-        asg.select(col("vec_id").as("node")))
-      .select(col("node").as("vec_id"), col("lbl").as("group_id"))
+    val grp = mapped
+      .join(Dedup.connectedComponents(edges,
+          reps.select(col("vec_id").as("node")))
+        .select(col("node").as("rep"), col("lbl").as("group_id"))
+        .hint("shuffle_hash"), Seq("rep"))
+      .select(col("vec_id"), col("group_id"))
     val sized = grp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     val w = Window.partitionBy("group_id")
       .orderBy(col("centroid_sim").asc, col("vec_id").asc)

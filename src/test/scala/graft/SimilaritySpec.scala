@@ -143,4 +143,22 @@ class SimilaritySpec extends AnyFunSuite {
     val re = run(e.repartition(5)).collect().map(_.toString)
     assert(re.sameElements(run(e).collect().map(_.toString)))
   }
+
+  test("semanticDedup collapses an exact-duplicate mass without pairing it") {
+    // 60 identical boilerplate embeddings + 2 distinct vectors: the
+    // identical mass must come back as ONE group of 60 kept by its
+    // min id (the exact-dup collapse guard), not 60·59/2 pairs
+    val rows = (0L until 60L).map(i => (i, Array(1.0f, 0.0f, 0.0f), 0)) ++
+      Seq((60L, Array(0.0f, 1.0f, 0.0f), 1),
+        (61L, Array(0.9f, 0.1f, 0.0f), 0))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(e, cells = 1, iters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // vec 61 joins the boilerplate group via real pairing (cos 0.994)
+    // and, as the farthest-from-centroid member, is the keeper
+    assert(out(61L) == ((0L, 61L, true)))
+    assert((0L until 60L).forall(i => out(i) == ((0L, 61L, false))))
+    assert(out(60L) == ((60L, 1L, true)))
+  }
 }
