@@ -892,6 +892,16 @@ object Dedup {
     * silently hand back wrong labels to oracle-checked cluster
     * assignments.
     *
+    * The caller's edge pipeline is lazily checkpointed before the
+    * canonicalization below: without that plan barrier, the
+    * `u =!= v` predicate pushes down into the caller's plan, where
+    * Catalyst may REORDER filter conjuncts — e.g. hoist an
+    * interpreted verify expression ahead of a codegen'd prefilter
+    * (measured 20× on semanticDedup's decimal-cosine verify at
+    * sf0.1: 15 s vs 0.7 s for the identical edge set). The barrier
+    * keeps every edge generator exactly the shape its author tuned,
+    * at the cost of one extra narrow (d1, d2) materialization.
+    *
     * NOTE — eager by necessity: unlike the lazy Lloyd/BPE loops
     * (`eager = false` checkpoints), CONSTRUCTING this result runs the
     * contraction loop, because the driver-coordinated fixpoint test
@@ -911,8 +921,11 @@ object Dedup {
       maxIter: Int = 30): (DataFrame, Int) = {
     // canonical directed edge set (hi → lo), deduped, materialized
     // once — without the checkpoint every round would replay the
-    // (possibly expensive) edge-generation pipeline upstream
-    val e0 = edges
+    // (possibly expensive) edge-generation pipeline upstream. The
+    // inner lazy checkpoint is the predicate-pushdown barrier (see
+    // scaladoc): the caller's tuned edge plan runs verbatim, then the
+    // canonicalization rides on its narrow (d1, d2) output.
+    val e0 = edges.localCheckpoint(eager = false)
       .select(greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
