@@ -18,10 +18,16 @@ final case class Ctx(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def nation: DataFrame = t("nation")
   def region: DataFrame = t("region")
-  /** events.ts is TIMESTAMP(NANOS) parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it reads as long nanos —
-    * normalize to a microsecond timestamp (floor, matching DuckDB's
-    * ns→µs truncation).
+  /** events.ts normalized to a session-UTC microsecond TIMESTAMP,
+    * whatever the fixture generation wrote:
+    *  - TIMESTAMP(NANOS) parquet (pre-r8 fixtures) reads as long nanos
+    *    under `spark.sql.legacy.parquet.nanosAsLong` — floor-convert
+    *    to µs (matching DuckDB's ns→µs truncation);
+    *  - timestamp[us] without tz metadata (r8+ fixtures) reads as
+    *    TIMESTAMP_NTZ — cast to TIMESTAMP, value-preserving because
+    *    the session timezone is pinned UTC ([[graft.Engine]]), and
+    *    required because `unix_micros`/window helpers take TIMESTAMP;
+    *  - a plain TIMESTAMP passes through.
     */
   def events: DataFrame = {
     val df = t("events")
@@ -30,6 +36,9 @@ final case class Ctx(spark: SparkSession, dir: String) {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -23,21 +23,43 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events fixture schema, ts as long nanos (see Ctx.events). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events fixture schema with `ts` carried as `tsType` — the
+    * physical type depends on the fixture generation (long nanos under
+    * `nanosAsLong` pre-r8, timestamp[us]-without-tz = TIMESTAMP_NTZ
+    * r8+), so the stream schema is derived from the batch footer
+    * rather than pinned (see [[graft.queries.Ctx.events]]).
+    */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+  /** File-source stream over a directory of events parquet, `ts`
+    * normalized to a session-UTC microsecond TIMESTAMP exactly like
+    * the batch-side [[graft.queries.Ctx.events]] (one footer peek
+    * picks the fixture generation; streaming source schemas are fixed
+    * up-front, so the branch cannot live in the plan).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsSchema(tsType))
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling 1-hour event-time windows per event type with a
     * 10-minute watermark.

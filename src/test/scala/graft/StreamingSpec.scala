@@ -183,7 +183,7 @@ class StreamingSpec extends AnyFunSuite {
     // stage the events as 4 time-ordered files so the watermark
     // advances across micro-batches (maxFilesPerTrigger=1)
     val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = long ns
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts as written
     val n = raw.count()
     val chunked = raw
       .withColumn("rn", row_number().over(Window.orderBy("ts", "event_id")))
@@ -198,9 +198,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dest)
       dest.toFile.setLastModified(1600000000000L + i * 60000L)
     }
-    val stream = spark.readStream.schema(EventStream.eventsSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = EventStream.readEvents(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
     val q = EventStream.runToMemory(
       EventStream.asofEnrichStream(spark, stream), "asof_stream_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
@@ -220,7 +219,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
       streamed.foreach { case (id, p) => assert(batch(id) == p, s"id=$id") }
       // coverage: every click older than final watermark was emitted
-      val maxUs = raw.agg(max(expr("ts div 1000"))).head.getLong(0)
+      val maxUs = Ctx(spark, sfDir).events
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
       val ripe = batch.filter { case (_, p) => p._2 <= maxUs - 600000000L }
       assert(ripe.keySet.subsetOf(streamed.keySet),
         s"missing ${ripe.keySet -- streamed.keySet}")
