@@ -301,6 +301,75 @@ object ScaleBench {
       }
     }
 
+    section("bloomgate") {
+      // ingest-gate economics: a Bloom filter over the base keys
+      // routes definitely-new delta docs AWAY from the exact join, so
+      // the join's delta side shrinks to the suspected slice (true
+      // dups + fpp stragglers) — verdicts identical by construction
+      // (spec + oracle). The structural number that matters at 100 TB
+      // is the suspect fraction: that is the factor by which the
+      // per-batch join input (and its shuffle) shrinks.
+      println("== Bloom ingest gate: suspected slice vs corpus size ==")
+      println(f"${"mult"}%-6s${"delta"}%9s${"suspect"}%9s${"plain_s"}%9s" +
+        f"${"bloom_s"}%9s")
+      import graft.functions.{BloomGate, TextFunctions}
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_corpus_$mult"
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        val fp = docsAll.select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        val baseFp = fp.filter(col("doc_id") % 3 =!= 0)
+        val deltaFp = fp.filter(col("doc_id") % 3 === 0)
+        val nDelta = deltaFp.count()
+        val bloom = BloomGate.build(baseFp.select(col("fp")), col("fp"),
+          baseFp.count(), 0.01)
+        val suspect = deltaFp.filter(coalesce(
+          BloomGate.mightContain(bloom, col("fp")), lit(false))).count()
+        def plain(): Long = deltaFp.join(
+          baseFp.groupBy("fp").agg(min("doc_id").as("fs")),
+          Seq("fp"), "left").count()
+        plain()
+        val (psec, _) = time(plain())
+        graft.operators.Dedup.incrementalExactBloom(docsAll).count()
+        val (bsec, _) = time(
+          graft.operators.Dedup.incrementalExactBloom(docsAll).count())
+        println(f"$mult%-6d$nDelta%9d$suspect%9d$psec%9.2f$bsec%9.2f")
+      }
+      // the LSH signature-store gate: same store, probed through the
+      // sidecar — delta band rows with no possible base bucket-mates
+      // never enter the band join
+      println(f"${"mult"}%-6s${"ungated_s"}%10s${"gated_s"}%9s${"rows"}%8s")
+      val delta = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else s"/tmp/graft_amp_corpus_$mult"
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_sigstore_scale_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
+          graft.operators.Dedup.writeSignatureStore(base, store)
+        graft.operators.Dedup.ensureStoreBloom(spark, store) // sidecar upgrade
+        graft.operators.Dedup.incrementalLshStore(store, delta).count()
+        val (usec, _) = time(
+          graft.operators.Dedup.incrementalLshStore(store, delta).count())
+        graft.operators.Dedup.incrementalLshStoreBloom(store, delta).count()
+        val (gsec, rows) = time(
+          graft.operators.Dedup.incrementalLshStoreBloom(store, delta).count())
+        println(f"$mult%-6d$usec%10.2f$gsec%9.2f$rows%8d")
+      }
+    }
+
     section("semdedup") {
       // SemDeDup's cost law: the quadratic step is the within-cell
       // self-join — Σ occupancy² ≈ n·occ candidate cosines — so CELL

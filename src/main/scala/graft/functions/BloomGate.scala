@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Broadcast Bloom-filter gating, built on Spark's own runtime-filter
+  * expressions (`BloomFilterAggregate` / `BloomFilterMightContain` —
+  * the machinery behind `spark.sql.optimizer.runtime.bloomFilter`,
+  * surfaced here as an explicit, persistable artifact).
+  *
+  * Why this matters at 100 TB: an incremental-ingest dedup gate must
+  * answer "has this key been seen in the historical store?" for every
+  * new document. The exact answer is a join against the full store —
+  * a scan (and without care, a shuffle) of the largest artifact in
+  * the pipeline, on EVERY batch, even though the overwhelming
+  * majority of new keys were never seen. A Bloom filter over the
+  * store's keys is megabytes per billion keys (`optimalNumOfBits`:
+  * ~1.2 GB per 10⁹ at 1% fpp — broadcastable; shard per band/bucket
+  * beyond that), has NO false negatives, and turns the common case
+  * into a map-side codegen'd probe: bloom-negative ⇒ definitely new,
+  * skip the join entirely; only the tiny bloom-positive slice (true
+  * dups + fpp stragglers) pays for exact verification. Results stay
+  * EXACT — the filter only routes rows, it never decides a verdict.
+  *
+  * The reference's analogue is its hash-partitioned shuffle dedup
+  * (`dask/dataframe/dask_expr/_collection.py` drop_duplicates); a
+  * membership sketch in front of it is the standard web-scale
+  * refinement (e.g. CCNet/Dolma-style ingest gates).
+  *
+  * Both sides hash with Spark's `XxHash64` (seed 42, the same
+  * expression `InjectRuntimeFilter` plants), so build and probe agree
+  * by construction; the probe is a codegen'd predicate, not a UDF.
+  */
+object BloomGate {
+
+  /** Serialize a sketch to the `readFrom(byte[])` wire format. */
+  private def toBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Sized number of bits for `expectedItems` keys at `fpp`, floored
+    * so degenerate inputs still build a valid (tiny) filter.
+    */
+  def numBits(expectedItems: Long, fpp: Double): Long =
+    math.max(64L, BloomFilter.optimalNumOfBits(math.max(expectedItems, 1L), fpp))
+
+  /** Distributed build: ONE aggregation job over `df` (map-side
+    * partial filters OR-merged on the driver by the aggregate), no
+    * collect of keys. Returns the serialized filter. Pass the same
+    * (`expectedItems`, `bits`) when building filters that must later
+    * [[merge]] — merge requires identical geometry.
+    */
+  def build(df: DataFrame, value: Column, expectedItems: Long,
+      bits: Long): Array[Byte] = {
+    val n = math.max(expectedItems, 1L)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftExpressionBridge.expression(value))),
+      Literal(n), Literal(bits)).toAggregateExpression()
+    val row = df.select(GraftExpressionBridge.column(agg).as("bloom")).head()
+    if (row.isNullAt(0)) {
+      // the aggregate yields null on empty input; an empty filter of
+      // the SAME geometry keeps merge compatibility
+      toBytes(BloomFilter.create(n, bits))
+    } else row.getAs[Array[Byte]](0)
+  }
+
+  /** [[build]] sized from a false-positive rate. */
+  def build(df: DataFrame, value: Column, expectedItems: Long,
+      fpp: Double): Array[Byte] =
+    build(df, value, expectedItems, numBits(expectedItems, fpp))
+
+  /** Membership probe as a codegen'd Catalyst predicate: true ⇒ the
+    * key MAY be in the build set (rate-bounded false positives);
+    * false ⇒ the key is DEFINITELY absent. Null-safe: a null key
+    * probes to null (callers gate with `coalesce(…, false)`).
+    */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    GraftExpressionBridge.column(BloomFilterMightContain(
+      Literal(bloom),
+      new XxHash64(Seq(GraftExpressionBridge.expression(value)))))
+
+  /** OR-merge two serialized filters of identical geometry — the
+    * append path for a persisted sidecar: the store's filter absorbs
+    * each ingested batch without ever rebuilding from the full store.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = BloomFilter.readFrom(a)
+    fa.mergeInPlace(BloomFilter.readFrom(b))
+    toBytes(fa)
+  }
+}

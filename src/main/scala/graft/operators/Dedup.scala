@@ -537,6 +537,9 @@ object Dedup {
     graft.sources.PartitionedSink.writePartitioned(
       bandedMd5Sigs(baseDocs, numHashes, bands, sampleMod),
       tmp.toString, Seq("band"))
+    // Bloom sidecar rides inside the temp dir, so the rename publishes
+    // store + filter together (a store is never visible bloom-less)
+    writeStoreBloom(baseDocs.sparkSession, tmp.toString)
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
   }
@@ -634,9 +637,22 @@ object Dedup {
     * build-from-scratch is spec-checked.
     */
   def appendToSignatureStore(deltaDocs: DataFrame, path: String,
-      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit =
-    bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
-      .write.mode("append").partitionBy("band").parquet(path)
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit = {
+    val sigs = bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
+    sigs.write.mode("append").partitionBy("band").parquet(path)
+    // fold the batch's bucket keys into the Bloom sidecar: a delta
+    // filter built with the SIDECAR's geometry OR-merges in place —
+    // no rebuild from the (large) base, cost ∝ batch. Pre-bloom
+    // stores stay sidecar-less here; ensureStoreBloom upgrades them
+    // lazily on first gated read.
+    val spark = deltaDocs.sparkSession
+    readStoreBloom(spark, path).foreach { case (bytes, n, bits) =>
+      val deltaBloom = graft.functions.BloomGate.build(
+        sigs.select(storeBloomKey.as("k")), col("k"), n, bits)
+      publishStoreBloom(spark, path,
+        graft.functions.BloomGate.merge(bytes, deltaBloom), n, bits)
+    }
+  }
 
   /** Build-once helper for the driver entries: write the store for
     * `baseDocs` under a deterministic per-fixture path unless a
@@ -665,6 +681,205 @@ object Dedup {
       writeSignatureStore(baseDocs, path, numHashes, bands, sampleMod)
     path
   }
+
+  // -------------------------------------------------------------------
+  // Bloom-filter gating for incremental ingest
+  // (see [[graft.functions.BloomGate]] for the why-at-100TB)
+  // -------------------------------------------------------------------
+
+  /** The store's Bloom-sidecar directory name. Underscore-prefixed, so
+    * Spark's parquet listing ignores it inside the store directory.
+    */
+  private val BloomSidecar = "_bloomgate"
+
+  /** Band-key column the store bloom is keyed on: the probe and the
+    * build MUST hash the same value, so there is exactly one
+    * definition. (band, bsig) as a struct — `XxHash64` hashes nested
+    * types canonically on both sides.
+    */
+  private def storeBloomKey: Column = struct(col("band"), col("bsig"))
+
+  /** Publish (or replace) the store's Bloom sidecar: a filter over
+    * the store's (band, bsig) bucket keys plus the geometry line
+    * `n bits` that later [[appendToSignatureStore]] merges must reuse
+    * (OR-merge requires identical geometry). `headroom` multiplies the
+    * current key count so the false-positive rate survives store
+    * growth by appends without a rebuild — at 16× headroom and 1% fpp
+    * the filter stays useful until the corpus has grown 16-fold, the
+    * point where a (cheap, one-job) rebuild re-sizes it. Atomic via
+    * temp + rename-swap, same discipline as compaction.
+    */
+  def writeStoreBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String, headroom: Long = 16L, fpp: Double = 0.01): Unit = {
+    val keys = readSignatureStore(spark, path).select(storeBloomKey.as("k"))
+    val n = math.max(1L, keys.count()) * headroom
+    val bits = graft.functions.BloomGate.numBits(n, fpp)
+    val bytes = graft.functions.BloomGate.build(keys, col("k"), n, bits)
+    publishStoreBloom(spark, path, bytes, n, bits)
+  }
+
+  /** Atomic sidecar publish (temp dir + rename-swap). */
+  private def publishStoreBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String, bytes: Array[Byte], n: Long, bits: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
+    val tmp = new org.apache.hadoop.fs.Path(path, BloomSidecar + ".inprogress")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "filter.bin"), bytes)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "meta"),
+      s"$n $bits".getBytes("UTF-8"))
+    val old = new org.apache.hadoop.fs.Path(path, BloomSidecar + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dir)) require(fs.rename(dir, old), s"bloom swap-out failed: $dir")
+    require(fs.rename(tmp, dir), s"bloom publish failed: $dir")
+    fs.delete(old, true)
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  /** Read the store's Bloom sidecar: (filter bytes, expectedItems,
+    * numBits), or None for a store written before blooms existed.
+    */
+  def readStoreBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Array[Byte], Long, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
+    val filter = new org.apache.hadoop.fs.Path(dir, "filter.bin")
+    val meta = new org.apache.hadoop.fs.Path(dir, "meta")
+    if (!fs.exists(filter) || !fs.exists(meta)) None
+    else {
+      val Array(n, bits) =
+        new String(readSmallFile(fs, meta), "UTF-8").trim.split(' ')
+      Some((readSmallFile(fs, filter), n.toLong, bits.toLong))
+    }
+  }
+
+  /** Sidecar-or-build: reuse a present sidecar, else publish one from
+    * the store's current contents (one aggregation job) — the lazy
+    * upgrade path for stores written before blooms existed.
+    */
+  def ensureStoreBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Byte] =
+    readStoreBloom(spark, path) match {
+      case Some((bytes, _, _)) => bytes
+      case None =>
+        writeStoreBloom(spark, path)
+        readStoreBloom(spark, path).get._1
+    }
+
+  /** [[incrementalLshStore]] with the store's Bloom sidecar gating the
+    * delta's banded rows BEFORE the band join: a delta bucket key the
+    * filter rejects provably has no base bucket-mates (no false
+    * negatives), so the row can't contribute a candidate pair and is
+    * dropped map-side by a codegen'd predicate — the join's shuffle
+    * shrinks to true collisions + the fpp stragglers. Verdict rows are
+    * still emitted for EVERY sampled delta doc (the gate prunes join
+    * inputs, not report rows), so the output is bit-identical to the
+    * ungated path and [[incrementalLshMd5Sql]] remains its oracle. At
+    * 100 TB this is the difference between shuffling every new batch's
+    * full band set against the store and shuffling only the (rare)
+    * suspected-duplicate slice.
+    */
+  def incrementalLshStoreBloom(storePath: String, delta: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
+      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val spark = delta.sparkSession
+    val bloom = ensureStoreBloom(spark, storePath)
+    val base = readSignatureStore(spark, storePath)
+      .select("doc_id", "sig", "band", "bsig")
+    val gated = bandedMd5Sigs(delta, numHashes, bands, sampleMod)
+      .filter(coalesce(
+        graft.functions.BloomGate.mightContain(bloom, storeBloomKey),
+        lit(false)))
+    incrementalReportSplit(gated, base, "bsig",
+      delta.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
+      numHashes, minEstSim, bucketCap)
+  }
+
+  /** Bloom-gated EXACT incremental dedup — the fingerprint-level
+    * ingest gate: new docs (`doc_id % deltaMod == 0`) are checked for
+    * exact (normalized-md5, [[fingerprint]]) duplication against the
+    * base corpus. A Bloom filter over the base's fingerprints routes
+    * the docs: bloom-negative ⇒ DEFINITELY new, no join at all;
+    * bloom-positive (true dups + ~fpp stragglers) ⇒ exact
+    * verification, where the tiny positive set is BROADCAST against
+    * the base scan (semi-join) so the base is scanned once and never
+    * shuffled. Output per delta doc: `first_seen` (min base doc_id
+    * with the same fingerprint, −1 if new) and `is_dup` — EXACT
+    * regardless of fpp, which only moves work between the two routes
+    * (spec-checked at fpp=0.5). Oracle: [[incrementalExactBloomSql]]
+    * (a plain left join — the bloom must be invisible in the result).
+    */
+  def incrementalExactBloom(docs: DataFrame, deltaMod: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val withFp = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val isDelta = pmod(col("doc_id"), lit(deltaMod)) === 0
+    val base = withFp.filter(!isDelta)
+    val delta = withFp.filter(isDelta)
+    // expectedItems: one column-pruned count of the base slice (the
+    // md5 never evaluates — Catalyst prunes it under count)
+    val nBase = docs.filter(!isDelta).count()
+    val bloom = graft.functions.BloomGate.build(
+      base.select(col("fp")), col("fp"), math.max(nBase, 1L), fpp)
+    val gated = delta.withColumn("maybe_seen",
+      coalesce(graft.functions.BloomGate.mightContain(bloom, col("fp")),
+        lit(false)))
+    val positives = gated.filter(col("maybe_seen"))
+    // base side: scanned once, shuffled never — the suspected set is
+    // broadcast both into the semi-join and onto its own verdict join
+    val firstSeen = base
+      .join(broadcast(positives.select("fp").distinct()), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min("doc_id").as("first_seen"))
+    positives
+      .join(broadcast(firstSeen), Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("first_seen"), lit(-1L)).as("first_seen"),
+        when(col("first_seen").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("is_dup"))
+      .unionAll(gated.filter(!col("maybe_seen"))
+        .select(col("doc_id"), lit(-1L).as("first_seen"),
+          lit(0L).as("is_dup")))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[incrementalExactBloom]] — bloom-free by
+    * construction: routing may never change the answer.
+    */
+  def incrementalExactBloomSql(deltaMod: Int = 3): String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |base AS (
+       |  SELECT fp, MIN(doc_id) AS first_seen
+       |  FROM fp WHERE doc_id % $deltaMod <> 0 GROUP BY fp)
+       |SELECT d.doc_id,
+       |  COALESCE(first_seen, -1) AS first_seen,
+       |  CAST(CASE WHEN first_seen IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS is_dup
+       |FROM fp d LEFT JOIN base USING (fp)
+       |WHERE d.doc_id % $deltaMod = 0
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-document 64-bit SimHash via the one-pass
     * [[graft.functions.SimHash64]] aggregate (token multiplicity = the

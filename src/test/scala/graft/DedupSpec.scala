@@ -434,4 +434,84 @@ class DedupSpec extends AnyFunSuite {
   private def md5Of(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bloom-gated exact incremental matches the plain left join at any fpp") {
+    import org.apache.spark.sql.functions.{col, pmod, lit, min => fmin}
+    import graft.functions.TextFunctions
+    def reference(deltaMod: Int): Array[String] = {
+      val fp = docs.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val base = fp.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+        .groupBy("fp").agg(fmin("doc_id").as("first_seen"))
+      fp.filter(pmod(col("doc_id"), lit(deltaMod)) === 0)
+        .join(base, Seq("fp"), "left")
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.coalesce(col("first_seen"), lit(-1L))
+            .as("first_seen"),
+          org.apache.spark.sql.functions
+            .when(col("first_seen").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("is_dup"))
+        .orderBy("doc_id").collect().map(_.toString)
+    }
+    // tight and sloppy fpp must agree bit-for-bit with the bloom-free
+    // join: the filter routes rows, it never decides verdicts (a high
+    // fpp only pushes more definitely-new docs through the exact path)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val out = Dedup.incrementalExactBloom(docs, fpp = fpp)
+        .collect().map(_.toString)
+      assert(out.sameElements(reference(3)),
+        s"bloom path diverged from exact join at fpp=$fpp")
+    }
+    // the verdicts themselves: doc 0 is delta (0%3==0); docs 1,2 are
+    // base copies of its normalized text -> dup with first_seen=1
+    val m = Dedup.incrementalExactBloom(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(0L) == ((1L, 1L)))
+    assert(m(3L) == ((-1L, 0L)))
+  }
+
+  test("bloom gate never false-negatives and prunes the definitely-new") {
+    import spark.implicits._
+    import graft.functions.BloomGate
+    import org.apache.spark.sql.functions.col
+    val keys = (0L until 1000L).map(i => s"key$i").toDF("k")
+    val bloom = BloomGate.build(keys, col("k"), 1000L, 0.01)
+    // every inserted key probes true (no false negatives, the property
+    // exactness rests on)
+    assert(keys.filter(!BloomGate.mightContain(bloom, col("k"))).count() == 0L)
+    // almost all absent keys probe false at fpp=1%
+    val absent = (0L until 1000L).map(i => s"other$i").toDF("k")
+    val leaked = absent.filter(BloomGate.mightContain(bloom, col("k"))).count()
+    assert(leaked < 50L, s"fpp blew past its bound: $leaked/1000")
+  }
+
+  test("bloom sidecar merges across appends and gates the store path") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore_bloom")
+    val grown = tmp.resolve("grown").toString
+    Dedup.writeSignatureStore(b0, grown, sampleMod = 1)
+    assert(Dedup.readStoreBloom(spark, grown).nonEmpty,
+      "writeSignatureStore published no bloom sidecar")
+    Dedup.appendToSignatureStore(b1, grown, sampleMod = 1)
+    // gated store probe == ungated == the one-frame twin
+    val gated = Dedup.incrementalLshStoreBloom(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    val ungated = Dedup.incrementalLshStore(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(gated.sameElements(ungated) && gated.nonEmpty,
+      "bloom gating changed store verdicts")
+    // a pre-bloom store (sidecar removed) upgrades lazily and agrees
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(grown, "_bloomgate"), true)
+    assert(Dedup.readStoreBloom(spark, grown).isEmpty)
+    val upgraded = Dedup.incrementalLshStoreBloom(grown, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(upgraded.sameElements(ungated))
+    assert(Dedup.readStoreBloom(spark, grown).nonEmpty,
+      "lazy sidecar upgrade did not persist")
+  }
 }
