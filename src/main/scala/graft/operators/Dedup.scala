@@ -828,6 +828,13 @@ object Dedup {
     * regardless of fpp, which only moves work between the two routes
     * (spec-checked at fpp=0.5). Oracle: [[incrementalExactBloomSql]]
     * (a plain left join — the bloom must be invisible in the result).
+    *
+    * NOTE: constructing this frame RUNS two jobs (base count + the
+    * distributed bloom build) — like the CC entries, and unlike the
+    * lazy Lloyd/BPE loops — because the filter must exist before the
+    * probe plan can be built. A production ingest pipeline amortizes
+    * both: the bloom is a persisted artifact maintained with the base
+    * (the [[writeStoreBloom]] sidecar pattern), not rebuilt per batch.
     */
   def incrementalExactBloom(docs: DataFrame, deltaMod: Int = 3,
       fpp: Double = 0.01): DataFrame = {

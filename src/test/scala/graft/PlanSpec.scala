@@ -188,6 +188,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("bloom exact gate: codegen'd probe, base verifies via broadcast semi") {
+    val p = planOf(graft.operators.Dedup.incrementalExactBloom(ctx.documents))
+    // the membership probe is a Catalyst predicate in the plan (a
+    // Filter over might_contain), not an opaque UDF
+    assert(p.contains("might_contain"), p)
+    // the suspected slice broadcasts against the base scan — the base
+    // is never shuffled for the exact verification
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bloom-gated store probe: gate precedes the band join, no SMJ") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val base = ctx.documents.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val store = graft.operators.Dedup.ensureSignatureStore(
+      base, "plan_spec_bloom_store")
+    val p = planOf(graft.operators.Dedup.incrementalLshStoreBloom(
+      store, ctx.documents.filter(pmod(col("doc_id"), lit(3L)) === 0)))
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("curation pipeline: one lazy DAG, sort-free") {
     val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)
