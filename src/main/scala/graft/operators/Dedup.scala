@@ -801,9 +801,13 @@ object Dedup {
     */
   def incrementalLshStoreBloom(storePath: String, delta: DataFrame,
       numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
-      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap): DataFrame = {
+      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap,
+      presetBloom: Option[Array[Byte]] = None): DataFrame = {
     val spark = delta.sparkSession
-    val bloom = ensureStoreBloom(spark, storePath)
+    // presetBloom: callers probing the same store repeatedly (the
+    // streaming gate's per-micro-batch loop) resolve the sidecar once
+    // and pass it in, skipping the per-call sidecar read
+    val bloom = presetBloom.getOrElse(ensureStoreBloom(spark, storePath))
     val base = readSignatureStore(spark, storePath)
       .select("doc_id", "sig", "band", "bsig")
     val gated = bandedMd5Sigs(delta, numHashes, bands, sampleMod)

@@ -150,15 +150,30 @@ object EventStream {
     */
   def incrementalDedupStream(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String,
-      sampleMod: Int = 1): StreamingQuery = {
+      sampleMod: Int = 1, useBloom: Boolean = false): StreamingQuery = {
+    // the sidecar is static within the run like the store itself;
+    // resolve it ONCE here, not per micro-batch (ensureStoreBloom
+    // would otherwise re-read — or on first use re-build — it every
+    // trigger). Verdicts are bit-identical either way (no false
+    // negatives); the gate only shrinks each batch's band join.
+    val bloom =
+      if (useBloom)
+        Some(graft.operators.Dedup.ensureStoreBloom(
+          docs.sparkSession, storePath))
+      else None
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Dedup
-          .incrementalLshStore(storePath, batch.toDF(), sampleMod = sampleMod)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val verdicts = bloom match {
+          case Some(b) => graft.operators.Dedup.incrementalLshStoreBloom(
+            storePath, batch.toDF(), sampleMod = sampleMod,
+            presetBloom = Some(b))
+          case None => graft.operators.Dedup.incrementalLshStore(
+            storePath, batch.toDF(), sampleMod = sampleMod)
+        }
+        verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.processAllAvailable()

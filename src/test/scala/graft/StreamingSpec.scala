@@ -115,6 +115,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.sameElements(batch))
       assert(streamed.nonEmpty)
     } finally q.stop()
+    // the bloom-gated variant (sidecar resolved once, probed per
+    // micro-batch) must land the SAME verdicts
+    val outBloom = tmp.resolve("out_bloom").toString
+    val qb = EventStream.incrementalDedupStream(
+      EventStream.readDocuments(spark, deltaDir), store, outBloom,
+      tmp.resolve("ckpt_bloom").toString, useBloom = true)
+    try {
+      val gated = spark.read.parquet(outBloom).drop("batch")
+        .collect().map(_.toString).sorted
+      val plain = spark.read.parquet(outDir).drop("batch")
+        .collect().map(_.toString).sorted
+      assert(gated.sameElements(plain) && gated.nonEmpty,
+        "bloom-gated streaming verdicts diverged")
+    } finally qb.stop()
   }
 
   test("stream-static join enriches events with a dimension") {
