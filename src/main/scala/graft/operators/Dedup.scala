@@ -642,15 +642,27 @@ object Dedup {
     sigs.write.mode("append").partitionBy("band").parquet(path)
     // fold the batch's bucket keys into the Bloom sidecar: a delta
     // filter built with the SIDECAR's geometry OR-merges in place —
-    // no rebuild from the (large) base, cost ∝ batch. Pre-bloom
-    // stores stay sidecar-less here; ensureStoreBloom upgrades them
-    // lazily on first gated read.
+    // no rebuild from the (large) base, cost ∝ batch. Capacity guard:
+    // once the running item count would exceed the geometry's sized
+    // capacity, the merged filter is past its design fpp (silently
+    // approaching all-positive = a useless gate, though never an
+    // incorrect one), so the sidecar is re-sized from the full store
+    // instead — one aggregation job, amortized over the ≥headroom×
+    // growth that triggered it. Pre-bloom stores stay sidecar-less
+    // here; ensureStoreBloom upgrades them lazily on first gated read.
     val spark = deltaDocs.sparkSession
-    readStoreBloom(spark, path).foreach { case (bytes, n, bits) =>
-      val deltaBloom = graft.functions.BloomGate.build(
-        sigs.select(storeBloomKey.as("k")), col("k"), n, bits)
-      publishStoreBloom(spark, path,
-        graft.functions.BloomGate.merge(bytes, deltaBloom), n, bits)
+    readStoreBloom(spark, path).foreach { sb =>
+      val deltaKeys = sigs.select(storeBloomKey.as("k"))
+      val dCount = deltaKeys.count()
+      if (sb.items + dCount > sb.expectedItems)
+        writeStoreBloom(spark, path)
+      else {
+        val deltaBloom = graft.functions.BloomGate.build(
+          deltaKeys, col("k"), sb.expectedItems, sb.numBits)
+        publishStoreBloom(spark, path,
+          graft.functions.BloomGate.merge(sb.bytes, deltaBloom),
+          sb.expectedItems, sb.numBits, sb.items + dCount)
+      }
     }
   }
 
@@ -712,15 +724,17 @@ object Dedup {
   def writeStoreBloom(spark: org.apache.spark.sql.SparkSession,
       path: String, headroom: Long = 16L, fpp: Double = 0.01): Unit = {
     val keys = readSignatureStore(spark, path).select(storeBloomKey.as("k"))
-    val n = math.max(1L, keys.count()) * headroom
+    val items = math.max(1L, keys.count())
+    val n = items * headroom
     val bits = graft.functions.BloomGate.numBits(n, fpp)
     val bytes = graft.functions.BloomGate.build(keys, col("k"), n, bits)
-    publishStoreBloom(spark, path, bytes, n, bits)
+    publishStoreBloom(spark, path, bytes, n, bits, items)
   }
 
   /** Atomic sidecar publish (temp dir + rename-swap). */
   private def publishStoreBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String, bytes: Array[Byte], n: Long, bits: Long): Unit = {
+      path: String, bytes: Array[Byte], n: Long, bits: Long,
+      items: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
@@ -729,7 +743,7 @@ object Dedup {
     fs.mkdirs(tmp)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "filter.bin"), bytes)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "meta"),
-      s"$n $bits".getBytes("UTF-8"))
+      s"$n $bits $items".getBytes("UTF-8"))
     val old = new org.apache.hadoop.fs.Path(path, BloomSidecar + ".old")
     fs.delete(old, true)
     if (fs.exists(dir)) require(fs.rename(dir, old), s"bloom swap-out failed: $dir")
@@ -755,11 +769,23 @@ object Dedup {
     } finally in.close()
   }
 
-  /** Read the store's Bloom sidecar: (filter bytes, expectedItems,
-    * numBits), or None for a store written before blooms existed.
+  /** A store's Bloom sidecar: the serialized filter, its geometry
+    * (`expectedItems`/`numBits` — later merges must reuse it), and
+    * `items`, the running count of keys folded in so far (the append
+    * path's capacity bookkeeping: once `items` exceeds
+    * `expectedItems`, the filter is past its design fpp and gets
+    * re-sized).
+    */
+  final case class StoreBloom(bytes: Array[Byte], expectedItems: Long,
+      numBits: Long, items: Long)
+
+  /** Read the store's Bloom sidecar, or None for a store written
+    * before blooms existed. Pre-capacity-tracking metas (two fields)
+    * read with `items = expectedItems` — i.e. conservatively "full",
+    * so the next append re-sizes them onto the tracked format.
     */
   def readStoreBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Array[Byte], Long, Long)] = {
+      path: String): Option[StoreBloom] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
@@ -767,9 +793,10 @@ object Dedup {
     val meta = new org.apache.hadoop.fs.Path(dir, "meta")
     if (!fs.exists(filter) || !fs.exists(meta)) None
     else {
-      val Array(n, bits) =
-        new String(readSmallFile(fs, meta), "UTF-8").trim.split(' ')
-      Some((readSmallFile(fs, filter), n.toLong, bits.toLong))
+      val parts = new String(readSmallFile(fs, meta), "UTF-8").trim.split(' ')
+      val n = parts(0).toLong
+      Some(StoreBloom(readSmallFile(fs, filter), n, parts(1).toLong,
+        if (parts.length > 2) parts(2).toLong else n))
     }
   }
 
@@ -780,10 +807,10 @@ object Dedup {
   def ensureStoreBloom(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Byte] =
     readStoreBloom(spark, path) match {
-      case Some((bytes, _, _)) => bytes
+      case Some(sb) => sb.bytes
       case None =>
         writeStoreBloom(spark, path)
-        readStoreBloom(spark, path).get._1
+        readStoreBloom(spark, path).get.bytes
     }
 
   /** [[incrementalLshStore]] with the store's Bloom sidecar gating the

@@ -514,4 +514,32 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.readStoreBloom(spark, grown).nonEmpty,
       "lazy sidecar upgrade did not persist")
   }
+
+  test("bloom sidecar re-sizes when appends exceed its capacity") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore_cap")
+    val store = tmp.resolve("store").toString
+    Dedup.writeSignatureStore(b0, store, sampleMod = 1)
+    // shrink the sidecar's headroom to exactly the current keys, so
+    // the next append must blow past capacity
+    Dedup.writeStoreBloom(spark, store, headroom = 1L)
+    val before = Dedup.readStoreBloom(spark, store).get
+    assert(before.items == before.expectedItems)
+    Dedup.appendToSignatureStore(b1, store, sampleMod = 1)
+    val after = Dedup.readStoreBloom(spark, store).get
+    // past-capacity append re-sized from the full store (default
+    // headroom), instead of silently merging toward all-positive
+    assert(after.expectedItems > before.expectedItems,
+      s"sidecar not re-sized: ${before.expectedItems} -> ${after.expectedItems}")
+    assert(after.items > before.items)
+    // and the gate still agrees with the ungated path
+    val gated = Dedup.incrementalLshStoreBloom(store, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    val ungated = Dedup.incrementalLshStore(store, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(gated.sameElements(ungated) && gated.nonEmpty)
+  }
 }
