@@ -50,6 +50,29 @@ object BloomGate {
   def numBits(expectedItems: Long, fpp: Double): Long =
     math.max(64L, BloomFilter.optimalNumOfBits(math.max(expectedItems, 1L), fpp))
 
+  /** Filter geometry for `expectedItems` keys at `fpp`, CLAMPED to the
+    * session's `BloomFilterAggregate` caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `maxNumBits`, raised to 1e9 keys / 1 GiB by [[graft.Engine]] —
+    * the runtime-filter defaults are sized for transient per-query
+    * filters). A clamp means the filter is under-sized for the key
+    * count and its fpp degrades toward all-positive — still never a
+    * false negative, so gating stays CORRECT, just less selective;
+    * past the 1 GiB single-filter ceiling the design answer is one
+    * filter per band/shard, not a bigger filter.
+    */
+  def geometry(spark: org.apache.spark.sql.SparkSession,
+      expectedItems: Long, fpp: Double): (Long, Long) = {
+    val maxItems = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val n = math.min(math.max(expectedItems, 1L), maxItems)
+    (n, math.min(numBits(n, fpp), maxBits))
+  }
+
   /** Distributed build: ONE aggregation job over `df` (map-side
     * partial filters OR-merged on the driver by the aggregate), no
     * collect of keys. Returns the serialized filter. Pass the same
@@ -70,10 +93,14 @@ object BloomGate {
     } else row.getAs[Array[Byte]](0)
   }
 
-  /** [[build]] sized from a false-positive rate. */
+  /** [[build]] sized from a false-positive rate via [[geometry]]
+    * (session-cap-clamped).
+    */
   def build(df: DataFrame, value: Column, expectedItems: Long,
-      fpp: Double): Array[Byte] =
-    build(df, value, expectedItems, numBits(expectedItems, fpp))
+      fpp: Double): Array[Byte] = {
+    val (n, bits) = geometry(df.sparkSession, expectedItems, fpp)
+    build(df, value, n, bits)
+  }
 
   /** Membership probe as a codegen'd Catalyst predicate: true ⇒ the
     * key MAY be in the build set (rate-bounded false positives);

@@ -725,8 +725,8 @@ object Dedup {
       path: String, headroom: Long = 16L, fpp: Double = 0.01): Unit = {
     val keys = readSignatureStore(spark, path).select(storeBloomKey.as("k"))
     val items = math.max(1L, keys.count())
-    val n = items * headroom
-    val bits = graft.functions.BloomGate.numBits(n, fpp)
+    val (n, bits) = graft.functions.BloomGate.geometry(
+      spark, items * headroom, fpp)
     val bytes = graft.functions.BloomGate.build(keys, col("k"), n, bits)
     publishStoreBloom(spark, path, bytes, n, bits, items)
   }

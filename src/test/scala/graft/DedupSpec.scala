@@ -515,6 +515,23 @@ class DedupSpec extends AnyFunSuite {
       "lazy sidecar upgrade did not persist")
   }
 
+  test("bloom geometry clears the runtime-filter defaults under the raised caps") {
+    import spark.implicits._
+    import graft.functions.BloomGate
+    import org.apache.spark.sql.functions.col
+    // a 100 TB store's sidecar needs more than the 4M-item / 67M-bit
+    // runtime-filter defaults; Engine raises the caps, so a 10M-key
+    // geometry must come back unclamped...
+    val (n, bits) = BloomGate.geometry(spark, 10000000L, 0.01)
+    assert(n == 10000000L, s"items clamped to $n")
+    assert(bits == BloomGate.numBits(10000000L, 0.01), s"bits clamped to $bits")
+    // ...and a build at 5M-item geometry (past the default cap) must
+    // go through BloomFilterAggregate without tripping its check
+    val keys = (0L until 100L).map(i => s"k$i").toDF("k")
+    val bloom = BloomGate.build(keys, col("k"), 5000000L, 0.01)
+    assert(keys.filter(!BloomGate.mightContain(bloom, col("k"))).count() == 0L)
+  }
+
   test("bloom sidecar re-sizes when appends exceed its capacity") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
