@@ -26,10 +26,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * dups + fpp stragglers) pays for exact verification. Results stay
   * EXACT — the filter only routes rows, it never decides a verdict.
   *
-  * The reference's analogue is its hash-partitioned shuffle dedup
-  * (`dask/dataframe/dask_expr/_collection.py` drop_duplicates); a
-  * membership sketch in front of it is the standard web-scale
-  * refinement (e.g. CCNet/Dolma-style ingest gates).
+  * The reference's dedup surface is the hash-partitioned
+  * `drop_duplicates` shuffle
+  * (`/root/reference/distributed/tests/test_collections.py:62`
+  * exercises it end-to-end); a membership sketch in front of that
+  * probe is the standard web-scale refinement (CCNet/Dolma-style
+  * ingest gates).
   *
   * Both sides hash with Spark's `XxHash64` (seed 42, the same
   * expression `InjectRuntimeFilter` plants), so build and probe agree
