@@ -639,24 +639,38 @@ object Dedup {
   def appendToSignatureStore(deltaDocs: DataFrame, path: String,
       numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit = {
     val sigs = bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
-    sigs.write.mode("append").partitionBy("band").parquet(path)
-    // fold the batch's bucket keys into the Bloom sidecar: a delta
-    // filter built with the SIDECAR's geometry OR-merges in place —
-    // no rebuild from the (large) base, cost ∝ batch. Capacity guard:
-    // once the running item count would exceed the geometry's sized
-    // capacity, the merged filter is past its design fpp (silently
-    // approaching all-positive = a useless gate, though never an
-    // incorrect one), so the sidecar is re-sized from the full store
-    // instead — one aggregation job, amortized over the ≥headroom×
-    // growth that triggered it. Pre-bloom stores stay sidecar-less
-    // here; ensureStoreBloom upgrades them lazily on first gated read.
+    // fold the batch's bucket keys into the Bloom sidecar BEFORE the
+    // parquet append: the sidecar and the band dirs can't move in one
+    // atomic step, and the two crash orderings are not symmetric — a
+    // sidecar carrying keys whose rows never landed yields only false
+    // POSITIVES (harmless: the exact join clears them), while band
+    // rows whose keys never reached the sidecar yield false NEGATIVES
+    // (the gate would silently drop real candidates). Sidecar-first
+    // keeps the no-false-negative invariant across any crash point.
+    // The merge itself is a delta-sized filter OR'd in at the
+    // sidecar's fixed geometry — no rebuild from the (large) base,
+    // cost ∝ batch. Capacity guard: once the running item count
+    // would exceed the sized capacity, the merged filter is past its
+    // design fpp (drifting toward all-positive — never wrong,
+    // eventually useless), so the sidecar is instead re-sized over
+    // store ∪ delta (still pre-append, same crash-safety) — one
+    // aggregation job, amortized over the ≥headroom× growth that
+    // triggered it. Pre-bloom stores stay sidecar-less here;
+    // ensureStoreBloom upgrades them lazily on first gated read.
     val spark = deltaDocs.sparkSession
     readStoreBloom(spark, path).foreach { sb =>
       val deltaKeys = sigs.select(storeBloomKey.as("k"))
       val dCount = deltaKeys.count()
-      if (sb.items + dCount > sb.expectedItems)
-        writeStoreBloom(spark, path)
-      else {
+      if (sb.items + dCount > sb.expectedItems) {
+        val keys = readSignatureStore(spark, path)
+          .select(storeBloomKey.as("k")).unionAll(deltaKeys)
+        val items = math.max(1L, sb.items + dCount)
+        val (n, bits) = graft.functions.BloomGate.geometry(
+          spark, items * 16L, 0.01)
+        publishStoreBloom(spark, path,
+          graft.functions.BloomGate.build(keys, col("k"), n, bits),
+          n, bits, items)
+      } else {
         val deltaBloom = graft.functions.BloomGate.build(
           deltaKeys, col("k"), sb.expectedItems, sb.numBits)
         publishStoreBloom(spark, path,
@@ -664,6 +678,7 @@ object Dedup {
           sb.expectedItems, sb.numBits, sb.items + dCount)
       }
     }
+    sigs.write.mode("append").partitionBy("band").parquet(path)
   }
 
   /** Build-once helper for the driver entries: write the store for
