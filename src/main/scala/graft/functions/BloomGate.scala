@@ -104,6 +104,25 @@ object BloomGate {
     build(df, value, n, bits)
   }
 
+  /** [[build]] fused with a row count — ONE aggregation job where a
+    * caller needs both (the per-batch append path: the count drives
+    * the capacity decision, the filter the merge).
+    */
+  def buildWithCount(df: DataFrame, value: Column, expectedItems: Long,
+      bits: Long): (Array[Byte], Long) = {
+    val n = math.max(expectedItems, 1L)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftExpressionBridge.expression(value))),
+      Literal(n), Literal(bits)).toAggregateExpression()
+    val row = df.select(GraftExpressionBridge.column(agg).as("bloom"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).head()
+    val bytes =
+      if (row.isNullAt(0)) toBytes(BloomFilter.create(n, bits))
+      else row.getAs[Array[Byte]](0)
+    (bytes, row.getLong(1))
+  }
+
   /** Membership probe as a codegen'd Catalyst predicate: true ⇒ the
     * key MAY be in the build set (rate-bounded false positives);
     * false ⇒ the key is DEFINITELY absent. Null-safe: a null key

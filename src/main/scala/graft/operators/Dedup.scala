@@ -660,7 +660,10 @@ object Dedup {
     val spark = deltaDocs.sparkSession
     readStoreBloom(spark, path).foreach { sb =>
       val deltaKeys = sigs.select(storeBloomKey.as("k"))
-      val dCount = deltaKeys.count()
+      // one fused job: the delta filter (at the sidecar's geometry)
+      // AND the key count the capacity decision needs
+      val (deltaBloom, dCount) = graft.functions.BloomGate.buildWithCount(
+        deltaKeys, col("k"), sb.expectedItems, sb.numBits)
       if (sb.items + dCount > sb.expectedItems) {
         val keys = readSignatureStore(spark, path)
           .select(storeBloomKey.as("k")).unionAll(deltaKeys)
@@ -671,8 +674,6 @@ object Dedup {
           graft.functions.BloomGate.build(keys, col("k"), n, bits),
           n, bits, items)
       } else {
-        val deltaBloom = graft.functions.BloomGate.build(
-          deltaKeys, col("k"), sb.expectedItems, sb.numBits)
         publishStoreBloom(spark, path,
           graft.functions.BloomGate.merge(sb.bytes, deltaBloom),
           sb.expectedItems, sb.numBits, sb.items + dCount)
