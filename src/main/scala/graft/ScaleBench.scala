@@ -92,7 +92,7 @@ object ScaleBench {
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
-        "megabucket,incstore_compact,semdedup")
+        "megabucket,incstore_compact,semdedup,bloomgate")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
