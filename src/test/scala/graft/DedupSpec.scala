@@ -515,6 +515,15 @@ class DedupSpec extends AnyFunSuite {
       "lazy sidecar upgrade did not persist")
   }
 
+  test("bloom exact gate on an empty base marks every delta doc new") {
+    // deltaMod=1 → every doc is delta, the base slice is empty: the
+    // empty-input build must yield a valid all-negative filter (not
+    // null), and every verdict is first_seen=-1 / is_dup=0
+    val out = Dedup.incrementalExactBloom(docs, deltaMod = 1).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(1) == -1L && r.getLong(2) == 0L))
+  }
+
   test("bloom geometry clears the runtime-filter defaults under the raised caps") {
     import spark.implicits._
     import graft.functions.BloomGate
