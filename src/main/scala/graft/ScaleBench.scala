@@ -92,7 +92,7 @@ object ScaleBench {
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
-        "megabucket,incstore_compact,semdedup,bloomgate")
+        "megabucket,incstore_compact,semdedup,bloomgate,giantcluster")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -411,6 +411,85 @@ object ScaleBench {
       runBoiler()
       val (bsec, bdropped) = time(runBoiler())
       println(f"${"8000+8k dup mass"}%-22s${32}%7d$bsec%8.2f$bdropped%9d")
+    }
+
+    section("giantcluster") {
+      // the r8 `weak`: cluster RESOLUTION rode row_number/count
+      // windows partitioned on cluster_id — a giant duplicate
+      // component (the guaranteed shape of a web corpus: chained
+      // boilerplate near-dups) lands on ONE window reducer task that
+      // AQE cannot split. r9 replaced the windows with partial-
+      // aggregatable max_by/count aggregates; this rung injects a
+      // single giant cluster over the ambient corpus and compares the
+      // agg path against the old window formulation. The number that
+      // matters is max-task time: the agg's stays flat as the
+      // component grows (map-side partials split it), the window's
+      // grows linearly with the component.
+      println("== Giant-cluster resolution: agg (r9) vs window (r8) ==")
+      def timedMaxTask(body: => Long): (Double, Long, Long) = {
+        val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskInfo != null)
+              maxMs.getAndAccumulate(te.taskInfo.duration, math.max(_, _))
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus is async; let task-end events drain
+        spark.sparkContext.removeSparkListener(l)
+        (sec, maxMs.get, rows)
+      }
+      val corpus = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "text")
+      def windowKeepBest(docs: DataFrame, clusters: DataFrame): Long = {
+        // the r8 formulation, kept here as the straggler baseline
+        val scores = graft.operators.QualitySignals.qualityScore(docs)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        clusters.join(scores.hint("shuffle_hash"), "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("cluster_size"),
+            col("doc_id").as("kept_doc"), col("score").as("kept_score"))
+          .count()
+      }
+      println(f"${"giantN"}%-9s${"mode"}%-8s${"sec"}%8s${"maxtask_ms"}%11s" +
+        f"${"rows"}%9s")
+      var lastClusters: DataFrame = null
+      for (n <- Seq(100000L, 400000L, 1600000L)) {
+        val giant = spark.range(0L, n, 1L, 32)
+          .select((col("id") + 2000000000L).as("doc_id"),
+            concat(lit("chained boilerplate near duplicate variant "),
+              (col("id") % 977).cast("string")).as("text"))
+        val docs = corpus.unionAll(giant)
+        val clusters = corpus.select(col("doc_id"),
+            col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"))
+          .unionAll(giant.select(col("doc_id"),
+            lit(2000000000L).as("cluster_id"), lit(n).as("cluster_size")))
+        lastClusters = clusters
+        val modes: Seq[(String, () => Long)] = Seq(
+          "agg" -> (() => graft.operators.Dedup
+            .keepBestFromClusters(docs, clusters, sampleMod = 1).count()),
+          "window" -> (() => windowKeepBest(docs, clusters)))
+        for ((label, f) <- modes) {
+          f() // warm-up
+          val (sec, maxMs, rows) = timedMaxTask(f())
+          println(f"$n%-9d$label%-8s$sec%8.2f$maxMs%11d$rows%9d")
+        }
+      }
+      // observability: the component-size histogram + cap guard a
+      // production run would log before resolution
+      println("component-size histogram (largest rung):")
+      graft.operators.Dedup.componentSizeHistogram(lastClusters)
+        .collect().foreach(r => println(
+          f"  log2=${r.getLong(0)}%-4d clusters=${r.getLong(1)}%-9d " +
+            f"max=${r.getLong(2)}%d"))
+      println(s"clusters over cap 10000: " + graft.operators.Dedup
+        .oversizedClusterCount(lastClusters, 10000L))
     }
 
     section("events") {

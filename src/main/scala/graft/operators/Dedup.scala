@@ -152,17 +152,23 @@ object Dedup {
     // one-pass signature via the custom TypedImperativeAggregate —
     // k× smaller expression tree than k separate min(xxhash64(...))
     // columns, same single-shuffle partial-agg shape
+    // the expensive shingle → minhash pipeline is materialized ONCE,
+    // as the narrow (doc_id, sig) frame, and the band explode is
+    // derived LAZILY from the checkpoint per consumer side — a
+    // post-explode checkpoint would store `bands` copies of every
+    // 64-element signature (16× the bytes), which was the shared-JVM
+    // heap churn behind the r8 16×-ladder outlier (116 s in-sweep vs
+    // 17 s isolated). Re-deriving the explode from the checkpoint is
+    // a hash-of-slice per band — trivial next to the avoided storage.
     val sigs = shingles(docs).groupBy("doc_id").agg(
       graft.functions.VectorFunctions
         .minhash_signature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint()
     sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b*$rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-      // materialized once: the downstream self-join would otherwise
-      // replay the whole signature pipeline per side
-      .localCheckpoint()
   }
 
   /** Default per-(band, bucket) occupancy cap for the LSH band
@@ -206,6 +212,15 @@ object Dedup {
     * broadcast when small and shuffle-hash-joined past 100k buckets
     * (degenerate-beyond-degenerate corpora), so the guard itself
     * can't become the bottleneck.
+    *
+    * CONSTRUCTION IS EAGER (the `connectedComponents` convention):
+    * choosing between the plain self-join, a broadcast guard and a
+    * shuffled guard requires the actual mega-bucket count, so
+    * building the returned frame runs the occupancy aggregate (plus
+    * the upstream signature checkpoint) as real jobs. Every public
+    * caller notes this; a lazy both-branches union was considered and
+    * rejected — it would pay the guard's anti-join on every corpus to
+    * save two cheap jobs on construction.
     */
   private def guardedSelfJoinPairs(banded: DataFrame, keys: Seq[String],
       cap: Int)(score: Column, scoreName: String): DataFrame = {
@@ -238,6 +253,10 @@ object Dedup {
     }
   }
 
+  /** CONSTRUCTING this frame is eager: the signature checkpoint and
+    * the occupancy-guard branch run as jobs before the frame returns
+    * (see [[guardedSelfJoinPairs]]).
+    */
   def minHashLsh(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       minEstSim: Double = 0.5,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
@@ -281,19 +300,23 @@ object Dedup {
       .withColumn("h", expr(
         "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', sh)), 1, 15), 16, 10) AS BIGINT)"))
       .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+    // same checkpoint discipline as [[bandedXxSigs]]: the md5
+    // signature pipeline is materialized once pre-explode (narrow
+    // (doc_id, sig)); the band slices are derived lazily per side
     val sigs = mins.groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
         .as("sig"))
+      .localCheckpoint()
     sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bsig")
-      // materialized once: the downstream self-join would otherwise
-      // replay the whole md5 signature pipeline per side
-      .localCheckpoint()
   }
 
+  /** CONSTRUCTING this frame is eager — signature checkpoint +
+    * occupancy-guard jobs (see [[guardedSelfJoinPairs]]).
+    */
   def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       minEstSim: Double = 0.5, sampleMod: Int = 2,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
@@ -441,6 +464,10 @@ object Dedup {
     * (dup count, best base match, estimated similarity).
     * xxhash64 family → rows-only check; [[incrementalLshMd5]] is the
     * oracle-checked portable twin.
+    * CONSTRUCTING this frame is eager — signature checkpoint + the
+    * asymmetric occupancy-guard count run as jobs (the
+    * [[guardedSelfJoinPairs]] convention); so for every
+    * `incremental*` variant below.
     */
   def incrementalLsh(docs: DataFrame, deltaMod: Int = 3,
       numHashes: Int = 64, bands: Int = 16, minEstSim: Double = 0.5,
@@ -951,18 +978,20 @@ object Dedup {
     * Banding: 4×16-bit chunks — any pair within distance 3 must share
     * a chunk (pigeonhole), so candidate generation is again a shuffle
     * on (chunk index, chunk value), never all pairs.
+    * CONSTRUCTING this frame is eager — simhash checkpoint +
+    * occupancy-guard jobs (see [[guardedSelfJoinPairs]]).
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val hashes = docSimHashes(docs)
+    // materialized once pre-explode (same checkpoint discipline as
+    // [[bandedXxSigs]]) — the self-join would replay the simhash
+    // aggregation per side; the 4-chunk explode is derived lazily
+    val hashes = docSimHashes(docs).localCheckpoint()
     val banded = hashes.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> (shiftright(simhash, k*16) & 65535))")))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-      // materialized once — the self-join would replay the simhash
-      // aggregation per side (same trade as the minhash banding)
-      .localCheckpoint()
     guardedSelfJoinPairs(banded, Seq("chunk", "chunk_val"), bucketCap)(
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"), "hamming")
       .distinct()
@@ -1296,15 +1325,24 @@ object Dedup {
   }
 
   /** Components + canonical id + cluster size from an arbitrary edge
-    * set. Cluster size is a window count over the label — one shuffle
-    * on the cluster id, no self-join (and no double evaluation of the
-    * label pipeline).
+    * set. Cluster size is a `groupBy.count` + join, NOT a window count:
+    * `count(*) over (partition by lbl)` would shuffle every member row
+    * of a component to ONE reducer task — a real web corpus's giant
+    * duplicate component (chained boilerplate near-dups, 10⁷–10⁸ docs)
+    * turns that into a single unsplittable straggler. The aggregate
+    * partial-aggregates map-side and AQE can split the size join's
+    * skew. The label frame is lazily checkpointed so the two
+    * references (rows + sizes) share one materialization.
     */
-  private def clusterize(edges: DataFrame, nodes: DataFrame): DataFrame =
-    connectedComponents(edges, nodes)
+  private def clusterize(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val lbl = connectedComponents(edges, nodes)
+      .localCheckpoint(eager = false)
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes.hint("shuffle_hash"), "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        count(lit(1)).over(Window.partitionBy("lbl")).as("cluster_size"))
+        col("cluster_size"))
       .orderBy("doc_id")
+  }
 
   /** [[clusters]] with the 100 TB edge source: MinHash-LSH candidate
     * pairs instead of the exact all-pairs index — the md5-portable LSH
@@ -1398,9 +1436,8 @@ object Dedup {
     * ([[clustersLshMd5]]: shingle → minhash → band → candidate →
     * component) with the hash-trick quality score
     * ([[QualitySignals.linearClassifier]]); winner = max score, ties
-    * by min doc_id (total order). One window shuffle keyed on
-    * cluster_id on top of the cluster pipeline — cluster sizes bound
-    * the window state, nothing global.
+    * by min doc_id (total order). One aggregation shuffle keyed on
+    * cluster_id on top of the cluster pipeline.
     *
     * Score comparisons are cross-engine safe: the score is a ratio of
     * exact integers, so the doubles (and hence the argmax) are
@@ -1425,14 +1462,23 @@ object Dedup {
     // join — score exactly that slice, not the whole corpus
     val scores = graft.operators.QualitySignals.qualityScore(
       docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
+    // per-cluster argmax as a partial-aggregatable max_by, NOT a
+    // row_number window: a window shuffles every member of a cluster
+    // to one reducer task and sorts it there — a giant duplicate
+    // component (the guaranteed shape of a web corpus) becomes a
+    // single straggler AQE cannot split. max_by over the
+    // (score, -doc_id) struct preserves the exact (score desc,
+    // doc_id asc) total order, does map-side partials, and lets AQE
+    // split the skewed key. Score comparisons stay cross-engine safe
+    // (ratio of exact integers → bit-identical doubles).
     // big-big at scale — hash join, never a sort (AQE broadcasts when small)
     clusters.join(scores.hint("shuffle_hash"), "doc_id")
-      .withColumn("rk", F.row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy("cluster_id")
+      .agg(max(col("cluster_size")).as("cluster_size"),
+        max_by(struct(col("doc_id"), col("score")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
       .select(col("cluster_id"), col("cluster_size"),
-        col("doc_id").as("kept_doc"), col("score").as("kept_score"),
+        col("best.doc_id").as("kept_doc"), col("best.score").as("kept_score"),
         (col("cluster_size") - 1).as("n_dropped"))
       .orderBy("cluster_id")
   }
@@ -1515,6 +1561,31 @@ object Dedup {
        |FROM ranked WHERE rk = 1
        |ORDER BY cluster_id""".stripMargin
   }
+
+  /** Component-size histogram of a cluster map (`doc_id, cluster_id,
+    * cluster_size` — [[clustersLshMd5]]'s output schema): one row per
+    * log₂ occupancy bucket with the cluster count and the largest
+    * member. The giant-component OBSERVABILITY hook: a web-scale
+    * dedup run prints this (ScaleBench's giantcluster rung does) so a
+    * pathological mega-component surfaces as a number in the log
+    * instead of a straggling downstream stage. Pure partial-
+    * aggregatable aggregation — cheap at any scale.
+    */
+  def componentSizeHistogram(clusterMap: DataFrame): DataFrame =
+    clusterMap.groupBy("cluster_id")
+      .agg(max(col("cluster_size")).as("sz"))
+      .groupBy(floor(log2(col("sz"))).cast("long").as("log2_size"))
+      .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"))
+      .orderBy("log2_size")
+
+  /** Optional cap guard over a cluster map: the number of components
+    * larger than `cap`. Callers that would rather fail fast (or page)
+    * than feed a mega-component into a resolution pass check this
+    * once — one aggregate, no windows.
+    */
+  def oversizedClusterCount(clusterMap: DataFrame, cap: Long): Long =
+    clusterMap.filter(col("cluster_size") > cap)
+      .select("cluster_id").distinct().count()
 
   // ---------------------------------------------------------------
   // Passage-level (line-level) dedup — the CCNet/C4 boilerplate filter

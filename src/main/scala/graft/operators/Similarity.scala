@@ -788,8 +788,9 @@ object Similarity {
     * guard. The codegen'd float cosine prefilter (margin
     * 0.01, provably lossless at round-6 precision — the
     * [[embeddingNearDups]] argument) discards non-candidates before
-    * the interpreted decimal verify; the CC loop and the one
-    * group-window shuffle ride on the tiny pair set. Like
+    * the interpreted decimal verify; the CC loop rides on the tiny
+    * pair set, and the keep-farthest winner is a partial-aggregatable
+    * `min_by` per group (no window — see inline note). Like
     * `dedup_clusters`, CONSTRUCTING this result runs the contraction
     * loop (driver-coordinated fixpoint — inherently eager).
     */
@@ -842,13 +843,24 @@ object Similarity {
         .select(col("node").as("rep"), col("lbl").as("group_id"))
         .hint("shuffle_hash"), Seq("rep"))
       .select(col("vec_id"), col("group_id"))
-    val sized = grp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    val w = Window.partitionBy("group_id")
-      .orderBy(col("centroid_sim").asc, col("vec_id").asc)
-    asg.select(col("vec_id"), col("cell"), col("csim").as("centroid_sim"))
+    // keep-farthest as a partial-aggregatable min_by over the
+    // (centroid_sim, vec_id) struct — NOT a row_number window: a
+    // window would shuffle every member of a duplicate group to one
+    // reducer task (a giant group = one unsplittable straggler),
+    // while the aggregate does map-side partials and AQE can split
+    // the skew. Same (csim asc, vec_id asc) total order; group_size
+    // rides the same aggregation. The joined frame is lazily
+    // checkpointed so its two references share one materialization.
+    val joined = asg
+      .select(col("vec_id"), col("cell"), col("csim").as("centroid_sim"))
       .join(grp.hint("shuffle_hash"), "vec_id")
-      .join(sized.hint("shuffle_hash"), "group_id")
-      .withColumn("keep", row_number().over(w) === lit(1))
+      .localCheckpoint(eager = false)
+    val winners = joined.groupBy("group_id").agg(
+      count(lit(1)).as("group_size"),
+      min_by(col("vec_id"),
+        struct(col("centroid_sim"), col("vec_id"))).as("keep_vec"))
+    joined.join(winners.hint("shuffle_hash"), "group_id")
+      .withColumn("keep", col("vec_id") === col("keep_vec"))
       .select("vec_id", "cell", "centroid_sim", "group_id", "group_size",
         "keep")
       .orderBy("vec_id")

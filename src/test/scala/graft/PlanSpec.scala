@@ -214,6 +214,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("cluster resolution: no window on cluster_id/group_id — aggregates only") {
+    // a row_number/count window partitioned on the cluster label sends
+    // every member of a component to ONE reducer task (a web corpus's
+    // giant duplicate cluster = one unsplittable straggler); resolution
+    // must ride partial-aggregatable max_by/min_by/count instead
+    val keep = planOf(graft.operators.Dedup.keepBest(ctx.documents))
+    assert(!keep.contains("Window"), keep)
+    assert(keep.contains("max_by"), keep)
+    val clus = planOf(graft.operators.Dedup.clusters(ctx.documents))
+    assert(!clus.contains("Window"), clus)
+    val sem = planOf(graft.operators.Similarity.semanticDedup(
+      ctx.embeddings, cells = 4, iters = 1))
+    assert(!sem.contains("Window"), sem)
+    assert(sem.contains("min_by"), sem)
+  }
+
   test("curation pipeline: one lazy DAG, sort-free") {
     val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)
