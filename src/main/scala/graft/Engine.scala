@@ -36,17 +36,14 @@ object Engine {
       // runtime row-level join pruning: bloom filters built from the
       // selective side prune the probe-side scan (a big win for the
       // dimension-filtered fact joins at 100 TB)
+      // NOTE: the runtime-filter size caps stay at their defaults
+      // (4M items / 67M bits) — deliberately small for the planner's
+      // auto-injected filters. The explicit BloomGate ingest gates
+      // need far bigger filters (up to 1e9 keys / 1 GiB for a store
+      // sidecar) and raise the caps SCOPED to their own build job
+      // (BloomGate.withScopedCaps), so a misestimated plan can never
+      // materialize a gigabyte-scale injected filter session-wide.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // the explicit Bloom ingest gates (functions/BloomGate) build
-      // their filters through the same BloomFilterAggregate, which
-      // enforces these caps; the runtime-filter defaults (4M items /
-      // 67M bits) are sized for transient per-query filters, not a
-      // persisted store sidecar — allow up to 1e9 keys / 1 GiB per
-      // filter (past that, shard per band; BloomGate.geometry clamps)
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-        "1000000000")
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-        "8589934592")
       .config("spark.sql.session.timeZone", "UTC")
       // the events fixture carries TIMESTAMP(NANOS) parquet, which
       // Spark 4 rejects by default; read as long and normalize in Ctx

@@ -330,8 +330,8 @@ object ScaleBench {
         val nDelta = deltaFp.count()
         val bloom = BloomGate.build(baseFp.select(col("fp")), col("fp"),
           baseFp.count(), 0.01)
-        val suspect = deltaFp.filter(coalesce(
-          BloomGate.mightContain(bloom, col("fp")), lit(false))).count()
+        val suspect = deltaFp.filter(
+          BloomGate.mightContain(bloom, col("fp"))).count()
         def plain(): Long = deltaFp.join(
           baseFp.groupBy("fp").agg(min("doc_id").as("fs")),
           Seq("fp"), "left").count()

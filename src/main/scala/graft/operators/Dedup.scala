@@ -686,24 +686,38 @@ object Dedup {
     // ensureStoreBloom upgrades them lazily on first gated read.
     val spark = deltaDocs.sparkSession
     readStoreBloom(spark, path).foreach { sb =>
-      val deltaKeys = sigs.select(storeBloomKey.as("k"))
-      // one fused job: the delta filter (at the sidecar's geometry)
-      // AND the key count the capacity decision needs
-      val (deltaBloom, dCount) = graft.functions.BloomGate.buildWithCount(
-        deltaKeys, col("k"), sb.expectedItems, sb.numBits)
-      if (sb.items + dCount > sb.expectedItems) {
-        val keys = readSignatureStore(spark, path)
-          .select(storeBloomKey.as("k")).unionAll(deltaKeys)
-        val items = math.max(1L, sb.items + dCount)
+      val deltaKeys = sigs
+        .select(col("band").cast("int").as("g"), col("bsig").as("k"))
+      // one fused groupBy(band) job: each band's delta filter (at the
+      // sidecar's shared geometry) AND the per-band key counts the
+      // capacity decision needs
+      val deltaPerBand = graft.functions.BloomGate.buildPerGroup(
+        deltaKeys, col("g"), col("k"), sb.expectedItems, sb.numBits)
+      val overCap = deltaPerBand.exists { case (b, (_, c)) =>
+        sb.items.getOrElse(b, 0L) + c > sb.expectedItems }
+      if (overCap) {
+        val all = readSignatureStore(spark, path)
+          .select(col("band").cast("int").as("g"), col("bsig").as("k"))
+          .unionAll(deltaKeys)
+        val counts = all.groupBy("g").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val (n, bits) = graft.functions.BloomGate.geometry(
-          spark, items * 16L, 0.01)
-        publishStoreBloom(spark, path,
-          graft.functions.BloomGate.build(keys, col("k"), n, bits),
-          n, bits, items)
+          spark, math.max(1L, counts.values.max) * 16L, 0.01)
+        val built = graft.functions.BloomGate.buildPerGroup(
+          all, col("g"), col("k"), n, bits)
+        publishStoreBloom(spark, path, StoreBloom(
+          built.map { case (b, (f, _)) => b -> f },
+          n, bits, built.map { case (b, (_, c)) => b -> c }))
       } else {
+        // per-band OR-merge; a band new to the store adopts the delta
+        // shard as-is (same geometry by construction)
+        val shards = sb.shards ++ deltaPerBand.map { case (b, (f, _)) =>
+          b -> sb.shards.get(b)
+            .map(graft.functions.BloomGate.merge(_, f)).getOrElse(f) }
+        val items = sb.items ++ deltaPerBand.map { case (b, (_, c)) =>
+          b -> (sb.items.getOrElse(b, 0L) + c) }
         publishStoreBloom(spark, path,
-          graft.functions.BloomGate.merge(sb.bytes, deltaBloom),
-          sb.expectedItems, sb.numBits, sb.items + dCount)
+          StoreBloom(shards, sb.expectedItems, sb.numBits, items))
       }
     }
     sigs.write.mode("append").partitionBy("band").parquet(path)
@@ -747,46 +761,75 @@ object Dedup {
     */
   private val BloomSidecar = "_bloomgate"
 
-  /** Band-key column the store bloom is keyed on: the probe and the
-    * build MUST hash the same value, so there is exactly one
-    * definition. (band, bsig) as a struct — `XxHash64` hashes nested
-    * types canonically on both sides.
+  /** Per-band shard probe: a row is suspect iff ITS band's filter
+    * may contain its `bsig`. The probe and the build MUST hash the
+    * same value (the bare `bsig` array — `XxHash64` hashes arrays
+    * canonically on both sides; the band is the SHARD key, not part
+    * of the hashed key). Compiles to an OR of band-guarded
+    * `might_contain` predicates — still a codegen'd map-side filter;
+    * a band with no shard (empty store slice) probes false, which is
+    * exact (no base bucket-mates can exist there).
     */
-  private def storeBloomKey: Column = struct(col("band"), col("bsig"))
+  private def shardProbe(shards: Map[Int, Array[Byte]]): Column =
+    if (shards.isEmpty) lit(false)
+    else shards.toSeq.sortBy(_._1).map { case (b, bytes) =>
+      (col("band") === lit(b)) &&
+        graft.functions.BloomGate.mightContain(bytes, col("bsig"))
+    }.reduce(_ || _)
 
-  /** Publish (or replace) the store's Bloom sidecar: a filter over
-    * the store's (band, bsig) bucket keys plus the geometry line
-    * `n bits` that later [[appendToSignatureStore]] merges must reuse
-    * (OR-merge requires identical geometry). `headroom` multiplies the
-    * current key count so the false-positive rate survives store
+  /** Publish (or replace) the store's Bloom sidecar: ONE FILTER PER
+    * BAND over that band's `bsig` bucket keys (r9 — the single
+    * combined filter capped total capacity at [[graft.functions
+    * .BloomGate.MaxItems]]/`MaxBits`; sharding multiplies the ceiling
+    * by the band count, aligns the sidecar with how the band join
+    * partitions work, and each shard stays broadcastable). All shards
+    * share one geometry (`expectedItems`/`numBits` PER SHARD, sized
+    * from the LARGEST band) so later per-band merges are legal and
+    * the build is a single `groupBy(band)` job. `headroom` multiplies
+    * the per-band key count so the false-positive rate survives store
     * growth by appends without a rebuild — at 16× headroom and 1% fpp
     * the filter stays useful until the corpus has grown 16-fold, the
-    * point where a (cheap, one-job) rebuild re-sizes it. Atomic via
-    * temp + rename-swap, same discipline as compaction.
+    * point where a (cheap) rebuild re-sizes it. Atomic via temp +
+    * rename-swap, same discipline as compaction.
     */
   def writeStoreBloom(spark: org.apache.spark.sql.SparkSession,
       path: String, headroom: Long = 16L, fpp: Double = 0.01): Unit = {
-    val keys = readSignatureStore(spark, path).select(storeBloomKey.as("k"))
-    val items = math.max(1L, keys.count())
+    val keys = readSignatureStore(spark, path)
+      .select(col("band").cast("int").as("g"), col("bsig").as("k"))
+    val counts = keys.groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxBand = if (counts.isEmpty) 1L else counts.values.max
     val (n, bits) = graft.functions.BloomGate.geometry(
-      spark, items * headroom, fpp)
-    val bytes = graft.functions.BloomGate.build(keys, col("k"), n, bits)
-    publishStoreBloom(spark, path, bytes, n, bits, items)
+      spark, maxBand * headroom, fpp)
+    val built =
+      if (counts.isEmpty) Map.empty[Int, (Array[Byte], Long)]
+      else graft.functions.BloomGate.buildPerGroup(
+        keys, col("g"), col("k"), n, bits)
+    publishStoreBloom(spark, path, StoreBloom(
+      built.map { case (b, (f, _)) => b -> f },
+      n, bits, built.map { case (b, (_, c)) => b -> c }))
   }
 
-  /** Atomic sidecar publish (temp dir + rename-swap). */
+  /** Atomic sidecar publish (temp dir + rename-swap). Layout:
+    * `meta` = line `v2 <expectedItems> <numBits>` followed by one
+    * `<band> <items>` line per shard; `filter_<band>.bin` per shard.
+    */
   private def publishStoreBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String, bytes: Array[Byte], n: Long, bits: Long,
-      items: Long): Unit = {
+      path: String, sb: StoreBloom): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
     val tmp = new org.apache.hadoop.fs.Path(path, BloomSidecar + ".inprogress")
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
-    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "filter.bin"), bytes)
+    for ((b, bytes) <- sb.shards)
+      writeSmallFile(fs,
+        new org.apache.hadoop.fs.Path(tmp, s"filter_$b.bin"), bytes)
+    val meta = (s"v2 ${sb.expectedItems} ${sb.numBits}" +:
+      sb.items.toSeq.sortBy(_._1).map { case (b, c) => s"$b $c" })
+      .mkString("\n")
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "meta"),
-      s"$n $bits $items".getBytes("UTF-8"))
+      meta.getBytes("UTF-8"))
     val old = new org.apache.hadoop.fs.Path(path, BloomSidecar + ".old")
     fs.delete(old, true)
     if (fs.exists(dir)) require(fs.rename(dir, old), s"bloom swap-out failed: $dir")
@@ -812,34 +855,69 @@ object Dedup {
     } finally in.close()
   }
 
-  /** A store's Bloom sidecar: the serialized filter, its geometry
+  /** A store's Bloom sidecar, sharded one filter per band: the
+    * serialized shards, the SHARED per-shard geometry
     * (`expectedItems`/`numBits` — later merges must reuse it), and
-    * `items`, the running count of keys folded in so far (the append
-    * path's capacity bookkeeping: once `items` exceeds
-    * `expectedItems`, the filter is past its design fpp and gets
-    * re-sized).
+    * the running per-band key counts (the append path's capacity
+    * bookkeeping: once any band's items exceed `expectedItems`, that
+    * shard is past its design fpp and the sidecar gets re-sized).
     */
-  final case class StoreBloom(bytes: Array[Byte], expectedItems: Long,
-      numBits: Long, items: Long)
+  final case class StoreBloom(shards: Map[Int, Array[Byte]],
+      expectedItems: Long, numBits: Long, items: Map[Int, Long]) {
+    def totalItems: Long = items.values.sum
+  }
 
-  /** Read the store's Bloom sidecar, or None for a store written
-    * before blooms existed. Pre-capacity-tracking metas (two fields)
-    * read with `items = expectedItems` — i.e. conservatively "full",
-    * so the next append re-sizes them onto the tracked format.
+  /** Read the store's Bloom sidecar, or None for a store without one.
+    * Pre-sharding sidecars (metas not starting `v2`) read as None —
+    * the lazy-upgrade path ([[ensureStoreBloom]]) then rebuilds them
+    * onto the sharded format from the store's current contents.
     */
   def readStoreBloom(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[StoreBloom] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path, BloomSidecar)
-    val filter = new org.apache.hadoop.fs.Path(dir, "filter.bin")
     val meta = new org.apache.hadoop.fs.Path(dir, "meta")
-    if (!fs.exists(filter) || !fs.exists(meta)) None
+    if (!fs.exists(meta)) None
     else {
-      val parts = new String(readSmallFile(fs, meta), "UTF-8").trim.split(' ')
-      val n = parts(0).toLong
-      Some(StoreBloom(readSmallFile(fs, filter), n, parts(1).toLong,
-        if (parts.length > 2) parts(2).toLong else n))
+      val lines = new String(readSmallFile(fs, meta), "UTF-8")
+        .trim.split('\n').map(_.trim).filter(_.nonEmpty)
+      val head = lines.head.split(' ')
+      if (head(0) != "v2") None
+      else {
+        val items = lines.tail.map { l =>
+          val p = l.split(' '); p(0).toInt -> p(1).toLong
+        }.toMap
+        val shards = items.keys.map { b =>
+          b -> readSmallFile(fs,
+            new org.apache.hadoop.fs.Path(dir, s"filter_$b.bin"))
+        }.toMap
+        Some(StoreBloom(shards, head(1).toLong, head(2).toLong, items))
+      }
+    }
+  }
+
+  /** Publication stamp of the store's Bloom sidecar (mtime ⊕ length
+    * of its meta file; −1 if absent) — the cheap staleness probe a
+    * long-running consumer (the streaming gate) checks per
+    * micro-batch: one `getFileStatus` call, re-resolving the filter
+    * only when the stamp moves. Watching the SIDECAR (not the store's
+    * `_SUCCESS`) matters: [[appendToSignatureStore]] publishes
+    * sidecar-before-parquet, so a filter picked up at any stamp is a
+    * superset of every base row the band join can see at that moment
+    * — the no-false-negative invariant holds across concurrent
+    * appends.
+    */
+  def storeBloomStamp(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, BloomSidecar), "meta")
+    if (!fs.exists(meta)) -1L
+    else {
+      val st = fs.getFileStatus(meta)
+      st.getModificationTime ^ (st.getLen << 48)
     }
   }
 
@@ -848,12 +926,12 @@ object Dedup {
     * upgrade path for stores written before blooms existed.
     */
   def ensureStoreBloom(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Byte] =
+      path: String): Map[Int, Array[Byte]] =
     readStoreBloom(spark, path) match {
-      case Some(sb) => sb.bytes
+      case Some(sb) => sb.shards
       case None =>
         writeStoreBloom(spark, path)
-        readStoreBloom(spark, path).get.bytes
+        readStoreBloom(spark, path).get.shards
     }
 
   /** [[incrementalLshStore]] with the store's Bloom sidecar gating the
@@ -872,7 +950,7 @@ object Dedup {
   def incrementalLshStoreBloom(storePath: String, delta: DataFrame,
       numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
       sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap,
-      presetBloom: Option[Array[Byte]] = None): DataFrame = {
+      presetBloom: Option[Map[Int, Array[Byte]]] = None): DataFrame = {
     val spark = delta.sparkSession
     // presetBloom: callers probing the same store repeatedly (the
     // streaming gate's per-micro-batch loop) resolve the sidecar once
@@ -880,10 +958,10 @@ object Dedup {
     val bloom = presetBloom.getOrElse(ensureStoreBloom(spark, storePath))
     val base = readSignatureStore(spark, storePath)
       .select("doc_id", "sig", "band", "bsig")
+    // per-band shard probe (no coalesce guard: the probe never
+    // returns null — XxHash64 folds a null key into the seed)
     val gated = bandedMd5Sigs(delta, numHashes, bands, sampleMod)
-      .filter(coalesce(
-        graft.functions.BloomGate.mightContain(bloom, storeBloomKey),
-        lit(false)))
+      .filter(shardProbe(bloom))
     incrementalReportSplit(gated, base, "bsig",
       delta.filter(pmod(col("doc_id"), lit(sampleMod)) === 0),
       numHashes, minEstSim, bucketCap)
@@ -922,9 +1000,10 @@ object Dedup {
     val nBase = docs.filter(!isDelta).count()
     val bloom = graft.functions.BloomGate.build(
       base.select(col("fp")), col("fp"), math.max(nBase, 1L), fpp)
+    // no coalesce guard: the probe never returns null (XxHash64 folds
+    // a null key into the seed — see BloomGate.mightContain)
     val gated = delta.withColumn("maybe_seen",
-      coalesce(graft.functions.BloomGate.mightContain(bloom, col("fp")),
-        lit(false)))
+      graft.functions.BloomGate.mightContain(bloom, col("fp")))
     val positives = gated.filter(col("maybe_seen"))
     // base side: scanned once, shuffled never — the suspected set is
     // broadcast both into the semi-join and onto its own verdict join

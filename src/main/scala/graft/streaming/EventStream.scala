@@ -42,11 +42,24 @@ object EventStream {
     * normalized to a session-UTC microsecond TIMESTAMP exactly like
     * the batch-side [[graft.queries.Ctx.events]] (one footer peek
     * picks the fixture generation; streaming source schemas are fixed
-    * up-front, so the branch cannot live in the plan).
+    * up-front, so the branch cannot live in the plan). An INITIALLY
+    * EMPTY directory can't be peeked — the stream then starts with
+    * `defaultTsType` (timestamp[us]-without-tz, the r8+ fixture
+    * generation) and picks up files as they arrive; pass the actual
+    * type explicitly if a not-yet-populated source holds legacy
+    * long-nanos parquet.
     */
   def readEvents(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+      maxFilesPerTrigger: Option[Int] = None,
+      defaultTsType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.TimestampNTZType): DataFrame = {
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        // "unable to infer schema" — no files yet; don't refuse to
+        // start a stream over a source that simply hasn't produced
+        case _: org.apache.spark.sql.AnalysisException => defaultTsType
+      }
     val reader = spark.readStream.schema(eventsSchema(tsType))
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -114,8 +127,13 @@ object EventStream {
     StructField("n_chars", LongType)))
 
   /** File-source stream over a directory of documents parquet. */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(documentsSchema).parquet(dir)
+  def readDocuments(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
 
   /** Streaming incremental near-dup gate against a PERSISTED base
     * signature store ([[graft.operators.Dedup.writeSignatureStore]])
@@ -131,8 +149,10 @@ object EventStream {
     * the same `sampleMod`). MinHash signing is a
     * multi-stage batch aggregation, so it runs per micro-batch via
     * `foreachBatch` (the standard shape for compound batch logic on a
-    * stream); the store is static within the run — base growth is a
-    * directory-level append between runs. Verdicts depend only on the
+    * stream); the store MAY grow by concurrent appends mid-run — each
+    * batch re-reads the store parquet, and the Bloom sidecar is
+    * stamp-watched per batch (see inline note) so the gate never goes
+    * stale against it. Verdicts depend only on the
     * doc's own signatures vs the store (no delta-delta interaction),
     * so output is independent of micro-batch boundaries; per-batch
     * cost is O(batch · bands) + bucket probes, independent of base
@@ -150,29 +170,49 @@ object EventStream {
     */
   def incrementalDedupStream(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String,
-      sampleMod: Int = 1, useBloom: Boolean = false): StreamingQuery = {
-    // the sidecar is static within the run like the store itself;
-    // resolve it ONCE here, not per micro-batch (ensureStoreBloom
-    // would otherwise re-read — or on first use re-build — it every
-    // trigger). Verdicts are bit-identical either way (no false
-    // negatives); the gate only shrinks each batch's band join.
-    val bloom =
-      if (useBloom)
-        Some(graft.operators.Dedup.ensureStoreBloom(
-          docs.sparkSession, storePath))
-      else None
+      sampleMod: Int = 1, useBloom: Boolean = false,
+      onBatchStart: Long => Unit = _ => ()): StreamingQuery = {
+    // the sidecar is resolved lazily and CACHED BY PUBLICATION STAMP:
+    // one getFileStatus per micro-batch re-reads the filter only when
+    // the sidecar on disk has changed. This closes the r8 staleness
+    // hazard — a store appended by ANOTHER writer mid-stream grows
+    // base rows the old snapshot filter doesn't know, and a bloom
+    // miss routes AROUND the exact probe (false negatives = wrong
+    // verdicts, not just lost selectivity). appendToSignatureStore
+    // publishes sidecar-before-parquet, so the stamp-watched filter
+    // is always a superset of the base rows each batch's band join
+    // can see. Verdicts therefore stay exact across mid-stream
+    // appends; within a stable store the cost is one file-status
+    // call per trigger.
+    val sess = docs.sparkSession
+    var cachedStamp = Long.MinValue
+    var cachedBloom: Map[Int, Array[Byte]] = null
+    def currentBloom(): Map[Int, Array[Byte]] = {
+      val stamp = graft.operators.Dedup.storeBloomStamp(sess, storePath)
+      if (stamp != cachedStamp || cachedBloom == null) {
+        cachedBloom = graft.operators.Dedup.ensureStoreBloom(sess, storePath)
+        // ensureStoreBloom may have just PUBLISHED the sidecar (lazy
+        // upgrade of a pre-bloom store) — stamp it after resolution
+        cachedStamp = graft.operators.Dedup.storeBloomStamp(sess, storePath)
+      }
+      cachedBloom
+    }
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val verdicts = bloom match {
-          case Some(b) => graft.operators.Dedup.incrementalLshStoreBloom(
+        // driver-side per-batch hook (default no-op): lets tests and
+        // operators interpose between micro-batches — the staleness
+        // spec appends to the store here to prove the stamp-watched
+        // gate picks the grown filter up mid-run
+        onBatchStart(batchId)
+        val verdicts =
+          if (useBloom) graft.operators.Dedup.incrementalLshStoreBloom(
             storePath, batch.toDF(), sampleMod = sampleMod,
-            presetBloom = Some(b))
-          case None => graft.operators.Dedup.incrementalLshStore(
+            presetBloom = Some(currentBloom()))
+          else graft.operators.Dedup.incrementalLshStore(
             storePath, batch.toDF(), sampleMod = sampleMod)
-        }
         verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()

@@ -524,21 +524,61 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) == -1L && r.getLong(2) == 0L))
   }
 
-  test("bloom geometry clears the runtime-filter defaults under the raised caps") {
+  test("bloom geometry clears the runtime-filter defaults via scoped caps") {
     import spark.implicits._
     import graft.functions.BloomGate
     import org.apache.spark.sql.functions.col
     // a 100 TB store's sidecar needs more than the 4M-item / 67M-bit
-    // runtime-filter defaults; Engine raises the caps, so a 10M-key
-    // geometry must come back unclamped...
+    // runtime-filter defaults; geometry clamps only at BloomGate's own
+    // 1e9/1GiB ceilings, so a 10M-key geometry comes back unclamped...
     val (n, bits) = BloomGate.geometry(spark, 10000000L, 0.01)
     assert(n == 10000000L, s"items clamped to $n")
     assert(bits == BloomGate.numBits(10000000L, 0.01), s"bits clamped to $bits")
-    // ...and a build at 5M-item geometry (past the default cap) must
-    // go through BloomFilterAggregate without tripping its check
+    // ...and a build at 5M-item geometry (past the default cap) goes
+    // through BloomFilterAggregate by raising the session caps SCOPED
+    // to the build job — the session's caps for the planner's own
+    // injected runtime filters are untouched afterwards
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
     val keys = (0L until 100L).map(i => s"k$i").toDF("k")
     val bloom = BloomGate.build(keys, col("k"), 5000000L, 0.01)
     assert(keys.filter(!BloomGate.mightContain(bloom, col("k"))).count() == 0L)
+    assert((spark.conf.get(itemsKey), spark.conf.get(bitsKey)) == before,
+      "scoped cap raise leaked into the session")
+    assert(before._1.toLong <= 4000000L,
+      s"session cap is not the small default: ${before._1}")
+  }
+
+  test("bloom sidecar shards per band with per-band geometry") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.functions.BloomGate
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore_shard")
+    val store = tmp.resolve("store").toString
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
+    val sb = Dedup.readStoreBloom(spark, store).get
+    // one shard per band (16×4 default), one bucket key per doc per
+    // band — the shard key is the band, the hashed key the bare bsig
+    assert(sb.shards.keySet == Set(0, 1, 2, 3), sb.shards.keySet)
+    val nDocs = base.count()
+    assert(sb.items.values.forall(_ == nDocs), sb.items.toString)
+    // geometry sized from the largest BAND, not the bands×-larger
+    // total: per-shard capacity × band count is how the sidecar
+    // scales PAST the 1e9-key/1GiB single-filter ceiling...
+    assert(sb.expectedItems == nDocs * 16L, sb.expectedItems.toString)
+    // ...at which a monolithic request clamps (the ceiling the shards
+    // break through)
+    val (nBig, bitsBig) = BloomGate.geometry(spark, 5000000000L, 0.01)
+    assert(nBig == BloomGate.MaxItems)
+    assert(bitsBig == BloomGate.MaxBits)
+    // and the gated path over the sharded sidecar stays ≡ ungated
+    val gated = Dedup.incrementalLshStoreBloom(store, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    val ungated = Dedup.incrementalLshStore(store, delta, sampleMod = 1)
+      .collect().map(_.toString)
+    assert(gated.sameElements(ungated) && gated.nonEmpty)
   }
 
   test("bloom sidecar re-sizes when appends exceed its capacity") {
@@ -553,14 +593,15 @@ class DedupSpec extends AnyFunSuite {
     // the next append must blow past capacity
     Dedup.writeStoreBloom(spark, store, headroom = 1L)
     val before = Dedup.readStoreBloom(spark, store).get
-    assert(before.items == before.expectedItems)
+    // headroom=1 sizes the shared shard geometry to the LARGEST band
+    assert(before.items.values.max == before.expectedItems)
     Dedup.appendToSignatureStore(b1, store, sampleMod = 1)
     val after = Dedup.readStoreBloom(spark, store).get
     // past-capacity append re-sized from the full store (default
     // headroom), instead of silently merging toward all-positive
     assert(after.expectedItems > before.expectedItems,
       s"sidecar not re-sized: ${before.expectedItems} -> ${after.expectedItems}")
-    assert(after.items > before.items)
+    assert(after.totalItems > before.totalItems)
     // and the gate still agrees with the ungated path
     val gated = Dedup.incrementalLshStoreBloom(store, delta, sampleMod = 1)
       .collect().map(_.toString)

@@ -131,6 +131,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally qb.stop()
   }
 
+  test("mid-stream store appends reach the bloom gate (stamp re-resolution)") {
+    import graft.operators.Dedup
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    // appended mid-stream: a copy of EVERY delta doc under shifted ids
+    // — whichever docs the file source routes to the later batches,
+    // they are guaranteed dups against the grown store, so a stale
+    // snapshot filter (bloom miss routes AROUND the exact probe)
+    // would produce wrong verdicts, not just lost selectivity
+    val grown = delta.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale_stream")
+    val deltaDir = tmp.resolve("delta").toString
+    // 3 files + maxFilesPerTrigger=1 → batches 0,1,2; the append
+    // lands at the START of batch 1, so batches 1–2 must see it
+    delta.repartition(3).write.parquet(deltaDir)
+    def runStream(tag: String, useBloom: Boolean,
+        appendAt: Option[Long]): Array[String] = {
+      val store = tmp.resolve(s"store_$tag").toString
+      Dedup.writeSignatureStore(base, store, sampleMod = 1)
+      val stamp0 = Dedup.storeBloomStamp(spark, store)
+      val out = tmp.resolve(s"out_$tag").toString
+      val q = EventStream.incrementalDedupStream(
+        EventStream.readDocuments(spark, deltaDir,
+          maxFilesPerTrigger = Some(1)),
+        store, out, tmp.resolve(s"ckpt_$tag").toString,
+        useBloom = useBloom,
+        onBatchStart = bid => if (appendAt.contains(bid))
+          Dedup.appendToSignatureStore(grown, store, sampleMod = 1))
+      try {
+        if (appendAt.nonEmpty)
+          assert(Dedup.storeBloomStamp(spark, store) != stamp0,
+            "append did not move the sidecar stamp")
+        spark.read.parquet(out).drop("batch")
+          .collect().map(_.toString).sorted
+      } finally q.stop()
+    }
+    val gatedGrown = runStream("bloom_app", useBloom = true, Some(1L))
+    val plainGrown = runStream("plain_app", useBloom = false, Some(1L))
+    assert(gatedGrown.sameElements(plainGrown) && gatedGrown.nonEmpty,
+      "bloom gate went stale against a mid-stream store append")
+    // sanity that the scenario has teeth: the same gated stream over a
+    // store that is NOT appended must rule differently on the later
+    // batches (otherwise the append never influenced any verdict)
+    val gatedStatic = runStream("bloom_static", useBloom = true, None)
+    assert(!gatedStatic.sameElements(gatedGrown),
+      "append never influenced later batches — scenario is vacuous")
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val dim = Ctx(spark, sfDir).events.groupBy("user_id")
