@@ -171,10 +171,18 @@ object Bench {
     // compact headline first AND last: the driver's record keeps only a
     // small char window of the output (r6 lost q1-q22 to a 2000-char
     // tail), so the subtotal line must survive truncation at either end
+    // which BLAS backed the ML rungs (dev.ludovic.netlib loads the OS
+    // libblas when present, silently falls back to pure Java — the
+    // two differ ~10× in matmul rate, so an ML number without its
+    // backend is unattributable; the r8 8192² ceiling footnote
+    // becomes an in-run fact)
+    val blas =
+      try dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
+      catch { case _: Throwable => "unavailable" }
     val headline =
-      s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","blas":"$blas","sf":"$sfDir"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"blas":"$blas","sf":"$sfDir"}"""
     // the driver machine-parses this: sbt prefixes every stdout line
     // with "[info] ", so the bare lines also go to disk and stderr
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

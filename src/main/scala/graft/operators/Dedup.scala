@@ -1410,12 +1410,15 @@ object Dedup {
     * duplicate component (chained boilerplate near-dups, 10⁷–10⁸ docs)
     * turns that into a single unsplittable straggler. The aggregate
     * partial-aggregates map-side and AQE can split the size join's
-    * skew. The label frame is lazily checkpointed so the two
-    * references (rows + sizes) share one materialization.
+    * skew. The label frame is EAGERLY checkpointed so the two
+    * references (rows + sizes) share one materialization — lazy
+    * would let the sizes-agg and join-probe stages race to compute
+    * the labels twice within the one job; `connectedComponents` is
+    * construction-eager anyway, so this adds no new eagerness.
     */
   private def clusterize(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val lbl = connectedComponents(edges, nodes)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lbl.join(sizes.hint("shuffle_hash"), "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),

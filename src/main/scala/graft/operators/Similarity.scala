@@ -849,12 +849,15 @@ object Similarity {
     // reducer task (a giant group = one unsplittable straggler),
     // while the aggregate does map-side partials and AQE can split
     // the skew. Same (csim asc, vec_id asc) total order; group_size
-    // rides the same aggregation. The joined frame is lazily
-    // checkpointed so its two references share one materialization.
+    // rides the same aggregation. The joined frame is EAGERLY
+    // checkpointed so its two references (winners agg + keep join)
+    // share one materialization instead of racing to compute it twice
+    // in one job — this result is construction-eager already (the CC
+    // fixpoint above), so no new eagerness is introduced.
     val joined = asg
       .select(col("vec_id"), col("cell"), col("csim").as("centroid_sim"))
       .join(grp.hint("shuffle_hash"), "vec_id")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val winners = joined.groupBy("group_id").agg(
       count(lit(1)).as("group_size"),
       min_by(col("vec_id"),
