@@ -1550,9 +1550,18 @@ object Dedup {
     // component (the guaranteed shape of a web corpus) becomes a
     // single straggler AQE cannot split. max_by over the
     // (score, -doc_id) struct preserves the exact (score desc,
-    // doc_id asc) total order, does map-side partials, and lets AQE
-    // split the skewed key. Score comparisons stay cross-engine safe
-    // (ratio of exact integers → bit-identical doubles).
+    // doc_id asc) total order and does map-side partials: the final
+    // stage sees ONE row per cluster per map partition, so the giant
+    // component's reducer input is #partitions rows, not #members
+    // (the giantcluster rung measures the max task FLAT at 16× the
+    // component size where the window's straggler grows linearly).
+    // Known plan shape: the struct-typed buffer makes Spark pick
+    // SortAggregate over HashAggregate — the sort is per-partition,
+    // by the grouping key, parallel and spillable; a deliberate trade
+    // against both the window (unsplittable) and an argmax-via-
+    // self-join (second full shuffle). Score comparisons stay
+    // cross-engine safe (ratio of exact integers → bit-identical
+    // doubles).
     // big-big at scale — hash join, never a sort (AQE broadcasts when small)
     clusters.join(scores.hint("shuffle_hash"), "doc_id")
       .groupBy("cluster_id")
