@@ -105,6 +105,15 @@ object ScaleBench {
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    // between a warm-up construction and its measured run: the
+    // warm-up's eagerly-materialized localCheckpoint blocks are only
+    // released by the ContextCleaner AFTER a JVM GC notices the
+    // dropped references — without this, the dead blocks squeeze
+    // execution memory for the measured pass (the Bench methodology's
+    // gcSettle, r3; the residual in-sweep vs isolated gap of r8/r9)
+    def settle(): Unit = {
+      System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
+    }
 
     section("tpch") {
       println("== TPC-H heavy hitters vs fact-table scale ==")
@@ -152,6 +161,7 @@ object ScaleBench {
         for (q <- pipelineOps) {
           try SparkEntry.queries(q)(spark, dir).count()
           catch { case _: Throwable => () }
+          settle()
           val (sec, rows) = time(SparkEntry.queries(q)(spark, dir).count())
           println(f"$mult%-6d$q%-22s$sec%8.2f$rows%10d")
         }
