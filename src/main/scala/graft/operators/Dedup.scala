@@ -1665,9 +1665,24 @@ object Dedup {
   def componentSizeHistogram(clusterMap: DataFrame): DataFrame =
     clusterMap.groupBy("cluster_id")
       .agg(max(col("cluster_size")).as("sz"))
-      .groupBy(floor(log2(col("sz"))).cast("long").as("log2_size"))
+      // floor(log2(n)) as binary-digit count: exact integer logic on
+      // both engines, where a float log2 can land 1.999…8 at exact
+      // powers of two and floor the bucket differently per engine
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("log2_size"))
       .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_size"))
       .orderBy("log2_size")
+
+  /** DuckDB oracle for [[componentSizeHistogram]] over [[clusters]]'
+    * map — the same binary-digit bucketing on the recursive-closure
+    * component sizes.
+    */
+  def clusterHistogramSql(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE ${clusterLblCtes(tau)},
+       |csize AS (SELECT cluster_id, COUNT(*) AS cluster_size
+       |          FROM lbl GROUP BY 1)
+       |SELECT CAST(length(bin(cluster_size)) - 1 AS BIGINT) AS log2_size,
+       |  COUNT(*) AS n_clusters, MAX(cluster_size) AS max_size
+       |FROM csize GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Optional cap guard over a cluster map: the number of components
     * larger than `cap`. Callers that would rather fail fast (or page)

@@ -340,6 +340,10 @@ object Extensions {
     "dedup_simhash_pairs_md5" -> (c => Dedup.simHashPairsMd5(c.documents)),
     "dedup_embedding_cosine" -> (c => Similarity.embeddingNearDups(c.embeddings)),
     "dedup_clusters" -> (c => Dedup.clusters(c.documents)),
+    // the giant-component observability hook as a checked entry: the
+    // log2 size histogram a production run logs before resolution
+    "dedup_cluster_histogram" ->
+      (c => Dedup.componentSizeHistogram(Dedup.clusters(c.documents))),
     "dedup_clusters_lsh_md5" -> (c => Dedup.clustersLshMd5(c.documents)),
     "dedup_incremental" -> (c => Dedup.incrementalLsh(c.documents)),
     "dedup_incremental_md5" -> (c => Dedup.incrementalLshMd5(c.documents)),
@@ -456,6 +460,7 @@ object Extensions {
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
+    "dedup_cluster_histogram" -> Dedup.clusterHistogramSql(),
     "dedup_clusters_lsh_md5" -> Dedup.clustersLshMd5Sql(),
     "dedup_incremental_md5" -> Dedup.incrementalLshMd5Sql(),
     // same oracle as the one-frame twin: base/delta split + parquet
