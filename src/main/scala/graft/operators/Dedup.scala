@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Kernels.dsum
@@ -413,11 +412,29 @@ object Dedup {
         val keyed =
           if (megaCount <= 100000L) broadcast(keys)
           else keys.hint("shuffle_hash")
+        // bounded min-k per bucket via the TopKByScore heap aggregate,
+        // NOT a row_number window: the window would sort EVERY member
+        // of an over-cap bucket on ONE reducer task (a 10⁶-member
+        // boilerplate bucket = one straggler sorting it whole — the
+        // same single-reducer class as the r8 cluster-resolution
+        // windows). The k-capped heap partial-aggregates map-side
+        // (≤cap rows per bucket per partition ride the shuffle); the
+        // kept row set is recovered with a semi-join on the kept ids.
+        // −doc_id as the heap score is exact (doc_ids ≪ 2^53), so the
+        // kept set — the cap LOWEST ids per bucket — is identical to
+        // the window formulation's, row for row.
+        val keepIds = b.join(keyed, Seq("band", keyCol))
+          .groupBy(col("band"), col(keyCol))
+          .agg(graft.functions.TopKByScore.top_k_by_score(struct(
+            (-col("doc_id")).cast("double").as("score"),
+            col("doc_id").as("id")), bucketCap).as("tk"))
+          .select(col("band"), col(keyCol),
+            explode(expr("transform(tk, x -> x.id)")).as("doc_id"))
+        val keepKeyed =
+          if (megaCount <= 100000L) broadcast(keepIds)
+          else keepIds.hint("shuffle_hash")
         val capped = b.join(keyed, Seq("band", keyCol))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("band"), col(keyCol))
-              .orderBy(col("doc_id"))))
-          .filter(col("rn") <= bucketCap)
+          .join(keepKeyed, Seq("band", keyCol, "doc_id"), "left_semi")
           .select(b.columns.map(col): _*)
         b.join(keyed, Seq("band", keyCol), "left_anti")
           .select(b.columns.map(col): _*)
