@@ -488,4 +488,118 @@ object CorpusPipeline {
        |WHERE ${Sampling.hashBucketSql("cur:", "doc_id")} < r.rate_permille
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // DSIR-style importance-weighted data selection
+  // ---------------------------------------------------------------
+
+  /** Data Selection via Importance Resampling (the DSIR shape — Xie et
+    * al., NeurIPS 2023): score every raw-pool document by how much it
+    * looks like a TARGET distribution under hashed n-gram bag
+    * features, then keep the highest-weighted documents. Features are
+    * word unigrams + bigrams hashed into `buckets` feature buckets;
+    * the target here is the `lang == targetLang` slice of the pool
+    * (standing in for the curated target corpus a real run points at);
+    * weight(doc) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)]
+    * with add-one smoothing, reported per-gram so long documents don't
+    * dominate. Selection is deterministic top-k under the
+    * (avg_logratio desc, doc_id asc) total order — the resampling
+    * variant swaps the LIMIT for a Gumbel draw; the dataflow is
+    * identical.
+    *
+    * Scale shape (100 TB story): the bucket weight table is ≤`buckets`
+    * rows (KBs) and BROADCASTS; the corpus side is one tokenize+gram
+    * explode pass feeding a hash-agg keyed on bucket (map-side
+    * partials; both the target and raw counts come out of the ONE
+    * aggregation via a conditional count) and a second pass for the
+    * per-doc weight agg keyed doc_id; the final top-k plans as
+    * TakeOrderedAndProject. Nothing quadratic, no windows, no UDFs.
+    *
+    * Cross-engine exactness: bucket ids ride the portable 60-bit md5
+    * hash; counts are exact integers; each bucket's log-ratio is
+    * snapped to the 1e9 fixed-point grid and per-doc sums ride BIGINTs
+    * (exact, order-free — the QualitySignals log-prob convention), so
+    * the one non-integer column is a bit-identical IEEE division
+    * chain.
+    */
+  def dsirSelect(docs: DataFrame, buckets: Int = 256,
+      targetLang: String = "en", topK: Int = 100): DataFrame = {
+    // unigrams + bigrams in ONE scan: concat the token array with the
+    // bigram array and explode once (the QualitySignals.repetition
+    // single-pass shape; the CASE guards Spark's descending-sequence
+    // surprise on one-token docs)
+    val g = docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """concat(ws, CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |         i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))
+          |  ELSE slice(ws, 1, 0) END)""".stripMargin)).as("gram"))
+      .withColumn("b", pmod(
+        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)"),
+        lit(buckets.toLong)))
+    // target and raw bucket counts from ONE corpus aggregation
+    val cnt = g.groupBy("b").agg(
+      count(lit(1)).as("cq"),
+      count(when(col("lang") === targetLang, lit(1))).as("ct"))
+    val tot = cnt.agg(sum("ct").as("t_tot"), sum("cq").as("q_tot"))
+    val lw = cnt.crossJoin(broadcast(tot))
+      .withColumn("lw9",
+        floor((log((col("ct") + lit(1)).cast("double") /
+            (col("t_tot") + lit(buckets)).cast("double")) -
+          log((col("cq") + lit(1)).cast("double") /
+            (col("q_tot") + lit(buckets)).cast("double"))) * lit(1e9) +
+          lit(0.5)).cast("bigint"))
+      .select("b", "lw9")
+    g.join(broadcast(lw), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"), sum("lw9").as("s9"))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        (col("s9").cast("double") / col("n_grams") / lit(1e9))
+          .as("avg_logratio"))
+      .orderBy(col("avg_logratio").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[dsirSelect]] — same gram set, same portable
+    * bucket hash, same 1e9 log-ratio grid.
+    */
+  def dsirSelectSql(buckets: Int = 256, targetLang: String = "en",
+      topK: Int = 100): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % $buckets
+       |      AS b
+       |  FROM (SELECT doc_id, lang,
+       |          UNNEST(ws || list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS gram
+       |        FROM t) x),
+       |cnt AS (
+       |  SELECT b, COUNT(*) AS cq,
+       |    COUNT(CASE WHEN lang = '$targetLang' THEN 1 END) AS ct
+       |  FROM g GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
+       |    CAST(SUM(cq) AS BIGINT) AS q_tot
+       |  FROM cnt),
+       |lw AS (
+       |  SELECT b,
+       |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) /
+       |          CAST(t_tot + $buckets AS DOUBLE)) -
+       |        ln(CAST(cq + 1 AS DOUBLE) /
+       |          CAST(q_tot + $buckets AS DOUBLE))) * 1e9
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lw9
+       |  FROM cnt, tot)
+       |SELECT doc_id, lang, COUNT(*) AS n_grams,
+       |  CAST(SUM(lw9) AS DOUBLE) / COUNT(*) / 1e9 AS avg_logratio
+       |FROM g JOIN lw USING (b)
+       |GROUP BY 1, 2
+       |ORDER BY avg_logratio DESC, doc_id LIMIT $topK""".stripMargin
 }

@@ -1974,4 +1974,114 @@ object Dedup {
        |    CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS ph
        |  FROM p),
        |c AS (SELECT ph, COUNT(*) AS c FROM h GROUP BY 1)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Estimator evaluation: LSH candidates vs exact-Jaccard truth
+  // ---------------------------------------------------------------
+
+  /** Precision/recall of the [[minHashLshMd5]] near-dup detector
+    * against exact shingle-Jaccard ground truth — the calibration step
+    * a pipeline runs before trusting an LSH configuration at corpus
+    * scale: sweep (numHashes, bands, tau) on a sample, read this one
+    * row, then ship the config. Truth = pairs with exact word-3-gram
+    * shingle Jaccard ≥ `tau` (the very quantity minhash estimates);
+    * detected = LSH candidates with est_sim ≥ `tau`. Both sides run on
+    * the SAME deterministic 1-in-`sampleMod` document sample, so the
+    * confusion counts line up pair-for-pair.
+    *
+    * Scale shape: the truth side is the inverted-index self-join —
+    * inherently pair-quadratic, which is exactly why it stays
+    * SAMPLE-BOUNDED (the [[jaccardHistogram]] yardstick rationale);
+    * the LSH side is the banded/guarded production path. The
+    * confusion matrix is one full-outer join on (d1, d2) plus a global
+    * aggregate with map-side partials. CONSTRUCTING this frame is
+    * eager (the LSH half rides [[guardedSelfJoinPairs]]).
+    *
+    * Cross-engine exactness: every count is an exact integer;
+    * precision/recall are emitted as UNROUNDED integer-ratio divisions
+    * (bit-identical IEEE, CLAUDE.md), NULL when the denominator is
+    * empty — identically in both engines.
+    */
+  def lshEval(docs: DataFrame, tau: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): DataFrame = {
+    val cand = minHashLshMd5(docs, numHashes, bands, minEstSim = tau,
+        sampleMod = sampleMod)
+      .select("d1", "d2").withColumn("c", lit(1L))
+    val sh = shingles(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")) >= tau)
+      .select("d1", "d2").withColumn("t", lit(1L))
+    cand.join(truth, Seq("d1", "d2"), "full_outer")
+      // coalesce the sums too: an empty sample reads "0 pairs, null
+      // rates", not a row of nulls
+      .agg(coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L))
+          .as("n_detected"),
+        coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("c").isNotNull && col("t").isNotNull, lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("tp"))
+      .select(col("n_detected"), col("n_truth"), col("tp"),
+        (col("n_detected") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_detected") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("n_detected"))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("n_truth"))
+          .as("recall"))
+  }
+
+  /** DuckDB oracle for [[lshEval]]: the [[minHashLshMd5Sql]] candidate
+    * CTE against an exact shingle-Jaccard truth CTE (same 3-gram
+    * shingle fragment as the minhash side), confusion counts via the
+    * same full-outer join.
+    */
+  def lshEvalSql(tau: Double = 0.5, numHashes: Int = 16, bands: Int = 4,
+      sampleMod: Int = 2): String =
+    s"""WITH cand AS (
+       |${minHashLshMd5Sql(numHashes, bands, minEstSim = tau,
+          sampleMod = sampleMod, ordered = false)}),
+       |sh2 AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+       |  FROM (SELECT doc_id, arr,
+       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(trim(text), '\\s+') AS arr
+       |              FROM documents
+       |              WHERE doc_id % $sampleMod = 0) t0) t1),
+       |szs AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+       |tpairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT d1, d2 FROM tpairs
+       |  JOIN szs s1 ON d1 = s1.doc_id
+       |  JOIN szs s2 ON d2 = s2.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $tau),
+       |m AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(COALESCE(c, 0)), 0) AS BIGINT) AS n_detected,
+       |    CAST(COALESCE(SUM(COALESCE(t, 0)), 0) AS BIGINT) AS n_truth,
+       |    CAST(COALESCE(SUM(CASE WHEN c IS NOT NULL AND t IS NOT NULL
+       |                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+       |  FROM (SELECT d1, d2, 1 AS c FROM cand) cf
+       |  FULL OUTER JOIN (SELECT d1, d2, 1 AS t FROM truth) tf
+       |    USING (d1, d2))
+       |SELECT n_detected, n_truth, tp,
+       |  n_detected - tp AS fp,
+       |  n_truth - tp AS fn,
+       |  CASE WHEN n_detected = 0 THEN NULL
+       |       ELSE CAST(tp AS DOUBLE) / n_detected END AS precision,
+       |  CASE WHEN n_truth = 0 THEN NULL
+       |       ELSE CAST(tp AS DOUBLE) / n_truth END AS recall
+       |FROM m""".stripMargin
 }

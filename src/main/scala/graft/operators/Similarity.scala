@@ -963,4 +963,112 @@ object Similarity {
        |FROM embeddings
        |CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS i) dims
        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
+  // ---------------------------------------------------------------
+  // kNN label classification + accuracy (embedding-space eval)
+  // ---------------------------------------------------------------
+
+  /** k-nearest-neighbor label classification with per-label accuracy —
+    * the standard embedding-quality probe a pipeline runs before
+    * trusting a vector space for curation decisions: hold out the
+    * first `numQueries` vectors, predict each one's label by majority
+    * vote over its k nearest corpus neighbors (cosine, self excluded),
+    * and report accuracy per true label. Majority ties break to the
+    * SMALLEST label, neighbor-rank ties to the smallest vec_id — a
+    * total order end to end.
+    *
+    * Scale shape: queries broadcast against the corpus (the brute
+    * -force eval shape — sample-bounded by design, like
+    * [[annRecall]]; the production retrieval path is the IVF/LSH
+    * family); votes and the per-query argmax are partial-aggregatable
+    * `max_by` aggregates, NEVER windows partitioned on the query id
+    * (the r9 cluster-resolution rule).
+    *
+    * Cross-engine exactness: cosine rides the DECIMAL(30,18) dot with
+    * round(…,6) ([[cosineTopK]]'s convention); votes and counts are
+    * exact integers; accuracy is an unrounded exact-integer ratio.
+    */
+  def knnClassify(embeddings: DataFrame, numQueries: Int = 50,
+      k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val withN = withNorm(embeddings)
+    val queries = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("label").as("actual"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = withN.select(col("vec_id").as("cid"),
+      col("label").as("nlabel"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val top = broadcast(queries)
+      .join(corpus.drop("nlabel"), col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions
+          .decimal_dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy("qid", "actual")
+      .agg(top_k_by_score(struct(col("cosine"), col("cid")), k).as("top"))
+      .select(col("qid"), col("actual"), explode(col("top")).as("nb"))
+      .select(col("qid"), col("actual"), col("nb.id").as("cid"))
+    // label join-back: the top-k frame is numQueries·k rows —
+    // broadcast it so the corpus side never shuffles
+    val neighbors = broadcast(top)
+      .join(corpus.select("cid", "nlabel"), "cid")
+    val predicted = neighbors
+      .groupBy("qid", "actual", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("qid", "actual")
+      .agg(max_by(col("nlabel"),
+        struct(col("votes"), (-col("nlabel")).as("neg"))).as("predicted"))
+    predicted.groupBy(col("actual"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("actual"), lit(1L))
+          .otherwise(lit(0L))).as("n_correct"))
+      .select(col("actual"), col("n_queries"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_queries"))
+          .as("accuracy"))
+      .orderBy("actual")
+  }
+
+  /** DuckDB oracle for [[knnClassify]] — same decimal-exact cosine and
+    * vote/argmax semantics (the oracle side may use windows; the Spark
+    * side deliberately does not).
+    */
+  def knnClassifySql(numQueries: Int = 50, k: Int = 5,
+      dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, q.label AS actual,
+       |    c.vec_id AS cid, c.label AS nlabel,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2, 3, 4),
+       |ranked AS (
+       |  SELECT qid, actual, nlabel,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rk
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |votes AS (
+       |  SELECT qid, actual, nlabel, COUNT(*) AS votes
+       |  FROM ranked WHERE rk <= $k GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT qid, actual, nlabel AS predicted,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, nlabel) AS vrk
+       |  FROM votes)
+       |SELECT actual, COUNT(*) AS n_queries,
+       |  CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*) AS accuracy
+       |FROM pred WHERE vrk = 1
+       |GROUP BY 1 ORDER BY actual""".stripMargin
 }

@@ -388,6 +388,9 @@ object Extensions {
     "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     "pipeline_bpe_encode" -> (c => CorpusPipeline.bpeEncode(c.documents)),
     "pipeline_curate" -> (c => CorpusPipeline.curate(c.documents)),
+    "pipeline_dsir_select" -> (c => CorpusPipeline.dsirSelect(c.documents)),
+    // estimator-calibration harness: LSH verdicts vs exact-Jaccard truth
+    "dedup_lsh_eval" -> (c => Dedup.lshEval(c.documents)),
     // similarity search
     // flagship = the bounded-agg form (map-side k-capped heaps — the
     // shape that survives |corpus| ≫ memory); the window form stays as
@@ -403,6 +406,7 @@ object Extensions {
     "sim_semantic_dedup" -> (c => Similarity.semanticDedup(c.embeddings)),
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
+    "sim_knn_classify" -> (c => Similarity.knnClassify(c.embeddings)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
     "text_token_count" -> (c => TextAnalysis.tokenCounts(c.documents)),
@@ -411,6 +415,7 @@ object Extensions {
     "text_heavy_hitters" -> (c => TextAnalysis.heavyHitters(c.documents)),
     "text_winnow_fingerprint" -> (c => TextAnalysis.winnowFingerprint(c.documents)),
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
+    "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -480,6 +485,8 @@ object Extensions {
     "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "pipeline_bpe_encode" -> CorpusPipeline.bpeEncodeSql(),
     "pipeline_curate" -> CorpusPipeline.curateSql(),
+    "pipeline_dsir_select" -> CorpusPipeline.dsirSelectSql(),
+    "dedup_lsh_eval" -> Dedup.lshEvalSql(),
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ann_recall" -> Similarity.annRecallSql(),
@@ -488,6 +495,7 @@ object Extensions {
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
+    "sim_knn_classify" -> Similarity.knnClassifySql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
@@ -495,6 +503,7 @@ object Extensions {
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "text_winnow_fingerprint" -> TextAnalysis.winnowFingerprintSql(),
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
+    "text_bm25_topk" -> Search.bm25TopKSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,

@@ -609,4 +609,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(gated.sameElements(ungated) && gated.nonEmpty)
   }
+
+  test("lshEval scores LSH candidates against exact-Jaccard truth") {
+    // truth at tau=0.5 over `docs`: (0,1) J=1.0, (0,4)/(1,4) J=0.75;
+    // the case variant 2 sits at J=0.4 and the unrelated doc 3 at ~0
+    val r = Dedup.lshEval(docs, sampleMod = 1).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (det, tru, tp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(tru == 3, s"truth=$tru")
+    assert(tp >= 1 && tp <= math.min(det, tru)) // (0,1) always collides
+    assert(row.getLong(3) == det - tp && row.getLong(4) == tru - tp)
+    // every LSH verdict at est≥0.5 on this fixture is a true pair
+    assert(row.getDouble(5) == 1.0)
+    assert(row.getDouble(6) == tp.toDouble / tru)
+  }
+
+  test("lshEval on an empty corpus yields null rates, zero counts") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.lshEval(empty, sampleMod = 1).collect()
+    assert(r.length == 1)
+    assert(r.head.isNullAt(5) && r.head.isNullAt(6))
+  }
 }

@@ -120,6 +120,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fl == ex) // well-separated data: rounding can't flip ranks
   }
 
+  test("knnClassify predicts by neighbor majority with per-label accuracy") {
+    // two clean clusters on orthogonal axes + one mislabeled vector:
+    // queries 0 and 1 (label 0) sit in the x-cluster whose remaining
+    // members vote label 0; query 2 (label 1) sits alone in the
+    // y-direction — its 2 nearest are x-cluster docs voting label 0 →
+    // misclassified
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.95f, 0.05f, 0.0f), 0),
+      (4L, Array(1.0f, 0.01f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(e, numQueries = 3, k = 2).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0) == ((2L, 2L, 1.0))) // both label-0 queries correct
+    assert(out(1) == ((1L, 0L, 0.0))) // the lone label-1 query flips
+  }
+
+  test("knnClassify majority ties break to the smallest label") {
+    // query 0's two nearest neighbors carry labels 2 and 1 (one vote
+    // each) → predicted must be 1
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 5),
+      (1L, Array(0.9f, 0.1f), 2),
+      (2L, Array(0.9f, -0.1f), 1),
+      (3L, Array(-1.0f, 0.0f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(e, numQueries = 1, k = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 5 && out.head.getLong(2) == 0L)
+    // re-run with k=3: votes 2:1, 1:1, 5:1 → ties at 1 vote include
+    // the true label but 1 < 2 < 5 → still predicted 1, still wrong
+    val out3 = Similarity.knnClassify(e, numQueries = 1, k = 3).collect()
+    assert(out3.head.getLong(2) == 0L)
+  }
+
   test("semanticDedup keeps the member farthest from the centroid") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
