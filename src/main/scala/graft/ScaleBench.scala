@@ -148,7 +148,8 @@ object ScaleBench {
         "dedup_passages", "text_quality_classifier", "sample_temperature",
         "dedup_keep_best", "text_winnow_fingerprint", "pipeline_curate",
         "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams",
-        "dedup_spans", "dedup_keep_best_store", "sim_semantic_dedup")
+        "dedup_spans", "dedup_keep_best_store", "sim_semantic_dedup",
+        "text_bm25_topk", "pipeline_dsir_select")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

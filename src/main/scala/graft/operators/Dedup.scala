@@ -2019,7 +2019,10 @@ object Dedup {
       .filter(col("common").cast("double") /
         (col("n1") + col("n2") - col("common")) >= tau)
       .select("d1", "d2").withColumn("t", lit(1L))
-    cand.join(truth, Seq("d1", "d2"), "full_outer")
+    // shuffle-hash hint: Spark's default full-outer is a sort-merge
+    // join; both sides here are hash-keyed candidate-pair sets (no
+    // useful ordering), so SHJ is the right shape at any scale
+    cand.join(truth.hint("shuffle_hash"), Seq("d1", "d2"), "full_outer")
       // coalesce the sums too: an empty sample reads "0 pairs, null
       // rates", not a row of nulls
       .agg(coalesce(sum(coalesce(col("c"), lit(0L))), lit(0L))

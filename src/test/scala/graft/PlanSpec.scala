@@ -230,6 +230,42 @@ class PlanSpec extends AnyFunSuite {
     assert(sem.contains("min_by"), sem)
   }
 
+  test("bm25: one corpus materialization, stats broadcast, heap top-k") {
+    val p = planOf(graft.operators.Search.bm25TopK(ctx.documents))
+    // the lazy checkpoint barrier means the corpus-derived per-doc
+    // frame materializes ONCE — no second parquet scan per consumer
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only loop join is the broadcast of the 1-row stats frame
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3, p)
+  }
+
+  test("dsir: bucket weights broadcast over the gram stream, heap top-k") {
+    val p = planOf(graft.operators.CorpusPipeline.dsirSelect(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the ≤`buckets`-row weight table reaches the per-doc join as a
+    // broadcast — the corpus-side gram stream never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("knn classify: bounded heap top-k + max_by vote, no windows") {
+    val p = planOf(graft.operators.Similarity.knnClassify(ctx.embeddings))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("top_k_by_score"), p)
+    assert(p.contains("max_by"), p)
+  }
+
+  test("lsh eval: confusion join is a shuffled hash join, never SMJ") {
+    val p = planOf(graft.operators.Dedup.lshEval(ctx.documents,
+      sampleMod = 1))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curation pipeline: one lazy DAG, sort-free") {
     val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)
