@@ -229,4 +229,96 @@ object Sampling {
        |WHERE ${hashBucketSql("smp:", "doc_id")} < $rateCase
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Weighted corpus mixing with epoch repetition (data recipes)
+  // ---------------------------------------------------------------
+
+  /** Per-source target mixing weights (permille of the output corpus,
+    * summing to 1000) — the "data recipe" a pretraining run pins after
+    * a DoReMi/ablation sweep. A deterministic fixture here; trained
+    * weights drop in.
+    */
+  val mixPermille: Map[String, Int] = Map(
+    "src0" -> 190, "src1" -> 170, "src2" -> 150, "src3" -> 130,
+    "src4" -> 110, "src5" -> 90, "src6" -> 70, "src7" -> 50,
+    "src8" -> 30, "src9" -> 10)
+
+  /** Materialize a weighted corpus MIX — the recipe-application step
+    * every pretraining run executes: each source `s` must contribute
+    * `mixPermille(s)`‰ of an output corpus the size of the input, so
+    * over-weighted sources REPEAT (multiple epochs — the standard
+    * move when a recipe asks for more of a source than exists) and
+    * under-weighted ones thin. With target_s = ⌊w_s·N/1000⌋ docs and
+    * n_s available, every doc of `s` ships ⌊target_s/n_s⌋ full epochs
+    * and joins the final partial epoch via the salted-md5 permille
+    * filter (deterministic, layout-independent, append-stable — so
+    * the realized epoch assignment of an existing doc never changes
+    * when data is added). Output: per-(source, epoch) realized counts
+    * against the per-source target.
+    *
+    * Scale shape: per-source counts are a hash-agg to ≤|sources| rows,
+    * broadcast back; the epoch fan-out is a map-side
+    * `explode(sequence(...))` (bounded by the recipe's max
+    * over-weight, NOT by data size); the only other shuffle is the
+    * stats agg. All arithmetic is 64-bit integer (`div`/`%`), so
+    * every number is exact in DuckDB.
+    */
+  def mixEpochs(documents: DataFrame,
+      permille: Map[String, Int] = mixPermille): DataFrame = {
+    val w = permille.foldLeft(lit(0)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val counts = documents.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = documents.agg(count(lit(1)).as("n_tot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("w", w)
+      .withColumn("target_docs",
+        expr("(CAST(w AS BIGINT) * n_tot) div 1000"))
+      .withColumn("full_epochs", expr("target_docs div n_s"))
+      .withColumn("extra_permille",
+        expr("((target_docs % n_s) * 1000) div n_s"))
+      .select("source", "target_docs", "full_epochs", "extra_permille")
+    documents.select("doc_id", "source")
+      .join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("target_docs"),
+        col("full_epochs"), col("extra_permille"),
+        explode(expr("sequence(CAST(0 AS BIGINT), full_epochs)"))
+          .as("epoch"))
+      .filter(col("epoch") < col("full_epochs") ||
+        hashBucket("mix:", col("doc_id")) < col("extra_permille"))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), max("target_docs").as("target_docs"))
+      .orderBy("source", "epoch")
+  }
+
+  /** DuckDB oracle for [[mixEpochs]] — same integer arithmetic and
+    * salted-md5 partial-epoch membership.
+    */
+  def mixEpochsSql(permille: Map[String, Int] = mixPermille): String = {
+    val wCase = permille.toSeq.sortBy(_._1)
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_tot FROM documents),
+       |rates AS (
+       |  SELECT source,
+       |    (CAST(w AS BIGINT) * n_tot) // 1000 AS target_docs,
+       |    ((CAST(w AS BIGINT) * n_tot) // 1000) // n_s AS full_epochs,
+       |    ((((CAST(w AS BIGINT) * n_tot) // 1000) % n_s) * 1000) // n_s
+       |      AS extra_permille
+       |  FROM (SELECT source, n_s, $wCase AS w FROM counts) c, tot),
+       |e AS (
+       |  SELECT d.doc_id, d.source, u.epoch, r.full_epochs,
+       |    r.extra_permille, r.target_docs
+       |  FROM documents d
+       |  JOIN rates r USING (source),
+       |  UNNEST(range(0, r.full_epochs + 1)) AS u(epoch)
+       |  WHERE u.epoch < r.full_epochs
+       |     OR ${hashBucketSql("mix:", "d.doc_id")} < r.extra_permille)
+       |SELECT source, epoch, COUNT(*) AS n_docs,
+       |  MAX(target_docs) AS target_docs
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -1071,4 +1071,82 @@ object Similarity {
        |    AS DOUBLE) / COUNT(*) AS accuracy
        |FROM pred WHERE vrk = 1
        |GROUP BY 1 ORDER BY actual""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Semantic decontamination (embedding-space benchmark overlap)
+  // ---------------------------------------------------------------
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram `CorpusPipeline.decontaminate`: flag corpus vectors whose
+    * cosine against ANY benchmark vector reaches `tau` (paraphrased
+    * eval leakage that shares no n-grams). The benchmark is the
+    * deterministic `vec_id % benchMod == 0` slice (standing in for a
+    * held-out eval suite); output is one row per contaminated vector
+    * with its worst benchmark match (ties → lowest bench id) — the
+    * drop-list a pipeline subtracts before training.
+    *
+    * Scale shape: eval suites are MBs while corpora are TBs, so the
+    * benchmark side BROADCASTS and the corpus never shuffles for the
+    * probe; candidates die at a codegen'd float cosine prefilter
+    * (τ − 0.01 margin — float/decimal agree to ~1e-9, so no
+    * qualifying pair is lost, the [[embeddingNearDups]] argument) and
+    * only survivors pay the exact-decimal verify; the per-vector
+    * argmax is a partial-aggregatable `max_by`, never a window.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, tau: Double = 0.4,
+      benchMod: Int = 25): DataFrame = {
+    val withN = withNorm(embeddings)
+    val bench = withN.filter(pmod(col("vec_id"), lit(benchMod)) === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"))
+    val corpus = withN.filter(pmod(col("vec_id"), lit(benchMod)) =!= 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    corpus.crossJoin(broadcast(bench))
+      .filter(graft.functions.VectorFunctions
+        .cosine_sim(col("embedding"), col("b_emb")) >= tau - 0.01)
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions
+          .decimal_dot(col("embedding"), col("b_emb")) /
+          (col("nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy("vec_id")
+      .agg(max("cosine").as("cosine"),
+        max_by(col("bid"), struct(col("cosine"), (-col("bid")).as("nb")))
+          .as("bench_id"))
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDecontaminate]] (dims=64 fixture) —
+    * exact-decimal cosine only (the Spark float prefilter is a
+    * provably lossless margin).
+    */
+  def semanticDecontaminateSql(tau: Double = 0.4, benchMod: Int = 25,
+      dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |cosd AS (
+       |  SELECT c.vec_id, b.vec_id AS bid,
+       |    round(CAST(SUM(CAST(CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)
+       |      / (nc.nrm * nb.nrm), 6) AS cosine
+       |  FROM embeddings c
+       |  JOIN embeddings b
+       |    ON c.vec_id % $benchMod <> 0 AND b.vec_id % $benchMod = 0
+       |  CROSS JOIN dims
+       |  JOIN norms nc ON c.vec_id = nc.vec_id
+       |  JOIN norms nb ON b.vec_id = nb.vec_id
+       |  GROUP BY 1, 2, nc.nrm, nb.nrm),
+       |hits AS (
+       |  SELECT vec_id, bid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, bid) AS rk
+       |  FROM cosd WHERE cosine >= $tau)
+       |SELECT vec_id, bid AS bench_id, cosine
+       |FROM hits WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
 }

@@ -407,6 +407,8 @@ object Extensions {
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     "sim_knn_classify" -> (c => Similarity.knnClassify(c.embeddings)),
+    "sim_decontaminate" -> (c => Similarity.semanticDecontaminate(c.embeddings)),
+    "sample_mix_epochs" -> (c => Sampling.mixEpochs(c.documents)),
     // text analysis
     "text_stats" -> (c => TextAnalysis.stats(c.documents)),
     "text_token_count" -> (c => TextAnalysis.tokenCounts(c.documents)),
@@ -496,6 +498,8 @@ object Extensions {
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
     "sim_knn_classify" -> Similarity.knnClassifySql(),
+    "sim_decontaminate" -> Similarity.semanticDecontaminateSql(),
+    "sample_mix_epochs" -> Sampling.mixEpochsSql(),
     "text_stats" -> TextAnalysis.statsSql,
     "text_token_count" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,

@@ -266,6 +266,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mix epochs: recipe rates broadcast, epoch fan-out is a generator") {
+    val p = planOf(graft.operators.Sampling.mixEpochs(ctx.documents))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // ≤|sources|-row rates
+    assert(p.contains("Generate"), p) // explode(sequence(0, epochs))
+  }
+
+  test("semantic decontaminate: bench broadcast, argmax is an aggregate") {
+    val p = planOf(graft.operators.Similarity
+      .semanticDecontaminate(ctx.embeddings))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by"), p)
+    // the benchmark side broadcasts — the corpus never shuffles for
+    // the probe (stream side of the broadcast loop join)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("curation pipeline: one lazy DAG, sort-free") {
     val p = planOf(graft.operators.CorpusPipeline.curate(ctx.documents))
     assert(!p.contains("SortMergeJoin"), p)

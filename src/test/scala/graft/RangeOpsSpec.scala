@@ -164,6 +164,38 @@ class RangeOpsSpec extends AnyFunSuite {
       .values.toSeq == Seq(3L, 3L, 3L))
   }
 
+  test("mixEpochs repeats over-weighted sources and thins the rest") {
+    // 3 sources × 100 docs; recipe: src0 45%, src1 35%, src2 20% of a
+    // 300-doc output → targets 135/105/60: src0 ships 1 full epoch +
+    // a ~35% partial, src2 thins to a ~60% partial of epoch 0
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"text $i", "en", s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val recipe = Map("src0" -> 450, "src1" -> 350, "src2" -> 200)
+    val out = Sampling.mixEpochs(docs, recipe).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // full epochs carry EXACTLY the source's doc count
+    assert(out(("src0", 0L)) == ((100L, 135L)))
+    assert(out(("src1", 0L)) == ((100L, 105L)))
+    // partial epochs: permille-approximate, deterministic
+    val (p0, _) = out(("src0", 1L))
+    assert(p0 > 20 && p0 < 50, s"src0 partial=$p0")
+    val (p2, t2) = out(("src2", 0L))
+    assert(t2 == 60L && p2 > 45 && p2 < 75, s"src2 partial=$p2")
+    // no src1 epoch 1 beyond its 5% partial; no epochs ≥ 2 anywhere
+    assert(!out.keySet.exists(_._2 >= 2))
+    // layout-independent
+    val out2 = Sampling.mixEpochs(docs.repartition(7), recipe).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out2 == out)
+    // a source absent from the recipe ships nothing
+    val out3 = Sampling.mixEpochs(docs, recipe - "src2").collect()
+      .map(_.getString(0)).toSet
+    assert(out3 == Set("src0", "src1"))
+  }
+
   test("stratified sample is deterministic and respects stratum rates") {
     val docs = Seq.tabulate(2000)(i =>
       (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de", s"src${i % 3}", 10L))

@@ -120,6 +120,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fl == ex) // well-separated data: rounding can't flip ranks
   }
 
+  test("semanticDecontaminate flags corpus vectors near a bench vector") {
+    // benchMod=3 → vec_ids 0 and 3 are benchmark; 1 is an exact copy
+    // of bench 0, 4 is a near-copy, 2 is orthogonal to both
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f), 2),
+      (4L, Array(0.1f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontaminate(e, tau = 0.9, benchMod = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 4L)) // 2 is clean, bench rows excluded
+    assert(out(1L) == ((0L, 1.0))) // exact copy → cosine 1 vs bench 0
+    assert(out(4L)._1 == 3L && out(4L)._2 > 0.99 && out(4L)._2 < 1.0)
+  }
+
+  test("semanticDecontaminate worst-match ties break to the lowest bench id") {
+    // two identical bench vectors (0 and 3) — the contaminated copy
+    // must report bench_id 0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontaminate(e, tau = 0.5, benchMod = 3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 0L)
+  }
+
   test("knnClassify predicts by neighbor majority with per-label accuracy") {
     // two clean clusters on orthogonal axes + one mislabeled vector:
     // queries 0 and 1 (label 0) sit in the x-cluster whose remaining
