@@ -109,6 +109,72 @@ object Kernels {
     keys.foldLeft(joined)((df, k) => df.drop(smallS(k)))
   }
 
+  /** Distributed EXACT global rank (order statistics) — `row_number()
+    * over (order by …)` without the single-reducer unpartitioned
+    * window that Spark would otherwise plan (WindowExec requires
+    * exactly one partition when `partitionBy` is empty, so the naive
+    * form funnels the whole corpus through one task — the same
+    * anti-pattern the cluster-resolution rework removed in r9).
+    *
+    * Shape: range-repartition on the total order (the same exchange a
+    * distributed `orderBy` uses — sampled boundaries, balanced shards,
+    * ties split across shards because callers pass a tie-breaking key),
+    * tag rows with their shard, then
+    *
+    *   rank = (rows in earlier shards) + (row_number within my shard).
+    *
+    * The per-shard counts form a ledger of ≤`width` rows whose prefix
+    * sum runs in an unpartitioned window over that TINY frame only
+    * (the packSequences block-ledger pattern); the corpus-side window
+    * partitions on the shard tag, so every task sorts one balanced
+    * range. The result is boundary-independent — whatever shard split
+    * the sampler picks, "rows strictly before mine" is the same — which
+    * is what makes the rank deterministic and DuckDB-oracle-checkable.
+    *
+    * EAGER by construction (documented per the r9 convention):
+    * `spark_partition_id()` ties correctness to ONE physical
+    * materialization — if the ledger and the rank branch recomputed the
+    * range exchange independently, a re-sampled boundary set would
+    * desynchronize offsets from shard tags — so the shard-tagged frame
+    * is eagerly `localCheckpoint`ed; constructing a frame from this
+    * kernel runs that job. Callers should project to the columns they
+    * need first (the checkpoint stores them, and the frame crosses TWO
+    * exchanges: the range repartition, then — because the checkpoint's
+    * range partitioning cannot satisfy the window's
+    * clustered-by-__shard requirement — one hash exchange on the shard
+    * tag; both move only the projected rank frame, never the corpus).
+    *
+    * Output: input columns + `out` (BIGINT rank, 1-based over `order`)
+    * + `n_total` (BIGINT row count, same on every row — callers bucket
+    * by `rank`/`n_total` without a second pass).
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], out: String = "rank",
+      width: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val w =
+      if (width > 0) width
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(w, order: _*)
+      .withColumn("__shard", spark_partition_id())
+      .localCheckpoint(true)
+    val ledger = Window.orderBy("__shard")
+    val offsets = ranged.groupBy("__shard")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(
+          ledger.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total",
+        sum("__cnt").over(ledger.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__shard", "__off", "n_total")
+    ranged.join(broadcast(offsets), "__shard")
+      .withColumn(out,
+        row_number().over(
+          Window.partitionBy("__shard").orderBy(order: _*)).cast("bigint") +
+          col("__off"))
+      .drop("__shard", "__off")
+  }
+
   /** Equi-join with pandas-style collision suffixes (J7 in SURVEY §2.5):
     * dask `merge` auto-suffixes colliding columns (`queries.py:134`
     * filters on `ps_supplycost_y`; `suffixes=` at `:235,401,508`). Spark

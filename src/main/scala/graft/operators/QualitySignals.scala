@@ -412,4 +412,195 @@ object QualitySignals {
        |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5
        |FROM hits WHERE n_emails + n_phones + n_ips > 0
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Gopher rule-suite filter (per-document heuristic gate)
+  // ---------------------------------------------------------------
+
+  /** Gopher-style rule-suite document filter (Rae et al.,
+    * arXiv:2112.11446 Table A1 — the standard pre-training heuristic
+    * gate): per-document structural signals plus one pass/fail flag
+    * per rule and the conjunction `kept`. Rules:
+    *
+    *   - r_words:  word count within [minWords, maxWords];
+    *   - r_mwl:    mean word length within [minMwl, maxMwl];
+    *   - r_alpha:  fraction of words containing an ASCII letter
+    *               ≥ minAlphaFrac;
+    *   - r_stop:   at least minStopHits stopword occurrences (the
+    *               'the'/'a' set shared with [[TextAnalysis.quality]]).
+    *
+    * One explode + hash-agg keyed on doc_id — partial aggregation
+    * applies, the corpus shuffles once on doc_id and nothing is
+    * quadratic; at 100 TB this is the same shape as `tokenCounts`.
+    * Exactness: every signal is a ratio of exact integers, emitted
+    * UNROUNDED (identical IEEE divisions in both engines — the
+    * CLAUDE.md integer-ratio rule); threshold comparisons therefore
+    * agree bit-for-bit with the DuckDB oracle. Thresholds default to
+    * values that actually partition the synthetic corpus (word counts
+    * 10–99, mean word length 3.7–5.3, stop hits 0–8).
+    */
+  def gopherRules(docs: DataFrame,
+      minWords: Long = 25L, maxWords: Long = 100000L,
+      minMwl: Double = 3.0, maxMwl: Double = 4.5,
+      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("bigint")).as("n_word_chars"),
+        sum(Kernels.indicator(col("w").rlike("[A-Za-z]")))
+          .cast("bigint").as("n_alpha"),
+        sum(Kernels.indicator(col("w").isin("the", "a")))
+          .cast("bigint").as("stop_hits"))
+    sig
+      .withColumn("mean_word_len",
+        col("n_word_chars").cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        col("n_alpha").cast("double") / col("n_words"))
+      .withColumn("r_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int"))
+      .withColumn("r_mwl",
+        (col("mean_word_len") >= minMwl && col("mean_word_len") <= maxMwl)
+          .cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac") >= minAlphaFrac).cast("int"))
+      .withColumn("r_stop", (col("stop_hits") >= minStopHits).cast("int"))
+      .withColumn("kept",
+        (col("r_words") === 1 && col("r_mwl") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "stop_hits", "r_words", "r_mwl", "r_alpha", "r_stop", "kept")
+      .orderBy("doc_id")
+  }
+
+  def gopherRulesSql(
+      minWords: Long = 25L, maxWords: Long = 100000L,
+      minMwl: Double = 3.0, maxMwl: Double = 4.5,
+      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, UNNEST(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(w)) AS BIGINT) AS n_word_chars,
+       |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       |    CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS stop_hits
+       |  FROM w GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+       |    CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       |    stop_hits,
+       |    CAST(n_words >= $minWords AND n_words <= $maxWords AS INTEGER)
+       |      AS r_words,
+       |    CAST(CAST(n_word_chars AS DOUBLE) / n_words >= $minMwl
+       |      AND CAST(n_word_chars AS DOUBLE) / n_words <= $maxMwl
+       |      AS INTEGER) AS r_mwl,
+       |    CAST(CAST(n_alpha AS DOUBLE) / n_words >= $minAlphaFrac
+       |      AS INTEGER) AS r_alpha,
+       |    CAST(stop_hits >= $minStopHits AS INTEGER) AS r_stop
+       |  FROM sig)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+       |  r_words, r_mwl, r_alpha, r_stop,
+       |  CAST(r_words = 1 AND r_mwl = 1 AND r_alpha = 1 AND r_stop = 1
+       |       AS INTEGER) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // CCNet perplexity bucketing (head / middle / tail)
+  // ---------------------------------------------------------------
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359
+    * §4.3): rank every document by its unigram-LM per-token NLL (the
+    * same broadcast-vocabulary scorer as [[unigramLm]]) and split the
+    * corpus into `buckets` equal-frequency tiers — head (most fluent),
+    * middle, tail — the partition CCNet uses to keep/LM-filter/drop.
+    *
+    * The global ranking is [[Kernels.globalRank]] — range-partitioned
+    * exact order statistics, NO unpartitioned window over the corpus
+    * (the ledger prefix-sum runs over ≤ shuffle-partitions rows), so
+    * the bucketing survives a 100 TB corpus where a naive
+    * `ntile() over (order by nll)` funnels everything through one
+    * reducer. Construction is EAGER (the kernel checkpoints its
+    * shard-tagged frame — see its scaladoc).
+    *
+    * Exactness: log-probs ride the 1e9 scaled-BIGINT grid (sums exact
+    * and order-free; DECIMAL(38,0) abs-sum guard raises on overflow
+    * instead of wrapping); the per-doc NLL is a division of exact
+    * integers, bit-identical in DuckDB, so ranks — and therefore
+    * bucket boundaries — agree bit-for-bit with the oracle's
+    * `ROW_NUMBER() OVER (ORDER BY nll, doc_id)`.
+    */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    require(buckets > 0)
+    val w = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("total"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
+          lit(0.5)).cast("bigint"))
+      .select("w", "lps")
+    val scored = w.join(broadcast(lp), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("lps").as("s"),
+        sum(abs(col("lps")).cast("decimal(38,0)")).as("sabs"))
+      .select(col("doc_id"), col("n_tok"),
+        when(col("sabs") > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit("perplexityBuckets: BIGINT log-prob carrier " +
+            "overflow — rescale the grid or shard the document"))
+            .cast("double"))
+          .otherwise(-(col("s").cast("double")) / col("n_tok") / lit(1e9))
+          .as("nll"))
+    Kernels.globalRank(scored, Seq(col("nll"), col("doc_id")), "rnk")
+      .withColumn("bucket", expr(s"((rnk - 1) * $buckets) div n_total"))
+      .withColumn("tier",
+        when(col("bucket") === 0, lit("head"))
+          .when(col("bucket") === lit(buckets - 1), lit("tail"))
+          .otherwise(lit("middle")))
+      .select("doc_id", "n_tok", "nll", "rnk", "bucket", "tier")
+      .orderBy("doc_id")
+  }
+
+  def perplexityBucketsSql(buckets: Int = 3): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''),
+       |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+       |lp AS (
+       |  SELECT w,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
+       |      AS lps
+       |  FROM vocab, tot),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lps) AS BIGINT) AS s
+       |  FROM w JOIN lp USING (w) GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_total FROM perdoc),
+       |r AS (
+       |  SELECT doc_id, n_tok,
+       |    -CAST(s AS DOUBLE) / n_tok / 1e9 AS nll,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY -CAST(s AS DOUBLE) / n_tok / 1e9, doc_id) AS rnk
+       |  FROM perdoc)
+       |SELECT doc_id, n_tok, nll, rnk,
+       |  (rnk - 1) * $buckets // n_total AS bucket,
+       |  CASE WHEN (rnk - 1) * $buckets // n_total = 0 THEN 'head'
+       |       WHEN (rnk - 1) * $buckets // n_total = ${buckets - 1}
+       |         THEN 'tail'
+       |       ELSE 'middle' END AS tier
+       |FROM r, nd ORDER BY doc_id""".stripMargin
 }

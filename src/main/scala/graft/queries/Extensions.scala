@@ -423,6 +423,8 @@ object Extensions {
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
     "text_pii_redact" -> (c => QualitySignals.piiRedact(c.documents)),
     "text_quality_classifier" -> (c => QualitySignals.linearClassifier(c.documents)),
+    "text_gopher_rules" -> (c => QualitySignals.gopherRules(c.documents)),
+    "text_perplexity_buckets" -> (c => QualitySignals.perplexityBuckets(c.documents)),
     // embedding quantization
     "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
     // time windows / events
@@ -512,6 +514,8 @@ object Extensions {
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,
     "text_quality_classifier" -> QualitySignals.linearClassifierSql(),
+    "text_gopher_rules" -> QualitySignals.gopherRulesSql(),
+    "text_perplexity_buckets" -> QualitySignals.perplexityBucketsSql(),
     "sim_quantize_int8" -> Quantize.int8StatsSql,
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,

@@ -50,4 +50,38 @@ class KernelsSpec extends AnyFunSuite {
     assert(j.columns.toSet == Set("k", "name", "k2", "name_right"))
     assert(j.count() == 1)
   }
+
+  test("globalRank equals the single-partition row_number reference") {
+    // values with heavy ties so the tie-break key does real work
+    val rows = (0L until 997L).map(i => (i, (i * 7919) % 13))
+    val df = rows.toDF("id", "v").repartition(9)
+    val got = Kernels.globalRank(df, Seq($"v", $"id"), "rnk", width = 8)
+      .select("id", "rnk", "n_total").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    assert(got.values.forall(_._2 == 997L))
+  }
+
+  test("globalRank is a permutation and layout/width-independent") {
+    val rows = (0L until 500L).map(i => (i, math.sin(i.toDouble)))
+    val a = Kernels.globalRank(rows.toDF("id", "x").repartition(3),
+      Seq($"x", $"id"), "rnk", width = 4)
+      .select("id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Kernels.globalRank(rows.toDF("id", "x").repartition(17),
+      Seq($"x", $"id"), "rnk", width = 11)
+      .select("id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.map(_._2).sorted.toSeq == (1L to 500L))
+    assert(a.toMap == b.toMap)
+  }
+
+  test("globalRank: empty frame and width exceeding the row count") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(Kernels.globalRank(empty, Seq($"x", $"id")).count() == 0)
+    val tiny = Seq((3L, 1.0), (1L, 2.0)).toDF("id", "x")
+    val got = Kernels.globalRank(tiny, Seq($"x", $"id"), "rnk", width = 16)
+      .select("id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toMap == Map(3L -> 1L, 1L -> 2L))
+  }
 }

@@ -295,4 +295,24 @@ class PlanSpec extends AnyFunSuite {
     // (tree + details), so ONE such join = 2 mentions.
     assert(p.split("BroadcastNestedLoopJoin").length <= 3, p)
   }
+
+  test("gopher rules: one corpus shuffle on doc_id, no windows, no joins") {
+    val p = planOf(graft.operators.QualitySignals.gopherRules(ctx.documents))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly one wide exchange (the doc_id hash-agg) + the output sort
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("perplexity buckets: rank rides the range exchange, corpus window partitions on shard") {
+    val p = planOf(graft.operators.QualitySignals
+      .perplexityBuckets(ctx.documents))
+    // the corpus-side rank window hash-partitions on the shard tag —
+    // the ONLY unpartitioned window is the ledger prefix sum, whose
+    // input is the ≤width-row per-shard count frame (the range
+    // exchange itself sits inside the kernel's eager checkpoint, so it
+    // is not visible in this plan)
+    assert(p.contains("hashpartitioning(__shard"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

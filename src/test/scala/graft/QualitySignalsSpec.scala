@@ -132,4 +132,51 @@ class QualitySignalsSpec extends AnyFunSuite {
         (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
     assert(again == out)
   }
+
+  test("gopherRules: each rule gates on its own signal") {
+    val d = Seq(
+      // 26 words incl. 2 stopwords, mean len 100/26 ≈ 3.8 → passes all
+      (1L, ("the a " + Seq.fill(24)("abcd").mkString(" ")),
+        "en", "s1", 0L),
+      (2L, "the a short doc", "en", "s1", 0L), // fails r_words (4 < 25)
+      // 26 long words → fails r_mwl (mean len > 4.5) and r_stop
+      (3L, Seq.fill(26)("extraordinarily").mkString(" "), "en", "s1", 0L),
+      // 26 numeric tokens + 2 stops → fails r_alpha (2/28 < 0.8)
+      (4L, ("the a " + Seq.fill(26)("12345").mkString(" ")), "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.gopherRules(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9)))
+      .toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._5 == 0)
+    assert(out(3L)._2 == 0 && out(3L)._4 == 0 && out(3L)._5 == 0)
+    assert(out(4L)._3 == 0 && out(4L)._5 == 0)
+  }
+
+  test("perplexityBuckets: rare-word docs rank last, tiers split evenly") {
+    // 9 docs: three share a common word, three a mid word, three a rare
+    // mix — per-token NLL orders by how common the doc's words are
+    val d = (0L until 9L).map { i =>
+      val w = if (i < 3) "common" else if (i < 6) "mid" else s"rare$i"
+      (i, Seq.fill(4)(if (i < 6) w else s"$w x$i").mkString(" "),
+        "en", "s1", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.perplexityBuckets(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    // ranks are a permutation of 1..9
+    assert(out.values.map(_._2).toSeq.sorted == (1L to 9L))
+    // each tier holds exactly 3 docs
+    val tiers = out.values.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(tiers == Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // unique-word docs have strictly higher NLL than common-word docs
+    val commonMax = (0L until 3L).map(out(_)._1).max
+    val rareMin = (6L until 9L).map(out(_)._1).min
+    assert(rareMin > commonMax)
+    // bucket is the rank tercile
+    out.values.foreach { case (_, rnk, bucket, _) =>
+      assert(bucket == (rnk - 1) * 3 / 9)
+    }
+  }
 }
