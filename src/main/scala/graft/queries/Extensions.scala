@@ -425,8 +425,10 @@ object Extensions {
     "text_quality_classifier" -> (c => QualitySignals.linearClassifier(c.documents)),
     "text_gopher_rules" -> (c => QualitySignals.gopherRules(c.documents)),
     "text_perplexity_buckets" -> (c => QualitySignals.perplexityBuckets(c.documents)),
-    // embedding quantization
+    // embedding quantization / dimensionality reduction
     "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
+    "sim_rp_topk" -> (c => Similarity.rpTopK(c.embeddings)),
+    "sim_rp_recall" -> (c => Similarity.rpRecall(c.embeddings)),
     // time windows / events
     "events_tumbling" -> (c => EventOps.tumblingHourly(c.events)),
     "events_sliding" -> (c => EventOps.slidingTwoHour(c.events)),
@@ -517,6 +519,8 @@ object Extensions {
     "text_gopher_rules" -> QualitySignals.gopherRulesSql(),
     "text_perplexity_buckets" -> QualitySignals.perplexityBucketsSql(),
     "sim_quantize_int8" -> Quantize.int8StatsSql,
+    "sim_rp_topk" -> Similarity.rpTopKSql(),
+    "sim_rp_recall" -> Similarity.rpRecallSql(),
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,
     "events_sessionize" -> EventOps.sessionizeSql(),

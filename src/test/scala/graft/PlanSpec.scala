@@ -296,6 +296,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastNestedLoopJoin").length <= 3, p)
   }
 
+  test("rp topk: projection is a broadcast map, ranking a bounded heap — no windows") {
+    val p = planOf(graft.operators.Similarity.rpTopK(ctx.embeddings))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // three sanctioned nested-loop joins only: the 1-row sign-matrix
+    // broadcast under EACH of the query and corpus branches (the query
+    // branch is filter-pruned to numQueries rows, so the corpus still
+    // streams once) and the tiny query-set broadcast (non-equi
+    // qid<>cid) — formatted explain names each node twice
+    assert(p.split("BroadcastNestedLoopJoin").length <= 7, p)
+  }
+
   test("gopher rules: one corpus shuffle on doc_id, no windows, no joins") {
     val p = planOf(graft.operators.QualitySignals.gopherRules(ctx.documents))
     assert(!p.contains("Window"), p)

@@ -231,4 +231,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until 60L).forall(i => out(i) == ((0L, 61L, false))))
     assert(out(60L) == ((60L, 1L, true)))
   }
+
+  test("randomProject matches the documented md5 sign chain") {
+    val e = Seq((0L, Array(1.0f, -2.0f, 0.5f), 0)).toDF(
+      "vec_id", "embedding", "label")
+    val out = Similarity.randomProject(e, outDims = 2, dims = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    // recompute from the documented hash chain: s(i,j) = 1 - 2·(h60 % 2)
+    def sign(i: Int, j: Int): Long = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp:$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      1L - 2L * (h % 2)
+    }
+    val v = Seq(1.0, -2.0, 0.5)
+    val expected = (0 until 2).map { i =>
+      val p = (0 until 3).map(j => sign(i, j) * v(j)).sum
+      math.floor(p * 1e6 + 0.5).toLong
+    }
+    assert(out(0L) == expected)
+  }
+
+  test("rpTopK: projected cosine is exact-integer, self-dup ranks first") {
+    // vec 3 duplicates vec 0's direction → projected cosine 1.0 exactly
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(2.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f), 2) // zero vector → -2.0 guard
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.rpTopK(e, outDims = 8, dims = 4,
+        numQueries = 1, k = 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // scaled copy of the query projects to a colinear integer vector
+    assert(out.head._1 == 3L && math.abs(out.head._2 - 1.0) < 1e-9 && out.head._3 == 1)
+    // the zero vector scores the -2.0 sentinel and sorts last
+    assert(out.last._1 == 4L && out.last._2 == -2.0)
+    // layout independence
+    val re = Similarity.rpTopK(e.repartition(5), outDims = 8, dims = 4,
+      numQueries = 1, k = 4).collect().map(_.toString)
+    assert(re.sameElements(Similarity.rpTopK(e, outDims = 8, dims = 4,
+      numQueries = 1, k = 4).collect().map(_.toString)))
+  }
+
+  test("rpRecall: identical-direction neighbors survive any projection") {
+    // clustered data (the case JL exists for): recall of the top-1
+    // within a tight cluster is 1.0 even at an aggressive cut
+    val rows = (0L until 12L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.01f * i, 0.0f, 0.0f)
+        else Array(0.0f, 0.0f, 1.0f, 0.01f * i)
+      (i, base, (i % 2).toInt)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.rpRecall(e, outDims = 2, dims = 4,
+        numQueries = 2, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // each query's 3 nearest are its own tight cluster — preserved
+    assert(out.values.forall(_ >= 2.0 / 3))
+  }
 }
