@@ -85,6 +85,73 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Asymmetric word-set CONTAINMENT pairs — `C(A→B) = |A∩B| / |A|` —
+    * the near-superset detector symmetric Jaccard structurally misses:
+    * a short document wholly embedded in a long one scores
+    * `|A|/|B| ≈ 0` on Jaccard but `1.0` on containment (the signal
+    * behind quote/boilerplate-inclusion and doc-in-doc dedup, e.g.
+    * Broder's containment sketches, SEQUENCES '97). Emits each
+    * over-threshold pair once with BOTH directions' scores and the
+    * dominant direction.
+    *
+    * Same inverted-index shape as [[jaccardHistogram]]'s exact
+    * baseline (token self-join, set sizes joined to the pair
+    * aggregate, shuffle_hash-hinted like [[shingleJaccardPairs]]) and,
+    * like it, run on a deterministic 1-in-`sampleMod` sample because
+    * the all-pairs OUTPUT is the quadratic part. The 100 TB path
+    * reuses the minhash front end: containment ≈ Jaccard·(|A∪B|/|A|)
+    * rewrites banded candidates into containment candidates with the
+    * same occupancy guards. Scores are exact-integer ratios —
+    * unrounded by the house rule.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.5,
+      sampleMod: Int = 10): DataFrame = {
+    val words = docWords(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = words.as("a").hint("shuffle_hash")
+      .join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+        .hint("shuffle_hash"), "d2")
+      .withColumn("c12", col("common").cast("double") / col("n1"))
+      .withColumn("c21", col("common").cast("double") / col("n2"))
+      .withColumn("containment", greatest(col("c12"), col("c21")))
+      .filter(col("containment") >= tau)
+      .withColumn("direction",
+        when(col("c12") >= col("c21"), lit("1_in_2")).otherwise(lit("2_in_1")))
+      .select("d1", "d2", "n1", "n2", "common", "c12", "c21",
+        "containment", "direction")
+      .orderBy("d1", "d2")
+  }
+
+  def containmentPairsSql(tau: Double = 0.5, sampleMod: Int = 10): String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents WHERE doc_id % $sampleMod = 0) t WHERE w <> ''),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+       |  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d1, d2, s1.n AS n1, s2.n AS n2, common,
+       |    CAST(common AS DOUBLE) / s1.n AS c12,
+       |    CAST(common AS DOUBLE) / s2.n AS c21
+       |  FROM pairs
+       |  JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, n1, n2, common, c12, c21,
+       |  GREATEST(c12, c21) AS containment,
+       |  CASE WHEN c12 >= c21 THEN '1_in_2' ELSE '2_in_1' END AS direction
+       |FROM scored WHERE GREATEST(c12, c21) >= $tau
+       |ORDER BY d1, d2""".stripMargin
+
   val jaccardHistogramSql: String =
     """WITH words AS (
       |  SELECT DISTINCT doc_id, w FROM (

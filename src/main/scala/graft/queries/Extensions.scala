@@ -334,6 +334,7 @@ object Extensions {
     "dedup_exact" -> (c => Dedup.exact(c.documents)),
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
     "dedup_jaccard_hist" -> (c => Dedup.jaccardHistogram(c.documents)),
+    "dedup_containment" -> (c => Dedup.containmentPairs(c.documents, tau = 0.9)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
@@ -467,6 +468,7 @@ object Extensions {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
+    "dedup_containment" -> Dedup.containmentPairsSql(tau = 0.9),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),

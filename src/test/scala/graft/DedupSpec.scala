@@ -15,6 +15,29 @@ class DedupSpec extends AnyFunSuite {
     (4L, "the quick brown fox jumps over the lazy cat") // near-dup of 0
   ).toDF("doc_id", "text")
 
+  test("containmentPairs flags the embedded doc that Jaccard misses") {
+    val d = Seq(
+      (0L, "alpha beta gamma"), // wholly contained in doc 10
+      (10L, ("alpha beta gamma " +
+        Seq.tabulate(20)(i => s"filler$i").mkString(" "))),
+      (20L, "zeta eta theta") // disjoint from both
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, tau = 0.5, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getString(8)))
+      .toMap
+    // C(0→10) = 3/3 = 1.0 while Jaccard is 3/23 ≈ 0.13
+    assert(out.keySet == Set((0L, 10L)))
+    val (c12, c21, cont, dir) = out((0L, 10L))
+    assert(c12 == 1.0 && cont == 1.0 && dir == "1_in_2")
+    assert(c21 == 3.0 / 23.0)
+    // layout-independent
+    val again = Dedup.containmentPairs(d.repartition(4), tau = 0.5,
+      sampleMod = 1).collect().map(_.toString)
+    assert(again.sameElements(Dedup.containmentPairs(d, tau = 0.5,
+      sampleMod = 1).collect().map(_.toString)))
+  }
+
   test("exact dedup keeps min doc_id per identical text") {
     val out = Dedup.exact(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
