@@ -620,28 +620,60 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** Exact-decimal Lloyd trainer shared by [[ivfKmeansTopKExact]] and
-    * [[semanticDedup]]: `iters` assignment rounds over a broadcast
-    * codebook seeded from the `cells` lowest vec_ids, every centroid
-    * mean and cosine folded through `DECIMAL(30,18)` with
-    * `round(…, 6)` at each comparison point, so the resulting
-    * assignment is bit-reproducible in DuckDB ([[lloydCtesSql]] is the
-    * matching CTE generator). One row per vector:
-    * `(vec_id, embedding, nrm, cell, csim)` where `csim` is the
-    * rounded cosine to the assigned centroid — the argmax score
-    * itself, kept because SemDeDup ranks duplicate-group members by
-    * centroid similarity. Lazily checkpointed: constructing a consumer
-    * stays plan-only, and all readers share one materialized pass.
+  // Exact-decimal Lloyd trainer shared by ivfKmeansTopKExact,
+  // semanticDedup and the semantic store: `iters` assignment rounds
+  // over a broadcast codebook seeded from the `cells` lowest vec_ids,
+  // every centroid mean and cosine folded through DECIMAL(30,18) with
+  // round(…, 6) at each comparison point, so the resulting assignment
+  // is bit-reproducible in DuckDB (lloydCtesSql is the matching CTE
+  // generator). One row per vector: (vec_id, embedding, nrm, cell,
+  // csim) where csim is the rounded cosine to the assigned centroid —
+  // the argmax score itself, kept because SemDeDup ranks duplicate-
+  // group members by centroid similarity. Lazily checkpointed:
+  // constructing a consumer stays plan-only, and all readers share one
+  // materialized pass.
+  private val cnrmExpr: String =
+    """sqrt(CAST(aggregate(
+      |  transform(centroid, x -> CAST(x * x AS DECIMAL(30,18))),
+      |  CAST(0 AS DECIMAL(38,18)),
+      |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin
+
+  /** One exact-decimal assignment pass: every vector of
+    * `vecsWithNorm` (must carry `nrm` — see [[withNorm]]) scored
+    * against the broadcast codebook `cents` (`cell`, `centroid`),
+    * argmax by (rounded centroid cosine desc, cell asc) as a map-side
+    * partial `max_by`. Shared verbatim by the Lloyd training rounds
+    * and the store-fed incremental assignment, so a delta batch is
+    * assigned EXACTLY as the base corpus was.
     */
-  private[operators] def lloydAssignExact(embeddings: DataFrame,
-      cells: Int, iters: Int): DataFrame = {
+  private[operators] def assignToCodebook(vecsWithNorm: DataFrame,
+      cents: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.decimal_dot_fd
+    val cb = cents.withColumn("cnrm", expr(cnrmExpr))
+    vecsWithNorm
+      .crossJoin(broadcast(cb))
+      .withColumn("cent_sim", round(
+        decimal_dot_fd(col("embedding"), col("centroid"))
+          / (col("nrm") * col("cnrm")), 6))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("embedding"), col("nrm"), col("cell"), col("cent_sim")),
+        struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"),
+        col("best.cent_sim").as("csim"))
+  }
+
+  /** [[lloydAssignExact]] returning BOTH halves of the trained state:
+    * the final codebook (the centroids the LAST assignment round
+    * scored against — what an index/store persists) and the final
+    * assignment. The codebook frame shares the per-round lazy
+    * checkpoints, so materializing the assignment first makes the
+    * codebook read nearly free.
+    */
+  private[operators] def lloydTrainExact(embeddings: DataFrame,
+      cells: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "k-means needs at least one assignment round")
-    val cnrmExpr =
-      """sqrt(CAST(aggregate(
-        |  transform(centroid, x -> CAST(x * x AS DECIMAL(30,18))),
-        |  CAST(0 AS DECIMAL(38,18)),
-        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE))""".stripMargin
     // init: float→double casts are exact, so both engines start from
     // the identical codebook without any rounding step
     var cents = embeddings.filter(col("vec_id") < cells)
@@ -649,19 +681,7 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      val cb = cents.withColumn("cnrm", expr(cnrmExpr))
-      assigned = withNorm(embeddings)
-        .crossJoin(broadcast(cb))
-        .withColumn("cent_sim", round(
-          decimal_dot_fd(col("embedding"), col("centroid"))
-            / (col("nrm") * col("cnrm")), 6))
-        .groupBy("vec_id")
-        .agg(max_by(
-          struct(col("embedding"), col("nrm"), col("cell"), col("cent_sim")),
-          struct(col("cent_sim"), (-col("cell")).as("nc"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.nrm").as("nrm"), col("best.cell").as("cell"),
-          col("best.cent_sim").as("csim"))
+      assigned = assignToCodebook(withNorm(embeddings), cents)
       if (i < iters) cents = assigned
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy("cell", "pos")
@@ -676,8 +696,12 @@ object Similarity {
         // construction doesn't execute, materialized once per round
         .localCheckpoint(eager = false)
     }
-    assigned.localCheckpoint(eager = false)
+    (cents, assigned.localCheckpoint(eager = false))
   }
+
+  private[operators] def lloydAssignExact(embeddings: DataFrame,
+      cells: Int, iters: Int): DataFrame =
+    lloydTrainExact(embeddings, cells, iters)._2
 
   /** DuckDB oracle for [[ivfKmeansTopKExact]]: the Lloyd rounds
     * unrolled as CTE generations — `cent_j` (codebook), `cn_j` (norm),
@@ -690,21 +714,22 @@ object Similarity {
     * CTEs; the final assignment (with its centroid-cosine `cs`) is
     * `asg_{iters-1}`.
     */
-  private[operators] def lloydCtesSql(cells: Int, iters: Int): String = {
+  private[operators] def lloydCtesSql(cells: Int, iters: Int,
+      src: String = "embeddings"): String = {
     require(iters >= 1)
     (0 until iters).map { j =>
       val cent =
         if (j == 0)
           s"""cent_0 AS (
              |  SELECT vec_id AS cell, i AS ci, CAST(embedding[i] AS DOUBLE) AS mean
-             |  FROM embeddings CROSS JOIN dims WHERE vec_id < $cells)"""
+             |  FROM $src CROSS JOIN dims WHERE vec_id < $cells)"""
             .stripMargin
         else
           s"""cent_$j AS (
              |  SELECT a.cell, i AS ci,
              |    round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,18)))
              |          AS DOUBLE) / COUNT(*), 6) AS mean
-             |  FROM embeddings e
+             |  FROM $src e
              |  JOIN asg_${j - 1} a ON e.vec_id = a.vec_id
              |  CROSS JOIN dims GROUP BY 1, 2)""".stripMargin
       s"""$cent,
@@ -718,7 +743,7 @@ object Similarity {
          |    SELECT e.vec_id, c.cell,
          |      CAST(SUM(CAST(CAST(e.embedding[c.ci] AS DOUBLE) * c.mean
          |               AS DECIMAL(30,18))) AS DOUBLE) AS dot
-         |    FROM embeddings e CROSS JOIN cent_$j c GROUP BY 1, 2) t
+         |    FROM $src e CROSS JOIN cent_$j c GROUP BY 1, 2) t
          |  JOIN norms n ON t.vec_id = n.vec_id
          |  JOIN cn_$j cn ON t.cell = cn.cell),
          |asg_$j AS (
@@ -918,6 +943,174 @@ object Similarity {
        |SELECT vec_id, cell, centroid_sim, group_id, group_size,
        |  rn = 1 AS keep
        |FROM ranked ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted semantic index store + incremental semantic dedup
+  // ---------------------------------------------------------------
+
+  /** Persist the exact-decimal semantic index of a BASE corpus — the
+    * trained Lloyd codebook (`codebook/`: cell, centroid) and the
+    * assigned base vectors (`vectors/`: vec_id, embedding, nrm, cell,
+    * csim) — so incremental batches dedup against an artifact instead
+    * of re-running Lloyd + assignment over the whole base every
+    * ingest (the [[graft.operators.Dedup.writeSignatureStore]]
+    * pattern applied to the semantic family). Atomic temp+rename
+    * publish: a crash mid-write never leaves a trustable-looking
+    * partial index. Vectors are written FIRST — materializing the
+    * assignment populates the per-round lazy checkpoints the codebook
+    * plan then reads from.
+    */
+  def writeSemanticStore(base: DataFrame, path: String, cells: Int = 8,
+      iters: Int = 2): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      base.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    val (cb, asg) = lloydTrainExact(base, cells, iters)
+    asg.write.parquet(tmp.toString + "/vectors")
+    cb.write.parquet(tmp.toString + "/codebook")
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** Both halves present and complete (their own `_SUCCESS` markers) —
+    * the completeness gate a reader must pass before trusting the
+    * index.
+    */
+  def isCompleteSemanticStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/vectors/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path + "/codebook/_SUCCESS"))
+
+  /** Build-once helper for the driver entries — content-fingerprint
+    * path keying + completeness gate, the
+    * [[graft.operators.Dedup.ensureSignatureStore]] discipline: a
+    * regenerated fixture or crashed partial is rebuilt, never
+    * trusted. EAGER (runs the fingerprint count and possibly the
+    * store build at construction) by documented design.
+    */
+  def ensureSemanticStore(base: DataFrame, tag: String, cells: Int = 8,
+      iters: Int = 2): String = {
+    val fp = base.agg(count(lit(1)).as("n"), max(col("vec_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_semstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_c${cells}i$iters"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      base.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSemanticStore(fs, path))
+      writeSemanticStore(base, path, cells, iters)
+    path
+  }
+
+  /** Incremental SemDeDup — a delta batch deduped against a PERSISTED
+    * semantic index ([[writeSemanticStore]]): each delta vector is
+    * assigned to its cell by the STORED codebook (the verbatim
+    * [[assignToCodebook]] pass the base corpus went through), then
+    * compared against the stored base vectors of that cell only —
+    * codegen'd float cosine prefilter at `tau − 0.01`, exact-decimal
+    * verify at `tau`, worst-match argmax as a partial-aggregatable
+    * `max_by` (highest cosine, ties to the lowest base id). One
+    * verdict row per delta vector, keeps included.
+    *
+    * Scale shape: per-ingest cost is |delta| × (cell occupancy), and
+    * the base is READ, never recomputed — the semantic twin of
+    * [[graft.operators.Dedup.incrementalLshStore]]'s "per-batch cost
+    * independent of base size" property. The delta assignment is
+    * EAGERLY checkpointed (two consumers — the hit aggregation and
+    * the verdict join — must share one materialization; documented
+    * per the r9 convention).
+    */
+  def semanticDedupIncremental(storePath: String, delta: DataFrame,
+      tau: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine_sim, decimal_dot}
+    val spark = delta.sparkSession
+    val cb = spark.read.parquet(s"$storePath/codebook")
+    val baseVecs = spark.read.parquet(s"$storePath/vectors")
+      .select(col("vec_id").as("bv"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell"))
+    val asg = assignToCodebook(withNorm(delta), cb).localCheckpoint()
+    val hits = asg
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .join(baseVecs.hint("shuffle_hash"), Seq("cell"))
+      .filter(cosine_sim(col("embedding"), col("b_emb")) >= tau - 0.01)
+      .withColumn("cosine", round(
+        decimal_dot(col("embedding"), col("b_emb")) /
+          (col("nrm") * col("b_nrm")), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy("vec_id")
+      .agg(max("cosine").as("best_cosine"),
+        max_by(col("bv"), struct(col("cosine"), (-col("bv")).as("nb")))
+          .as("dup_of"))
+    asg.join(hits.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("csim"),
+        col("best_cosine").isNotNull.as("is_dup"), col("dup_of"),
+        col("best_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedupIncremental]] with the driver's
+    * base/delta split (base = lowest 4/5 of vec_ids — an exact
+    * integer threshold both engines derive identically): Lloyd
+    * generations over the BASE slice ([[lloydCtesSql]] with
+    * `src = base`), one extra assignment CTE for the delta against
+    * the final codebook, then the within-cell exact-cosine verify and
+    * worst-match window.
+    */
+  def semanticDedupIncrementalSql(cells: Int = 8, iters: Int = 2,
+      tau: Double = 0.4, dims: Int = 64): String = {
+    val gens = lloydCtesSql(cells, iters, src = "base")
+    val last = iters - 1
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |thr AS (SELECT (MAX(vec_id) * 4) // 5 AS t FROM embeddings),
+       |base AS (SELECT e.* FROM embeddings e, thr WHERE e.vec_id < t),
+       |delta AS (SELECT e.* FROM embeddings e, thr WHERE e.vec_id >= t),
+       |$gens,
+       |das AS (
+       |  SELECT t.vec_id, t.cell, round(t.dot / (n.nrm * cn.cnrm), 6) AS cs
+       |  FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      CAST(SUM(CAST(CAST(e.embedding[c.ci] AS DOUBLE) * c.mean
+       |               AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |    FROM delta e CROSS JOIN cent_$last c GROUP BY 1, 2) t
+       |  JOIN norms n ON t.vec_id = n.vec_id
+       |  JOIN cn_$last cn ON t.cell = cn.cell),
+       |dassign AS (
+       |  SELECT vec_id, cell, cs FROM (
+       |    SELECT vec_id, cell, cs,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+       |    FROM das) t WHERE rn = 1),
+       |prod AS (
+       |  SELECT d.vec_id AS dv, b.vec_id AS bv,
+       |    CAST(SUM(CAST(CAST(ed.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM dassign d JOIN asg_$last b ON d.cell = b.cell
+       |  JOIN embeddings ed ON ed.vec_id = d.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  CROSS JOIN dims GROUP BY 1, 2),
+       |hits AS (
+       |  SELECT dv, bv, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms n1 ON dv = n1.vec_id
+       |  JOIN norms n2 ON bv = n2.vec_id
+       |  WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $tau),
+       |best AS (
+       |  SELECT dv, bv, cosine FROM (
+       |    SELECT dv, bv, cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY dv
+       |        ORDER BY cosine DESC, bv ASC) AS rn
+       |    FROM hits) t WHERE rn = 1)
+       |SELECT d.vec_id, d.cell, d.cs AS csim,
+       |  b.bv IS NOT NULL AS is_dup, b.bv AS dup_of,
+       |  b.cosine AS best_cosine
+       |FROM dassign d LEFT JOIN best b ON d.vec_id = b.dv
+       |ORDER BY d.vec_id""".stripMargin
   }
 
   /** Per-label centroids of the embedding column — the IVF coarse

@@ -405,6 +405,19 @@ object Extensions {
     "sim_ann_recall" -> (c => Similarity.annRecall(c.embeddings)),
     "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
     "sim_semantic_dedup" -> (c => Similarity.semanticDedup(c.embeddings)),
+    // delta batch deduped against a PERSISTED semantic index (built
+    // once per fixture from the base 4/5 of vec_ids, reused) — the
+    // incremental-store pattern applied to the SemDeDup family
+    "sim_semantic_dedup_incremental" -> (c => {
+      val thr = c.embeddings.agg(expr("(max(vec_id) * 4) div 5").as("t"))
+      val base = c.embeddings.crossJoin(broadcast(thr))
+        .filter(col("vec_id") < col("t")).drop("t")
+      val delta = c.embeddings.crossJoin(broadcast(thr))
+        .filter(col("vec_id") >= col("t")).drop("t")
+      val store = Similarity.ensureSemanticStore(base,
+        new java.io.File(c.dir).getName + "_semstore")
+      Similarity.semanticDedupIncremental(store, delta)
+    }),
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     "sim_knn_classify" -> (c => Similarity.knnClassify(c.embeddings)),
@@ -500,6 +513,7 @@ object Extensions {
     "sim_ann_recall" -> Similarity.annRecallSql(),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
     "sim_semantic_dedup" -> Similarity.semanticDedupSql(),
+    "sim_semantic_dedup_incremental" -> Similarity.semanticDedupIncrementalSql(),
     "sim_cosine_topk" -> Similarity.cosineTopKSql(),
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),

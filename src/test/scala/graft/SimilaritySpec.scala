@@ -232,6 +232,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(60L) == ((60L, 1L, true)))
   }
 
+  test("semanticDedupIncremental: delta verdicts against a persisted index") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0), // exact copy of 0
+      (3L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val delta = Seq(
+      (100L, Array(1.0f, 0.05f, 0.0f), 0), // near base 0/2 → dup
+      (101L, Array(-1.0f, 0.0f, 0.0f), 1), // anti-parallel → kept
+      (102L, Array(0.0f, 0.0f, 1.0f), 2)   // exact copy of base 3 → dup
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semstore").toString + "/store"
+    Similarity.writeSemanticStore(base, dir, cells = 2, iters = 1)
+    val out = Similarity.semanticDedupIncremental(dir, delta, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    // worst-match tie: 100 matches base 0 AND its exact copy 2 at the
+    // same cosine — must report the LOWEST base id
+    assert(out(100L) == ((true, 0L)))
+    assert(out(101L) == ((false, -1L)))
+    assert(out(102L) == ((true, 3L)))
+    // store round-trip is idempotent: a second read gives the same
+    // verdicts from any delta partitioning
+    val again = Similarity
+      .semanticDedupIncremental(dir, delta.repartition(4), tau = 0.9)
+      .collect().map(_.toString)
+    assert(again.sameElements(Similarity
+      .semanticDedupIncremental(dir, delta, tau = 0.9)
+      .collect().map(_.toString)))
+  }
+
   test("randomProject matches the documented md5 sign chain") {
     val e = Seq((0L, Array(1.0f, -2.0f, 0.5f), 0)).toDF(
       "vec_id", "embedding", "label")
