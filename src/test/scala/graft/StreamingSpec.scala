@@ -131,6 +131,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally qb.stop()
   }
 
+  test("streaming semantic dedup matches the store-fed batch path") {
+    import graft.operators.Similarity
+    val emb = Ctx(spark, sfDir).embeddings
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sem_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    val outDir = tmp.resolve("out").toString
+    // seeds (vec_id < cells) must exist in the base slice: shifting
+    // the base ids down one maps {1,2,4,…} → {0,1,3,…}, so cells=2
+    // seeds from vecs 0 and 1 (base ids are independent of the delta)
+    Similarity.writeSemanticStore(base.withColumn("vec_id",
+        col("vec_id") - 1), store, cells = 2, iters = 2)
+    // multiple files → multiple micro-batches under AvailableNow, so
+    // batch-boundary independence is actually exercised
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.semanticDedupStream(
+      EventStream.readEmbeddings(spark, deltaDir), store, outDir,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = spark.read.parquet(outDir).drop("batch")
+        .collect().map(_.toString).sorted
+      val batch = Similarity.semanticDedupIncremental(store, delta)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mid-stream store appends reach the bloom gate (stamp re-resolution)") {
     import graft.operators.Dedup
     val docs = Ctx(spark, sfDir).documents
