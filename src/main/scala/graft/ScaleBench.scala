@@ -92,7 +92,8 @@ object ScaleBench {
     // (tpch,pipeline,events,svd,matmul) — default all
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
-        "megabucket,incstore_compact,semdedup,bloomgate,giantcluster")
+        "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
+        "seminc,globalrank")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -149,7 +150,8 @@ object ScaleBench {
         "dedup_keep_best", "text_winnow_fingerprint", "pipeline_curate",
         "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams",
         "dedup_spans", "dedup_keep_best_store", "sim_semantic_dedup",
-        "text_bm25_topk", "pipeline_dsir_select")
+        "text_bm25_topk", "pipeline_dsir_select",
+        "text_gopher_rules", "text_perplexity_buckets", "sim_rp_topk")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =
@@ -422,6 +424,69 @@ object ScaleBench {
       runBoiler()
       val (bsec, bdropped) = time(runBoiler())
       println(f"${"8000+8k dup mass"}%-22s${32}%7d$bsec%8.2f$bdropped%9d")
+    }
+
+    section("seminc") {
+      // the store property: per-ingest cost must be ~independent of
+      // BASE size (delta held constant while the persisted index
+      // grows 1× → 16×). Cell count scales with the base (constant
+      // occupancy — the semdedup knob), so the within-cell verify per
+      // delta vector stays flat.
+      println("== Incremental semantic dedup: fixed delta vs growing base ==")
+      println(f"${"base_n"}%-9s${"cells"}%7s${"sec"}%8s${"dups"}%7s")
+      def synthV(lo: Long, hi: Long): DataFrame =
+        spark.range(lo, hi, 1L, 32)
+          .select(col("id").as("vec_id"),
+            expr("transform(sequence(0, 63), j -> " +
+              "CAST(CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 1000.0 AS FLOAT))")
+              .as("embedding"), lit(0).as("label"))
+      val delta = synthV(10000000L, 10002000L)
+      for ((n, cells) <- Seq((4000L, 8), (16000L, 32), (64000L, 128))) {
+        val store = s"/tmp/graft_semstore_ladder_${n}_$cells"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        if (!graft.operators.Similarity.isCompleteSemanticStore(fs, store))
+          graft.operators.Similarity.writeSemanticStore(
+            synthV(0L, n), store, cells = cells, iters = 1)
+        def run(): Long = graft.operators.Similarity
+          .semanticDedupIncremental(store, delta, tau = 0.3)
+          .filter(col("is_dup")).count()
+        run()
+        settle()
+        val (sec, dups) = time(run())
+        println(f"$n%-9d$cells%7d$sec%8.2f$dups%7d")
+      }
+    }
+
+    section("globalrank") {
+      // exact global rank: the range-sharded kernel vs the naive
+      // unpartitioned window (row_number over a global order funnels
+      // the whole frame through ONE reducer task — WindowExec requires
+      // a single partition when partitionBy is empty). The kernel's
+      // wall clock should scale ~linearly with balanced shards; the
+      // window's single task is both the wall clock AND the max-task
+      // straggler.
+      println("== Global rank: range-sharded kernel vs single-reducer window ==")
+      println(f"${"n"}%-10s${"kernel_s"}%9s${"window_s"}%9s")
+      for (n <- Seq(1000000L, 4000000L, 16000000L)) {
+        val df = spark.range(0L, n, 1L, 32)
+          .select(col("id"), (col("id") * 2654435761L % 1000003L).as("v"))
+        def kernel(): Long = graft.operators.Kernels
+          .globalRank(df, Seq(col("v"), col("id")), "rnk")
+          .agg(max("rnk")).collect().head.getLong(0)
+        def window(): Long = {
+          import org.apache.spark.sql.expressions.Window
+          df.withColumn("rnk", row_number().over(
+              Window.orderBy(col("v"), col("id"))).cast("bigint"))
+            .agg(max("rnk")).collect().head.getLong(0)
+        }
+        kernel(); settle()
+        val (ks, kr) = time(kernel())
+        settle()
+        val (ws, wr) = time(window())
+        require(kr == n && wr == n, s"rank mismatch: $kr / $wr vs $n")
+        println(f"$n%-10d$ks%9.2f$ws%9.2f")
+      }
     }
 
     section("giantcluster") {
