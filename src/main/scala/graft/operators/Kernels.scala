@@ -175,6 +175,46 @@ object Kernels {
       .drop("__shard", "__off")
   }
 
+  /** Distributed EXACT quantiles by rank selection over
+    * [[globalRank]] — the scalable replacement for Spark's built-in
+    * `percentile` aggregate, whose buffer collects EVERY value into
+    * one aggregation state (fine at fixture scale, an executor OOM at
+    * corpus scale; see the `stats_quantiles` scaladoc note this
+    * kernel discharges). Quantile `q` is defined by rank:
+    * `value at row max(1, ceil(q·n))` of the total order
+    * `(value, tie…)` — the discontinuous (type-1) quantile, which is
+    * exactly restatable in the oracle as a ROW_NUMBER equality, so the
+    * result is bit-identical cross-engine with NO interpolation
+    * arithmetic to reconcile.
+    *
+    * Shape: the ranked frame is filtered to the |qs| target ranks by a
+    * codegen'd `array_contains` over ranks derived from `n_total`
+    * (map-side, no extra pass), then the handful of surviving rows
+    * fan out to their matching q values. Inherits [[globalRank]]'s
+    * eagerness and its two narrow-frame exchanges; `n − 1` of the `n`
+    * rows die in the filter without ever reaching the fan-out.
+    */
+  def exactQuantiles(df: DataFrame, value: Column, ties: Seq[Column],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0))
+    val ranked = globalRank(
+      df.select((value.as("value") +: ties.zipWithIndex.map {
+        case (t, i) => t.as(s"__t$i")
+      }): _*),
+      col("value") +: ties.indices.map(i => col(s"__t$i")), "rnk")
+    val qArr = s"array(${qs.mkString("D, ")}D)"
+    val targets =
+      s"transform($qArr, q -> greatest(1L, cast(ceil(q * n_total) as bigint)))"
+    ranked
+      .filter(expr(s"array_contains($targets, rnk)"))
+      .select(explode(expr(qArr)).as("q"), col("rnk"), col("value"),
+        col("n_total"))
+      .filter(col("rnk") ===
+        greatest(lit(1L), ceil(col("q") * col("n_total")).cast("bigint")))
+      .select(col("q"), col("rnk"), col("value"))
+      .orderBy("q", "rnk")
+  }
+
   /** Equi-join with pandas-style collision suffixes (J7 in SURVEY §2.5):
     * dask `merge` auto-suffixes colliding columns (`queries.py:134`
     * filters on `ps_supplycost_y`; `suffixes=` at `:235,401,508`). Spark

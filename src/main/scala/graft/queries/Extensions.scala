@@ -230,6 +230,34 @@ object Extensions {
       |  quantile_cont(l_quantity, 0.5) AS p50_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** EXACT quantiles that scale — rank selection over
+    * [[graft.operators.Kernels.exactQuantiles]] (range-sharded global
+    * rank, no single-buffer `percentile` state, no unpartitioned
+    * window): the corpus-scale form of [[quantiles]] when the answer
+    * must be exact rather than a sketch. Type-1 (discontinuous)
+    * definition — value at rank `max(1, ceil(q·n))` of the
+    * (price, orderkey, linenumber) total order — restated verbatim by
+    * the oracle's ROW_NUMBER equality.
+    */
+  def quantilesRank(c: Ctx): DataFrame =
+    graft.operators.Kernels.exactQuantiles(c.lineitem,
+      col("l_extendedprice"),
+      Seq(col("l_orderkey"), col("l_linenumber")),
+      Seq(0.25, 0.5, 0.75, 0.95))
+
+  val quantilesRankSql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_total FROM lineitem),
+      |r AS (
+      |  SELECT l_extendedprice AS value,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |      l_linenumber) AS rnk
+      |  FROM lineitem)
+      |SELECT q, rnk, value
+      |FROM (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |        CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q), n, r
+      |WHERE rnk = GREATEST(1, CAST(CEIL(q * n_total) AS BIGINT))
+      |ORDER BY q, rnk""".stripMargin
+
   /** One-pass sketch quantiles — the 100 TB form (rows-only check;
     * sketch internals are engine-specific). Emitted as scalar p50/p95
     * columns, not the raw quantile array — the driver's row-sorter
@@ -468,6 +496,7 @@ object Extensions {
     "str_affix_stats" -> (strAffixStats _),
     "approx_distinct" -> (approxDistinct _),
     "stats_quantiles" -> (quantiles _),
+    "stats_quantiles_rank" -> (quantilesRank _),
     "stats_quantiles_approx" -> (quantilesApprox _),
     "profile_lineitem" -> (profileLineitem _),
     "salted_revenue" -> (saltedRevenue _),
@@ -558,6 +587,7 @@ object Extensions {
     "text_top_bigrams" -> topBigramsSql(),
     "str_affix_stats" -> strAffixStatsSql,
     "stats_quantiles" -> quantilesSql,
+    "stats_quantiles_rank" -> quantilesRankSql,
     "profile_lineitem" -> profileLineitemSql,
     "salted_revenue" -> saltedRevenueSql,
     "salted_join_agg" -> saltedJoinAggSql,

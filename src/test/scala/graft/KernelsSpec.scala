@@ -76,6 +76,25 @@ class KernelsSpec extends AnyFunSuite {
     assert(a.toMap == b.toMap)
   }
 
+  test("exactQuantiles selects the rank-defined values") {
+    val rows = (1L to 1000L).map(i => (i, ((i * 7919) % 1000).toDouble))
+    val df = rows.toDF("id", "x").repartition(7)
+    val got = Kernels.exactQuantiles(df, $"x", Seq($"id"),
+        Seq(0.25, 0.5, 0.75, 1.0)).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sorted = rows.map(_._2).sorted
+    assert(got(0.25) == ((250L, sorted(249))))
+    assert(got(0.5) == ((500L, sorted(499))))
+    assert(got(0.75) == ((750L, sorted(749))))
+    assert(got(1.0) == ((1000L, sorted(999))))
+    // heavy ties: every value equal — all quantiles return it, ranks
+    // still split across shards by the tie key
+    val ties = (1L to 100L).map(i => (i, 42.0)).toDF("id", "x")
+    val t = Kernels.exactQuantiles(ties, $"x", Seq($"id"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(t.toSeq == Seq((0.5, 50L, 42.0), (1.0, 100L, 42.0)))
+  }
+
   test("globalRank: empty frame and width exceeding the row count") {
     val empty = Seq.empty[(Long, Double)].toDF("id", "x")
     assert(Kernels.globalRank(empty, Seq($"x", $"id")).count() == 0)
