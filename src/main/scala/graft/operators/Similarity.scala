@@ -969,7 +969,12 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
     val (cb, asg) = lloydTrainExact(base, cells, iters)
-    asg.write.parquet(tmp.toString + "/vectors")
+    // vectors are hive-partitioned BY CELL: an incremental batch joins
+    // on cell with the (small) delta broadcast, so dynamic partition
+    // pruning can skip every cell the batch doesn't touch — the layout
+    // that matters when the base is 100 TB and a clustered delta hits
+    // a handful of cells
+    asg.write.partitionBy("cell").parquet(tmp.toString + "/vectors")
     cb.write.parquet(tmp.toString + "/codebook")
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
@@ -996,7 +1001,7 @@ object Similarity {
     val fp = base.agg(count(lit(1)).as("n"), max(col("vec_id")).as("mx"))
       .collect().head
     val path = s"/tmp/graft_semstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_c${cells}i$iters"
+      s"${fp.getLong(1)}_c${cells}i${iters}p"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       base.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSemanticStore(fs, path))
@@ -1023,21 +1028,43 @@ object Similarity {
     * per the r9 convention).
     */
   def semanticDedupIncremental(storePath: String, delta: DataFrame,
-      tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4, pruneCells: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{cosine_sim, decimal_dot}
     val spark = delta.sparkSession
     val cb = spark.read.parquet(s"$storePath/codebook")
-    val baseVecs = spark.read.parquet(s"$storePath/vectors")
-      .select(col("vec_id").as("bv"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cell"))
     val asg = assignToCodebook(withNorm(delta), cb).localCheckpoint()
-    val hits = asg
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .join(baseVecs.hint("shuffle_hash"), Seq("cell"))
-      .filter(cosine_sim(col("embedding"), col("b_emb")) >= tau - 0.01)
+    // the batch's TOUCHED CELLS are known once the (already eager)
+    // assignment materializes — a ≤`cells`-row collect (dictionary-
+    // sized, the BloomGate-sidecar class of driver artifact, not a
+    // data collect) pushed back as a literal IN-filter on the
+    // hive-partition column, so the scan below reads ONLY the store
+    // partitions this batch can match. Spark's automatic DPP declines
+    // this join (no selective build-side predicate), so the operator
+    // supplies the pruning itself; `pruneCells = false` restores the
+    // single lazy plan.
+    val touched: Seq[Long] =
+      if (pruneCells) asg.select("cell").distinct().collect()
+        .map(_.getLong(0)).toSeq
+      else Nil
+    // the hive partition column reads back as INT — restore the
+    // BIGINT the rest of the engine (and the oracle schema) carries
+    val allVecs = spark.read.parquet(s"$storePath/vectors")
+      .select(col("vec_id").as("bv"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cell").cast("bigint").as("cell"))
+    val baseVecs =
+      if (touched.nonEmpty) allVecs.filter(col("cell").isin(touched: _*))
+      else allVecs
+    // the BASE side streams, the delta batch broadcasts: the store is
+    // never shuffled, and cells no delta vector landed in are pruned
+    // at the partition level before the scan
+    val hits = baseVecs
+      .join(broadcast(asg
+        .select(col("vec_id"), col("embedding").as("d_emb"),
+          col("nrm").as("d_nrm"), col("cell"))), Seq("cell"))
+      .filter(cosine_sim(col("d_emb"), col("b_emb")) >= tau - 0.01)
       .withColumn("cosine", round(
-        decimal_dot(col("embedding"), col("b_emb")) /
-          (col("nrm") * col("b_nrm")), 6))
+        decimal_dot(col("d_emb"), col("b_emb")) /
+          (col("d_nrm") * col("b_nrm")), 6))
       .filter(col("cosine") >= tau)
       .groupBy("vec_id")
       .agg(max("cosine").as("best_cosine"),

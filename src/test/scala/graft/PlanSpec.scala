@@ -296,6 +296,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastNestedLoopJoin").length <= 3, p)
   }
 
+  test("semantic incremental: store scan partition-prunes to the touched cells") {
+    import org.apache.spark.sql.functions._
+    val c = ctx
+    val thr = c.embeddings.agg(expr("(max(vec_id) * 4) div 5").as("t"))
+    val base = c.embeddings.crossJoin(broadcast(thr))
+      .filter(col("vec_id") < col("t")).drop("t")
+    val delta = c.embeddings.crossJoin(broadcast(thr))
+      .filter(col("vec_id") >= col("t")).drop("t")
+    val store = graft.operators.Similarity
+      .ensureSemanticStore(base, "planspec_semstore")
+    val p = planOf(graft.operators.Similarity
+      .semanticDedupIncremental(store, delta))
+    // the literal touched-cell IN-filter must reach the hive-partition
+    // scan (PartitionFilters), the delta must broadcast (base streams)
+    // and nothing sort-merges
+    assert(p.contains("PartitionFilters: [cell"), p)
+    assert(p.contains(" IN ("), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("rp topk: projection is a broadcast map, ranking a bounded heap — no windows") {
     val p = planOf(graft.operators.Similarity.rpTopK(ctx.embeddings))
     assert(!p.contains("SortMergeJoin"), p)

@@ -105,6 +105,17 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assertRetryIdentical(documents, d => Dedup.minHashLshMd5(d))
   }
 
+  test("globalRank ranks are identical under retry") {
+    // the kernel's correctness hinges on spark_partition_id being read
+    // off ONE materialization (the eager checkpoint): a retried task
+    // inside the range exchange or the checkpoint scan must neither
+    // shift shard tags against the ledger nor perturb a single rank
+    assertRetryIdentical(documents, d =>
+      Kernels.globalRank(
+        d.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars"), col("doc_id")), "rnk"))
+  }
+
   test("connected-components labels are identical under retry") {
     // the iterative star-contraction loop localCheckpoints per round;
     // a retried task inside the loop must not perturb the labels
