@@ -456,6 +456,26 @@ object ScaleBench {
         val (sec, dups) = time(run())
         println(f"$n%-9d$cells%7d$sec%8.2f$dups%7d")
       }
+      // the pruning payoff: a CLUSTERED batch (every vector near one
+      // centroid → one touched cell) against the biggest store, with
+      // the literal cell IN-filter on vs off — pruned reads 1/cells
+      // of the partitions
+      println("== clustered 200-vec batch vs 64k store: pruned vs full scan ==")
+      val one = spark.range(0L, 200L, 1L, 8)
+        .select((col("id") + 20000000L).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(CASE WHEN j = 0 THEN 1.0 + CAST(id % 97 AS DOUBLE) / 1e6 " +
+            "ELSE 0.0 END AS FLOAT))").as("embedding"),
+          lit(0).as("label"))
+      val bigStore = "/tmp/graft_semstore_ladder_64000_128"
+      def runP(prune: Boolean): Long = graft.operators.Similarity
+        .semanticDedupIncremental(bigStore, one, tau = 0.3,
+          pruneCells = prune).count()
+      runP(true); settle()
+      val (ps, _) = time(runP(true))
+      settle()
+      val (fs2, _) = time(runP(false))
+      println(f"${"pruned"}%-9s$ps%8.2f   ${"full"}%-7s$fs2%8.2f")
     }
 
     section("globalrank") {

@@ -974,7 +974,11 @@ object Similarity {
     // pruning can skip every cell the batch doesn't touch — the layout
     // that matters when the base is 100 TB and a clustered delta hits
     // a handful of cells
-    asg.write.partitionBy("cell").parquet(tmp.toString + "/vectors")
+    // one shuffle by cell before the write: each cell lands in ONE
+    // task → one file per cell partition, instead of (write tasks ×
+    // cells) small files whose listing overhead would dominate reads
+    asg.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString + "/vectors")
     cb.write.parquet(tmp.toString + "/codebook")
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
@@ -1029,10 +1033,21 @@ object Similarity {
     */
   def semanticDedupIncremental(storePath: String, delta: DataFrame,
       tau: Double = 0.4, pruneCells: Boolean = true): DataFrame = {
+    val cb = delta.sparkSession.read.parquet(s"$storePath/codebook")
+    incrementalVerdicts(storePath,
+      assignToCodebook(withNorm(delta), cb).localCheckpoint(), tau,
+      pruneCells)
+  }
+
+  /** Verdicts for an ALREADY-ASSIGNED (and checkpointed) delta batch
+    * — the shared core of [[semanticDedupIncremental]] and
+    * [[appendToSemanticStore]], so the append path never assigns the
+    * same batch twice.
+    */
+  private def incrementalVerdicts(storePath: String, asg: DataFrame,
+      tau: Double, pruneCells: Boolean): DataFrame = {
     import graft.functions.VectorFunctions.{cosine_sim, decimal_dot}
-    val spark = delta.sparkSession
-    val cb = spark.read.parquet(s"$storePath/codebook")
-    val asg = assignToCodebook(withNorm(delta), cb).localCheckpoint()
+    val spark = asg.sparkSession
     // the batch's TOUCHED CELLS are known once the (already eager)
     // assignment materializes — a ≤`cells`-row collect (dictionary-
     // sized, the BloomGate-sidecar class of driver artifact, not a
@@ -1075,6 +1090,32 @@ object Similarity {
         col("best_cosine").isNotNull.as("is_dup"), col("dup_of"),
         col("best_cosine"))
       .orderBy("vec_id")
+  }
+
+  /** Fold a batch's KEPT vectors into the persisted semantic index:
+    * the batch is gated against the CURRENT store (shared assignment
+    * — assigned once), its keeps appended into their cell partitions.
+    * Per-append cost ∝ batch, never the base; the codebook is NOT
+    * retrained — cells stay frozen between periodic rebuilds
+    * ([[writeSemanticStore]]), exactly how a production IVF index
+    * absorbs inserts (occupancy drift is the signal to rebuild — the
+    * [[graft.operators.Dedup.compactSignatureStore]] analogue here is
+    * a fresh `writeSemanticStore` over the accumulated corpus).
+    * Spec-checked law: after appending batch₁, a later batch₂'s
+    * verdicts equal dedup against base ∪ kept(batch₁) under the same
+    * codebook — growth is visible to every later gate.
+    */
+  def appendToSemanticStore(storePath: String, batch: DataFrame,
+      tau: Double = 0.4): Unit = {
+    val spark = batch.sparkSession
+    val cb = spark.read.parquet(s"$storePath/codebook")
+    val asg = assignToCodebook(withNorm(batch), cb).localCheckpoint()
+    val keeps = asg.join(
+      incrementalVerdicts(storePath, asg, tau, pruneCells = true)
+        .filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+      .select("vec_id", "embedding", "nrm", "cell", "csim")
+    keeps.write.mode("append").partitionBy("cell")
+      .parquet(s"$storePath/vectors")
   }
 
   /** DuckDB oracle for [[semanticDedupIncremental]] with the driver's

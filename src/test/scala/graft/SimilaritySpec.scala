@@ -266,6 +266,39 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toString)))
   }
 
+  test("appendToSemanticStore: later batches gate against appended keeps") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semstore_app").toString + "/store"
+    Similarity.writeSemanticStore(base, dir, cells = 2, iters = 1)
+    // batch 1: one dup of base 0 (discarded) and one genuinely new
+    // direction (kept, appended)
+    val b1 = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.0f, 0.6f, 0.8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    Similarity.appendToSemanticStore(dir, b1, tau = 0.9)
+    // batch 2: a near-copy of batch 1's KEPT vector must now be
+    // flagged against it; a copy of the DISCARDED dup still matches
+    // the original base vector, not the dropped 10
+    val b2 = Seq(
+      (20L, Array(0.0f, 0.6f, 0.8f), 1),
+      (21L, Array(1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedupIncremental(dir, b2, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), if (r.isNullAt(4)) -1L else r.getLong(4))))
+      .toMap
+    assert(out(20L) == ((true, 11L)))
+    assert(out(21L) == ((true, 0L)))
+    // the store grew by exactly the kept row
+    val n = spark.read.parquet(dir + "/vectors").count()
+    assert(n == 3L)
+  }
+
   test("randomProject matches the documented md5 sign chain") {
     val e = Seq((0L, Array(1.0f, -2.0f, 0.5f), 0)).toDF(
       "vec_id", "embedding", "label")
