@@ -152,6 +152,71 @@ object Dedup {
        |FROM scored WHERE GREATEST(c12, c21) >= $tau
        |ORDER BY d1, d2""".stripMargin
 
+  /** Cross-SOURCE shingle-overlap matrix — the dedup diagnostic a
+    * multi-source corpus runs before mixing: for every source pair,
+    * how many distinct word-3-gram shingles they share and the
+    * Jaccard of their shingle sets (which feeds "these two crawls are
+    * the same site" / "this source is a re-scrape" decisions before
+    * any pairwise doc dedup is attempted).
+    *
+    * Scale shape: the frame is (source, shingle-hash) DISTINCT —
+    * dictionary-sized, not corpus-sized — and the self-join is an
+    * inverted index keyed by the 60-bit hash whose per-key occupancy
+    * is bounded by the SOURCE COUNT (≤ sources rows per shingle, so
+    * pairs per key ≤ sources², independent of corpus size). Output is
+    * sources² rows. Checkpointed before self-joining per the house
+    * rule; Jaccard is an exact-integer ratio, unrounded.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), TextFunctions.words(col("text")).as("ws"))
+      .select(col("source"), explode(expr(shingleArrExpr)).as("sh"))
+      .select(col("source"), expr(shingleHashExpr).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+        .hint("shuffle_hash"), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b"))
+        .hint("shuffle_hash"), "source_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")))
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sh AS (
+      |  SELECT source,
+      |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+      |  FROM (SELECT source, arr,
+      |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+      |        FROM (SELECT source,
+      |                regexp_split_to_array(trim(text), '\s+') AS arr
+      |              FROM documents) t0) t1),
+      |shh AS (
+      |  SELECT DISTINCT source,
+      |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM sh),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM shh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*) AS n_shared
+      |  FROM shh a JOIN shh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON source_a = sa.source
+      |JOIN sizes sb ON source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   val jaccardHistogramSql: String =
     """WITH words AS (
       |  SELECT DISTINCT doc_id, w FROM (

@@ -363,6 +363,7 @@ object Extensions {
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
     "dedup_jaccard_hist" -> (c => Dedup.jaccardHistogram(c.documents)),
     "dedup_containment" -> (c => Dedup.containmentPairs(c.documents, tau = 0.9)),
+    "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
@@ -511,6 +512,7 @@ object Extensions {
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_containment" -> Dedup.containmentPairsSql(tau = 0.9),
+    "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),

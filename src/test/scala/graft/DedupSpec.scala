@@ -38,6 +38,22 @@ class DedupSpec extends AnyFunSuite {
       sampleMod = 1).collect().map(_.toString)))
   }
 
+  test("sourceOverlap measures shared-shingle Jaccard per source pair") {
+    val d = Seq(
+      (0L, "one two three four five", "s1"),
+      (1L, "one two three four five", "s2"), // s2 = re-scrape of s1
+      (2L, "alpha beta gamma delta epsilon", "s3") // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    // identical text → identical 3-shingle sets: 3 shingles, J = 1.0
+    assert(out((
+      "s1", "s2")) == ((3L, 1.0)))
+    // disjoint sources never pair (inner join on shared hashes)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
   test("exact dedup keeps min doc_id per identical text") {
     val out = Dedup.exact(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
