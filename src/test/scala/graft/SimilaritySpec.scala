@@ -266,6 +266,35 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toString)))
   }
 
+  test("ensureSemanticStore rebuilds a partial (uncommitted) store") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // first ensure builds; a second ensure with the same content must
+    // reuse (same path, no rebuild marker change)
+    val p1 = Similarity.ensureSemanticStore(base, "partialspec", cells = 2,
+      iters = 1)
+    val stamp1 = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p1 + "/vectors/_SUCCESS"))
+      .getModificationTime
+    assert(Similarity.ensureSemanticStore(base, "partialspec", cells = 2,
+      iters = 1) == p1)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      p1 + "/vectors/_SUCCESS")).getModificationTime == stamp1)
+    // sabotage: delete one half's _SUCCESS — the completeness gate
+    // must refuse the partial and rebuild
+    fs.delete(new org.apache.hadoop.fs.Path(p1 + "/codebook/_SUCCESS"),
+      false)
+    assert(!Similarity.isCompleteSemanticStore(fs, p1))
+    val p2 = Similarity.ensureSemanticStore(base, "partialspec", cells = 2,
+      iters = 1)
+    assert(p2 == p1 && Similarity.isCompleteSemanticStore(fs, p2))
+  }
+
   test("appendToSemanticStore: later batches gate against appended keeps") {
     val base = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
