@@ -471,6 +471,8 @@ object Extensions {
     // embedding quantization / dimensionality reduction
     "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
     "sim_rp_topk" -> (c => Similarity.rpTopK(c.embeddings)),
+    "sim_pq_topk" -> (c => Quantize.pqTopK(c.embeddings)),
+    "sim_pq_recall" -> (c => Quantize.pqRecall(c.embeddings)),
     "sim_rp_recall" -> (c => Similarity.rpRecall(c.embeddings)),
     // time windows / events
     "events_tumbling" -> (c => EventOps.tumblingHourly(c.events)),
@@ -567,6 +569,8 @@ object Extensions {
     "text_perplexity_buckets" -> QualitySignals.perplexityBucketsSql(),
     "sim_quantize_int8" -> Quantize.int8StatsSql,
     "sim_rp_topk" -> Similarity.rpTopKSql(),
+    "sim_pq_topk" -> Quantize.pqTopKSql(),
+    "sim_pq_recall" -> Quantize.pqRecallSql(),
     "sim_rp_recall" -> Similarity.rpRecallSql(),
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,

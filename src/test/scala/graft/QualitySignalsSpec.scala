@@ -105,6 +105,30 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(out(2).getDouble(4) == 0.0 && out(2).getDouble(5) == 0.0)
   }
 
+  test("pqTopK: an exact copy of the query has ADC 0 and ranks first") {
+    // dims=4, m=2, k=2: seeds 0 and 1 are the codebook; vec 2 copies
+    // seed 0 exactly → its codes are (0, 0) and ADC(query 0 → 2) = 0
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0), // exact copy of 0
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f), 0)  // near 0 — codes (0,0) too
+    ).toDF("vec_id", "embedding", "label")
+    val out = Quantize.pqTopK(e, m = 2, k = 2, numQueries = 1, topK = 3,
+        dims = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.head == ((2L, 0L, 1))) // zero ADC, rank 1
+    // vec 3 shares vec 2's codes → identical ADC, tie → larger id next
+    assert(out(1)._1 == 3L && out(1)._2 == 0L)
+    // vec 1's codes differ → strictly positive ADC
+    assert(out(2)._1 == 1L && out(2)._2 > 0L)
+    // layout independence
+    val again = Quantize.pqTopK(e.repartition(5), m = 2, k = 2,
+      numQueries = 1, topK = 3, dims = 4).collect().map(_.toString)
+    assert(again.sameElements(Quantize.pqTopK(e, m = 2, k = 2,
+      numQueries = 1, topK = 3, dims = 4).collect().map(_.toString)))
+  }
+
   test("linearClassifier: score is the mean bucket weight, label its sign") {
     val d = Seq(
       (1L, "alpha beta alpha", "en", "s1", 16L),
