@@ -209,15 +209,30 @@ object Quantize {
   def pqRecall(emb: DataFrame, m: Int = 8, k: Int = 16,
       numQueries: Int = 10, topK: Int = 5, dims: Int = 64): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
-    val sub = emb.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"), col("col").cast("double").as("v"))
-    val q = sub.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
-    val exact = sub.join(broadcast(q), Seq("pos"))
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id").as("cid"))
-      .agg(expr("cast(floor(cast(sum(cast((v - qv) * (v - qv) " +
-        "as decimal(30,18))) as double) * 1e6 + 0.5) as bigint)").as("l2g"))
+    import graft.functions.VectorFunctions.decimal_dot
+    // exact side via the norm trick ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·c:
+    // each term is one decimal-exact fold cast to double ONCE, the
+    // combination is three IEEE ops the oracle mirrors verbatim, and
+    // the compiled decimal_dot kernel + broadcast query set replace
+    // the exploded (pos)-join — the corpus maps through in one pass
+    val n2e =
+      """cast(aggregate(
+        |  transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,18))),
+        |  CAST(0 AS DECIMAL(38,18)),
+        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) as double)""".stripMargin
+    val withN2 = emb.select(col("vec_id"), col("embedding"),
+      expr(n2e).as("n2"))
+    val queries = withN2.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val corpus = withN2.select(col("vec_id").as("cid"),
+      col("embedding").as("c_emb"), col("n2").as("c_n2"))
+    val exact = broadcast(queries)
+      .join(corpus, col("qid") =!= col("cid"))
+      .withColumn("l2g",
+        floor((col("q_n2") + col("c_n2") -
+          lit(2.0) * decimal_dot(col("q_emb"), col("c_emb"))) * lit(1e6) +
+          lit(0.5)).cast("bigint"))
       .withColumn("nscore", -(col("l2g").cast("double")))
       .groupBy("qid")
       .agg(top_k_by_score(struct(col("nscore"), col("cid")), topK).as("top"))
@@ -237,20 +252,30 @@ object Quantize {
       topK: Int = 5, dims: Int = 64): String =
     s"""WITH approx AS (
        |${pqTopKSql(m, k, numQueries, topK, dims)}
-       |), exact AS (
+       |), d2 AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |n2 AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS n2
+       |  FROM embeddings CROSS JOIN d2 GROUP BY 1),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN embeddings c
+       |    ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id
+       |  CROSS JOIN d2
+       |  GROUP BY 1, 2),
+       |exact AS (
        |  SELECT qid, cid FROM (
-       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        CAST(floor(CAST(SUM(CAST(
-       |          (CAST(c.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
-       |          * (CAST(c.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
-       |          AS DECIMAL(30,18)))
-       |          AS DOUBLE) * 1e6 + 0.5) AS BIGINT), c.vec_id) AS rk
-       |    FROM embeddings q
-       |    JOIN embeddings c
-       |      ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id
-       |    CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS i) dims
-       |    GROUP BY q.vec_id, c.vec_id) t
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        CAST(floor((nq.n2 + nc.n2 - 2.0 * dot) * 1e6 + 0.5)
+       |          AS BIGINT), cid) AS rk
+       |    FROM prod
+       |    JOIN n2 nq ON qid = nq.vec_id
+       |    JOIN n2 nc ON cid = nc.vec_id) t
        |  WHERE rk <= $topK)
        |SELECT e.qid, COUNT(*) AS k,
        |  CAST(COALESCE(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 END), 0)
