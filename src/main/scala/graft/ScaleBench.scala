@@ -151,7 +151,10 @@ object ScaleBench {
         "dedup_within_doc", "sample_shuffle", "text_repeated_ngrams",
         "dedup_spans", "dedup_keep_best_store", "sim_semantic_dedup",
         "text_bm25_topk", "pipeline_dsir_select",
-        "text_gopher_rules", "text_perplexity_buckets", "sim_rp_topk")
+        "text_gopher_rules", "text_perplexity_buckets", "sim_rp_topk",
+        // stats_quantiles_rank reads LINEITEM — it ladders in the tpch
+        // section's amplified dirs, never the corpus ones
+        "sim_pq_topk", "dedup_source_overlap")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

@@ -1598,6 +1598,65 @@ object Dedup {
        |FROM lbl l JOIN csize c USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Train/valid/test SPLIT-LEAKAGE report — the eval-hygiene check a
+    * pipeline runs before shipping splits: near-duplicate documents
+    * that land in different splits leak training data into eval (the
+    * contamination mechanism Lee et al. arXiv:2107.06499 §6.2 measure
+    * — deduplicated eval sets change reported perplexities). Joins
+    * the production LSH cluster map ([[clustersLshMd5]]) with the
+    * deterministic split assignment ([[Sampling.stratifiedSample]]'s
+    * salted-md5 permille buckets, applied UNSAMPLED so every
+    * clustered doc has a split) and reports, per multi-member
+    * cluster, its split census and a leaky flag.
+    *
+    * Scale shape: cluster map + one hash-agg keyed on cluster_id
+    * with conditional-count partials (no windows — the r9 resolution
+    * convention); `count(distinct split)` expands over a 3-value
+    * domain, so the distinct aggregation is bounded. At 100 TB the
+    * cluster map comes from the persisted store
+    * ([[ensureClusterMap]]) rather than being recomputed.
+    */
+  def splitLeakage(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
+    val spl = Sampling.hashBucket("spl:", col("doc_id"))
+    val splits = docs.select(col("doc_id"),
+      when(spl < 800, "train").when(spl < 900, "valid").otherwise("test")
+        .as("split"))
+    clustersLshMd5(docs, sampleMod)
+      .filter(col("cluster_size") > 1)
+      .join(splits.hint("shuffle_hash"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(first(col("cluster_size")).as("cluster_size"),
+        sum(Kernels.indicator(col("split") === "train")).as("n_train"),
+        sum(Kernels.indicator(col("split") === "valid")).as("n_valid"),
+        sum(Kernels.indicator(col("split") === "test")).as("n_test"),
+        (countDistinct(col("split")) > 1).cast("int").as("leaky"))
+      .orderBy("cluster_id")
+  }
+
+  def splitLeakageSql(sampleMod: Int = 2): String =
+    s"""WITH RECURSIVE ${clusterLshLblCtes(sampleMod)},
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${Sampling.hashBucketSql("spl:", "doc_id")} < 800
+       |           THEN 'train'
+       |         WHEN ${Sampling.hashBucketSql("spl:", "doc_id")} < 900
+       |           THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT l.cluster_id, c.cluster_size,
+       |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_train,
+       |  CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_valid,
+       |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_test,
+       |  CAST(COUNT(DISTINCT split) > 1 AS INTEGER) AS leaky
+       |FROM lbl l
+       |JOIN csize c USING (cluster_id)
+       |JOIN spl USING (doc_id)
+       |WHERE c.cluster_size > 1
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** CTE chain md5-LSH candidates → recursive components → `lbl`
     * (doc_id, cluster_id) + `csize` — shared by [[clustersLshMd5Sql]]
     * and [[keepBestSql]] so the component formulation can never

@@ -364,6 +364,7 @@ object Extensions {
     "dedup_jaccard_hist" -> (c => Dedup.jaccardHistogram(c.documents)),
     "dedup_containment" -> (c => Dedup.containmentPairs(c.documents, tau = 0.9)),
     "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
+    "dedup_split_leakage" -> (c => Dedup.splitLeakage(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
@@ -515,6 +516,7 @@ object Extensions {
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_containment" -> Dedup.containmentPairsSql(tau = 0.9),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
+    "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),

@@ -38,6 +38,35 @@ class DedupSpec extends AnyFunSuite {
       sampleMod = 1).collect().map(_.toString)))
   }
 
+  test("splitLeakage flags duplicate clusters spanning splits") {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+    def spl(id: Long): String = {
+      val b = h60("spl:" + id) % 1000
+      if (b < 800) "train" else if (b < 900) "valid" else "test"
+    }
+    // find a cross-split pair and a same-split pair deterministically
+    val ids = (0L until 200L)
+    val crossPair = ids.combinations(2)
+      .find { case Seq(a, b) => spl(a) != spl(b) }.get
+    val samePair = ids.combinations(2)
+      .find { case Seq(a, b) =>
+        spl(a) == spl(b) && !crossPair.contains(a) && !crossPair.contains(b)
+      }.get
+    val txtA = "the quick brown fox jumps over the lazy dog again and again"
+    val txtB = "completely different words about spark engines at scale now"
+    val d = (crossPair.map((_, txtA)) ++ samePair.map((_, txtB)) ++
+      Seq((999L, "a lone singleton document with its own unique words")))
+      .toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(d, sampleMod = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(5))).toMap
+    assert(out(crossPair.min) == ((2L, 1))) // spans splits → leaky
+    assert(out(samePair.min) == ((2L, 0))) // same split → clean
+    assert(!out.contains(999L)) // singletons can't leak
+  }
+
   test("sourceOverlap measures shared-shingle Jaccard per source pair") {
     val d = Seq(
       (0L, "one two three four five", "s1"),
