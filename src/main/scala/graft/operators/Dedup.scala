@@ -1616,12 +1616,22 @@ object Dedup {
     * cluster map comes from the persisted store
     * ([[ensureClusterMap]]) rather than being recomputed.
     */
-  def splitLeakage(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
+  def splitLeakage(docs: DataFrame, sampleMod: Int = 2): DataFrame =
+    splitLeakageFromClusters(docs, clustersLshMd5(docs, sampleMod))
+
+  /** [[splitLeakage]] fed from an existing cluster map — the
+    * production shape: the map comes from the persisted store
+    * ([[ensureClusterMap]]/[[readClusterMap]]), so the leakage audit
+    * never re-runs the clustering (the [[keepBestFromStore]]
+    * discipline).
+    */
+  def splitLeakageFromClusters(docs: DataFrame,
+      clusterMap: DataFrame): DataFrame = {
     val spl = Sampling.hashBucket("spl:", col("doc_id"))
     val splits = docs.select(col("doc_id"),
       when(spl < 800, "train").when(spl < 900, "valid").otherwise("test")
         .as("split"))
-    clustersLshMd5(docs, sampleMod)
+    clusterMap
       .filter(col("cluster_size") > 1)
       .join(splits.hint("shuffle_hash"), "doc_id")
       .groupBy("cluster_id")

@@ -65,6 +65,11 @@ class DedupSpec extends AnyFunSuite {
     assert(out(crossPair.min) == ((2L, 1))) // spans splits → leaky
     assert(out(samePair.min) == ((2L, 0))) // same split → clean
     assert(!out.contains(999L)) // singletons can't leak
+    // store-fed form over the same map is identical
+    val viaMap = Dedup.splitLeakageFromClusters(d,
+      Dedup.clustersLshMd5(d, sampleMod = 1)).collect().map(_.toString)
+    assert(viaMap.sameElements(
+      Dedup.splitLeakage(d, sampleMod = 1).collect().map(_.toString)))
   }
 
   test("sourceOverlap measures shared-shingle Jaccard per source pair") {
