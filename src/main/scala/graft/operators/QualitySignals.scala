@@ -514,6 +514,136 @@ object QualitySignals {
        |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Persisted unigram-LM store + OOV-aware batch scoring
+  // ---------------------------------------------------------------
+
+  /** Persist a unigram LM trained on a BASE corpus — the vocabulary
+    * with 1e9-grid log-probs (`vocab/`: w, lps) and a 1-row `meta/`
+    * (total token count) — so later batches score against an ARTIFACT
+    * instead of re-aggregating the base every ingest (the
+    * signature/semantic-store discipline applied to the LM-scoring
+    * family; CCNet ships exactly this shape — a frozen wiki LM scoring
+    * each crawl snapshot). Atomic temp+rename publish.
+    */
+  def writeLmStore(baseDocs: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    val w = baseDocs
+      .select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = vocab.agg(sum("c").as("total"))
+    vocab.crossJoin(broadcast(tot))
+      .withColumn("lps",
+        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
+          lit(0.5)).cast("bigint"))
+      .select("w", "lps")
+      .write.parquet(tmp.toString + "/vocab")
+    tot.write.parquet(tmp.toString + "/meta")
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  def isCompleteLmStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/vocab/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path + "/meta/_SUCCESS"))
+
+  /** Build-once helper (content-fingerprint path keying +
+    * completeness gate — the ensure* discipline). EAGER by documented
+    * design. */
+  def ensureLmStore(baseDocs: DataFrame, tag: String): String = {
+    val fp = baseDocs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_lmstore_${tag}_${fp.getLong(0)}_${fp.getLong(1)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteLmStore(fs, path)) writeLmStore(baseDocs, path)
+    path
+  }
+
+  /** Score a document batch against a PERSISTED unigram LM — the
+    * per-ingest fluency gate: vocabulary broadcast (MBs at any corpus
+    * size), the batch never shuffles beyond its per-doc aggregate,
+    * and per-batch cost is independent of the base the LM was trained
+    * on. Out-of-vocabulary tokens — which cannot occur in the
+    * self-trained [[unigramLm]] but are the NORMAL case against a
+    * frozen store — take the unseen-mass log-prob `ln(1/(total+1))`
+    * (add-one style), so every token contributes a finite exact grid
+    * value and the per-doc NLL stays an exact-integer ratio. Emits
+    * doc_id, token and OOV counts, and the unrounded per-token NLL.
+    */
+  def scoreAgainstLmStore(storePath: String, docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val lm = spark.read.parquet(s"$storePath/vocab")
+    val meta = spark.read.parquet(s"$storePath/meta")
+      .withColumn("oov_lps",
+        floor(log(lit(1.0) / (col("total").cast("double") + 1)) * lit(1e9) +
+          lit(0.5)).cast("bigint"))
+    val w = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    w.join(broadcast(lm), Seq("w"), "left")
+      .crossJoin(broadcast(meta.select("oov_lps")))
+      .select(col("doc_id"),
+        col("lps").isNull.cast("int").as("oov"),
+        coalesce(col("lps"), col("oov_lps")).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum("oov").cast("bigint").as("n_oov"),
+        sum("t").as("s"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (-(col("s").cast("double")) / col("n_tok") / lit(1e9)).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for the driver's store-scoring entry: the LM
+    * trained on the base 4/5 of doc_ids (the exact-integer threshold
+    * split both engines derive identically), the remaining 1/5 scored
+    * with the same OOV rule.
+    */
+  def lmStoreScoreSql: String =
+    """WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+      |bw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents, thr WHERE doc_id < t)
+      |  WHERE w <> ''),
+      |vocab AS (SELECT w, COUNT(*) AS c FROM bw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+      |lp AS (
+      |  SELECT w,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
+      |      AS lps
+      |  FROM vocab, tot),
+      |oov AS (
+      |  SELECT CAST(floor(ln(1.0 / (CAST(total AS DOUBLE) + 1)) * 1e9
+      |    + 0.5) AS BIGINT) AS oov_lps FROM tot),
+      |dw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents, thr WHERE doc_id >= t)
+      |  WHERE w <> ''),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lps IS NULL THEN 1 ELSE 0 END AS oovf,
+      |    COALESCE(lps, oov_lps) AS t
+      |  FROM dw LEFT JOIN lp USING (w) CROSS JOIN oov)
+      |SELECT doc_id, COUNT(*) AS n_tok,
+      |  CAST(SUM(oovf) AS BIGINT) AS n_oov,
+      |  -CAST(SUM(t) AS DOUBLE) / COUNT(*) / 1e9 AS nll
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   // CCNet perplexity bucketing (head / middle / tail)
   // ---------------------------------------------------------------
 

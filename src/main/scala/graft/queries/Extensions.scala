@@ -468,6 +468,19 @@ object Extensions {
     "text_pii_redact" -> (c => QualitySignals.piiRedact(c.documents)),
     "text_quality_classifier" -> (c => QualitySignals.linearClassifier(c.documents)),
     "text_gopher_rules" -> (c => QualitySignals.gopherRules(c.documents)),
+    // frozen-LM scoring: LM trained once on the base 4/5 of doc_ids
+    // (persisted store, reused), the remaining 1/5 scored against it
+    // with the add-one OOV rule - the CCNet frozen-wiki-LM shape
+    "text_lm_store_score" -> (c => {
+      val thr = c.documents.agg(expr("(max(doc_id) * 4) div 5").as("t"))
+      val base = c.documents.crossJoin(broadcast(thr))
+        .filter(col("doc_id") < col("t")).drop("t")
+      val delta = c.documents.crossJoin(broadcast(thr))
+        .filter(col("doc_id") >= col("t")).drop("t")
+      val store = QualitySignals.ensureLmStore(base,
+        new java.io.File(c.dir).getName + "_lmstore")
+      QualitySignals.scoreAgainstLmStore(store, delta)
+    }),
     "text_perplexity_buckets" -> (c => QualitySignals.perplexityBuckets(c.documents)),
     // embedding quantization / dimensionality reduction
     "sim_quantize_int8" -> (c => Quantize.int8Stats(c.embeddings)),
@@ -568,6 +581,7 @@ object Extensions {
     "text_pii_redact" -> QualitySignals.piiRedactSql,
     "text_quality_classifier" -> QualitySignals.linearClassifierSql(),
     "text_gopher_rules" -> QualitySignals.gopherRulesSql(),
+    "text_lm_store_score" -> QualitySignals.lmStoreScoreSql,
     "text_perplexity_buckets" -> QualitySignals.perplexityBucketsSql(),
     "sim_quantize_int8" -> Quantize.int8StatsSql,
     "sim_rp_topk" -> Similarity.rpTopKSql(),

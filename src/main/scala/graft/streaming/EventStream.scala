@@ -184,6 +184,31 @@ object EventStream {
     q
   }
 
+  /** Streaming fluency scoring against a PERSISTED unigram LM
+    * ([[graft.operators.QualitySignals.writeLmStore]]) — each
+    * micro-batch of ingested documents scores against the frozen
+    * store (vocabulary broadcast per batch, add-one OOV rule), the
+    * CCNet frozen-reference-LM gate streamed. Verdicts depend only on
+    * the doc's own tokens vs the store, so output is independent of
+    * micro-batch boundaries; sink is the idempotent `batch=<id>`
+    * overwrite discipline.
+    */
+  def lmScoreStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.QualitySignals
+          .scoreAgainstLmStore(storePath, batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming incremental near-dup gate against a PERSISTED base
     * signature store ([[graft.operators.Dedup.writeSignatureStore]])
     * — the streaming composition of the store-backed batch path: each

@@ -105,6 +105,35 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(out(2).getDouble(4) == 0.0 && out(2).getDouble(5) == 0.0)
   }
 
+  test("scoreAgainstLmStore: OOV tokens take the add-one unseen mass") {
+    val base = Seq(
+      // counts: alpha 2, beta 2, total 4 → p = 1/2 each
+      (0L, "alpha alpha beta", "en", "s1", 0L),
+      (1L, "beta", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("lmstore").toString + "/lm"
+    QualitySignals.writeLmStore(base, dir)
+    val delta = Seq(
+      (10L, "alpha beta", "en", "s1", 0L),  // fully in-vocab
+      (11L, "alpha zeta", "en", "s1", 0L)   // one OOV token
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = QualitySignals.scoreAgainstLmStore(dir, delta).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // base totals: alpha 2, beta 2, total 4
+    def g(p: Double) = math.floor(math.log(p) * 1e9 + 0.5)
+    assert(out(10L) == ((2L, 0L, -(g(0.5) + g(0.5)) / 2 / 1e9)))
+    // zeta is OOV → ln(1/(4+1))
+    assert(out(11L) == ((2L, 1L, -(g(0.5) + g(1.0 / 5)) / 2 / 1e9)))
+    // layout independence
+    val again = QualitySignals
+      .scoreAgainstLmStore(dir, delta.repartition(4))
+      .collect().map(_.toString)
+    assert(again.sameElements(QualitySignals
+      .scoreAgainstLmStore(dir, delta).collect().map(_.toString)))
+  }
+
   test("pqTopK: an exact copy of the query has ADC 0 and ranks first") {
     // dims=4, m=2, k=2: seeds 0 and 1 are the codebook; vec 2 copies
     // seed 0 exactly → its codes are (0, 0) and ADC(query 0 → 2) = 0

@@ -161,6 +161,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring matches the store-fed batch path") {
+    import graft.operators.QualitySignals
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_stream")
+    val store = tmp.resolve("lm").toString
+    val deltaDir = tmp.resolve("delta").toString
+    val outDir = tmp.resolve("out").toString
+    QualitySignals.writeLmStore(base, store)
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.lmScoreStream(
+      EventStream.readDocuments(spark, deltaDir), store, outDir,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = spark.read.parquet(outDir).drop("batch")
+        .collect().map(_.toString).sorted
+      val batch = QualitySignals.scoreAgainstLmStore(store, delta)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mid-stream store appends reach the bloom gate (stamp re-resolution)") {
     import graft.operators.Dedup
     val docs = Ctx(spark, sfDir).documents
