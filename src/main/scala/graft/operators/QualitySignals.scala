@@ -525,28 +525,60 @@ object QualitySignals {
     * family; CCNet ships exactly this shape — a frozen wiki LM scoring
     * each crawl snapshot). Atomic temp+rename publish.
     */
-  def writeLmStore(baseDocs: DataFrame, path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
-    fs.delete(tmp, true)
-    val w = baseDocs
+  def writeLmStore(baseDocs: DataFrame, path: String): Unit =
+    publishLm(docWordCounts(baseDocs), path)
+
+  /** Token counts of a document frame — the LM store's additive unit. */
+  private def docWordCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
-    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Normalize a vocabulary-count frame into the published store
+    * layout (`vocab/`: w, c, lps on the 1e9 grid; `meta/`: total) —
+    * shared by [[writeLmStore]] and [[appendToLmStore]] so the two
+    * paths can never diverge. Atomic temp+rename.
+    */
+  private def publishLm(vocabCounts: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      vocabCounts.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    // EAGER checkpoint is load-bearing on the append path: the merged
+    // counts READ the store being replaced, so they must be fully
+    // materialized before the delete+rename below touches it
+    val vocab = vocabCounts.localCheckpoint()
     val tot = vocab.agg(sum("c").as("total"))
     vocab.crossJoin(broadcast(tot))
       .withColumn("lps",
         floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
           lit(0.5)).cast("bigint"))
-      .select("w", "lps")
+      .select("w", "c", "lps")
       .write.parquet(tmp.toString + "/vocab")
     tot.write.parquet(tmp.toString + "/meta")
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** Fold a batch's token counts into the persisted LM — counts are
+    * ADDITIVE, but every log-prob must renormalize because the total
+    * changed, so (unlike the signature store's directory-level
+    * append) the append REPUBLISHES the store from merged counts.
+    * That is cheap by construction: the vocabulary is
+    * dictionary-sized (MBs at any corpus scale) and the only
+    * batch-sized work is the batch's own count aggregation.
+    * Spec-checked law: append(base, batch) ≡ writeLmStore over
+    * base ∪ batch, bit-for-bit.
+    */
+  def appendToLmStore(storePath: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val merged = spark.read.parquet(s"$storePath/vocab").select("w", "c")
+      .unionAll(docWordCounts(batch))
+      .groupBy("w").agg(sum("c").as("c"))
+    publishLm(merged, storePath)
   }
 
   def isCompleteLmStore(fs: org.apache.hadoop.fs.FileSystem,

@@ -134,6 +134,30 @@ class QualitySignalsSpec extends AnyFunSuite {
       .scoreAgainstLmStore(dir, delta).collect().map(_.toString)))
   }
 
+  test("appendToLmStore ≡ a fresh store over the union") {
+    val base = Seq((0L, "alpha alpha beta", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq((1L, "beta gamma gamma gamma", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lmappend")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    QualitySignals.writeLmStore(base, grown)
+    QualitySignals.appendToLmStore(grown, batch)
+    QualitySignals.writeLmStore(base.unionAll(batch), fresh)
+    val probe = Seq((10L, "alpha beta gamma zeta", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = QualitySignals.scoreAgainstLmStore(grown, probe)
+      .collect().map(_.toString)
+    val b = QualitySignals.scoreAgainstLmStore(fresh, probe)
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+    // and the OOV mass moved: gamma is now in-vocab, zeta still OOV
+    val row = QualitySignals.scoreAgainstLmStore(grown, probe)
+      .collect().head
+    assert(row.getLong(2) == 1L) // exactly one OOV token (zeta)
+  }
+
   test("pqTopK: an exact copy of the query has ADC 0 and ranks first") {
     // dims=4, m=2, k=2: seeds 0 and 1 are the codebook; vec 2 copies
     // seed 0 exactly → its codes are (0, 0) and ADC(query 0 → 2) = 0
