@@ -365,6 +365,62 @@ object CorpusPipeline {
     * 10^10 docs with 10^6-doc blocks the sequential step sees 10^4
     * rows; everything corpus-sized stays parallel.
     */
+  /** Sliding-window document CHUNKING — the RAG/embedding-ingestion
+    * segmentation: each document splits into word chunks of
+    * `chunkLen` tokens advancing by `stride` (overlap =
+    * chunkLen − stride preserves context across boundaries), the
+    * shape every retrieval corpus build runs before embedding. Pure
+    * map: chunk starts come from one `sequence` per row, chunk text
+    * from a `slice`+`concat_ws` HOF chain — ZERO shuffles at any
+    * corpus size (the output orderBy is the only exchange), no
+    * explode of token rows (the token array never leaves its row).
+    * Tail rule: the last chunk starts at the final stride position
+    * with at least one token, so every token lands in ≥1 chunk and
+    * short documents yield exactly one chunk. The chunk text is
+    * emitted as md5 (exact cross-engine string check without shipping
+    * the text twice) alongside its token count and span.
+    */
+  def chunkDocuments(docs: DataFrame, chunkLen: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen)
+    docs
+      .select(col("doc_id"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(
+          s"sequence(0, greatest(cast(ceil((size(ws) - $chunkLen) " +
+            s"/ cast($stride as double)) as int), 0))")).as("ci"))
+      .select(col("doc_id"), col("ci").cast("bigint").as("chunk_id"),
+        (col("ci") * stride).cast("bigint").as("start_tok"),
+        expr(s"slice(ws, ci * $stride + 1, $chunkLen)").as("cw"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("cw")).cast("bigint").as("n_tok"),
+        md5(expr("concat_ws(' ', cw)")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkDocumentsSql(chunkLen: Int = 32, stride: Int = 24): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |nz AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+       |ch AS (
+       |  SELECT doc_id, ws,
+       |    UNNEST(range(0, GREATEST(CAST(ceil((len(ws) - $chunkLen)
+       |      / CAST($stride AS DOUBLE)) AS INTEGER), 0) + 1)) AS ci
+       |  FROM nz)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  CAST(ci * $stride AS BIGINT) AS start_tok,
+       |  CAST(len(ws[ci * $stride + 1 : ci * $stride + $chunkLen])
+       |       AS BIGINT) AS n_tok,
+       |  md5(list_aggregate(ws[ci * $stride + 1 : ci * $stride + $chunkLen],
+       |      'string_agg', ' ')) AS chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
       blockSize: Long = 1000L): DataFrame = {
     require(seqLen > 0 && blockSize > 0)

@@ -416,6 +416,7 @@ object Extensions {
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
+    "pipeline_chunk_documents" -> (c => CorpusPipeline.chunkDocuments(c.documents)),
     "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     "pipeline_bpe_encode" -> (c => CorpusPipeline.bpeEncode(c.documents)),
     "pipeline_curate" -> (c => CorpusPipeline.curate(c.documents)),
@@ -551,6 +552,7 @@ object Extensions {
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
+    "pipeline_chunk_documents" -> CorpusPipeline.chunkDocumentsSql(),
     "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "pipeline_bpe_encode" -> CorpusPipeline.bpeEncodeSql(),
     "pipeline_curate" -> CorpusPipeline.curateSql(),

@@ -236,4 +236,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("chunkDocuments: every token covered, overlap and tail laws hold") {
+    val d = Seq(
+      (0L, Seq.tabulate(40)(i => s"w$i").mkString(" ")), // 40 tokens
+      (1L, "just three tokens"),                         // short → 1 chunk
+      (2L, Seq.tabulate(32)(i => s"x$i").mkString(" "))  // exactly chunkLen
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.chunkDocuments(d, chunkLen = 32, stride = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 0 (40 toks): chunk 0 covers 1..32, chunk 1 starts at 24 and
+    // holds the remaining 16 — overlap of 8 tokens, full coverage
+    assert(out((0L, 0L)) == ((0L, 32L)))
+    assert(out((0L, 1L)) == ((24L, 16L)))
+    assert(!out.contains((0L, 2L)))
+    // short and exact-length docs yield exactly one chunk each
+    assert(out((1L, 0L)) == ((0L, 3L)) && !out.contains((1L, 1L)))
+    assert(out((2L, 0L)) == ((0L, 32L)) && !out.contains((2L, 1L)))
+    // the chunk text hash matches a direct reconstruction
+    val md5s = CorpusPipeline.chunkDocuments(d, 32, 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5s((0L, 1L)) ==
+      m((24 until 40).map(i => s"w$i").mkString(" ")))
+  }
 }
