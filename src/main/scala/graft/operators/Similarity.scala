@@ -1412,6 +1412,83 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Hard-negative mining (contrastive-training pair construction)
+  // ---------------------------------------------------------------
+
+  /** HARD-NEGATIVE mining — for each query vector, the k most
+    * cosine-similar corpus vectors carrying a DIFFERENT label: the
+    * near-miss pairs contrastive/embedding training runs on (easy
+    * random negatives teach nothing; the highest-similarity wrong-
+    * label neighbors carry the gradient — the standard dense-retrieval
+    * recipe, e.g. Xiong et al. ANCE, arXiv:2007.00808). Same
+    * decimal-exact scored-pair + bounded-heap shape as
+    * [[cosineTopKAgg]] with the wrong-label predicate in the join;
+    * the negative labels come back via a broadcast of the k·queries
+    * result rows against the label table — the corpus never shuffles.
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    import graft.functions.VectorFunctions.decimal_dot
+    val withN = withNorm(embeddings)
+    val queries = withN.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = withN.select(col("vec_id").as("cid"),
+      col("label").as("c_label"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val top = broadcast(queries)
+      .join(corpus,
+        col("qid") =!= col("cid") && col("q_label") =!= col("c_label"))
+      .withColumn("cosine",
+        round(decimal_dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy("qid", "q_label")
+      .agg(top_k_by_score(struct(col("cosine"), col("cid")), k).as("top"))
+      .select(col("qid"), col("q_label"), posexplode(col("top")))
+      .select(col("qid"), col("q_label"), col("col.id").as("cid"),
+        col("col.score").as("cosine"), (col("pos") + 1).as("rk"))
+    embeddings.select(col("vec_id").as("cid"), col("label").as("c_label"))
+      .join(broadcast(top), Seq("cid"))
+      .select("qid", "q_label", "cid", "c_label", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  def hardNegativesSql(numQueries: Int = 10, k: Int = 5,
+      dims: Int = 64): String =
+    s"""WITH dims AS (SELECT UNNEST(range(1, ${dims + 1})) AS i),
+       |norms AS (
+       |  SELECT vec_id,
+       |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+       |  FROM embeddings CROSS JOIN dims GROUP BY 1),
+       |prod AS (
+       |  SELECT q.vec_id AS qid, q.label AS q_label,
+       |    c.vec_id AS cid, c.label AS c_label,
+       |    CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+       |             AS DECIMAL(30,18))) AS DOUBLE) AS dot
+       |  FROM embeddings q
+       |  JOIN embeddings c
+       |    ON q.vec_id < $numQueries AND q.vec_id <> c.vec_id
+       |    AND q.label <> c.label
+       |  CROSS JOIN dims
+       |  GROUP BY 1, 2, 3, 4),
+       |cosd AS (
+       |  SELECT qid, q_label, cid, c_label,
+       |    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |  FROM prod
+       |  JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (
+       |  SELECT qid, q_label, cid, c_label, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cid) AS rk
+       |  FROM cosd)
+       |SELECT qid, q_label, cid, c_label, cosine, rk
+       |FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------
   // Sign random projection (Johnson–Lindenstrauss dimensionality cut)
   // ---------------------------------------------------------------
 

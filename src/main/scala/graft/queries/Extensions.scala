@@ -452,6 +452,7 @@ object Extensions {
     "sim_ivf_kmeans_exact" -> (c => Similarity.ivfKmeansTopKExact(c.embeddings)),
     "sim_label_centroids" -> (c => Similarity.labelCentroidsFlat(c.embeddings)),
     "sim_knn_classify" -> (c => Similarity.knnClassify(c.embeddings)),
+    "sim_hard_negatives" -> (c => Similarity.hardNegatives(c.embeddings)),
     "sim_decontaminate" -> (c => Similarity.semanticDecontaminate(c.embeddings)),
     "sample_mix_epochs" -> (c => Sampling.mixEpochs(c.documents)),
     // text analysis
@@ -568,6 +569,7 @@ object Extensions {
     "sim_cosine_topk_window" -> Similarity.cosineTopKSql(),
     "sim_label_centroids" -> Similarity.labelCentroidsFlatSql(),
     "sim_knn_classify" -> Similarity.knnClassifySql(),
+    "sim_hard_negatives" -> Similarity.hardNegativesSql(),
     "sim_decontaminate" -> Similarity.semanticDecontaminateSql(),
     "sample_mix_epochs" -> Sampling.mixEpochsSql(),
     "text_stats" -> TextAnalysis.statsSql,

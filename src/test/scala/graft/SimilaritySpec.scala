@@ -328,6 +328,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n == 3L)
   }
 
+  test("hardNegatives excludes same-label vectors however similar") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // query
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),  // identical but SAME label
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),  // near + wrong label → top neg
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),  // orthogonal wrong label
+      (4L, Array(0.8f, 0.2f, 0.0f), 2)   // near + wrong label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(e, numQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(2), r.getInt(3), r.getInt(5))) // cid,c_label,rk
+    // the identical same-label vector 1 never appears
+    assert(!out.exists(_._1 == 1L))
+    // negatives ranked by similarity: 2 (cos .994) > 4 (.970) > 3 (0)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 3L))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    // labels come back correctly from the join-back
+    assert(out.map(_._2).toSeq == Seq(1, 2, 1))
+  }
+
   test("randomProject matches the documented md5 sign chain") {
     val e = Seq((0L, Array(1.0f, -2.0f, 0.5f), 0)).toDF(
       "vec_id", "embedding", "label")
