@@ -154,7 +154,8 @@ object ScaleBench {
         "text_gopher_rules", "text_perplexity_buckets", "sim_rp_topk",
         // stats_quantiles_rank reads LINEITEM — it ladders in the tpch
         // section's amplified dirs, never the corpus ones
-        "sim_pq_topk", "dedup_source_overlap")
+        "sim_pq_topk", "dedup_source_overlap", "pipeline_chunk_documents",
+        "text_lm_store_score", "sim_hard_negatives")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

@@ -329,6 +329,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastNestedLoopJoin").length <= 7, p)
   }
 
+  test("chunking: pure map — no exchange before the output sort, no joins") {
+    val p = planOf(graft.operators.CorpusPipeline
+      .chunkDocuments(ctx.documents))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // the only exchange is the presentation orderBy's range partition
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("hard negatives: broadcast scored pairs + bounded heap, no SMJ/window") {
+    val p = planOf(graft.operators.Similarity.hardNegatives(ctx.embeddings))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("top_k_by_score"), p)
+  }
+
   test("gopher rules: one corpus shuffle on doc_id, no windows, no joins") {
     val p = planOf(graft.operators.QualitySignals.gopherRules(ctx.documents))
     assert(!p.contains("Window"), p)
