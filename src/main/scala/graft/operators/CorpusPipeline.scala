@@ -421,6 +421,69 @@ object CorpusPipeline {
        |      'string_agg', ' ')) AS chunk_md5
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** RAG-ingestion pipeline — the round-9 operators composed into one
+    * lazy DAG: documents pass the Gopher rule gate
+    * ([[QualitySignals.gopherRules]], default thresholds), survivors
+    * split into sliding-window chunks ([[chunkDocuments]]), and the
+    * shipped inventory is reported per source (chunks, token mass,
+    * distinct documents) — the shape a retrieval corpus build runs
+    * before embedding. The gate is a semi-join on doc_id (the rule
+    * signals never ride the chunk pass); everything stays declarative
+    * until the final per-source aggregate.
+    */
+  def ragIngest(docs: DataFrame, chunkLen: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val kept = QualitySignals.gopherRules(docs)
+      .filter(col("kept") === 1).select("doc_id")
+    val gated = docs.join(kept.hint("shuffle_hash"), Seq("doc_id"),
+      "left_semi")
+    chunkDocuments(gated, chunkLen, stride)
+      .join(docs.select(col("doc_id"), col("source"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tok").as("total_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("source")
+  }
+
+  def ragIngestSql(chunkLen: Int = 32, stride: Int = 24): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, UNNEST(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(w)) AS BIGINT) AS n_word_chars,
+       |    CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       |    CAST(SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS stop_hits
+       |  FROM w GROUP BY doc_id),
+       |kept AS (
+       |  SELECT doc_id FROM sig
+       |  WHERE n_words >= 25 AND n_words <= 100000
+       |    AND CAST(n_word_chars AS DOUBLE) / n_words >= 3.0
+       |    AND CAST(n_word_chars AS DOUBLE) / n_words <= 4.5
+       |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+       |    AND stop_hits >= 2),
+       |t AS (
+       |  SELECT d.doc_id, d.source,
+       |    list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents d JOIN kept USING (doc_id)),
+       |nz AS (SELECT doc_id, source, ws FROM t WHERE len(ws) > 0),
+       |ch AS (
+       |  SELECT doc_id, source, ws,
+       |    UNNEST(range(0, GREATEST(CAST(ceil((len(ws) - $chunkLen)
+       |      / CAST($stride AS DOUBLE)) AS INTEGER), 0) + 1)) AS ci
+       |  FROM nz)
+       |SELECT source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(len(ws[ci * $stride + 1 : ci * $stride + $chunkLen]))
+       |       AS BIGINT) AS total_tokens,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ch GROUP BY source ORDER BY source""".stripMargin
+
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
       blockSize: Long = 1000L): DataFrame = {
     require(seqLen > 0 && blockSize > 0)

@@ -417,6 +417,7 @@ object Extensions {
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
     "pipeline_pack_sequences" -> (c => CorpusPipeline.packSequences(c.documents)),
     "pipeline_chunk_documents" -> (c => CorpusPipeline.chunkDocuments(c.documents)),
+    "pipeline_rag_ingest" -> (c => CorpusPipeline.ragIngest(c.documents)),
     "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     "pipeline_bpe_encode" -> (c => CorpusPipeline.bpeEncode(c.documents)),
     "pipeline_curate" -> (c => CorpusPipeline.curate(c.documents)),
@@ -554,6 +555,7 @@ object Extensions {
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),
     "pipeline_pack_sequences" -> CorpusPipeline.packSequencesSql(),
     "pipeline_chunk_documents" -> CorpusPipeline.chunkDocumentsSql(),
+    "pipeline_rag_ingest" -> CorpusPipeline.ragIngestSql(),
     "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "pipeline_bpe_encode" -> CorpusPipeline.bpeEncodeSql(),
     "pipeline_curate" -> CorpusPipeline.curateSql(),

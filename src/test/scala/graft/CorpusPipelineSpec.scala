@@ -237,6 +237,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("ragIngest gates with gopher rules before chunking") {
+    val pass = "the a " + Seq.fill(40)("abcd").mkString(" ") // 42 words, passes
+    val fail = "too short" // fails min-words
+    val d = Seq(
+      (0L, pass, "en", "sA", 0L),
+      (1L, fail, "en", "sB", 0L),
+      (2L, pass, "en", "sA", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.ragIngest(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // sB's only doc fails the gate → absent; sA ships 2 docs, each 42
+    // tokens → 2 chunks apiece (32 + tail 18 at stride 24)
+    assert(!out.contains("sB"))
+    assert(out("sA") == ((4L, (32L + 18L) * 2, 2L)))
+  }
+
   test("chunkDocuments: every token covered, overlap and tail laws hold") {
     val d = Seq(
       (0L, Seq.tabulate(40)(i => s"w$i").mkString(" ")), // 40 tokens
