@@ -93,7 +93,7 @@ object ScaleBench {
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
-        "seminc,globalrank")
+        "seminc,globalrank,giantsource")
       .split(",").map(_.trim).toSet
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
@@ -590,6 +590,91 @@ object ScaleBench {
             f"max=${r.getLong(2)}%d"))
       println(s"clusters over cap 10000: " + graft.operators.Dedup
         .oversizedClusterCount(lastClusters, 10000L))
+    }
+
+    section("giantsource") {
+      // the r9 `weak`: sourceQuota rode a row_number window
+      // partitioned on source — the dominant source of any real crawl
+      // (one common-crawl dump, one giant domain) lands on ONE window
+      // reducer task that AQE cannot split (skew mitigation splits
+      // JOIN partitions, never window partitions). r10 replaced the
+      // window with the BottomKByKey k-smallest-heap aggregate:
+      // map-side partials carry ≤quota rows per (source, partition).
+      // This rung injects a single source holding ~90%+ of the corpus
+      // and compares agg vs window; the number that matters is
+      // max-task time — the agg's stays flat as the hot source grows,
+      // the window's grows linearly with it.
+      println("== Giant-source quota: agg (r10) vs window (r9) ==")
+      def timedMaxTask(body: => Long): (Double, Long, Long) = {
+        val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskInfo != null)
+              maxMs.getAndAccumulate(te.taskInfo.duration, math.max(_, _))
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus is async; let task-end events drain
+        spark.sparkContext.removeSparkListener(l)
+        (sec, maxMs.get, rows)
+      }
+      val corpusDocs = spark.read.parquet(s"$src/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+      def windowQuota(docs: DataFrame, quota: Int): Long = {
+        // the r9 formulation, kept here as the straggler baseline
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(graft.operators.Sampling
+            .hashBucketFull("quo:", col("doc_id")), col("doc_id"))
+        docs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= quota)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc"),
+            max("doc_id").as("max_doc"), sum("n_chars").as("sum_chars"))
+          .count()
+      }
+      // equivalence check once, at the smallest rung: agg ≡ window
+      val smallGiant = spark.range(0L, 50000L, 1L, 32)
+        .select((col("id") + 2000000000L).as("doc_id"),
+          lit("giantsrc").as("source"), (col("id") % 997).as("n_chars"))
+      val smallDocs = corpusDocs.unionAll(smallGiant)
+      val aggRows = graft.operators.Sampling.sourceQuota(smallDocs)
+        .collect().map(_.toString).sorted.toSeq
+      val winRows = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(graft.operators.Sampling
+            .hashBucketFull("quo:", col("doc_id")), col("doc_id"))
+        smallDocs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .groupBy("source")
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+            sum("n_chars").as("sum_chars"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+      require(aggRows == winRows,
+        s"agg/window quota mismatch:\n$aggRows\n$winRows")
+      println("equivalence agg == window: OK")
+      println(f"${"giantN"}%-9s${"mode"}%-8s${"sec"}%8s${"maxtask_ms"}%11s" +
+        f"${"rows"}%9s")
+      for (n <- Seq(100000L, 400000L, 1600000L, 6400000L)) {
+        val giant = spark.range(0L, n, 1L, 32)
+          .select((col("id") + 2000000000L).as("doc_id"),
+            lit("giantsrc").as("source"), (col("id") % 997).as("n_chars"))
+        val docs = corpusDocs.unionAll(giant)
+        val modes: Seq[(String, () => Long)] = Seq(
+          "agg" -> (() => graft.operators.Sampling.sourceQuota(docs).count()),
+          "window" -> (() => windowQuota(docs, 20)))
+        for ((label, f) <- modes) {
+          f() // warm-up
+          val (sec, maxMs, rows) = timedMaxTask(f())
+          println(f"$n%-9d$label%-8s$sec%8.2f$maxMs%11d$rows%9d")
+        }
+      }
     }
 
     section("events") {

@@ -65,23 +65,36 @@ object Sampling {
     * most `quota` documents per source, chosen by salted-hash rank so
     * the selection is deterministic, layout-independent and stable
     * under appends (a kept doc is only ever displaced by a
-    * lower-hashed newcomer, never by reordering). One window shuffle
-    * keyed on source; ties broken by doc_id so the rank is total. At
-    * 100 TB a hot source is exactly the case AQE skew-split handles —
-    * the window partitions by source alone, nothing is global.
+    * lower-hashed newcomer, never by reordering). Ties broken by
+    * doc_id so the rank is total.
+    *
+    * Scale shape (r10): selection is a bounded k-smallest-heap
+    * AGGREGATE (`BottomKByKey` over the exact 60-bit salted hash), NOT
+    * a `row_number` window partitioned on source. Map-side partials
+    * carry ≤quota rows per (source, partition), so the dominant source
+    * of a real crawl (common-crawl dump, one giant domain) never lands
+    * on a single reducer. The window form is a scale-killer there: a
+    * window partition must be wholly in one task and AQE's skew
+    * mitigation splits JOIN partitions, never window partitions. The
+    * per-source stats come from pure array HOFs over the ≤quota kept
+    * rows — one shuffle total, no join-back.
     */
   def sourceQuota(documents: DataFrame, quota: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(hashBucketFull("quo:", col("doc_id")), col("doc_id"))
+    import graft.functions.BottomKByKey.bottom_k_by_key
     documents
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= quota)
       .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"),
-        min("doc_id").as("min_doc"),
-        max("doc_id").as("max_doc"),
-        sum("n_chars").as("sum_chars"))
+      .agg(bottom_k_by_key(struct(
+        hashBucketFull("quo:", col("doc_id")).as("key"),
+        col("doc_id").as("id"),
+        col("n_chars").as("payload")), quota).as("keep"))
+      .select(col("source"),
+        size(col("keep")).cast("bigint").as("n_kept"),
+        array_min(transform(col("keep"), x => x.getField("id")))
+          .as("min_doc"),
+        array_max(transform(col("keep"), x => x.getField("id")))
+          .as("max_doc"),
+        aggregate(transform(col("keep"), x => x.getField("payload")),
+          lit(0L), (a, x) => a + x).as("sum_chars"))
       .orderBy("source")
   }
 

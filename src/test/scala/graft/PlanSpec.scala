@@ -172,6 +172,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("source quota: bounded-heap aggregate, no window partitioned on source") {
+    // a row_number window partitioned on source sends every row of the
+    // dominant source (a real crawl always has one) to ONE reducer —
+    // AQE cannot split window partitions. Selection must ride the
+    // k-smallest-heap aggregate: map-side partials carry ≤quota rows
+    // per (source, partition)
+    val p = planOf(graft.operators.Sampling.sourceQuota(ctx.documents))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("bottom_k_by_key"), p)
+    // partial aggregation visible: the agg runs in two phases around
+    // the single source-keyed exchange
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("store-backed incremental dedup: hash joins only over the store scan") {
     val store = graft.operators.Dedup.ensureSignatureStore(
       ctx.documents.filter(org.apache.spark.sql.functions.pmod(
