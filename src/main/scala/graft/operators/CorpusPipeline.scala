@@ -93,6 +93,8 @@ object CorpusPipeline {
     val bench = shh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("h"))
     val corp = shh.filter(col("doc_id") % benchMod =!= 0)
+      // window bound: partition = doc_id; rows = shingles of ONE doc
+      // (≤ doc length), never data-volume-scaled
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     corp.join(broadcast(bench), "h")
       .groupBy("doc_id", "bench_id")
@@ -486,6 +488,13 @@ object CorpusPipeline {
 
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
       blockSize: Long = 1000L): DataFrame = {
+    // Window bounds (r10 convention): the within-block running sum
+    // partitions on blk — ≤blockSize rows per partition by
+    // construction; the ledger prefix sum is unpartitioned but runs
+    // over the PER-BLOCK counts frame (N/blockSize rows — at extreme
+    // corpus sizes raise blockSize so the ledger stays executor-sized,
+    // or chain a second ledger level; the corpus itself never enters
+    // an unpartitioned window).
     require(seqLen > 0 && blockSize > 0)
     val toks = docs.select(col("doc_id"),
       TextFunctions.regexTokenCount(col("text")).cast("long").as("n_tokens"))

@@ -44,6 +44,16 @@ object EventOps {
     * per-user window — one shuffle on user_id; session stats then
     * aggregate per (user, session). Per-user output:
     * sessions/events/avg events-per-session/max session span (µs).
+    *
+    * Window bound (r10 convention): partition = user_id; rows = one
+    * user's events. This is the INHERENT sessionization shape (session
+    * order is a per-user total order), so the residual skew is a
+    * pathological bot user whose whole history lands on one task —
+    * AQE cannot split a window partition. Production mitigation at
+    * 100 TB: cap per-user history first (e.g. keep the trailing N
+    * events via the bounded-heap aggregate) or shard a bot's timeline
+    * by coarse time range and merge boundary sessions in a second
+    * pass; the human-user population is safely bounded.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val gapMicros = gapSeconds * 1000000L
@@ -161,6 +171,9 @@ object EventOps {
 
   /** Ranked windows: top-3 revenue days per event type —
     * `row_number` over a per-type window on exact daily sums.
+    * Window bound: partition = event_type over the PRE-AGGREGATED
+    * daily frame — rows per partition = distinct days
+    * (calendar-bounded, ~365/year), never event-volume-scaled.
     */
   def topDays(events: DataFrame, k: Int = 3): DataFrame = {
     val daily = events

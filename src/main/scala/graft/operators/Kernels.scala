@@ -62,6 +62,12 @@ object Kernels {
     * back (`queries.py:125-134` Q2 min supplycost, `:576-577` Q15 max
     * revenue). A window `max().over(partitionBy)` avoids the self-join:
     * one shuffle on the group keys instead of two joins.
+    *
+    * Window bound (r10 convention): callers must guarantee per-group
+    * row counts bounded by SCHEMA, not data volume — q2: ≤4 partsupp
+    * rows per part (dbgen construction); q15: one row per supplier.
+    * For unbounded groups use `max_by`/`min_by` aggregates (the
+    * cluster-resolution pattern) instead of this kernel.
     */
   def groupedArgmax(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)

@@ -117,6 +117,9 @@ object Sampling {
     * At 100 TB: one hash shuffle on shard + per-shard sorts — the
     * window partitions on shard, so no global single-partition sort
     * exists anywhere, and shards map 1:1 to writer output files.
+    * Window bound (r10 convention): rows per partition ≈ N/numShards,
+    * uniform because the shard tag is a salted-hash mod — size
+    * numShards so one shard's rows fit an executor's sort buffer.
     */
   def deterministicShuffle(docs: DataFrame, salt: String = "shuf:",
       numShards: Int = 64): DataFrame = {

@@ -56,6 +56,10 @@ object Similarity {
       .join(corpus, col("qid") =!= col("cid"))
       .withColumn("cosine",
         round(graft.functions.VectorFunctions.decimal_dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+    // window bound (r10 convention): partition = qid over the FULL
+    // corpus — this window form is the ORACLE-TWIN formulation kept
+    // for cross-engine rank parity; the production ranking is
+    // [[cosineTopKAgg]]'s TopKByScore bounded heap.
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
@@ -150,6 +154,11 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", graft.functions.VectorFunctions
         .cosine_sim(col("q_emb"), col("c_emb")))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
@@ -177,6 +186,11 @@ object Similarity {
         col("nrm").as("q_nrm"), col("bucket"))
     val corpus = coded.select(col("vec_id").as("cid"),
       col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("bucket"))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
@@ -359,6 +373,11 @@ object Similarity {
         col("cell"))
     val corpus = assigned.select(col("vec_id").as("cid"),
       col("embedding").as("c_emb"), col("cell"))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
       .join(corpus, Seq("cell"))
@@ -408,6 +427,11 @@ object Similarity {
         col("nrm").as("q_nrm"), col("cell"))
     val corpus = assigned.select(col("vec_id").as("cid"),
       col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
       .join(corpus, Seq("cell"))
@@ -577,6 +601,11 @@ object Similarity {
         col("cell"))
     val corpus = assigned.select(col("vec_id").as("cid"),
       col("embedding").as("c_emb"), col("cell"))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
       .join(corpus, Seq("cell"))
@@ -608,6 +637,11 @@ object Similarity {
         col("nrm").as("q_nrm"), col("cell"))
     val corpus = assigned.select(col("vec_id").as("cid"),
       col("embedding").as("c_emb"), col("nrm").as("c_nrm"), col("cell"))
+    // window bound (r10 convention): partition = qid, one per probe
+    // query (numQueries is small by contract); rows = the query's
+    // candidate set after the bucket/cell join, occupancy-bounded by
+    // the index geometry. At production occupancy swap the ranking to
+    // the TopKByScore bounded heap (the [[cosineTopKAgg]] pattern).
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))
     broadcast(queries)
       .join(corpus, Seq("cell"))

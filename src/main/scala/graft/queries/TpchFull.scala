@@ -87,6 +87,8 @@ object TpchFull {
     val parts = c.part.filter(col("p_size") <= 15 &&
       col("p_type").like("%BRASS"))
     val joined = parts.join(europeSupp, col("p_partkey") === col("ps_partkey"))
+    // window bound: partition = p_partkey; ≤4 partsupp rows per part by
+    // TPC-H construction (dbgen), so no partition can straggle
     val w = Window.partitionBy("p_partkey")
     joined
       .withColumn("min_cost", min(col("ps_supplycost")).over(w))
