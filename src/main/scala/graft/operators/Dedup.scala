@@ -98,15 +98,26 @@ object Dedup {
     * baseline (token self-join, set sizes joined to the pair
     * aggregate, shuffle_hash-hinted like [[shingleJaccardPairs]]) and,
     * like it, run on a deterministic 1-in-`sampleMod` sample because
-    * the all-pairs OUTPUT is the quadratic part. The 100 TB path
-    * reuses the minhash front end: containment ≈ Jaccard·(|A∪B|/|A|)
-    * rewrites banded candidates into containment candidates with the
-    * same occupancy guards. Scores are exact-integer ratios —
-    * unrounded by the house rule.
+    * the all-pairs OUTPUT is the quadratic part. The 100 TB path is
+    * [[containmentLshMd5]]: candidates from the shared minhash band
+    * front end (same occupancy guards), exact containment verified on
+    * candidates only. Scores are exact-integer ratios — unrounded by
+    * the house rule. Tokens with document frequency above `maxDf` are
+    * dropped from BOTH the sets and the denominators (mirrored in the
+    * oracle): a stopword shared by df docs contributes df² pairs to
+    * the inverted-index self-join while carrying no containment
+    * signal — the per-key occupancy bound that keeps a skewed sample
+    * from going quadratic on one token.
     */
   def containmentPairs(docs: DataFrame, tau: Double = 0.5,
-      sampleMod: Int = 10): DataFrame = {
-    val words = docWords(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+      sampleMod: Int = 10, maxDf: Int = 256): DataFrame = {
+    val raw = docWords(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+    // df cap (one hash-agg + a hash semi-join keyed on the token —
+    // both partial-aggregatable; NOT a window on w, which would be
+    // the very single-reducer occupancy problem being guarded)
+    val lowDf = raw.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("w")
+    val words = raw.join(lowDf.hint("shuffle_hash"), Seq("w"), "left_semi")
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = words.as("a").hint("shuffle_hash")
       .join(words.as("b"),
@@ -129,11 +140,14 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  def containmentPairsSql(tau: Double = 0.5, sampleMod: Int = 10): String =
-    s"""WITH words AS (
+  def containmentPairsSql(tau: Double = 0.5, sampleMod: Int = 10,
+      maxDf: Int = 256): String =
+    s"""WITH raw AS (
        |  SELECT DISTINCT doc_id, w FROM (
        |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents WHERE doc_id % $sampleMod = 0) t WHERE w <> ''),
+       |keep AS (SELECT w FROM raw GROUP BY w HAVING COUNT(*) <= $maxDf),
+       |words AS (SELECT raw.doc_id, raw.w FROM raw JOIN keep USING (w)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
@@ -502,6 +516,120 @@ object Dedup {
        |GROUP BY 1, 2
        |HAVING est_sim >= $minEstSim""".stripMargin +
       (if (ordered) "\nORDER BY d1, d2" else "")
+  }
+
+  /** [[containmentPairs]]' 100 TB path — the banded-candidate rewrite
+    * (real code as of r10; the exact inverted-index form stays the
+    * sampled yardstick): candidates come from the SHARED md5
+    * minhash-LSH front end ([[bandedMd5Sigs]] — same sample, same
+    * occupancy guards via [[guardedSelfJoinPairs]]), and exact SHINGLE
+    * containment is computed on candidates only — never all pairs.
+    * The identity C(A→B) = J(A,B)·(|A∪B|/|A|) states the effective
+    * candidate threshold: banding recalls pairs at Jaccard ≳
+    * (1/bands)^(rows/hashes) ≈ 0.5, i.e. containment candidates at
+    * C ≳ τ_J·|A∪B|/|A| — a near-superset pair with a tiny |A|/|B|
+    * ratio can sit below the symmetric banding threshold (the
+    * structural recall limit of Jaccard-LSH fronting an asymmetric
+    * measure; push it by banding partial signatures of the long side
+    * or raising `bands`). Scores are exact-integer ratios over the
+    * 60-bit shingle hashes — unrounded by the house rule — so the
+    * whole pipeline is DuckDB-oracle-checkable.
+    *
+    * Scale shape: one guarded band self-join (≤cap² pairs per bucket),
+    * then per-candidate set intersection via two hash joins against
+    * the narrow (doc_id, shingle-hash) frame — cost linear in
+    * (candidates × shingles-per-doc), nothing quadratic in corpus.
+    *
+    * CONSTRUCTING this frame is eager — signature + shingle-set
+    * checkpoints and the occupancy-guard jobs (see
+    * [[guardedSelfJoinPairs]]).
+    */
+  def containmentLshMd5(docs: DataFrame, tau: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val banded = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
+    val cands = guardedSelfJoinPairs(banded, Seq("band", "bsig"), bucketCap)(
+        lit(1), "one")
+      .select("d1", "d2").distinct()
+    // narrow (doc_id, 60-bit shingle hash) set frame, read three times
+    // (sizes + both intersection sides) → checkpoint once
+    val sh = shingles(docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0))
+      .select(col("doc_id"), expr(shingleHashExpr).as("h"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands.hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("h")).hint("shuffle_hash"),
+        Seq("d2", "h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+        .hint("shuffle_hash"), "d2")
+      .withColumn("c12", col("common").cast("double") / col("n1"))
+      .withColumn("c21", col("common").cast("double") / col("n2"))
+      .withColumn("containment", greatest(col("c12"), col("c21")))
+      .filter(col("containment") >= tau)
+      .withColumn("direction",
+        when(col("c12") >= col("c21"), lit("1_in_2")).otherwise(lit("2_in_1")))
+      .select("d1", "d2", "n1", "n2", "common", "c12", "c21",
+        "containment", "direction")
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[containmentLshMd5]] — same md5 minhash
+    * banding as [[minHashLshMd5Sql]], then exact shingle containment
+    * on the banded candidates only.
+    */
+  def containmentLshMd5Sql(tau: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): String = {
+    val rowsPerBand = numHashes / bands
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS sh
+       |  FROM (SELECT doc_id, arr,
+       |          UNNEST(range(1, greatest(len(arr) - 3, 0) + 2)) AS j
+       |        FROM (SELECT doc_id,
+       |                regexp_split_to_array(trim(text), '\\s+') AS arr
+       |              FROM documents
+       |              WHERE doc_id % $sampleMod = 0) t0) t1),
+       |shh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+       |mins AS (
+       |  SELECT doc_id, seed,
+       |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    LIST(mh ORDER BY seed) AS bsig
+       |  FROM mins GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |com AS (
+       |  SELECT d1, d2, COUNT(*) AS common
+       |  FROM cands
+       |  JOIN shh s1 ON s1.doc_id = d1
+       |  JOIN shh s2 ON s2.doc_id = d2 AND s1.h = s2.h
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d1, d2, z1.n AS n1, z2.n AS n2, common,
+       |    CAST(common AS DOUBLE) / z1.n AS c12,
+       |    CAST(common AS DOUBLE) / z2.n AS c21
+       |  FROM com
+       |  JOIN sizes z1 ON d1 = z1.doc_id
+       |  JOIN sizes z2 ON d2 = z2.doc_id)
+       |SELECT d1, d2, n1, n2, common, c12, c21,
+       |  GREATEST(c12, c21) AS containment,
+       |  CASE WHEN c12 >= c21 THEN '1_in_2' ELSE '2_in_1' END AS direction
+       |FROM scored WHERE GREATEST(c12, c21) >= $tau
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** Shared back end of the incremental dedup pair: asymmetric

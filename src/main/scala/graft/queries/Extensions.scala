@@ -363,6 +363,8 @@ object Extensions {
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
     "dedup_jaccard_hist" -> (c => Dedup.jaccardHistogram(c.documents)),
     "dedup_containment" -> (c => Dedup.containmentPairs(c.documents, tau = 0.9)),
+    "dedup_containment_lsh_md5" ->
+      (c => Dedup.containmentLshMd5(c.documents, tau = 0.9)),
     "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
     "dedup_split_leakage" -> (c => Dedup.splitLeakage(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
@@ -531,6 +533,7 @@ object Extensions {
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_containment" -> Dedup.containmentPairsSql(tau = 0.9),
+    "dedup_containment_lsh_md5" -> Dedup.containmentLshMd5Sql(tau = 0.9),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),

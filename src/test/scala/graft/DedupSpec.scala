@@ -38,6 +38,65 @@ class DedupSpec extends AnyFunSuite {
       sampleMod = 1).collect().map(_.toString)))
   }
 
+  test("containmentPairs df cap drops uninformative ubiquitous tokens") {
+    // "common" appears in every doc; with maxDf=2 (< 4 docs) it is
+    // dropped from BOTH the sets and the denominators, so it can
+    // neither inflate intersections nor blow up the inverted-index
+    // self-join on one hot key
+    val d = Seq(
+      (0L, "common alpha beta"),
+      (1L, "common alpha beta gamma delta"),
+      (2L, "common zeta eta"),
+      (3L, "common theta iota")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, tau = 0.9, sampleMod = 1, maxDf = 2)
+      .collect()
+    // informative sets: {alpha,beta} ⊂ {alpha,beta,gamma,delta} is the
+    // only pair at containment ≥ 0.9; n1/n2 exclude the dropped token
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(out.head.getDouble(7) == 1.0)
+    assert(out.head.getLong(2) == 2L && out.head.getLong(3) == 4L)
+  }
+
+  test("containmentLshMd5: banded candidates verify exactly (subset-of-exact law)") {
+    // driver-side reimplementation of the engine's shingle semantics
+    // (word 3-grams, short-doc tail shortening per shingleArrExpr)
+    def shingleSet(text: String): Set[String] = {
+      val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      (0 to math.max(ws.length - 3, 0))
+        .map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val data = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (2L, "a completely different document about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (4L, "unrelated words entirely disjoint tokens here"))
+    val df = data.toDF("doc_id", "text")
+    val sets = data.map { case (id, t) => id -> shingleSet(t) }.toMap
+    // tau=0 keeps every banded candidate → the law checks the verify
+    // stage against ground truth on ALL candidates the front end emits
+    val out = Dedup.containmentLshMd5(df, tau = 0.0, sampleMod = 1).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (s1, s2) = (sets(r.getLong(0)), sets(r.getLong(1)))
+      val common = (s1 & s2).size
+      assert(r.getLong(2) == s1.size && r.getLong(3) == s2.size)
+      assert(r.getLong(4) == common)
+      assert(r.getDouble(5) == common.toDouble / s1.size)
+      assert(r.getDouble(6) == common.toDouble / s2.size)
+      assert(r.getDouble(7) ==
+        math.max(common.toDouble / s1.size, common.toDouble / s2.size))
+    }
+    // recall non-vacuity: identical shingle sets share every band →
+    // the exact-dup pair is guaranteed banded, at containment 1.0
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(7)).toMap
+    assert(m((0L, 1L)) == 1.0)
+    // layout independence
+    val again = Dedup.containmentLshMd5(df.repartition(4), tau = 0.0,
+      sampleMod = 1).collect().map(_.toString)
+    assert(again.sameElements(out.map(_.toString)))
+  }
+
   test("splitLeakage flags duplicate clusters spanning splits") {
     def h60(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
