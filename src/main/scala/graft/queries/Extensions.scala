@@ -437,6 +437,19 @@ object Extensions {
     "sim_ivf_topk" -> (c => Similarity.ivfTopK(c.embeddings)),
     "sim_ivf_topk_exact" -> (c => Similarity.ivfTopKExact(c.embeddings)),
     "sim_ann_recall" -> (c => Similarity.annRecall(c.embeddings)),
+    // planted-cluster recall twins: same pipelines over the
+    // clusteredEmbeddings fixture, where a broken index actually
+    // FAILS (the isotropic originals can't discriminate — r9 verdict)
+    "sim_ann_recall_clustered" ->
+      (c => Similarity.annRecall(Similarity.clusteredEmbeddings(c.embeddings))),
+    // k=128 codes: ~2-3 codes per planted cluster, so PQ can resolve
+    // WITHIN-cluster ranking — at the default k=16 every member of a
+    // cluster shares one code and recall@5 degenerates to tie-breaks
+    "sim_pq_recall_clustered" ->
+      (c => Quantize.pqRecall(Similarity.clusteredEmbeddings(c.embeddings),
+        k = 128, m = 16)),
+    "sim_rp_recall_clustered" ->
+      (c => Similarity.rpRecall(Similarity.clusteredEmbeddings(c.embeddings))),
     "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
     "sim_semantic_dedup" -> (c => Similarity.semanticDedup(c.embeddings)),
     // delta batch deduped against a PERSISTED semantic index (built
@@ -567,6 +580,12 @@ object Extensions {
     "sim_ann_lsh_md5" -> Similarity.annLshTopKMd5Sql(),
     "sim_ivf_topk_exact" -> Similarity.ivfTopKExactSql(),
     "sim_ann_recall" -> Similarity.annRecallSql(),
+    "sim_ann_recall_clustered" ->
+      Similarity.clusteredEmbSql(Similarity.annRecallSql()),
+    "sim_pq_recall_clustered" ->
+      Similarity.clusteredEmbSql(Quantize.pqRecallSql(k = 128, m = 16)),
+    "sim_rp_recall_clustered" ->
+      Similarity.clusteredEmbSql(Similarity.rpRecallSql()),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),
     "sim_semantic_dedup" -> Similarity.semanticDedupSql(),
     "sim_semantic_dedup_incremental" -> Similarity.semanticDedupIncrementalSql(),
