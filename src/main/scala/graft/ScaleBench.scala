@@ -480,6 +480,51 @@ object ScaleBench {
       settle()
       val (fs2, _) = time(runP(false))
       println(f"${"pruned"}%-9s$ps%8.2f   ${"full"}%-7s$fs2%8.2f")
+
+      // append drift → rebuild closure (r10): frozen-codebook appends
+      // concentrate a clustered ingest into ONE cell; the periodic
+      // rebuildSemanticStore re-trains and restores occupancy balance
+      // (max/avg cell occupancy is the drift signal a production
+      // deployment alarms on)
+      println("== append drift vs rebuild: max/avg cell occupancy ==")
+      val driftStore = "/tmp/graft_semstore_drift_r10"
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(driftStore), true)
+      graft.operators.Similarity.writeSemanticStore(
+        synthV(0L, 16000L), driftStore, cells = 32, iters = 1)
+      def occImbalance(): (Long, Double) = {
+        val r = spark.read.parquet(driftStore + "/vectors")
+          .groupBy("cell").count()
+          .agg(max("count").as("mx"), avg("count").as("av"))
+          .collect().head
+        (r.getLong(0), r.getLong(0) / r.getDouble(1))
+      }
+      val (m0, i0) = occImbalance()
+      // 3000 vectors from a NEW dense region (dominant dim-0 component
+      // + genuine internal spread, so the region is splittable — 3000
+      // copies of one point would be unsplittable by any k-means);
+      // under the frozen codebook they pile into whichever old cell is
+      // nearest, kept because nothing matches the isotropic base
+      val clusteredBatch = spark.range(0L, 3000L, 1L, 8)
+        .select((col("id") + 30000000L).as("vec_id"),
+          expr("transform(sequence(0, 63), j -> " +
+            "CAST(CASE WHEN j = 0 THEN 10.0 " +
+            "ELSE CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 1000.0 " +
+            "END AS FLOAT))").as("embedding"),
+          lit(0).as("label"))
+      graft.operators.Similarity.appendToSemanticStore(
+        driftStore, clusteredBatch, tau = 0.999)
+      val (m1, i1) = occImbalance()
+      val t0r = System.nanoTime()
+      graft.operators.Similarity.rebuildSemanticStore(
+        spark, driftStore, cells = 32, iters = 3)
+      val rebSec = (System.nanoTime() - t0r) / 1e9
+      val (m2, i2) = occImbalance()
+      println(f"${"fresh"}%-9s max=$m0%-6d max/avg=$i0%5.2f")
+      println(f"${"drifted"}%-9s max=$m1%-6d max/avg=$i1%5.2f")
+      println(f"${"rebuilt"}%-9s max=$m2%-6d max/avg=$i2%5.2f  " +
+        f"(rebuild $rebSec%.2f s)")
     }
 
     section("globalrank") {

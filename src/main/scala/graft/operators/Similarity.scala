@@ -706,11 +706,24 @@ object Similarity {
     * codebook read nearly free.
     */
   private[operators] def lloydTrainExact(embeddings: DataFrame,
-      cells: Int, iters: Int): (DataFrame, DataFrame) = {
+      cells: Int, iters: Int,
+      hashSeeds: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, "k-means needs at least one assignment round")
     // init: float→double casts are exact, so both engines start from
-    // the identical codebook without any rounding step
-    var cents = embeddings.filter(col("vec_id") < cells)
+    // the identical codebook without any rounding step.
+    // Seeding: default = the `cells` lowest vec_ids (oracle-mirrored,
+    // lloydCtesSql). hashSeeds = the `cells` lowest (salted-md5,
+    // vec_id) — a deterministic uniform sample of the CURRENT corpus,
+    // so a dense region holding p% of the vectors attracts ~p% of the
+    // seeds (the k-means++-lite a bit-reproducible engine affords);
+    // lowest-id seeding would pin every centroid in the oldest data
+    // region, which is why [[rebuildSemanticStore]] uses this.
+    val seeds =
+      if (hashSeeds) embeddings.orderBy(
+        graft.operators.Sampling.hashBucketFull("lloydseed:",
+          col("vec_id")), col("vec_id")).limit(cells)
+      else embeddings.filter(col("vec_id") < cells)
+    var cents = seeds
       .select(col("vec_id").as("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
     var assigned: DataFrame = null
@@ -996,13 +1009,13 @@ object Similarity {
     * plan then reads from.
     */
   def writeSemanticStore(base: DataFrame, path: String, cells: Int = 8,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, hashSeeds: Boolean = false): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       base.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
-    val (cb, asg) = lloydTrainExact(base, cells, iters)
+    val (cb, asg) = lloydTrainExact(base, cells, iters, hashSeeds)
     // vectors are hive-partitioned BY CELL: an incremental batch joins
     // on cell with the (small) delta broadcast, so dynamic partition
     // pruning can skip every cell the batch doesn't touch — the layout
@@ -1131,10 +1144,9 @@ object Similarity {
     * — assigned once), its keeps appended into their cell partitions.
     * Per-append cost ∝ batch, never the base; the codebook is NOT
     * retrained — cells stay frozen between periodic rebuilds
-    * ([[writeSemanticStore]]), exactly how a production IVF index
-    * absorbs inserts (occupancy drift is the signal to rebuild — the
-    * [[graft.operators.Dedup.compactSignatureStore]] analogue here is
-    * a fresh `writeSemanticStore` over the accumulated corpus).
+    * ([[rebuildSemanticStore]] — real code as of r10), exactly how a
+    * production IVF index absorbs inserts (occupancy drift is the
+    * signal to rebuild).
     * Spec-checked law: after appending batch₁, a later batch₂'s
     * verdicts equal dedup against base ∪ kept(batch₁) under the same
     * codebook — growth is visible to every later gate.
@@ -1148,8 +1160,63 @@ object Similarity {
       incrementalVerdicts(storePath, asg, tau, pruneCells = true)
         .filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
       .select("vec_id", "embedding", "nrm", "cell", "csim")
-    keeps.write.mode("append").partitionBy("cell")
-      .parquet(s"$storePath/vectors")
+    // staged append (r10): keeps are fully written into a staging dir
+    // first, then MOVED file-by-file into the live cell partitions. A
+    // crash mid-write can no longer leave a truncated parquet file in
+    // the live tree (the pre-r10 `mode("append")` hazard — the store
+    // kept passing isCompleteSemanticStore on the ORIGINAL _SUCCESS
+    // markers while holding a corrupt tail); a crash mid-move leaves a
+    // complete prefix of the batch's files — valid parquet, the
+    // unmoved keeps are simply re-admitted by a later gate (duplicate
+    // risk, not corruption), and [[rebuildSemanticStore]] over the
+    // accumulated corpus is full recovery.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(storePath + "/.append_stage")
+    fs.delete(stage, true)
+    keeps.write.partitionBy("cell").parquet(stage.toString)
+    val files = fs.listFiles(stage, true)
+    while (files.hasNext) {
+      val f = files.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val destDir = new org.apache.hadoop.fs.Path(
+          s"$storePath/vectors/${f.getParent.getName}")
+        fs.mkdirs(destDir)
+        require(fs.rename(f,
+          new org.apache.hadoop.fs.Path(destDir, f.getName)),
+          s"append move $f -> $destDir failed")
+      }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Periodic codebook REBUILD — the closure of the append
+    * discipline: [[appendToSemanticStore]] keeps cells frozen, so
+    * many appends drift occupancy away from the trained balance; this
+    * re-trains Lloyd on the FULL current vector set, re-assigns every
+    * cell and atomically swap-publishes (the exact
+    * [[writeSemanticStore]] semantics over the accumulated corpus —
+    * rebuild ≡ fresh write over the same rows, spec-checked). The
+    * current vectors are EAGERLY checkpointed before the destination
+    * is touched (read-before-replace, the
+    * [[graft.operators.Dedup.compactSignatureStore]] convention) so
+    * no training job can observe a half-replaced store.
+    *
+    * Seeding: hash-spread by default (`hashSeeds = true` — see
+    * [[lloydTrainExact]]): the rebuild exists to HEAL occupancy
+    * drift, and lowest-id seeding would pin every centroid in the
+    * oldest data region, leaving a newly-ingested dense region as one
+    * overloaded cell no Lloyd round can split (measured: the seminc
+    * drift rung's max/avg stays 5.8 under lowest-id reseeding,
+    * rebalances under hash seeding).
+    */
+  def rebuildSemanticStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Int = 8, iters: Int = 2,
+      hashSeeds: Boolean = true): Unit = {
+    val cur = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    writeSemanticStore(cur, path, cells, iters, hashSeeds)
   }
 
   /** DuckDB oracle for [[semanticDedupIncremental]] with the driver's

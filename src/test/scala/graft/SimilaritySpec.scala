@@ -328,6 +328,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n == 3L)
   }
 
+  test("rebuildSemanticStore: rebuild equals a fresh write over the accumulated rows") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semstore_rb").toString + "/store"
+    Similarity.writeSemanticStore(base, dir, cells = 2, iters = 1)
+    val b1 = Seq(
+      (10L, Array(0.0f, 0.0f, 1.0f), 2), // new direction → kept
+      (11L, Array(1.0f, 0.0f, 0.0f), 0)  // dup of base 0 → dropped
+    ).toDF("vec_id", "embedding", "label")
+    Similarity.appendToSemanticStore(dir, b1, tau = 0.9)
+    // the staged append leaves no staging residue in the store tree
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(dir + "/.append_stage")))
+    // rebuild re-trains on base ∪ kept(batch); law: byte-identical to
+    // a fresh writeSemanticStore over the same accumulated rows
+    Similarity.rebuildSemanticStore(spark, dir, cells = 2, iters = 2)
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("semstore_rbf").toString + "/store"
+    val accumulated = base.unionAll(
+      Seq((10L, Array(0.0f, 0.0f, 1.0f), 2))
+        .toDF("vec_id", "embedding", "label"))
+    Similarity.writeSemanticStore(accumulated, freshDir, cells = 2,
+      iters = 2, hashSeeds = true)
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(dir + "/vectors") == rows(freshDir + "/vectors"))
+    assert(rows(dir + "/codebook") == rows(freshDir + "/codebook"))
+    assert(Similarity.isCompleteSemanticStore(fs, dir))
+    // and the rebuilt store still gates: a copy of the appended keep
+    // is now a dup OF that keep
+    val out = Similarity.semanticDedupIncremental(dir,
+      Seq((30L, Array(0.0f, 0.0f, 1.0f), 2))
+        .toDF("vec_id", "embedding", "label"), tau = 0.9)
+      .collect()
+    assert(out.length == 1 && out.head.getBoolean(3) &&
+      out.head.getLong(4) == 10L)
+  }
+
   test("hardNegatives excludes same-label vectors however similar") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),  // query
