@@ -139,4 +139,142 @@ object Search {
        |FROM scored WHERE n_terms > 0
        |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
+
+  /** Deterministic (qid, qtext) fixture for the query-TABLE entry. */
+  val defaultQueryTable: Seq[(Long, String)] = Seq(
+    (0L, "hash join merge"),
+    (1L, "filter scan"),
+    (2L, "window agg group"),
+    (3L, "slow query"),
+    (4L, "vector stream batch"))
+
+  /** BM25 over a query TABLE — the retrieval-pipeline form
+    * ([[bm25TopK]] takes driver-literal terms; a real pipeline scores
+    * a query SET): per-qid top-k over (qid, qtext) rows, ranked
+    * (score desc, doc_id asc).
+    *
+    * Scale shape: ONE corpus tokenization feeds a (doc_id, word, tf)
+    * aggregate (map-side partials), lazily checkpointed; document
+    * lengths and the 1-row corpus stats derive from it without a
+    * second scan. The query side is dictionary-sized by definition, so
+    * query terms, per-term dfs and the query table itself all
+    * BROADCAST — the corpus never shuffles for them. Per-(qid, doc)
+    * scores are exact BIGINT grid sums (same 1e9/1e12 grids as
+    * [[bm25TopK]]), and the per-qid top-k rides the
+    * [[graft.functions.BottomKByKey]] bounded heap on the exact
+    * integer key (-s9, doc_id) — map-side partials carry ≤topK rows
+    * per (qid, partition), never a window, so one hot query cannot
+    * serialize a reducer.
+    */
+  def bm25Queries(docs: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import graft.functions.BottomKByKey.bottom_k_by_key
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queries = queryTable.toDF("qid", "qtext")
+    val tokAgg = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // THREE consumers (doc lengths, postings, and stats via lengths)
+      // — one corpus scan + one (doc_id, w) shuffle, materialized once
+      .localCheckpoint(eager = false)
+    val perDoc = tokAgg.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint(eager = false)
+    val qterms = queries.select(col("qid"),
+        explode(TextFunctions.words(col("qtext"))).as("w"))
+      .where(col("w") =!= "").distinct()
+    val postings = tokAgg
+      .join(broadcast(qterms.select("w").distinct()), Seq("w"), "left_semi")
+      .localCheckpoint(eager = false)
+    val dfs = postings.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val idf9 = floor(log(lit(1.0) +
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
+      .cast("bigint")
+    val c9 = floor(idf9.cast("double") / lit(1e9) *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs")))))) *
+        lit(1e12) + lit(0.5)).cast("bigint")
+    postings
+      .join(broadcast(qterms), "w")
+      .join(broadcast(dfs), "w")
+      .join(perDoc.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), c9.as("c9"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c9").as("s9"))
+      .groupBy("qid")
+      .agg(bottom_k_by_key(struct((-col("s9")).as("key"),
+        col("doc_id").as("id"), col("n_terms").as("payload")), topK)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("doc_id"),
+        col("col.payload").as("n_terms"),
+        ((-col("col.key")).cast("double") / lit(1e12)).as("score"),
+        (col("pos") + 1).cast("bigint").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[bm25Queries]] — the query table inlined as
+    * VALUES, identical ratio chains and fixed-point grids.
+    */
+  def bm25QueriesSql(queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+    val values = queryTable
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS t(qid, qtext)),
+       |qterms AS (
+       |  SELECT DISTINCT qid, w FROM (
+       |    SELECT qid, UNNEST(regexp_split_to_array(trim(qtext), '\\s+')) AS w
+       |    FROM q) t WHERE w <> ''),
+       |tokagg AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM tokagg GROUP BY 1),
+       |postings AS (
+       |  SELECT doc_id, w, tf FROM tokagg
+       |  WHERE w IN (SELECT DISTINCT w FROM qterms)),
+       |dfs AS (SELECT w, COUNT(*) AS df FROM postings GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |  FROM perdoc),
+       |contrib AS (
+       |  SELECT qt.qid, p.doc_id,
+       |    CAST(floor(CAST(CAST(floor(ln(CAST(1.0 AS DOUBLE) +
+       |          (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |          (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * 1e9
+       |        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e9 *
+       |        (CAST(tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE) /
+       |          (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+       |            (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) *
+       |              (CAST(dl AS DOUBLE) /
+       |                (CAST(sum_dl AS DOUBLE) / n_docs))))) * 1e12
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c9
+       |  FROM postings p
+       |  JOIN qterms qt USING (w)
+       |  JOIN dfs USING (w)
+       |  JOIN perdoc USING (doc_id), stats),
+       |scored AS (
+       |  SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(c9) AS BIGINT) AS s9
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, doc_id, n_terms, CAST(s9 AS DOUBLE) / 1e12 AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY s9 DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT qid, doc_id, n_terms, score, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY qid, rk""".stripMargin
+  }
 }

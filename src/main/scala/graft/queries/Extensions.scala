@@ -480,6 +480,7 @@ object Extensions {
     "text_winnow_fingerprint" -> (c => TextAnalysis.winnowFingerprint(c.documents)),
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
+    "text_bm25_queries" -> (c => Search.bm25Queries(c.documents)),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -604,6 +605,7 @@ object Extensions {
     "text_winnow_fingerprint" -> TextAnalysis.winnowFingerprintSql(),
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
+    "text_bm25_queries" -> Search.bm25QueriesSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,

@@ -52,4 +52,37 @@ class SearchSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(1) <= 1)) // only 'hash' can match
   }
+
+  test("bm25Queries: a one-query table reproduces bm25TopK exactly") {
+    // same terms, same grids → per-doc (n_terms, score) must be
+    // bit-identical between the query-table form and the literal form
+    val single = Search.bm25Queries(docs,
+      queryTable = Seq((7L, "hash join filter")), topK = 20).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val literal = Search.bm25TopK(docs, topK = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(single == literal)
+  }
+
+  test("bm25Queries: per-qid top-k, dedup'd query terms, layout-independent") {
+    val qt = Seq((0L, "hash hash join"), // dup term counts once
+      (1L, "scan"), (2L, "zzz_missing"))
+    val out = Search.bm25Queries(docs, queryTable = qt, topK = 2).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    // q0: 'hash hash join' ≡ 'hash join' — doc 0 densest
+    assert(byQ(0L).map(_.getLong(1)).toSeq.head == 0L)
+    assert(byQ(0L).head.getLong(2) == 2L) // n_terms counts DISTINCT terms
+    // q1 matches docs 1/2/3 ('scan'); topK=2 cuts deterministically
+    assert(byQ(1L).map(_.getLong(1)).length == 2)
+    assert(byQ(1L).head.getLong(1) == 1L) // tf=6 dominates
+    // q2: no corpus term → no rows at all
+    assert(!byQ.contains(2L))
+    // ranks are 1..k per qid
+    assert(byQ.values.forall(rs =>
+      rs.map(_.getLong(4)).toSeq == (1L to rs.length).toSeq))
+    // layout independence
+    val again = Search.bm25Queries(docs.repartition(5), queryTable = qt,
+      topK = 2).collect().map(_.toString)
+    assert(again.sameElements(out.map(_.toString)))
+  }
 }
