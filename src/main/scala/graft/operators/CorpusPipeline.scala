@@ -464,11 +464,15 @@ object CorpusPipeline {
        |  FROM w GROUP BY doc_id),
        |kept AS (
        |  SELECT doc_id FROM sig
-       |  WHERE n_words >= 25 AND n_words <= 100000
-       |    AND CAST(n_word_chars AS DOUBLE) / n_words >= 3.0
-       |    AND CAST(n_word_chars AS DOUBLE) / n_words <= 4.5
-       |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
-       |    AND stop_hits >= 2),
+       |  WHERE n_words >= ${QualitySignals.GopherMinWords}
+       |    AND n_words <= ${QualitySignals.GopherMaxWords}
+       |    AND CAST(n_word_chars AS DOUBLE) / n_words
+       |      >= ${QualitySignals.GopherMinMwl}
+       |    AND CAST(n_word_chars AS DOUBLE) / n_words
+       |      <= ${QualitySignals.GopherMaxMwl}
+       |    AND CAST(n_alpha AS DOUBLE) / n_words
+       |      >= ${QualitySignals.GopherMinAlphaFrac}
+       |    AND stop_hits >= ${QualitySignals.GopherMinStopHits}),
        |t AS (
        |  SELECT d.doc_id, d.source,
        |    list_filter(regexp_split_to_array(trim(d.text), '\\s+'),

@@ -417,6 +417,18 @@ object QualitySignals {
   // Gopher rule-suite filter (per-document heuristic gate)
   // ---------------------------------------------------------------
 
+  /** Gopher-rule default thresholds — the ONE copy shared by
+    * [[gopherRules]], [[gopherRulesSql]] and every composition
+    * (`CorpusPipeline.ragIngestSql`'s kept-CTE), so an engine-side
+    * default change can never silently diverge a composed oracle.
+    */
+  val GopherMinWords: Long = 25L
+  val GopherMaxWords: Long = 100000L
+  val GopherMinMwl: Double = 3.0
+  val GopherMaxMwl: Double = 4.5
+  val GopherMinAlphaFrac: Double = 0.8
+  val GopherMinStopHits: Long = 2L
+
   /** Gopher-style rule-suite document filter (Rae et al.,
     * arXiv:2112.11446 Table A1 — the standard pre-training heuristic
     * gate): per-document structural signals plus one pass/fail flag
@@ -440,9 +452,10 @@ object QualitySignals {
     * 10–99, mean word length 3.7–5.3, stop hits 0–8).
     */
   def gopherRules(docs: DataFrame,
-      minWords: Long = 25L, maxWords: Long = 100000L,
-      minMwl: Double = 3.0, maxMwl: Double = 4.5,
-      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): DataFrame = {
+      minWords: Long = GopherMinWords, maxWords: Long = GopherMaxWords,
+      minMwl: Double = GopherMinMwl, maxMwl: Double = GopherMaxMwl,
+      minAlphaFrac: Double = GopherMinAlphaFrac,
+      minStopHits: Long = GopherMinStopHits): DataFrame = {
     val sig = docs
       .select(col("doc_id"),
         expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
@@ -478,9 +491,10 @@ object QualitySignals {
   }
 
   def gopherRulesSql(
-      minWords: Long = 25L, maxWords: Long = 100000L,
-      minMwl: Double = 3.0, maxMwl: Double = 4.5,
-      minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): String =
+      minWords: Long = GopherMinWords, maxWords: Long = GopherMaxWords,
+      minMwl: Double = GopherMinMwl, maxMwl: Double = GopherMaxMwl,
+      minAlphaFrac: Double = GopherMinAlphaFrac,
+      minStopHits: Long = GopherMinStopHits): String =
     s"""WITH w AS (
        |  SELECT doc_id, UNNEST(list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS w
@@ -588,12 +602,18 @@ object QualitySignals {
 
   /** Build-once helper (content-fingerprint path keying +
     * completeness gate — the ensure* discipline). EAGER by documented
-    * design. */
+    * design. The fingerprint folds an order-free CONTENT hash (xor of
+    * per-row xxhash64 over id + text) alongside (count, max id), so a
+    * regenerated fixture with the same shape but different text can
+    * never silently reuse a stale persisted LM (r10, ADVICE).
+    */
   def ensureLmStore(baseDocs: DataFrame, tag: String): String = {
     val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
-    val path = s"/tmp/graft_lmstore_${tag}_${fp.getLong(0)}_${fp.getLong(1)}"
+    val path = s"/tmp/graft_lmstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteLmStore(fs, path)) writeLmStore(baseDocs, path)
