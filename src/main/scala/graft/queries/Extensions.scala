@@ -211,8 +211,12 @@ object Extensions {
   /** Exact interpolated quantiles (data-quality profiling): Spark
     * `percentile` (exact, sort-based) matches DuckDB `quantile_cont`
     * definitionally — both interpolate between order statistics of the
-    * same doubles. At 100 TB swap for `percentile_approx` (KLL-style
-    * sketch, one pass, mergeable) — declared alongside as rows-only.
+    * same doubles. SCALE CAVEAT: `percentile`'s aggregation buffer
+    * collects every value into one state — fine at fixture scale, an
+    * executor OOM at corpus scale. The scale path for EXACT quantiles
+    * is `stats_quantiles_rank` ([[graft.operators.Kernels.exactQuantiles]]
+    * — range-sharded rank selection, type-1 quantiles); the one-pass
+    * mergeable sketch is `stats_quantiles_approx` (rows-only).
     */
   def quantiles(c: Ctx): DataFrame =
     c.lineitem
