@@ -530,8 +530,9 @@ object Dedup {
     * C ≳ τ_J·|A∪B|/|A| — a near-superset pair with a tiny |A|/|B|
     * ratio can sit below the symmetric banding threshold (the
     * structural recall limit of Jaccard-LSH fronting an asymmetric
-    * measure; push it by banding partial signatures of the long side
-    * or raising `bands`). Scores are exact-integer ratios over the
+    * measure; [[containmentChunkLshMd5]] is the asymmetric path that
+    * closes it by banding the long side at chunk granularity).
+    * Scores are exact-integer ratios over the
     * 60-bit shingle hashes — unrounded by the house rule — so the
     * whole pipeline is DuckDB-oracle-checkable.
     *
@@ -632,6 +633,215 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** ASYMMETRIC containment via chunk-LSH — the recall closure for
+    * the tiny-A-in-giant-B case that symmetric Jaccard banding
+    * ([[containmentLshMd5]]) structurally misses: a short document
+    * wholly embedded in a long one has Jaccard |A|/|B| ≈ 0, so no
+    * whole-signature band can collide. Here the LONG side is banded
+    * at CHUNK granularity (sliding word windows of `chunkWords` /
+    * `stride` — the [[CorpusPipeline.chunkDocuments]] window rule), so
+    * an embedded A matches the chunk covering it at chunk-local
+    * Jaccard ≈ |A|/chunkWords, back above the banding threshold
+    * whatever |B| is. Candidates = whole-doc signatures ⋈ chunk
+    * signatures on (band, bsig); exact DIRECTED shingle containment
+    * C(d1→d2) = |S(d1) ∩ S(d2)| / |S(d1)| is then verified on
+    * candidates only, over FULL document shingle sets.
+    *
+    * Scale shape: chunk signatures cost (len/stride)× the whole-doc
+    * signature pass but stay linear in corpus size; the container
+    * chunk index is occupancy-guarded ([[truncateOverCapBuckets]] — a
+    * boilerplate chunk shared by 10⁶ docs pairs each probe against ≤
+    * `bucketCap` of them, deterministically); the verify stage is the
+    * same two hash joins against the narrow (doc_id, shingle-hash)
+    * frame as the symmetric path. Nothing quadratic anywhere.
+    *
+    * CONSTRUCTING this frame is eager — signature/shingle checkpoints
+    * + the occupancy-guard jobs (house convention).
+    */
+  def containmentChunkLshMd5(docs: DataFrame, tau: Double = 0.5,
+      chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sample = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+    // SHORT side: whole-doc signatures from the shared front end
+    val whole = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
+      .select(col("doc_id").as("d1"), col("band"), col("bsig"))
+    // LONG side: per-chunk signatures (pre-explode checkpoint, r9)
+    val chunkSigs = sample
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, greatest(CAST(ceil((size(ws) - $chunkWords)
+           |  / CAST($stride AS DOUBLE)) AS INT), 0)),
+           |  ci -> slice(ws, ci * $stride + 1, $chunkWords))""".stripMargin)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ws")
+      .select(col("doc_id"), col("chunk"), explode(expr(shingleArrExpr)).as("sh"))
+      .distinct()
+      .select(col("doc_id"), col("chunk"), col("sh"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', sh)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id", "chunk", "seed").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id", "chunk")
+      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
+        .as("sig"))
+      .localCheckpoint()
+    val chunkBanded = chunkSigs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+      .select("doc_id", "band", "bsig").distinct()
+    val guarded = truncateOverCapBuckets(chunkBanded, Seq("band", "bsig"),
+      bucketCap)
+    val cands = whole.hint("shuffle_hash")
+      .join(guarded.select(col("doc_id").as("d2"), col("band"), col("bsig")),
+        Seq("band", "bsig"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    // exact DIRECTED verify on candidates, over FULL doc shingle sets
+    val sh = shingles(sample)
+      .select(col("doc_id"), expr(shingleHashExpr).as("h"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands.hint("shuffle_hash")
+      .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("h")).hint("shuffle_hash"),
+        Seq("d2", "h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+        .hint("shuffle_hash"), "d2")
+      .withColumn("containment", col("common").cast("double") / col("n1"))
+      .filter(col("containment") >= tau)
+      .select("d1", "d2", "n1", "n2", "common", "containment")
+      .orderBy("d1", "d2")
+  }
+
+  /** DuckDB oracle for [[containmentChunkLshMd5]] — whole-doc and
+    * per-chunk md5 minhash banding, asymmetric band join, exact
+    * directed containment on candidates.
+    */
+  def containmentChunkLshMd5Sql(tau: Double = 0.5, chunkWords: Int = 16,
+      stride: Int = 8, numHashes: Int = 16, bands: Int = 4,
+      sampleMod: Int = 2): String = {
+    val rowsPerBand = numHashes / bands
+    s"""WITH docs_s AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE doc_id % $sampleMod = 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', ws[j], ws[j + 1], ws[j + 2]) AS sh
+       |  FROM (SELECT doc_id, ws,
+       |          UNNEST(range(1, greatest(len(ws) - 3, 0) + 2)) AS j
+       |        FROM docs_s) t),
+       |shh AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h
+       |  FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY 1),
+       |wmins AS (
+       |  SELECT doc_id, seed,
+       |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  GROUP BY 1, 2),
+       |wbands AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    LIST(mh ORDER BY seed) AS bsig
+       |  FROM wmins GROUP BY 1, 2),
+       |ch AS (
+       |  SELECT doc_id, ci,
+       |    ws[ci * $stride + 1 : ci * $stride + $chunkWords] AS cws
+       |  FROM (SELECT doc_id, ws,
+       |          UNNEST(range(0, GREATEST(CAST(ceil((len(ws) - $chunkWords)
+       |            / CAST($stride AS DOUBLE)) AS INTEGER), 0) + 1)) AS ci
+       |        FROM docs_s WHERE len(ws) > 0) t),
+       |csh AS (
+       |  SELECT DISTINCT doc_id, ci,
+       |    concat_ws(' ', cws[j], cws[j + 1], cws[j + 2]) AS sh
+       |  FROM (SELECT doc_id, ci, cws,
+       |          UNNEST(range(1, greatest(len(cws) - 3, 0) + 2)) AS j
+       |        FROM ch) t),
+       |cmins AS (
+       |  SELECT doc_id, ci, seed,
+       |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+       |  FROM csh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  GROUP BY 1, 2, 3),
+       |cbands AS (
+       |  SELECT DISTINCT doc_id, band, bsig FROM (
+       |    SELECT doc_id, ci, seed // $rowsPerBand AS band,
+       |      LIST(mh ORDER BY seed) AS bsig
+       |    FROM cmins GROUP BY 1, 2, 3) t),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM wbands a JOIN cbands b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id <> b.doc_id),
+       |com AS (
+       |  SELECT d1, d2, COUNT(*) AS common
+       |  FROM cands
+       |  JOIN shh s1 ON s1.doc_id = d1
+       |  JOIN shh s2 ON s2.doc_id = d2 AND s1.h = s2.h
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, z1.n AS n1, z2.n AS n2, common,
+       |  CAST(common AS DOUBLE) / z1.n AS containment
+       |FROM com
+       |JOIN sizes z1 ON d1 = z1.doc_id
+       |JOIN sizes z2 ON d2 = z2.doc_id
+       |WHERE CAST(common AS DOUBLE) / z1.n >= $tau
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** Truncate over-cap buckets of a banded frame to their `cap`
+    * LOWEST doc_ids, leaving normal buckets untouched — the
+    * asymmetric-join occupancy guard shared by
+    * [[incrementalReportSplit]] (base side) and
+    * [[containmentChunkLshMd5]] (container chunk index). Bounded
+    * min-k per bucket via the TopKByScore heap aggregate, NOT a
+    * row_number window: the window would sort EVERY member of an
+    * over-cap bucket on ONE reducer task (a 10⁶-member boilerplate
+    * bucket = one straggler sorting it whole — the same
+    * single-reducer class as the r8 cluster-resolution windows). The
+    * k-capped heap partial-aggregates map-side (≤cap rows per bucket
+    * per partition ride the shuffle); the kept row set is recovered
+    * with a semi-join on the kept ids. −doc_id as the heap score is
+    * exact (doc_ids ≪ 2^53), so the kept set — the cap LOWEST ids per
+    * bucket — is identical to the window formulation's, row for row.
+    * CONSTRUCTION IS EAGER (occupancy aggregate + count, the
+    * [[guardedSelfJoinPairs]] convention).
+    */
+  private def truncateOverCapBuckets(b: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val megaB = overCapBuckets(b, keys, cap)
+    val megaCount = megaB.count()
+    if (megaCount == 0L) b
+    else {
+      val keyCols = keys.map(col)
+      val keyFrame = megaB.select(keyCols: _*)
+      val keyed =
+        if (megaCount <= 100000L) broadcast(keyFrame)
+        else keyFrame.hint("shuffle_hash")
+      val keepIds = b.join(keyed, keys)
+        .groupBy(keyCols: _*)
+        .agg(graft.functions.TopKByScore.top_k_by_score(struct(
+          (-col("doc_id")).cast("double").as("score"),
+          col("doc_id").as("id")), cap).as("tk"))
+        .select(keyCols :+
+          explode(expr("transform(tk, x -> x.id)")).as("doc_id"): _*)
+      val keepKeyed =
+        if (megaCount <= 100000L) broadcast(keepIds)
+        else keepIds.hint("shuffle_hash")
+      val capped = b.join(keyed, keys)
+        .join(keepKeyed, keys :+ "doc_id", "left_semi")
+        .select(b.columns.map(col): _*)
+      b.join(keyed, keys, "left_anti")
+        .select(b.columns.map(col): _*)
+        .unionAll(capped)
+    }
+  }
+
   /** Shared back end of the incremental dedup pair: asymmetric
     * delta-vs-base band join over pre-banded signatures, per-collision
     * scoring, then one verdict row PER DELTA DOC (n_dups=0 rows
@@ -663,43 +873,7 @@ object Dedup {
     // identically), and no fixture bucket reaches the cap, so oracle
     // outputs are unchanged. Normal buckets pass through the
     // anti-join untouched.
-    val megaB = overCapBuckets(b, Seq("band", keyCol), bucketCap)
-    val megaCount = megaB.count()
-    val bG =
-      if (megaCount == 0L) b
-      else {
-        val keys = megaB.select(col("band"), col(keyCol))
-        val keyed =
-          if (megaCount <= 100000L) broadcast(keys)
-          else keys.hint("shuffle_hash")
-        // bounded min-k per bucket via the TopKByScore heap aggregate,
-        // NOT a row_number window: the window would sort EVERY member
-        // of an over-cap bucket on ONE reducer task (a 10⁶-member
-        // boilerplate bucket = one straggler sorting it whole — the
-        // same single-reducer class as the r8 cluster-resolution
-        // windows). The k-capped heap partial-aggregates map-side
-        // (≤cap rows per bucket per partition ride the shuffle); the
-        // kept row set is recovered with a semi-join on the kept ids.
-        // −doc_id as the heap score is exact (doc_ids ≪ 2^53), so the
-        // kept set — the cap LOWEST ids per bucket — is identical to
-        // the window formulation's, row for row.
-        val keepIds = b.join(keyed, Seq("band", keyCol))
-          .groupBy(col("band"), col(keyCol))
-          .agg(graft.functions.TopKByScore.top_k_by_score(struct(
-            (-col("doc_id")).cast("double").as("score"),
-            col("doc_id").as("id")), bucketCap).as("tk"))
-          .select(col("band"), col(keyCol),
-            explode(expr("transform(tk, x -> x.id)")).as("doc_id"))
-        val keepKeyed =
-          if (megaCount <= 100000L) broadcast(keepIds)
-          else keepIds.hint("shuffle_hash")
-        val capped = b.join(keyed, Seq("band", keyCol))
-          .join(keepKeyed, Seq("band", keyCol, "doc_id"), "left_semi")
-          .select(b.columns.map(col): _*)
-        b.join(keyed, Seq("band", keyCol), "left_anti")
-          .select(b.columns.map(col): _*)
-          .unionAll(capped)
-      }
+    val bG = truncateOverCapBuckets(b, Seq("band", keyCol), bucketCap)
     // shuffle_hash on both joins: sorting band buckets (or the final
     // verdict assembly) for a merge join is pure waste before hash
     // lookups, and it keeps the suite's zero-SMJ invariant at any size

@@ -369,6 +369,8 @@ object Extensions {
     "dedup_containment" -> (c => Dedup.containmentPairs(c.documents, tau = 0.9)),
     "dedup_containment_lsh_md5" ->
       (c => Dedup.containmentLshMd5(c.documents, tau = 0.9)),
+    "dedup_containment_chunk_lsh_md5" ->
+      (c => Dedup.containmentChunkLshMd5(c.documents, tau = 0.9)),
     "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
     "dedup_split_leakage" -> (c => Dedup.splitLeakage(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
@@ -552,6 +554,8 @@ object Extensions {
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
     "dedup_containment" -> Dedup.containmentPairsSql(tau = 0.9),
     "dedup_containment_lsh_md5" -> Dedup.containmentLshMd5Sql(tau = 0.9),
+    "dedup_containment_chunk_lsh_md5" ->
+      Dedup.containmentChunkLshMd5Sql(tau = 0.9),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),

@@ -97,6 +97,38 @@ class DedupSpec extends AnyFunSuite {
     assert(again.sameElements(out.map(_.toString)))
   }
 
+  test("containmentChunkLshMd5 finds the embedded doc symmetric banding misses") {
+    // doc 0: 12 words wholly embedded in the middle of doc 10's 120
+    // words. Whole-doc Jaccard ≈ 10/110 ≈ 0.09 → NO symmetric band of
+    // a 16-hash/4-band signature can plausibly collide; the chunk
+    // covering the embedded run has chunk-local Jaccard ≈ 1 with doc
+    // 0's whole signature → the asymmetric path recovers it.
+    val embedded = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val filler = (w: String) => Seq.tabulate(54)(i => s"$w$i").mkString(" ")
+    val d = Seq(
+      (0L, embedded),
+      (10L, s"${filler("pre")} $embedded ${filler("post")}"),
+      (20L, "totally unrelated words about something else entirely here"))
+      .toDF("doc_id", "text")
+    val asym = Dedup.containmentChunkLshMd5(d, tau = 0.9, chunkWords = 16,
+      stride = 4, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(asym.contains((0L, 10L)), s"asym=$asym")
+    assert(asym((0L, 10L)) == 1.0) // exact verify: fully contained
+    // the symmetric whole-signature path misses this pair
+    val sym = Dedup.containmentLshMd5(d, tau = 0.0, sampleMod = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sym.contains((0L, 10L)), s"sym=$sym")
+    // no false pair with the unrelated doc at tau 0.9
+    assert(!asym.keySet.exists { case (a, b) => a == 20L || b == 20L })
+    // layout independence
+    val again = Dedup.containmentChunkLshMd5(d.repartition(4), tau = 0.9,
+      chunkWords = 16, stride = 4, sampleMod = 1).collect().map(_.toString)
+    assert(again.sameElements(Dedup.containmentChunkLshMd5(d, tau = 0.9,
+      chunkWords = 16, stride = 4, sampleMod = 1).collect().map(_.toString)))
+  }
+
   test("splitLeakage flags duplicate clusters spanning splits") {
     def h60(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

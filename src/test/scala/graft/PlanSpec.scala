@@ -187,6 +187,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("chunk containment: hash joins only, no windows, nothing quadratic") {
+    val p = planOf(graft.operators.Dedup
+      .containmentChunkLshMd5(ctx.documents, sampleMod = 1))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("store-backed incremental dedup: hash joins only over the store scan") {
     val store = graft.operators.Dedup.ensureSignatureStore(
       ctx.documents.filter(org.apache.spark.sql.functions.pmod(
