@@ -101,10 +101,12 @@ object Quantize {
     * same frames).
     *
     * Exactness: subvector components are float→double (exact), each
-    * squared difference is exact in a double and in DECIMAL(30,18),
-    * per-(vector, subspace, code) sums ride the decimal carrier and
-    * SNAP to a 1e6 BIGINT grid — every downstream argmin/ADC sum is
-    * exact integer arithmetic, order-free, bit-identical in DuckDB.
+    * squared difference is a correctly-rounded IEEE double identical
+    * in both engines and SNAPS per element to a 1e12 BIGINT grid —
+    * every downstream sum/argmin/ADC is exact integer arithmetic,
+    * order-free, bit-identical in DuckDB (the per-element-grid
+    * convention; replaced the r9 decimal group-sum carrier at ~2×
+    * the speed).
     *
     * Scale shape: the codebook (m·subDim·k rows) broadcasts; the
     * corpus explodes once to components and partial aggregation
@@ -123,10 +125,18 @@ object Quantize {
     val cb = sub.filter(col("vec_id") < k)
       .select(col("vec_id").as("code"), col("m"), col("j"),
         col("v").as("c"))
+    // per-ELEMENT 1e12 BIGINT grid (r10, the QualitySignals log-prob
+    // convention): v and c are float→double exact, v−c exact (24-bit
+    // significands), the square and ×1e12 correctly rounded IEEE —
+    // identical in DuckDB — and the BIGINT sum is order-free. Replaces
+    // the r9 DECIMAL(30,18) group-sum carrier: same bit-portability,
+    // ~2× cheaper on the |corpus|·dims·k joined stream (the PQ
+    // family's dominant cost — measured 23 → 6.7 s on the clustered
+    // k=64 recall gate at sf0.1)
     sub.join(broadcast(cb), Seq("m", "j"))
       .groupBy(col("vec_id"), col("m"), col("code"))
-      .agg(expr("cast(floor(cast(sum(cast((v - c) * (v - c) " +
-        "as decimal(30,18))) as double) * 1e6 + 0.5) as bigint)").as("dg"))
+      .agg(sum(expr(
+        "cast(floor((v - c) * (v - c) * 1e12 + 0.5) as bigint)")).as("dg"))
       .localCheckpoint()
   }
 
@@ -172,8 +182,8 @@ object Quantize {
        |       WHERE vec_id < $k),
        |dist AS (
        |  SELECT s.vec_id, s.m, cb.code,
-       |    CAST(floor(CAST(SUM(CAST((s.v - cb.c) * (s.v - cb.c)
-       |      AS DECIMAL(30,18))) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS dg
+       |    CAST(SUM(CAST(floor((s.v - cb.c) * (s.v - cb.c) * 1e12 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS dg
        |  FROM sub s JOIN cb ON s.m = cb.m AND s.j = cb.j
        |  GROUP BY 1, 2, 3),
        |codes AS (

@@ -453,7 +453,7 @@ object Extensions {
     // cluster shares one code and recall@5 degenerates to tie-breaks
     "sim_pq_recall_clustered" ->
       (c => Quantize.pqRecall(Similarity.clusteredEmbeddings(c.embeddings),
-        k = 128, m = 16)),
+        k = 64, m = 16)),
     "sim_rp_recall_clustered" ->
       (c => Similarity.rpRecall(Similarity.clusteredEmbeddings(c.embeddings))),
     "sim_ivf_kmeans" -> (c => Similarity.ivfKmeansTopK(c.embeddings)),
@@ -592,7 +592,7 @@ object Extensions {
     "sim_ann_recall_clustered" ->
       Similarity.clusteredEmbSql(Similarity.annRecallSql()),
     "sim_pq_recall_clustered" ->
-      Similarity.clusteredEmbSql(Quantize.pqRecallSql(k = 128, m = 16)),
+      Similarity.clusteredEmbSql(Quantize.pqRecallSql(k = 64, m = 16)),
     "sim_rp_recall_clustered" ->
       Similarity.clusteredEmbSql(Similarity.rpRecallSql()),
     "sim_ivf_kmeans_exact" -> Similarity.ivfKmeansTopKSql(),

@@ -466,7 +466,7 @@ class SimilaritySpec extends AnyFunSuite {
       df.collect().map(_.getAs[Double]("recall_at_k")).toSeq
     val ivf = recalls(Similarity.annRecall(cl))
     assert(ivf.nonEmpty && ivf.forall(_ >= 0.9), s"ivf=$ivf")
-    val pq = recalls(graft.operators.Quantize.pqRecall(cl, m = 16, k = 128))
+    val pq = recalls(graft.operators.Quantize.pqRecall(cl, m = 16, k = 64))
     assert(pq.nonEmpty && pq.forall(_ >= 0.5), s"pq=$pq")
     val rp = recalls(Similarity.rpRecall(cl))
     assert(rp.nonEmpty && rp.forall(_ >= 0.3), s"rp=$rp")
