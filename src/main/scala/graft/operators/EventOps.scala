@@ -50,17 +50,25 @@ object EventOps {
     * order is a per-user total order), so the residual skew is a
     * pathological bot user whose whole history lands on one task —
     * AQE cannot split a window partition. Production mitigation at
-    * 100 TB: cap per-user history first (e.g. keep the trailing N
-    * events via the bounded-heap aggregate) or shard a bot's timeline
-    * by coarse time range and merge boundary sessions in a second
-    * pass; the human-user population is safely bounded.
+    * 100 TB: [[sessionizeCapped]] (real code — trailing-N cap via the
+    * bounded heap, window rows ≤ maxEvents by construction), or shard
+    * a bot's timeline by coarse time range and merge boundary sessions
+    * in a second pass; the human-user population is safely bounded.
     */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
-    val gapMicros = gapSeconds * 1000000L
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame =
+    sessionizeFromEus(
+      events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("eus")),
+      gapSeconds * 1000000L)
+
+  /** The lag + cumulative-sum session chain over an already-projected
+    * (user_id, event_id, eus) frame — shared by [[sessionize]] and
+    * [[sessionizeCapped]].
+    */
+  private def sessionizeFromEus(e: DataFrame, gapMicros: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("eus", "event_id")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("eus"))
+    val sessions = e
       .withColumn("prev_eus", lag("eus", 1).over(w))
       .withColumn("new_sess",
         when(col("prev_eus").isNull ||
@@ -75,6 +83,73 @@ object EventOps {
         (sum("n_events") / count(lit(1))).as("avg_events_per_session"),
         max("span_us").as("max_session_us"))
       .orderBy("user_id")
+  }
+
+  /** [[sessionize]] with the per-user history CAPPED to the trailing
+    * `maxEvents` events — the production bot-user mitigation the
+    * sessionize window-bound note prescribes, as real code: the cap
+    * rides the exact [[graft.functions.BottomKByKey]] heap on the
+    * (−eus, −event_id) key (map-side partials carry ≤maxEvents rows
+    * per (user, partition)), so a pathological bot's full history
+    * never reaches the per-user session window — the residual window
+    * sorts ≤maxEvents rows per user BY CONSTRUCTION, turning the
+    * inherent-shape skew into a hard bound. Trailing (largest
+    * (eus, event_id)) keeps the freshest behavior, the slice
+    * session-stats consumers want when a key must be truncated.
+    */
+  def sessionizeCapped(events: DataFrame, gapSeconds: Long = 1800,
+      maxEvents: Int = 64): DataFrame = {
+    import graft.functions.BottomKByKey.bottom_k_by_key
+    val capped = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("eus"))
+      .groupBy("user_id")
+      .agg(bottom_k_by_key(struct((-col("eus")).as("key"),
+        (-col("event_id")).as("id"), col("eus").as("payload")), maxEvents)
+        .as("keep"))
+      .select(col("user_id"), explode(col("keep")).as("k"))
+      .select(col("user_id"), (-col("k.id")).as("event_id"),
+        col("k.payload").as("eus"))
+    sessionizeFromEus(capped, gapSeconds * 1000000L)
+  }
+
+  /** DuckDB oracle for [[sessionizeCapped]] — the trailing-cap CTE
+    * (ROW_NUMBER over (eus, event_id) DESC — fine in the oracle, the
+    * engine side is the bounded heap) feeding the shared session
+    * chain.
+    */
+  def sessionizeCappedSql(gapSeconds: Long = 1800,
+      maxEvents: Int = 64): String = {
+    val gapMicros = gapSeconds * 1000000L
+    s"""WITH e0 AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS eus FROM events),
+       |e AS (
+       |  SELECT user_id, event_id, eus FROM (
+       |    SELECT user_id, event_id, eus,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY eus DESC, event_id DESC) AS rk
+       |    FROM e0) t WHERE rk <= $maxEvents),
+       |flagged AS (
+       |  SELECT user_id, event_id, eus,
+       |    CASE WHEN lag(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id)
+       |              IS NULL
+       |           OR eus - lag(eus) OVER (PARTITION BY user_id ORDER BY eus, event_id)
+       |              > $gapMicros
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sessioned AS (
+       |  SELECT user_id, eus,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY eus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+       |    MAX(eus) - MIN(eus) AS span_us
+       |  FROM sessioned GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+       |  MAX(span_us) AS max_session_us
+       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
   /** Sessionization via Spark's NATIVE `session_window` operator

@@ -517,6 +517,8 @@ object Extensions {
     "events_tumbling" -> (c => EventOps.tumblingHourly(c.events)),
     "events_sliding" -> (c => EventOps.slidingTwoHour(c.events)),
     "events_sessionize" -> (c => EventOps.sessionize(c.events)),
+    "events_sessionize_capped" ->
+      (c => EventOps.sessionizeCapped(c.events)),
     "events_json" -> (c => EventOps.jsonExtract(c.events)),
     "events_top_days" -> (c => EventOps.topDays(c.events)),
     "events_asof_join" -> (c => AsofOps.clicksWithLastView(c.events)),
@@ -629,6 +631,7 @@ object Extensions {
     "events_tumbling" -> EventOps.tumblingHourlySql,
     "events_sliding" -> EventOps.slidingTwoHourSql,
     "events_sessionize" -> EventOps.sessionizeSql(),
+    "events_sessionize_capped" -> EventOps.sessionizeCappedSql(),
     "events_json" -> EventOps.jsonExtractSql,
     "events_top_days" -> EventOps.topDaysSql(),
     "events_asof_join" -> AsofOps.clicksWithLastViewSql(),
