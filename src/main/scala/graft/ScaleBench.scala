@@ -155,7 +155,12 @@ object ScaleBench {
         // stats_quantiles_rank reads LINEITEM — it ladders in the tpch
         // section's amplified dirs, never the corpus ones
         "sim_pq_topk", "dedup_source_overlap", "pipeline_chunk_documents",
-        "text_lm_store_score", "sim_hard_negatives")
+        "text_lm_store_score", "sim_hard_negatives",
+        // r10 entries: bounded-heap quota, LSH/chunk containment,
+        // query-table BM25, clustered recall gate
+        "sample_source_quota", "dedup_containment_lsh_md5",
+        "dedup_containment_chunk_lsh_md5", "text_bm25_queries",
+        "sim_ann_recall_clustered")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =
@@ -725,7 +730,7 @@ object ScaleBench {
     section("events") {
       println("== Event-stream ops vs user-population scale ==")
       val eventOps = Seq("events_asof_join", "events_range_join",
-        "events_sessionize", "events_top_days")
+        "events_sessionize", "events_sessionize_capped", "events_top_days")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =

@@ -117,7 +117,12 @@ object Dedup {
     // the very single-reducer occupancy problem being guarded)
     val lowDf = raw.groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("w")
+    // one materialization of the df-capped token frame — its THREE
+    // consumers (sizes + both self-join sides) would otherwise each
+    // replay the scan+tokenize+df chain (lazy, so construction stays
+    // free)
     val words = raw.join(lowDf.hint("shuffle_hash"), Seq("w"), "left_semi")
+      .localCheckpoint(eager = false)
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = words.as("a").hint("shuffle_hash")
       .join(words.as("b"),
