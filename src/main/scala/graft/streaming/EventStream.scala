@@ -364,6 +364,45 @@ object EventStream {
     graft.operators.QualitySignals.qualityScore(docs)
       .filter(col("score") > 0)
 
+  /** Streaming per-source quota capping — the batch
+    * [[graft.operators.Sampling.sourceQuota]] incrementally maintained
+    * as a stateful stream: each source's k-smallest salted-hash
+    * selection lives in the state store (`mapGroupsWithState`, state
+    * BOUNDED at ≤`quota` entries per source — quota × |sources| total,
+    * independent of stream length), every micro-batch merges its rows
+    * and emits the source's CURRENT quota report with a state
+    * `version` (update count) so a sink keeps the latest row per
+    * source. Batch-boundary-independent by construction: k-smallest
+    * merge by the exact (key, doc_id) order is associative — the same
+    * law that makes the batch `BottomKByKey` partials correct — so the
+    * final report equals the batch sourceQuota over everything
+    * ingested (spec-checked).
+    */
+  def sourceQuotaStream(docs: DataFrame, quota: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"),
+        graft.operators.Sampling.hashBucketFull("quo:", col("doc_id"))
+          .as("key"),
+        col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[(Long, Seq[(Long, Long, Long)])]) => {
+          val (ver, cur) = state.getOption
+            .getOrElse((0L, Seq.empty[(Long, Long, Long)]))
+          val merged = (cur ++ rows.map(r => (r._2, r._3, r._4)))
+            .sortBy(e => (e._1, e._2)).take(quota)
+          state.update((ver + 1, merged))
+          (source, ver + 1, merged.size.toLong,
+            merged.map(_._2).min, merged.map(_._2).max,
+            merged.map(_._3).sum)
+        })
+      .toDF("source", "version", "n_kept", "min_doc", "max_doc",
+        "sum_chars")
+  }
+
   final case class AsofEvent(user_id: Long, eus: Long, is_right: Boolean,
     id: Long, v: Double, ts: java.sql.Timestamp)
   final case class AsofJoinState(rights: List[(Long, Double)],

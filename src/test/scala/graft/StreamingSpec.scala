@@ -375,4 +375,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("sourceQuotaStream: final state equals batch sourceQuota, any batching") {
+    import spark.implicits._
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"text $i", "en", s"src${i % 3}", (10 + i % 5).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_quota_stream")
+    val dir = tmp.resolve("docs").toString
+    // 3 files + maxFilesPerTrigger=1 → 3 micro-batches
+    docs.repartition(3).write.parquet(dir)
+    val q = EventStream.runToMemory(
+      EventStream.sourceQuotaStream(
+        EventStream.readDocuments(spark, dir, maxFilesPerTrigger = Some(1)),
+        quota = 15),
+      "quota_stream", org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      val mem = spark.sql("select * from quota_stream")
+      // the sink's latest row per source = the max-version update
+      val latest = mem.groupBy("source")
+        .agg(max_by(struct(col("n_kept"), col("min_doc"), col("max_doc"),
+          col("sum_chars")), col("version")).as("s"))
+        .select(col("source"), col("s.n_kept"), col("s.min_doc"),
+          col("s.max_doc"), col("s.sum_chars"))
+        .collect().map(_.toString).sorted
+      val batch = graft.operators.Sampling.sourceQuota(docs, quota = 15)
+        .collect().map(_.toString).sorted
+      assert(latest.sameElements(batch))
+      // non-vacuity: the state really advanced across micro-batches
+      assert(mem.agg(max("version")).collect().head.getLong(0) >= 2L)
+    } finally q.stop()
+  }
 }
