@@ -354,4 +354,80 @@ object TextAnalysis {
        |FROM g JOIN c USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Vocabulary-growth (Heaps-law) profile — the corpus-composition
+    * diagnostic a pretraining run reads before sizing a tokenizer or
+    * spotting a template-heavy crawl (sublinear type growth = healthy
+    * Zipfian text; near-linear = ids/hashes/boilerplate explosions):
+    * per log₂ doc-id bucket, the tokens contributed, the NEW types
+    * (words whose corpus-first occurrence — min doc_id — falls in the
+    * bucket), cumulative tokens/types and the running type-token
+    * ratio.
+    *
+    * Scale shape: one tokenize pass feeds two hash-aggs (per-word min
+    * doc_id — the vocabulary frame, dictionary-sized — and per-bucket
+    * token counts); buckets are exact binary-digit counts (the
+    * [[Dedup.componentSizeHistogram]] convention — float log2 floors
+    * differently per engine at exact powers). Window bound (r10
+    * convention): the cumulative ledger is unpartitioned but runs over
+    * the ≤64-row bucket frame — bounded by the BIGINT width, never by
+    * data. ttr is an exact-integer ratio, unrounded.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    def bucket(c: org.apache.spark.sql.Column) =
+      (length(bin(c + lit(1L))) - 1).cast("long")
+    val newTypes = tok.groupBy("w").agg(min("doc_id").as("first_doc"))
+      .groupBy(bucket(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokens = tok.groupBy(bucket(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"))
+    val led = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum("n_tokens").over(led))
+      .withColumn("cum_types", sum("new_types").over(led))
+      .withColumn("ttr", col("cum_types").cast("double") / col("cum_tokens"))
+      .select("bucket", "n_docs", "n_tokens", "new_types", "cum_tokens",
+        "cum_types", "ttr")
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[vocabGrowth]]. */
+  val vocabGrowthSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents) t WHERE w <> ''),
+      |ft AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+      |nt AS (
+      |  SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS bucket,
+      |    COUNT(*) AS new_types
+      |  FROM ft GROUP BY 1),
+      |tk AS (
+      |  SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_tokens,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM tok GROUP BY 1),
+      |j AS (
+      |  SELECT tk.bucket, tk.n_docs, tk.n_tokens,
+      |    COALESCE(nt.new_types, 0) AS new_types
+      |  FROM tk LEFT JOIN nt USING (bucket)),
+      |c AS (
+      |  SELECT bucket, n_docs, n_tokens, new_types,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens,
+      |    CAST(SUM(new_types) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_types
+      |  FROM j)
+      |SELECT bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types,
+      |  CAST(cum_types AS DOUBLE) / cum_tokens AS ttr
+      |FROM c ORDER BY bucket""".stripMargin
 }

@@ -537,6 +537,7 @@ object Extensions {
     "cube_orders" -> (cubeOrders _),
     "pivot_orders" -> (pivotOrders _),
     "text_top_bigrams" -> (c => topBigrams(c)),
+    "text_vocab_growth" -> (c => TextAnalysis.vocabGrowth(c.documents)),
     "str_affix_stats" -> (strAffixStats _),
     "approx_distinct" -> (approxDistinct _),
     "stats_quantiles" -> (quantiles _),
@@ -648,6 +649,7 @@ object Extensions {
     "cube_orders" -> cubeOrdersSql,
     "pivot_orders" -> pivotOrdersSql,
     "text_top_bigrams" -> topBigramsSql(),
+    "text_vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "str_affix_stats" -> strAffixStatsSql,
     "stats_quantiles" -> quantilesSql,
     "stats_quantiles_rank" -> quantilesRankSql,

@@ -130,4 +130,27 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(
       s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("vocabGrowth buckets new types by first appearance, exact cums") {
+    // bin(doc_id+1)-1 buckets: doc0 -> 0; docs1-2 -> 1; docs3-6 -> 2
+    val d = Seq(
+      (0L, "a b"),
+      (1L, "a c"),
+      (2L, "a d e"),
+      (3L, "a b f")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // bucket 0: doc0 (2 tokens; new a, b) — ttr 2/2
+    assert(out(0L) == ((1L, 2L, 2L, 2L, 2L, 1.0)))
+    // bucket 1: docs 1-2 (5 tokens; new c, d, e) — cum 7 tokens/5 types
+    assert(out(1L) == ((2L, 5L, 3L, 7L, 5L, 5.0 / 7)))
+    // bucket 2: doc3 (3 tokens; new f only) — cum 10/6
+    assert(out(2L) == ((1L, 3L, 1L, 10L, 6L, 6.0 / 10)))
+    // layout-independent
+    val again = TextAnalysis.vocabGrowth(d.repartition(5)).collect()
+      .map(_.toString)
+    assert(again.sameElements(
+      TextAnalysis.vocabGrowth(d).collect().map(_.toString)))
+  }
 }
