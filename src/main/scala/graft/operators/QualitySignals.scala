@@ -188,6 +188,123 @@ object QualitySignals {
       .orderBy("lang", "source")
   }
 
+  /** Interpolated BIGRAM fluency — the step from [[unigramLm]] toward
+    * the CCNet-style n-gram LM: per-token negative log-likelihood
+    * under `λ·P(w|prev) + (1−λ)·P(w)`, with bigram/context
+    * probabilities from the corpus's own tables and doc-initial tokens
+    * scored pure-unigram (no cross-document context). Same report
+    * shape as [[unigramLm]] (per-(lang, source) NLL stats).
+    *
+    * Exactness: every probability is a ratio of exact integers — the
+    * IEEE chain (two divisions, two multiplies, one add, one ln) is
+    * mirrored token-for-token in the oracle — and each term snaps to
+    * the 1e9 BIGINT grid before the order-free per-doc sum (the
+    * [[unigramLm]] convention, λ constants interpolated as their
+    * exact Scala-double decimal forms).
+    *
+    * Scale shape: the token/bigram stream is materialized ONCE (three
+    * consumers); the unigram table is dictionary-sized but the BIGRAM
+    * table can be corpus-scale (Zipf tail), so the scoring joins are
+    * HASH joins keyed (p, w) / (p) — never broadcast, never a window;
+    * per-doc and per-group sums are plain partial-aggregatable
+    * BIGINT aggregates with the [[unigramLm] ]overflow guard.
+    */
+  def bigramFluency(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val stream = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"filter(${TextFunctions.wordsSql("text")}, w -> w != '')")
+          .as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          """transform(sequence(0, size(ws) - 1),
+            |  i -> struct(get(ws, i - 1) AS p, get(ws, i) AS w))"""
+            .stripMargin)).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("t.p").as("p"), col("t.w").as("w"))
+      .localCheckpoint(eager = false)
+    val uni = stream.groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("t"))
+    val big = stream.filter(col("p").isNotNull)
+      .groupBy("p", "w").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
+    val ctx = big.groupBy("p").agg(sum("cb").as("cp"))
+    val term = when(col("p").isNull,
+        log(col("cu").cast("double") / col("t")))
+      .otherwise(log(
+        lit(lambda) * (col("cb").cast("double") / col("cp")) +
+          lit(1.0 - lambda) * (col("cu").cast("double") / col("t"))))
+    stream
+      .join(uni.hint("shuffle_hash"), Seq("w"))
+      .join(big.hint("shuffle_hash"), Seq("p", "w"), "left")
+      .join(ctx.hint("shuffle_hash"), Seq("p"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp9",
+        floor(term * lit(1e9) + lit(0.5)).cast("bigint"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n"), sum("lp9").as("s"),
+        sum(abs(col("lp9")).cast("decimal(38,0)")).as("sabs"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        when(
+          sum(col("sabs")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(lit(
+            "bigramFluency: BIGINT log-prob carrier overflow — shard " +
+              "the group or rescale the grid")).cast("double"))
+          .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
+            lit(1e9)).as("avg_nll_token"),
+        min(-(col("s").cast("double")) / col("n") / lit(1e9))
+          .as("min_doc_nll"),
+        max(-(col("s").cast("double")) / col("n") / lit(1e9))
+          .as("max_doc_nll"))
+      .orderBy("lang", "source")
+  }
+
+  /** DuckDB oracle for [[bigramFluency]]. */
+  def bigramFluencySql(lambda: Double = 0.7): String = {
+    val lam = lambda
+    val oneMinus = 1.0 - lambda
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                w -> w <> '') AS ws
+       |  FROM documents),
+       |nz AS (SELECT * FROM toks WHERE len(ws) > 0),
+       |stream AS (
+       |  SELECT doc_id, lang, source, ws[i - 1] AS p, ws[i] AS w
+       |  FROM nz, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+       |uni AS (SELECT w, COUNT(*) AS cu FROM stream GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS t FROM uni),
+       |big AS (SELECT p, w, COUNT(*) AS cb FROM stream
+       |        WHERE p IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (SELECT p, CAST(SUM(cb) AS BIGINT) AS cp
+       |        FROM big GROUP BY 1),
+       |terms AS (
+       |  SELECT s.doc_id, s.lang, s.source,
+       |    CAST(floor(
+       |      CASE WHEN s.p IS NULL
+       |        THEN ln(CAST(u.cu AS DOUBLE) / t.t)
+       |        ELSE ln(CAST($lam AS DOUBLE) * (CAST(b.cb AS DOUBLE) / c.cp)
+       |             + CAST($oneMinus AS DOUBLE) * (CAST(u.cu AS DOUBLE) / t.t))
+       |      END * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp9
+       |  FROM stream s
+       |  JOIN uni u USING (w)
+       |  LEFT JOIN big b ON s.p = b.p AND s.w = b.w
+       |  LEFT JOIN ctx c ON s.p = c.p, tot t),
+       |perdoc AS (
+       |  SELECT doc_id, lang, source, COUNT(*) AS n,
+       |    CAST(SUM(lp9) AS BIGINT) AS s
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  -CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9
+       |    AS avg_nll_token,
+       |  MIN(-CAST(s AS DOUBLE) / n / 1e9) AS min_doc_nll,
+       |  MAX(-CAST(s AS DOUBLE) / n / 1e9) AS max_doc_nll
+       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val unigramLmSql: String =
     """WITH w AS (
       |  SELECT doc_id, lang, source, w FROM (

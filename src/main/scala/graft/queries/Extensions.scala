@@ -538,6 +538,8 @@ object Extensions {
     "pivot_orders" -> (pivotOrders _),
     "text_top_bigrams" -> (c => topBigrams(c)),
     "text_vocab_growth" -> (c => TextAnalysis.vocabGrowth(c.documents)),
+    "text_bigram_fluency" ->
+      (c => QualitySignals.bigramFluency(c.documents)),
     "str_affix_stats" -> (strAffixStats _),
     "approx_distinct" -> (approxDistinct _),
     "stats_quantiles" -> (quantiles _),
@@ -650,6 +652,7 @@ object Extensions {
     "pivot_orders" -> pivotOrdersSql,
     "text_top_bigrams" -> topBigramsSql(),
     "text_vocab_growth" -> TextAnalysis.vocabGrowthSql,
+    "text_bigram_fluency" -> QualitySignals.bigramFluencySql(),
     "str_affix_stats" -> strAffixStatsSql,
     "stats_quantiles" -> quantilesSql,
     "stats_quantiles_rank" -> quantilesRankSql,

@@ -256,4 +256,53 @@ class QualitySignalsSpec extends AnyFunSuite {
       assert(bucket == (rnk - 1) * 3 / 9)
     }
   }
+
+  test("bigramFluency matches a driver-side reimplementation exactly") {
+    val data = Seq(
+      (0L, "a b a b a b", "en", "g0"), // predictable bigrams
+      (1L, "a c b d a e", "en", "g1"), // same unigram-heavy 'a', unique pairs
+      (2L, "z", "en", "g2"),           // single token → pure unigram
+      (3L, "c d c d", "de", "g0"))
+    val df = data.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val lambda = 0.7
+    // faithful reimplementation of the documented formula
+    val toks = data.map { case (id, t, l, s) =>
+      (id, l, s, t.trim.split("\\s+").filter(_.nonEmpty).toSeq) }
+      .filter(_._4.nonEmpty)
+    val stream = toks.flatMap { case (id, l, s, ws) =>
+      ws.zipWithIndex.map { case (w, i) =>
+        (id, l, s, if (i == 0) null else ws(i - 1), w) } }
+    val uni = stream.groupBy(_._5).map { case (w, g) => w -> g.size.toLong }
+    val t = uni.values.sum.toDouble
+    val big = stream.filter(_._4 != null)
+      .groupBy(r => (r._4, r._5)).map { case (k, g) => k -> g.size.toLong }
+    val ctx = big.groupBy(_._1._1).map { case (p, g) => p -> g.values.sum }
+    def lp9(p: String, w: String): Long = {
+      val term =
+        if (p == null) math.log(uni(w) / t)
+        else math.log(lambda * (big((p, w)).toDouble / ctx(p)) +
+          (1.0 - lambda) * (uni(w) / t))
+      math.floor(term * 1e9 + 0.5).toLong
+    }
+    val perDoc = stream.groupBy(r => (r._1, r._2, r._3)).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(r => lp9(r._4, r._5)).sum)) }
+    val expected = perDoc.groupBy { case ((_, l, s), _) => (l, s) }
+      .map { case (k, g) =>
+        val n = g.values.map(_._1).sum
+        val sum = g.values.map(_._2).sum
+        k -> ((g.size.toLong, n, -(sum.toDouble) / n.toDouble / 1e9)) }
+    val out = QualitySignals.bigramFluency(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == expected)
+    // and the semantics have teeth: the predictable-bigram doc is more
+    // fluent (lower NLL) than the unique-bigram doc
+    assert(out(("en", "g0"))._3 < out(("en", "g1"))._3)
+    // layout independence
+    val again = QualitySignals.bigramFluency(df.repartition(5)).collect()
+      .map(_.toString)
+    assert(again.sameElements(
+      QualitySignals.bigramFluency(df).collect().map(_.toString)))
+  }
 }
