@@ -116,6 +116,19 @@ class RetryDeterminismSpec extends AnyFunSuite {
         Seq(col("n_chars"), col("doc_id")), "rnk"))
   }
 
+  test("BottomKByKey quota selection is identical under retry") {
+    // the new r10 bounded-heap aggregate: a retried scan task re-feeds
+    // rows into k-capped heap partials — the kept set (exact
+    // k-smallest by (key, id)) must not depend on attempt count or
+    // partial merge order
+    assertRetryIdentical(documents, d => Sampling.sourceQuota(d, quota = 7))
+  }
+
+  test("bm25 query-table top-k is identical under retry") {
+    assertRetryIdentical(documents, d =>
+      graft.operators.Search.bm25Queries(d, topK = 5))
+  }
+
   test("connected-components labels are identical under retry") {
     // the iterative star-contraction loop localCheckpoints per round;
     // a retried task inside the loop must not perturb the labels
