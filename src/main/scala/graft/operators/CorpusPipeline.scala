@@ -490,6 +490,61 @@ object CorpusPipeline {
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM ch GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus snapshot DIFF — the release-engineering step between two
+    * dataset versions: per (source, status) document counts with
+    * status ∈ {added, removed, modified, unchanged}, change detection
+    * by md5 content fingerprint. One full-outer hash join keyed on
+    * doc_id (SPARK-32399 shuffle-hash, no sort phases) + a hash-agg —
+    * linear, shuffle-minimal, nothing collected.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"),
+      col("source").as("src_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("h_new"),
+      col("source").as("src_new"))
+    o.join(n.hint("shuffle_hash"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("modified"))
+      .withColumn("source", coalesce(col("src_new"), col("src_old")))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** Driver-entry fixture split for [[corpusDiff]]: old = docs with
+    * doc_id % 7 ≠ 0; new = docs with doc_id % 5 ≠ 0, texts of
+    * doc_id % 3 = 0 upper-cased — every status occurs.
+    */
+  def corpusDiffEntry(docs: DataFrame): DataFrame =
+    corpusDiff(
+      docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3L)) === 0, upper(col("text")))
+            .otherwise(col("text"))))
+
+  val corpusDiffSql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS h_old, source AS src_old
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+      |      AS h_new,
+      |    source AS src_new
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |j AS (
+      |  SELECT h_old, h_new, COALESCE(src_new, src_old) AS source,
+      |    CASE WHEN h_old IS NULL THEN 'added'
+      |         WHEN h_new IS NULL THEN 'removed'
+      |         WHEN h_old = h_new THEN 'unchanged'
+      |         ELSE 'modified' END AS status
+      |  FROM o FULL OUTER JOIN n USING (doc_id))
+      |SELECT source, status, COUNT(*) AS n_docs
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
       blockSize: Long = 1000L): DataFrame = {
     // Window bounds (r10 convention): the within-block running sum

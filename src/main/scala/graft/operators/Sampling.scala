@@ -154,6 +154,33 @@ object Sampling {
        |WHERE rk <= $quota
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** EXACT-size deterministic sample — carving a fixed-K eval/audit
+    * set (permille filters give expected sizes; an eval set must be
+    * exactly K): the K smallest docs by the salted 60-bit hash with
+    * doc_id tie-break — a total order, so the cut is deterministic,
+    * layout-independent, and plans as `TakeOrderedAndProject`
+    * (per-partition heaps, no global sort). Report: per-lang counts of
+    * the carved set + id/hash extremes.
+    */
+  def exactKSample(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        hashBucketFull("exk:", col("doc_id")).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).limit(k)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+        max("hk").as("max_hash"))
+      .orderBy("lang")
+
+  def exactKSampleSql(k: Int = 100): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang, ${hashBucketFullSql("exk:", "doc_id")} AS hk
+       |  FROM documents),
+       |cut AS (SELECT * FROM keyed ORDER BY hk, doc_id LIMIT $k)
+       |SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc,
+       |  MAX(hk) AS max_hash
+       |FROM cut GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Temperature-based mixture sampling (α-sampling, the multilingual
     * LM data-mixing rule): resample so language l's share follows
     * p_l^α instead of its natural share p_l — α < 1 flattens the

@@ -526,6 +526,9 @@ object Extensions {
     // deterministic sampling / splits
     "sample_stratified" -> (c => Sampling.stratifiedSample(c.documents)),
     "sample_source_quota" -> (c => Sampling.sourceQuota(c.documents)),
+    "sample_exact_k" -> (c => Sampling.exactKSample(c.documents)),
+    "pipeline_corpus_diff" ->
+      (c => CorpusPipeline.corpusDiffEntry(c.documents)),
     "sample_temperature" -> (c => Sampling.temperatureSample(c.documents)),
     "sample_shuffle" -> (c => Sampling.deterministicShuffle(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
@@ -641,6 +644,8 @@ object Extensions {
     "events_range_join" -> RangeOps.errorClickFollowupsSql(),
     "sample_stratified" -> Sampling.stratifiedSampleSql,
     "sample_source_quota" -> Sampling.sourceQuotaSql(),
+    "sample_exact_k" -> Sampling.exactKSampleSql(),
+    "pipeline_corpus_diff" -> CorpusPipeline.corpusDiffSql,
     "sample_temperature" -> Sampling.temperatureSampleSql,
     "sample_shuffle" -> Sampling.deterministicShuffleSql(),
     "set_union_kinds" -> unionKindsSql,

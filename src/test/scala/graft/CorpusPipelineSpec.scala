@@ -280,4 +280,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(md5s((0L, 1L)) ==
       m((24 until 40).map(i => s"w$i").mkString(" ")))
   }
+
+  test("corpusDiff classifies added/removed/modified/unchanged per source") {
+    val old = Seq(
+      (0L, "same text", "s1"),
+      (1L, "will change", "s1"),
+      (2L, "will vanish", "s2")).toDF("doc_id", "text", "source")
+    val nw = Seq(
+      (0L, "same text", "s1"),
+      (1L, "changed now", "s1"),
+      (3L, "brand new", "s2")).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.corpusDiff(old, nw).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "unchanged") -> 1L, ("s1", "modified") -> 1L,
+      ("s2", "removed") -> 1L, ("s2", "added") -> 1L))
+  }
+
+  test("exactKSample carves exactly K docs, layout-independent") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"text $i", if (i % 2 == 0) "en" else "de",
+        s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Sampling.exactKSample(docs, k = 37).collect()
+    assert(out.map(_.getLong(1)).sum == 37L) // exactly K, never expected-K
+    val again = graft.operators.Sampling
+      .exactKSample(docs.repartition(9), k = 37).collect().map(_.toString)
+    assert(again.sameElements(out.map(_.toString)))
+    // append stability: adding docs only displaces by smaller hash —
+    // the carved set from a superset is a (hash-wise) refinement, so
+    // every kept hash in the superset cut is <= the original max
+    val more = docs.unionAll(Seq((1000L, "extra", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val mx0 = out.map(_.getLong(3)).max
+    val mx1 = graft.operators.Sampling.exactKSample(more, k = 37)
+      .collect().map(_.getLong(3)).max
+    assert(mx1 <= mx0)
+  }
 }
