@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Persisted HLL sketch store — incremental per-source distinct-token
+  * cardinality, the sketch-family member of the store discipline
+  * (signature / cluster-map / semantic / LM stores): per-source
+  * DataSketches HLL sketches are written ONCE, a new batch MERGES its
+  * own sketches in (`hll_union` — sketches are the mergeable summary,
+  * so per-append cost is the batch's aggregation plus a
+  * dictionary-sized republish of ≤|sources| rows), and cardinality
+  * estimates come from the stored binaries without ever re-reading
+  * the base corpus. This is THE production pattern for "distinct
+  * tokens / urls / users per source, maintained across daily ingests"
+  * at 100 TB: the corpus-sized work is one map-side-combined
+  * `hll_sketch_agg` pass per batch; everything else is KB-sized.
+  *
+  * Engine-specific binaries → the driver entry is rows-only by
+  * declared design; `SketchesSpec` carries the laws instead:
+  * append ≡ fresh over the union (estimates bit-equal — HLL union at
+  * matched lgK is lossless in HLL mode), and estimates within HLL
+  * error of exact `countDistinct`.
+  *
+  * Atomic publish: temp + rename, `_SUCCESS` completeness gate — the
+  * [[QualitySignals.writeLmStore]] conventions (append republishes
+  * because sketches, like renormalized log-probs, are a
+  * dictionary-sized artifact; read-before-replace is safe because the
+  * merged frame is fully materialized by the temp write before the
+  * destination is swapped).
+  */
+object Sketches {
+
+  /** lgK = 14 → ~1.6 KB per sketch, standard error ≈ 0.81% — fine for
+    * the per-source scale decisions these estimates feed.
+    */
+  val LgK: Int = 14
+
+  /** Per-source (HLL sketch of distinct tokens, exact token count) —
+    * one corpus pass, map-side partial sketches.
+    */
+  def sourceTokenSketches(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("source")
+      .agg(expr(s"hll_sketch_agg(w, $LgK)").as("sk"),
+        count(lit(1)).as("n_tokens"))
+
+  private def publish(frame: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      frame.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    frame.coalesce(1).write.parquet(tmp.toString + "/sketches")
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  def writeSketchStore(docs: DataFrame, path: String): Unit =
+    publish(sourceTokenSketches(docs), path)
+
+  def isCompleteSketchStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/sketches/_SUCCESS"))
+
+  /** Fold a batch into the store: the batch aggregates to its own
+    * per-source sketches (the only corpus-sized work), which
+    * full-outer-merge with the stored rows via `hll_union` — absent
+    * sides pass through unchanged. Dictionary-sized republish.
+    */
+  def appendToSketchStore(path: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val stored = spark.read.parquet(s"$path/sketches")
+      .select(col("source"), col("sk").as("sk_old"),
+        col("n_tokens").as("n_old"))
+    val fresh = sourceTokenSketches(batch)
+      .select(col("source"), col("sk").as("sk_new"),
+        col("n_tokens").as("n_new"))
+    val merged = stored.join(fresh.hint("shuffle_hash"), Seq("source"),
+        "full_outer")
+      .select(col("source"),
+        when(col("sk_old").isNull, col("sk_new"))
+          .when(col("sk_new").isNull, col("sk_old"))
+          .otherwise(expr("hll_union(sk_old, sk_new)")).as("sk"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_tokens"))
+    publish(merged, path)
+  }
+
+  /** Build-once helper — content-fingerprint path keying +
+    * completeness gate (the ensure* discipline; EAGER by documented
+    * design).
+    */
+  def ensureSketchStore(docs: DataFrame, tag: String): String = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_sketchstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSketchStore(fs, path)) writeSketchStore(docs, path)
+    path
+  }
+
+  /** Cardinality report from the STORED sketches — no corpus read. */
+  def estimateStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketches")
+      .select(col("source"), col("n_tokens"),
+        expr("hll_sketch_estimate(sk)").cast("bigint")
+          .as("est_distinct_tokens"))
+      .orderBy("source")
+}

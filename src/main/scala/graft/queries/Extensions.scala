@@ -529,6 +529,13 @@ object Extensions {
     "sample_exact_k" -> (c => Sampling.exactKSample(c.documents)),
     "pipeline_corpus_diff" ->
       (c => CorpusPipeline.corpusDiffEntry(c.documents)),
+    // HLL sketch binaries are engine-specific -> rows-only by design;
+    // SketchesSpec carries the append/accuracy laws
+    "sketch_source_distinct" -> (c => {
+      val store = Sketches.ensureSketchStore(c.documents,
+        java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))
+      Sketches.estimateStore(c.spark, store)
+    }),
     "sample_temperature" -> (c => Sampling.temperatureSample(c.documents)),
     "sample_shuffle" -> (c => Sampling.deterministicShuffle(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL
