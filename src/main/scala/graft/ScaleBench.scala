@@ -43,10 +43,12 @@ object ScaleBench {
   }
 
   /** Amplify the documents/embeddings corpora: doc/vec ids shift per
-    * copy; document TEXT is caesar-rotated per copy so replicas are
-    * not artificial near-duplicates (which would grow LSH candidate
-    * output quadratically by construction and measure the pathology,
-    * not the pipeline).
+    * copy; document TEXT is remapped through a PER-COPY alphabet
+    * permutation (md5-seeded deterministic shuffle — the r10 fix: the
+    * old caesar rotation WRAPPED at 26 copies, so ≥26× corpora
+    * contained true duplicate texts by construction and the dedup
+    * ladder points measured output volume, not plan scaling) so
+    * replicas are never artificial near-duplicates at any mult.
     */
   def amplifyCorpusToDir(spark: SparkSession, srcDir: String, outDir: String,
       mult: Int): Unit = {
@@ -54,11 +56,17 @@ object ScaleBench {
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(outDir))) return
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def perm(i: Int): String =
+      if (i == 0) alpha
+      else alpha.sortBy { c =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"amp:$i:$c".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.mkString
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     (0 until mult).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-        .withColumn("text", translate(col("text"), alpha, rot))
+        .withColumn("text", translate(col("text"), alpha, perm(i)))
     }.reduce(_ unionAll _).write.parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     (0 until mult).map { i =>
@@ -95,6 +103,12 @@ object ScaleBench {
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource")
       .split(",").map(_.trim).toSet
+    // optional 4th arg: comma list restricting the pipeline section's
+    // entries (re-running one family's ladder without paying the full
+    // ~50-entry sweep) — default all
+    val opsFilter: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
     def section(name: String)(body: => Unit): Unit =
       if (sections(name)) body
     val spark = Engine.session("graft-scale-bench", master = "local[32]")
@@ -162,6 +176,7 @@ object ScaleBench {
         "dedup_containment_chunk_lsh_md5", "text_bm25_queries",
         "sim_ann_recall_clustered", "text_vocab_growth",
         "text_bigram_fluency", "pipeline_corpus_diff", "sample_exact_k")
+        .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =
@@ -220,7 +235,7 @@ object ScaleBench {
       // per-batch cost must stay ~flat as the persisted base grows:
       // the base side is a column-pruned parquet read of stored
       // signatures (no shingle/md5 recompute), and amplified copies
-      // are caesar-rotated so bucket occupancy doesn't grow by
+      // are alphabet-permuted so bucket occupancy doesn't grow by
       // construction — growth here would mean the join rescans or
       // recomputes the base
       println("== Store-backed incremental dedup vs base-corpus size ==")
