@@ -48,15 +48,35 @@ object Sketches {
       .agg(expr(s"hll_sketch_agg(w, $LgK)").as("sk"),
         count(lit(1)).as("n_tokens"))
 
-  private def publish(frame: DataFrame, path: String): Unit = {
+  private def publish(frame: DataFrame, path: String,
+      lastBatch: Long = -1L): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       frame.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
     frame.coalesce(1).write.parquet(tmp.toString + "/sketches")
+    // the streaming-replay watermark rides inside the same atomic
+    // swap, so store content and applied-batch stamp can never diverge
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "last_batch"))
+    out.write(lastBatch.toString.getBytes("UTF-8")); out.close()
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** Highest streaming batch id already folded in (−1 for a store
+    * never touched by a stream — incl. stores written before this
+    * field existed).
+    */
+  def lastAppliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "last_batch")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
   }
 
   def writeSketchStore(docs: DataFrame, path: String): Unit =
@@ -72,6 +92,28 @@ object Sketches {
     * sides pass through unchanged. Dictionary-sized republish.
     */
   def appendToSketchStore(path: String, batch: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    appendMerged(path, batch, lastAppliedBatch(fs, path))
+  }
+
+  /** Streaming-replay-safe fold: `foreachBatch` re-delivers a batch
+    * after a failure, and a blind append would double-count its
+    * tokens (`n_tokens` is additive; the HLL side alone would forgive
+    * the replay). The applied-batch watermark rides the atomic
+    * publish, so a replayed id is skipped exactly. Returns whether
+    * the batch was applied.
+    */
+  def appendBatchToSketchStore(path: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (batchId <= lastAppliedBatch(fs, path)) false
+    else { appendMerged(path, batch, batchId); true }
+  }
+
+  private def appendMerged(path: String, batch: DataFrame,
+      stamp: Long): Unit = {
     val spark = batch.sparkSession
     val stored = spark.read.parquet(s"$path/sketches")
       .select(col("source"), col("sk").as("sk_old"),
@@ -87,7 +129,7 @@ object Sketches {
           .otherwise(expr("hll_union(sk_old, sk_new)")).as("sk"),
         (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
           .as("n_tokens"))
-    publish(merged, path)
+    publish(merged, path, stamp)
   }
 
   /** Build-once helper — content-fingerprint path keying +

@@ -209,6 +209,33 @@ object EventStream {
     q
   }
 
+  /** Streaming maintenance of the PERSISTED per-source HLL sketch
+    * store ([[graft.operators.Sketches.writeSketchStore]]): each
+    * micro-batch of ingested documents folds its own per-source
+    * sketches into the store — the "distinct tokens per source,
+    * maintained across ingests" production loop. Unlike the frozen
+    * read-only stores above, this stream MUTATES the store, so replay
+    * safety comes from the applied-batch watermark inside the store's
+    * atomic publish ([[graft.operators.Sketches.appendBatchToSketchStore]])
+    * rather than from the `batch=<id>` sink overwrite: a re-delivered
+    * batch id is skipped exactly, never double-counted.
+    */
+  def sketchStream(docs: DataFrame, storePath: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches
+          .appendBatchToSketchStore(storePath, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming incremental near-dup gate against a PERSISTED base
     * signature store ([[graft.operators.Dedup.writeSignatureStore]])
     * — the streaming composition of the store-backed batch path: each

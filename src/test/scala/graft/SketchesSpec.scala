@@ -45,6 +45,28 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == exact)
   }
 
+  test("batch-stamped append skips a replayed batch id exactly") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_replay")
+      .resolve("store").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    Sketches.writeSketchStore(base, tmp)
+    assert(Sketches.lastAppliedBatch(fs, tmp) == -1L)
+    assert(Sketches.appendBatchToSketchStore(tmp, batch, 0L))
+    val once = Sketches.estimateStore(spark, tmp).collect().map(_.toString)
+    // replayed id: skipped, store byte-for-byte equivalent (n_tokens
+    // would double under a blind append)
+    assert(!Sketches.appendBatchToSketchStore(tmp, batch, 0L))
+    val twice = Sketches.estimateStore(spark, tmp).collect().map(_.toString)
+    assert(once.sameElements(twice))
+    assert(Sketches.lastAppliedBatch(fs, tmp) == 0L)
+    // the next id applies
+    assert(Sketches.appendBatchToSketchStore(tmp, batch, 1L))
+    assert(Sketches.lastAppliedBatch(fs, tmp) == 1L)
+  }
+
   test("appending a new source adds it without touching existing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_new")
       .resolve("store").toString
