@@ -101,7 +101,7 @@ object ScaleBench {
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
-        "seminc,globalrank,giantsource")
+        "seminc,globalrank,giantsource,sketchstore")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -405,6 +405,46 @@ object ScaleBench {
         val (gsec, rows) = time(
           graft.operators.Dedup.incrementalLshStoreBloom(store, delta).count())
         println(f"$mult%-6d$usec%10.2f$gsec%9.2f$rows%8d")
+      }
+    }
+
+    section("sketchstore") {
+      // the sketch-store law at 100 TB: per-append cost is the BATCH's
+      // aggregation plus a dictionary-sized (≤|sources| rows) merge +
+      // republish — independent of how much corpus the stored sketches
+      // already summarize. Delta held constant while the summarized
+      // base grows 1× → 64×; the estimate report must stay
+      // milliseconds (KB-sized store read, no corpus access).
+      println("== HLL sketch store: fixed-delta append vs summarized base ==")
+      println(f"${"mult"}%-6s${"write_s"}%9s${"append_s"}%10s${"report_s"}%10s")
+      val deltaDocs = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_corpus_$mult"
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_sketchstore_scale_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val (wsec, _) = time {
+          if (!graft.operators.Sketches.isCompleteSketchStore(fs, store))
+            graft.operators.Sketches.writeSketchStore(base, store)
+          1L
+        }
+        graft.operators.Sketches.appendToSketchStore(store, deltaDocs)
+        val (asec, _) = time {
+          graft.operators.Sketches.appendToSketchStore(store, deltaDocs); 1L
+        }
+        graft.operators.Sketches.estimateStore(spark, store).count()
+        val (rsec, _) = time(
+          graft.operators.Sketches.estimateStore(spark, store).count())
+        println(f"$mult%-6d$wsec%9.2f$asec%10.2f$rsec%10.2f")
       }
     }
 

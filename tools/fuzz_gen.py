@@ -158,6 +158,13 @@ class Gen:
         kind = self.rng.choice(choices)
         col = self.rng.choice(c[kind])
         ref = f"{q}.{col}" if q else col
+        # FK columns: sometimes an IN-subquery against the parent
+        if kind == "int" and self.rng.random() < 0.15:
+            for child, ccol, parent, pcol in JOINS:
+                if child == table and ccol == col:
+                    sub = self.pred(parent, None, depth=1)
+                    return (f"{ref} IN (SELECT {pcol} FROM {parent} "
+                            f"WHERE {sub})")
         if kind in ("int", "money", "ts"):
             op = self.rng.choice(["<", "<=", ">", ">=", "=", "<>"])
             lit = self.lit(table, col, kind)
@@ -286,6 +293,16 @@ class Gen:
         return out
 
     # ---- query templates --------------------------------------------
+    def group_expr(self, ref):
+        """Sometimes wrap a group key in a string scalar function —
+        identical text in SELECT and GROUP BY."""
+        r = self.rng.random()
+        if r < 0.12:
+            return f"upper({ref})"
+        if r < 0.2:
+            return f"substr({ref}, 1, {self.rng.randint(1, 4)})"
+        return ref
+
     def grouped_agg(self):
         tables, conds = self.chain(self.rng.randint(1, 3))
         qualify = len(tables) > 1
@@ -295,7 +312,7 @@ class Gen:
                                             self.rng.randint(1, 2))) \
                 if gtabs else []:
             col = self.rng.choice(TABLES[t]["lowstr"])
-            gcols.append(f"{t}.{col}" if qualify else col)
+            gcols.append(self.group_expr(f"{t}.{col}" if qualify else col))
         gcols = list(dict.fromkeys(gcols))
         agg_t = self.rng.choice(tables)
         ag = self.aggs(agg_t, agg_t if qualify else None)
@@ -307,7 +324,33 @@ class Gen:
               f"{self.from_clause(tables, conds)} WHERE {where}"
         if gcols:
             sql += f" GROUP BY {', '.join(gcols)}"
+            if self.rng.random() < 0.25:
+                sql += f" HAVING count(*) >= {self.rng.randint(2, 20)}"
         return sql
+
+    def left_join_agg(self):
+        """The q13 shape: parent LEFT JOIN child, count of child keys
+        (NULL-skipping) next to count(*)."""
+        child, ccol, parent, pcol = self.rng.choice(JOINS)
+        g = self.rng.choice(TABLES[parent]["lowstr"]) \
+            if TABLES[parent]["lowstr"] else pcol
+        where = self.pred(parent, parent)
+        return (f"SELECT {parent}.{g} AS g0, count(*) AS cnt, "
+                f"count({child}.{ccol}) AS cnt_child, "
+                f"CAST(COUNT(DISTINCT {child}.{ccol}) AS BIGINT) AS u0 "
+                f"FROM {parent} LEFT JOIN {child} "
+                f"ON {child}.{ccol} = {parent}.{pcol} "
+                f"WHERE {where} GROUP BY {parent}.{g}")
+
+    def union_agg(self):
+        t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
+        g = self.rng.choice(TABLES[t]["lowstr"])
+        p1 = self.pred(t, None)
+        p2 = self.pred(t, None)
+        return (f"SELECT g0, count(*) AS cnt FROM "
+                f"(SELECT {g} AS g0 FROM {t} WHERE {p1} "
+                f"UNION ALL SELECT {g} AS g0 FROM {t} WHERE {p2}) u "
+                f"GROUP BY g0")
 
     def distinct_q(self):
         tables, conds = self.chain(self.rng.randint(1, 2))
@@ -362,8 +405,9 @@ class Gen:
 
     def query(self):
         f = self.rng.choices(
-            [self.grouped_agg, self.distinct_q, self.limit_q],
-            weights=[5, 2, 3])[0]
+            [self.grouped_agg, self.distinct_q, self.limit_q,
+             self.left_join_agg, self.union_agg],
+            weights=[5, 2, 3, 2, 1])[0]
         return f()
 
 
