@@ -36,6 +36,11 @@ object SqlBatch {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents"))
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    // events goes through the same nanos/NTZ normalization the curated
+    // entries use (Ctx.events) — DuckDB's read of the same parquet
+    // truncates ns→µs identically, so fuzzed timestamp comparisons and
+    // min/max agree exactly
+    graft.queries.Ctx(spark, sfDir).events.createOrReplaceTempView("events")
     var failed = 0
     for (line <- Files.readAllLines(
         Paths.get(s"$outDir/queries.tsv")).asScala if line.nonEmpty) {

@@ -96,6 +96,16 @@ TABLES = {
         "str": ["lang", "source"],
         "ts": [],
     },
+    # read through Ctx.events on the Spark side (ns→µs normalization);
+    # `value` is a 2-decimal double, so the money grid applies
+    "events": {
+        "key": ["event_id"],
+        "int": ["event_id", "user_id"],
+        "money": ["value"],
+        "lowstr": ["event_type"],
+        "str": ["event_type", "props"],
+        "ts": ["ts"],
+    },
 }
 
 # FK edges (child, child_col, parent, parent_col); chains follow them
