@@ -531,6 +531,14 @@ object Extensions {
       (c => CorpusPipeline.corpusDiffEntry(c.documents)),
     // HLL sketch binaries are engine-specific -> rows-only by design;
     // SketchesSpec carries the append/accuracy laws
+    // resumable manifest'd shard export: the manifest is aggregated
+    // from the WRITTEN files, so the oracle match proves the export
+    // wrote exactly the source (once, uncorrupted, correct shards)
+    "export_manifest" -> (c => {
+      val p = graft.sources.TrainingExport.ensureExport(c.documents,
+        java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))
+      graft.sources.TrainingExport.readManifest(c.spark, p)
+    }),
     "sketch_source_distinct" -> (c => {
       val store = Sketches.ensureSketchStore(c.documents,
         java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))
@@ -564,6 +572,7 @@ object Extensions {
       (c => Multimodal.featuresQuery(c.spark, c.documents)))
 
   val oracles: Map[String, String] = Map(
+    "export_manifest" -> graft.sources.TrainingExport.manifestSql(),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,

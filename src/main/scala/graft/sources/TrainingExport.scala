@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Resumable training-shard export with a verifiable manifest — the
+  * terminal sink of the curation pipeline ("write the final mix as N
+  * shards, restartable, provably complete"), completing the sink
+  * story beyond [[PartitionedSink]]'s layout primitives (reference's
+  * only sink is gather-to-client — benchmark harnesses materialize
+  * results client-side; a durable, auditable export is what the same
+  * workload needs at 100 TB).
+  *
+  * Layout and guarantees:
+  *
+  *  - Documents land in `shards` hive dirs (`shard=K/`), shard chosen
+  *    by the portable salted 60-bit md5 rule
+  *    ([[Sampling.hashBucketFull]] mod shards — layout-independent,
+  *    append-stable), rows inside each file in (skey, doc_id) order:
+  *    a reader streaming a shard in file order replays the
+  *    deterministic training order with NO window anywhere (the sort
+  *    is per-task after clustering by shard).
+  *  - The write proceeds in `waves` (shard mod waves), each wave ONE
+  *    Spark job over the corpus: wave tmp dir → per-shard dir rename →
+  *    underscore marker, all idempotent. A re-run after any crash
+  *    skips completed waves, clears half-written tmp state, and
+  *    rewrites only the missing waves — resumability at 100 TB means
+  *    a lost cluster costs one wave, not the export.
+  *  - `_manifest/` is computed from the WRITTEN FILES (read-back, not
+  *    the source frame): per shard, row count, bit_xor of each doc's
+  *    60-bit content hash (md5 over id:text — order-free, exact),
+  *    char sum and id extremes. The driver oracle recomputes the same
+  *    frame from the raw table in DuckDB — equality proves every
+  *    document was written exactly once, uncorrupted, to its correct
+  *    shard. `_manifest/_SUCCESS` is the completeness gate
+  *    (temp+rename publish, the store-family discipline).
+  *
+  * Scale shape: `waves` corpus scans (bounded, chosen), one hash
+  * shuffle per wave on the shard column, per-task sorts; manifest is
+  * one read-back aggregation. Nothing quadratic, no windows, no
+  * driver-side data.
+  */
+object TrainingExport {
+
+  val ShardSalt = "exp:"
+
+  /** Portable per-doc 60-bit content hash (id-and-text binding) —
+    * DuckDB: CAST('0x'||substring(md5(...),1,15) AS BIGINT).
+    */
+  private def contentHash: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("text"))), 1, 15), 16, 10).cast("bigint")
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  def isCompleteExport(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest/_SUCCESS"))
+
+  /** Idempotent, wave-resumable export. Safe to call again after any
+    * interruption; a completed export returns immediately.
+    */
+  def exportShards(docs: DataFrame, path: String, shards: Int = 16,
+      waves: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    val f = fs(spark)
+    if (isCompleteExport(f, path)) return
+    f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val assigned = docs
+      .withColumn("skey", Sampling.hashBucketFull(ShardSalt, col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+    for (w <- 0 until waves) {
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_wave$w.done")
+      if (!f.exists(marker)) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.wave$w.tmp")
+        f.delete(tmp, true) // half-written state from a crashed attempt
+        // sort leads with the partition column: the dynamic-partition
+        // writer requires shard ordering and would otherwise insert
+        // its own non-stable sort, destroying the training order
+        assigned.filter(pmod(col("shard"), lit(waves.toLong)) === w)
+          .repartition(col("shard"))
+          .sortWithinPartitions("shard", "skey", "doc_id")
+          .write.partitionBy("shard").parquet(tmp.toString)
+        for (st <- f.listStatus(tmp)
+            if st.getPath.getName.startsWith("shard=")) {
+          val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          f.delete(dst, true) // crashed AFTER some renames: re-land cleanly
+          require(f.rename(st.getPath, dst),
+            s"rename ${st.getPath} -> $dst failed")
+        }
+        f.delete(tmp, true)
+        f.create(marker).close()
+      }
+    }
+    // manifest from the written files; temp+rename publish, _SUCCESS
+    // inside is the completeness gate
+    val mTmp = s"$path/.manifest.tmp"
+    f.delete(new org.apache.hadoop.fs.Path(mTmp), true)
+    manifestFromFiles(spark, path).coalesce(1).write.parquet(mTmp)
+    val mDst = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    f.delete(mDst, true)
+    require(f.rename(new org.apache.hadoop.fs.Path(mTmp), mDst),
+      s"rename $mTmp -> $mDst failed")
+  }
+
+  /** Per-shard audit frame aggregated from the shard files themselves
+    * (underscore/dot paths are invisible to the parquet reader, so
+    * markers and tmp dirs never pollute it).
+    */
+  def manifestFromFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("shard").cast("bigint").as("shard"), col("doc_id"),
+        col("text"), col("n_chars"))
+      .withColumn("ch", contentHash)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(ch)").as("xor_hash"),
+        sum("n_chars").cast("bigint").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** The published manifest (no corpus read). */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest").orderBy("shard")
+
+  /** Build-once entry helper — content-fingerprint path keying + the
+    * completeness gate (the ensure* discipline; EAGER by documented
+    * design: the fingerprint and any missing waves run now so
+    * constructing the query map stays cheap on later calls).
+    */
+  def ensureExport(docs: DataFrame, tag: String, shards: Int = 16,
+      waves: Int = 4): String = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_export_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    exportShards(docs, path, shards, waves)
+    path
+  }
+
+  /** DuckDB oracle for the manifest — same shard rule, same content
+    * hash, computed from the raw table: agreement with the read-back
+    * manifest proves the export wrote exactly the source.
+    */
+  def manifestSql(shards: Int = 16): String = {
+    val key = Sampling.hashBucketFullSql(ShardSalt, "doc_id")
+    s"""SELECT $key % $shards AS shard, count(*) AS n_rows,
+       |  bit_xor(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+       |    || ':' || text), 1, 15) AS BIGINT)) AS xor_hash,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM documents
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.TrainingExport
+import graft.operators.Sampling
+
+class TrainingExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq.tabulate(120)(i =>
+    (i.toLong, s"document body ${(i * 31) % 57} tok${i % 11}", "en",
+      s"src${i % 3}", (20 + i % 9).toLong))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def manifest(path: String): Seq[String] =
+    TrainingExport.readManifest(spark, path)
+      .collect().map(_.toString).toSeq
+
+  test("manifest from written files equals the source-derived frame") {
+    val path = java.nio.file.Files.createTempDirectory("graft_export")
+      .resolve("exp").toString
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    assert(TrainingExport.isCompleteExport(fs, path))
+    val fromFiles = manifest(path)
+    val fromSource = docs
+      .withColumn("shard", pmod(
+        Sampling.hashBucketFull(TrainingExport.ShardSalt, col("doc_id")),
+        lit(8L)))
+      .withColumn("ch", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"), col("text"))), 1, 15),
+        16, 10).cast("bigint"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(ch)").as("xor_hash"),
+        sum("n_chars").cast("bigint").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard").collect().map(_.toString).toSeq
+    assert(fromFiles == fromSource && fromFiles.size == 8)
+  }
+
+  test("a crashed export resumes: missing waves rewritten, result identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_export_res")
+      .resolve("exp").toString
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    val want = manifest(path)
+    // simulate a crash after wave 1: waves 2,3 never happened (their
+    // markers + shard dirs gone), the manifest was never published,
+    // and wave 2 died mid-write leaving tmp garbage
+    val p = new org.apache.hadoop.fs.Path(_: String)
+    fs.delete(p(s"$path/_manifest"), true)
+    for (w <- 2 to 3) fs.delete(p(s"$path/_wave$w.done"), false)
+    for (k <- 0 until 8 if k % 4 >= 2) fs.delete(p(s"$path/shard=$k"), true)
+    fs.mkdirs(p(s"$path/.wave2.tmp/shard=2"))
+    fs.create(p(s"$path/.wave2.tmp/shard=2/garbage")).close()
+    assert(!TrainingExport.isCompleteExport(fs, path))
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    assert(TrainingExport.isCompleteExport(fs, path))
+    assert(manifest(path) == want)
+    assert(!fs.exists(p(s"$path/.wave2.tmp")))
+  }
+
+  test("a completed export is a no-op on re-run") {
+    val path = java.nio.file.Files.createTempDirectory("graft_export_noop")
+      .resolve("exp").toString
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    val stamp = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_manifest")).getModificationTime
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_manifest")).getModificationTime == stamp)
+  }
+
+  test("rows inside each shard file are in (skey, doc_id) training order") {
+    val path = java.nio.file.Files.createTempDirectory("graft_export_ord")
+      .resolve("exp").toString
+    TrainingExport.exportShards(docs, path, shards = 4, waves = 2)
+    val shard0 = new org.apache.hadoop.fs.Path(s"$path/shard=0")
+    val files = fs.listStatus(shard0)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (st <- files) {
+      val rows = spark.read.parquet(st.getPath.toString)
+        .select("skey", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == rows.sorted)
+    }
+  }
+}
