@@ -175,7 +175,9 @@ object ScaleBench {
         "sample_source_quota", "dedup_containment_lsh_md5",
         "dedup_containment_chunk_lsh_md5", "text_bm25_queries",
         "sim_ann_recall_clustered", "text_vocab_growth",
-        "text_bigram_fluency", "pipeline_corpus_diff", "sample_exact_k")
+        "text_bigram_fluency", "pipeline_corpus_diff", "sample_exact_k",
+        "pipeline_subword_vocab", "pipeline_subword_stats",
+        "export_manifest")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {

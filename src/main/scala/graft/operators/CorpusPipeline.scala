@@ -789,4 +789,151 @@ object CorpusPipeline {
        |FROM g JOIN lw USING (b)
        |GROUP BY 1, 2
        |ORDER BY avg_logratio DESC, doc_id LIMIT $topK""".stripMargin
+
+  // --- WordPiece-style greedy subword tokenizer -----------------------
+  // completes the tokenizer family next to BPE: a frequency-selected
+  // subword vocabulary (all single chars + the top-`vocabSize`
+  // substrings by positional occurrence mass) applied by greedy
+  // LONGEST-MATCH segmentation. Same discipline as bpeMerges: ONE
+  // corpus pass (the word histogram); vocabulary selection, the
+  // 16-round greedy loop, and the usage report are all DICTIONARY-
+  // sized with broadcast joins — at 100 TB only the histogram scales.
+
+  /** Cap on word length considered (both engines filter identically;
+    * also the greedy loop's round bound — single chars are always in
+    * the vocabulary, so every round consumes ≥1 char).
+    */
+  val SubwordMaxWordLen: Int = 16
+
+  private def subwordWordHist(docs: DataFrame, dictLimit: Int): DataFrame =
+    docs.select(explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= SubwordMaxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(dictLimit)
+      .localCheckpoint() // the only corpus pass; everything below is
+                         // dictionary-sized
+
+  /** Top-`vocabSize` multi-char pieces by positional occurrence mass
+    * (Σ word_freq over every start position — overlap-counting,
+    * identical in both engines), ties broken by piece text.
+    */
+  def subwordVocab(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 6, dictLimit: Int = 100000): DataFrame =
+    subwordWordHist(docs, dictLimit)
+      .select(col("w"), col("freq"),
+        explode(expr(s"sequence(2, $maxPieceLen)")).as("L"))
+      .filter(length(col("w")) >= col("L"))
+      .select(col("freq"), col("L"), col("w"),
+        explode(expr("sequence(1, length(w) - L + 1)")).as("s"))
+      .withColumn("piece", expr("substr(w, s, L)"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+
+  /** Greedy longest-match segmentation of the word dictionary against
+    * the selected vocabulary: per round, every unfinished (word, pos)
+    * state consumes the longest vocabulary piece matching at pos
+    * (unique — at most one piece of each length can match). Single
+    * chars guarantee progress, so `SubwordMaxWordLen` rounds finish
+    * every word. Returns (w, freq, r, piece). Dictionary-sized
+    * states; lazy per-round checkpoints (house loop convention).
+    */
+  def subwordSegments(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 6, dictLimit: Int = 100000): DataFrame = {
+    val wf = subwordWordHist(docs, dictLimit)
+    val chars = wf
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("s"))
+      .select(expr("substr(w, s, 1)").as("piece")).distinct()
+    val vocab = subwordVocab(docs, vocabSize, maxPieceLen, dictLimit)
+      .select("piece")
+      .unionAll(chars).distinct()
+      .select(col("piece"), length(col("piece")).as("plen"))
+      .localCheckpoint()
+    var states = wf.withColumn("pos", lit(1))
+    val rounds = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (r <- 1 to SubwordMaxWordLen) {
+      val step = states.filter(col("pos") <= length(col("w")))
+        .withColumn("L", explode(expr(s"sequence(1, $maxPieceLen)")))
+        .filter(col("pos") + col("L") - 1 <= length(col("w")))
+        .withColumn("piece", expr("substr(w, pos, L)"))
+        .join(broadcast(vocab),
+          Seq("piece")) // plen rides in; matches only
+        .groupBy("w", "freq", "pos")
+        .agg(max_by(col("piece"), col("plen")).as("piece"),
+          max("plen").as("plen"))
+        .withColumn("r", lit(r))
+        .localCheckpoint(eager = false)
+      rounds += step.select("w", "freq", "r", "piece")
+      states = step.select(col("w"), col("freq"),
+        (col("pos") + col("plen")).as("pos"))
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
+  /** Driver report: corpus-frequency-weighted usage of each piece
+    * under greedy segmentation — top `topK` by mass. The judge-facing
+    * law rides the oracle: DuckDB re-derives the vocabulary and
+    * replays the greedy walk as a recursive CTE.
+    */
+  def subwordStats(docs: DataFrame, vocabSize: Int = 200,
+      maxPieceLen: Int = 6, dictLimit: Int = 100000,
+      topK: Int = 50): DataFrame =
+    subwordSegments(docs, vocabSize, maxPieceLen, dictLimit)
+      .groupBy("piece")
+      .agg(sum("freq").as("n_uses"),
+        countDistinct("w").as("n_words"))
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("n_uses"), col("n_words"))
+      .orderBy(col("n_uses").desc, col("piece")).limit(topK)
+
+  private def subwordCtes(vocabSize: Int, maxPieceLen: Int,
+      dictLimit: Int): String =
+    s"""corpus AS (
+       |  SELECT w FROM (
+       |    SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE w <> '' AND length(w) <= $SubwordMaxWordLen),
+       |wf AS (
+       |  SELECT w, COUNT(*) AS freq FROM corpus GROUP BY w
+       |  ORDER BY freq DESC, w LIMIT $dictLimit),
+       |cand AS (
+       |  SELECT substr(w, s, L) AS piece, SUM(freq) AS cnt
+       |  FROM wf, generate_series(2, $maxPieceLen) gl(L),
+       |    generate_series(1, $SubwordMaxWordLen) gs(s)
+       |  WHERE length(w) >= L AND s <= length(w) - L + 1
+       |  GROUP BY 1),
+       |multi AS (SELECT piece, cnt FROM cand
+       |  ORDER BY cnt DESC, piece LIMIT $vocabSize)""".stripMargin
+
+  def subwordVocabSql(vocabSize: Int = 200, maxPieceLen: Int = 6,
+      dictLimit: Int = 100000): String =
+    s"""WITH ${subwordCtes(vocabSize, maxPieceLen, dictLimit)}
+       |SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM multi ORDER BY cnt DESC, piece""".stripMargin
+
+  def subwordStatsSql(vocabSize: Int = 200, maxPieceLen: Int = 6,
+      dictLimit: Int = 100000, topK: Int = 50): String =
+    s"""WITH RECURSIVE ${subwordCtes(vocabSize, maxPieceLen, dictLimit)},
+       |chars AS (
+       |  SELECT DISTINCT substr(w, s, 1) AS piece
+       |  FROM wf, generate_series(1, $SubwordMaxWordLen) t(s)
+       |  WHERE s <= length(w)),
+       |vocab AS (SELECT piece FROM chars
+       |  UNION SELECT piece FROM multi),
+       |seg(w, freq, pos, piece) AS (
+       |  SELECT w, freq, 1, CAST(NULL AS VARCHAR) FROM wf
+       |  UNION ALL
+       |  SELECT s.w, s.freq, s.pos + length(b.piece), b.piece
+       |  FROM seg s, LATERAL (SELECT v.piece FROM vocab v
+       |      WHERE substr(s.w, s.pos, length(v.piece)) = v.piece
+       |      ORDER BY length(v.piece) DESC LIMIT 1) b
+       |  WHERE s.pos <= length(s.w))
+       |SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+       |  CAST(SUM(freq) AS BIGINT) AS n_uses,
+       |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+       |FROM seg WHERE piece IS NOT NULL
+       |GROUP BY piece
+       |ORDER BY n_uses DESC, piece LIMIT $topK""".stripMargin
 }

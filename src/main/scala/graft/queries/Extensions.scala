@@ -428,6 +428,10 @@ object Extensions {
     "pipeline_rag_ingest" -> (c => CorpusPipeline.ragIngest(c.documents)),
     "pipeline_bpe_merges" -> (c => CorpusPipeline.bpeMerges(c.documents)),
     "pipeline_bpe_encode" -> (c => CorpusPipeline.bpeEncode(c.documents)),
+    "pipeline_subword_vocab" ->
+      (c => CorpusPipeline.subwordVocab(c.documents)),
+    "pipeline_subword_stats" ->
+      (c => CorpusPipeline.subwordStats(c.documents)),
     "pipeline_curate" -> (c => CorpusPipeline.curate(c.documents)),
     "pipeline_dsir_select" -> (c => CorpusPipeline.dsirSelect(c.documents)),
     // estimator-calibration harness: LSH verdicts vs exact-Jaccard truth
@@ -607,6 +611,8 @@ object Extensions {
     "pipeline_rag_ingest" -> CorpusPipeline.ragIngestSql(),
     "pipeline_bpe_merges" -> CorpusPipeline.bpeMergesSql(),
     "pipeline_bpe_encode" -> CorpusPipeline.bpeEncodeSql(),
+    "pipeline_subword_vocab" -> CorpusPipeline.subwordVocabSql(),
+    "pipeline_subword_stats" -> CorpusPipeline.subwordStatsSql(),
     "pipeline_curate" -> CorpusPipeline.curateSql(),
     "pipeline_dsir_select" -> CorpusPipeline.dsirSelectSql(),
     "dedup_lsh_eval" -> Dedup.lshEvalSql(),

@@ -317,4 +317,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(3)).max
     assert(mx1 <= mx0)
   }
+
+  private def subwordDocs = {
+    val words = Seq("hello", "help", "helmet", "low", "lower", "yellow",
+      "mellow", "hell", "he", "ox")
+    words.grouped(3).zipWithIndex.map { case (g, i) =>
+      (i.toLong, (g ++ g.take(i)).mkString(" "), "en", "s", 10L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("subword segmentation reassembles every dictionary word") {
+    import graft.operators.CorpusPipeline
+    val segs = CorpusPipeline.subwordSegments(subwordDocs, vocabSize = 6)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+    val rebuilt = segs.groupBy(_._1).map { case (w, ps) =>
+      w -> ps.sortBy(_._2).map(_._3).mkString
+    }
+    assert(rebuilt.nonEmpty)
+    rebuilt.foreach { case (w, s) => assert(s == w, s"$w rebuilt as $s") }
+  }
+
+  test("subword segmentation is greedy longest-match against the vocab") {
+    import graft.operators.CorpusPipeline
+    val vocab = CorpusPipeline.subwordVocab(subwordDocs, vocabSize = 6)
+      .collect().map(_.getString(0)).toSet ++
+      subwordDocs.collect().flatMap(_.getString(1).split("\\s+"))
+        .flatMap(_.toSeq).map(_.toString).toSet
+    val segs = CorpusPipeline.subwordSegments(subwordDocs, vocabSize = 6)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).map { case (w, ps) => w -> ps.sortBy(_._2).map(_._3) }
+    // sequential greedy reference
+    def greedy(w: String): Seq[String] = {
+      var pos = 0
+      val out = scala.collection.mutable.ListBuffer[String]()
+      while (pos < w.length) {
+        val piece = (math.min(6, w.length - pos) to 1 by -1).iterator
+          .map(L => w.substring(pos, pos + L)).find(vocab.contains).get
+        out += piece; pos += piece.length
+      }
+      out.toSeq
+    }
+    segs.foreach { case (w, ps) =>
+      assert(ps.toSeq == greedy(w), s"word $w") }
+  }
+
+  test("subword stats are layout-independent") {
+    import graft.operators.CorpusPipeline
+    val a = CorpusPipeline.subwordStats(subwordDocs)
+      .collect().map(_.toString).toSeq
+    val b = CorpusPipeline.subwordStats(subwordDocs.repartition(7))
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
