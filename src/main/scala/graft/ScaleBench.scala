@@ -177,7 +177,7 @@ object ScaleBench {
         "sim_ann_recall_clustered", "text_vocab_growth",
         "text_bigram_fluency", "pipeline_corpus_diff", "sample_exact_k",
         "pipeline_subword_vocab", "pipeline_subword_stats",
-        "export_manifest")
+        "export_manifest", "sketch_source_quantiles")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {

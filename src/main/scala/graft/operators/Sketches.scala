@@ -155,4 +155,83 @@ object Sketches {
         expr("hll_sketch_estimate(sk)").cast("bigint")
           .as("est_distinct_tokens"))
       .orderBy("source")
+
+  // --- KLL quantile store ---------------------------------------------
+  // the ORDER-STATISTICS member of the store family (custom
+  // TypedImperativeAggregate over the DataSketches KLL classes in
+  // Spark's own jars — graft.functions.KllAggregate): per-source
+  // doc-length distributions maintained across ingests, the
+  // production "has this source's length profile drifted?" monitor.
+  // Same publish/append/watermark discipline as the HLL store; a new
+  // batch aggregates its OWN sketches (the only corpus-sized work)
+  // and kll_merge_agg folds them into the stored ≤|sources| rows.
+
+  import graft.functions.KllFunctions._
+
+  /** Per-source (KLL sketch of n_chars, exact doc count) — one corpus
+    * pass, map-side partial sketches.
+    */
+  def sourceLengthSketches(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(kll_sketch_agg(col("n_chars").cast("double")).as("qk"),
+        count(lit(1)).as("n_docs"))
+
+  def writeQuantileStore(docs: DataFrame, path: String): Unit =
+    publish(sourceLengthSketches(docs), path)
+
+  def isCompleteQuantileStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = isCompleteSketchStore(fs, path)
+
+  def appendToQuantileStore(path: String, batch: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    appendQuantileMerged(path, batch, lastAppliedBatch(fs, path))
+  }
+
+  /** Streaming-replay-safe fold — same applied-batch watermark
+    * semantics as [[appendBatchToSketchStore]].
+    */
+  def appendBatchToQuantileStore(path: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (batchId <= lastAppliedBatch(fs, path)) false
+    else { appendQuantileMerged(path, batch, batchId); true }
+  }
+
+  private def appendQuantileMerged(path: String, batch: DataFrame,
+      stamp: Long): Unit = {
+    val spark = batch.sparkSession
+    val stored = spark.read.parquet(s"$path/sketches")
+      .select(col("source"), col("qk"), col("n_docs"))
+    val merged = stored.unionAll(sourceLengthSketches(batch))
+      .groupBy("source")
+      .agg(kll_merge_agg(col("qk")).as("qk"),
+        sum("n_docs").as("n_docs"))
+    publish(merged, path, stamp)
+  }
+
+  def ensureQuantileStore(docs: DataFrame, tag: String): String = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, n_chars))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_qstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteQuantileStore(fs, path)) writeQuantileStore(docs, path)
+    path
+  }
+
+  /** Length-distribution report from the STORED sketches — KB-sized
+    * read, no corpus access. Exact order statistics below k=1024 per
+    * source; ~1% rank error beyond.
+    */
+  def quantileReport(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketches")
+      .select(col("source"), col("n_docs"),
+        kll_quantile(col("qk"), lit(0.5)).as("p50"),
+        kll_quantile(col("qk"), lit(0.9)).as("p90"),
+        kll_quantile(col("qk"), lit(0.99)).as("p99"))
+      .orderBy("source")
 }

@@ -548,6 +548,14 @@ object Extensions {
         java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))
       Sketches.estimateStore(c.spark, store)
     }),
+    // KLL order statistics: rows-only by design (randomized compaction
+    // above capacity makes byte images run-dependent); SketchesSpec
+    // carries the exact-below-capacity and append laws
+    "sketch_source_quantiles" -> (c => {
+      val store = Sketches.ensureQuantileStore(c.documents,
+        java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))
+      Sketches.quantileReport(c.spark, store)
+    }),
     "sample_temperature" -> (c => Sampling.temperatureSample(c.documents)),
     "sample_shuffle" -> (c => Sampling.deterministicShuffle(c.documents)),
     // set ops / grouping sets / joins / string funcs / sketches / SQL

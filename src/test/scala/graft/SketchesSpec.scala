@@ -67,6 +67,47 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.lastAppliedBatch(fs, tmp) == 1L)
   }
 
+  test("quantile store: exact order statistics below sketch capacity") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll")
+      .resolve("store").toString
+    Sketches.writeQuantileStore(docs, tmp)
+    val got = Sketches.quantileReport(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // inclusive-rank reference: smallest value with rank*n >= q*n
+    val bysrc = docs.select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(xs: Seq[Double], p: Double): Double =
+      xs(math.ceil(p * xs.size).toInt - 1)
+    assert(got.keySet == bysrc.keySet && got.nonEmpty)
+    bysrc.foreach { case (s, xs) =>
+      assert(got(s) == ((xs.size.toLong,
+        q(xs, 0.5), q(xs, 0.9), q(xs, 0.99))), s"source $s")
+    }
+  }
+
+  test("quantile store: append equals a fresh build over the union") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kll_app")
+    val inc = tmp.resolve("inc").toString
+    Sketches.writeQuantileStore(base, inc)
+    Sketches.appendToQuantileStore(inc, batch)
+    val fresh = tmp.resolve("fresh").toString
+    Sketches.writeQuantileStore(docs, fresh)
+    val a = Sketches.quantileReport(spark, inc).collect().map(_.toString)
+    val b = Sketches.quantileReport(spark, fresh).collect().map(_.toString)
+    assert(a.sameElements(b) && a.nonEmpty)
+    // replayed batch id: skipped exactly (shared watermark mechanics)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Sketches.appendBatchToQuantileStore(inc, batch, 5L))
+    assert(!Sketches.appendBatchToQuantileStore(inc, batch, 5L))
+    assert(Sketches.lastAppliedBatch(fs, inc) == 5L)
+  }
+
   test("appending a new source adds it without touching existing rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_new")
       .resolve("store").toString
