@@ -101,7 +101,7 @@ object ScaleBench {
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
-        "seminc,globalrank,giantsource,sketchstore")
+        "seminc,globalrank,giantsource,sketchstore,exportstore")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -447,6 +447,35 @@ object ScaleBench {
         val (rsec, _) = time(
           graft.operators.Sketches.estimateStore(spark, store).count())
         println(f"$mult%-6d$wsec%9.2f$asec%10.2f$rsec%10.2f")
+      }
+    }
+
+    section("exportstore") {
+      // the export's scale law: write cost ~linear in corpus (waves×
+      // scans + hash shuffle + per-task sorts), re-run of a completed
+      // export a no-op, manifest read KB-sized regardless of corpus
+      println("== Training-shard export: write / no-op / manifest vs corpus ==")
+      println(f"${"mult"}%-6s${"write_s"}%9s${"noop_s"}%9s${"manifest_s"}%11s")
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = s"/tmp/graft_amp_corpus_$mult"
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val path = s"/tmp/graft_export_scale_$mult"
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(path), true)
+        val (wsec, _) = time {
+          graft.sources.TrainingExport.exportShards(docs, path); 1L }
+        val (nsec, _) = time {
+          graft.sources.TrainingExport.exportShards(docs, path); 1L }
+        val (msec, _) = time(
+          graft.sources.TrainingExport.readManifest(spark, path).count())
+        println(f"$mult%-6d$wsec%9.2f$nsec%9.2f$msec%11.2f")
       }
     }
 

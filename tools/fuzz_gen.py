@@ -352,6 +352,39 @@ class Gen:
                 f"ON {child}.{ccol} = {parent}.{pcol} "
                 f"WHERE {where} GROUP BY {parent}.{g}")
 
+    def window_q(self):
+        """Deterministic window functions: ranks over a TOTAL key
+        order and running sums framed by it — single-column keys only
+        (verified unique at every SF; lineitem's nominal pair key is
+        NOT unique in the fixture), so ties are impossible and both
+        engines agree bit-for-bit."""
+        t = self.rng.choice([x for x in TABLES
+                             if TABLES[x]["lowstr"]
+                             and len(TABLES[x]["key"]) == 1])
+        c = TABLES[t]
+        keys = c["key"][0]
+        part = self.rng.choice(c["lowstr"])
+        val = self.int_expr(t, None, 0)
+        where = self.pred(t, None)
+        k = self.rng.choice([10, 25, 100])
+        return (f"SELECT {keys}, {part} AS g0, "
+                f"CAST(row_number() OVER (PARTITION BY {part} "
+                f"ORDER BY {keys}) AS BIGINT) AS rn, "
+                f"CAST(SUM({val}) OVER (PARTITION BY {part} "
+                f"ORDER BY {keys} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS BIGINT) AS rsum "
+                f"FROM {t} WHERE {where} ORDER BY {keys} LIMIT {k}")
+
+    def rollup_q(self):
+        t = self.rng.choice([x for x in TABLES
+                             if len(TABLES[x]["lowstr"]) >= 2])
+        g1, g2 = self.rng.sample(TABLES[t]["lowstr"], 2)
+        where = self.pred(t, None)
+        return (f"SELECT {g1} AS g0, {g2} AS g1, count(*) AS cnt, "
+                f"CAST(SUM({self.int_expr(t, None)}) AS BIGINT) AS s0 "
+                f"FROM {t} WHERE {where} GROUP BY ROLLUP ({g1}, {g2})")
+
     def union_agg(self):
         t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
         g = self.rng.choice(TABLES[t]["lowstr"])
@@ -416,8 +449,9 @@ class Gen:
     def query(self):
         f = self.rng.choices(
             [self.grouped_agg, self.distinct_q, self.limit_q,
-             self.left_join_agg, self.union_agg],
-            weights=[5, 2, 3, 2, 1])[0]
+             self.left_join_agg, self.union_agg, self.window_q,
+             self.rollup_q],
+            weights=[5, 2, 3, 2, 1, 2, 1])[0]
         return f()
 
 
