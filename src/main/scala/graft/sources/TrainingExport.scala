@@ -142,6 +142,22 @@ object TrainingExport {
     path
   }
 
+  /** Re-export a COMPLETED export under a different shard count — the
+    * "next training run wants 4× the shards" operation, fed from the
+    * export itself (the curated corpus artifact) rather than the
+    * upstream pipeline. Same wave-resumable write; the shard rule is
+    * a pure function of doc_id, so resharding is a deterministic
+    * relabeling. Invariant (spec'd): global row count and the
+    * xor-of-xors content hash are preserved exactly.
+    */
+  def reshard(spark: SparkSession, srcPath: String, dstPath: String,
+      shards: Int, waves: Int = 4): Unit = {
+    require(isCompleteExport(fs(spark), srcPath),
+      s"$srcPath is not a completed export")
+    exportShards(spark.read.parquet(srcPath).drop("skey", "shard"),
+      dstPath, shards, waves)
+  }
+
   /** DuckDB oracle for the manifest — same shard rule, same content
     * hash, computed from the raw table: agreement with the read-back
     * manifest proves the export wrote exactly the source.

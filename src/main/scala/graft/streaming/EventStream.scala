@@ -236,6 +236,27 @@ object EventStream {
     q
   }
 
+  /** Streaming maintenance of the KLL quantile store — identical
+    * replay discipline to [[sketchStream]] (the applied-batch
+    * watermark inside the store's atomic publish; a re-delivered
+    * batch id is skipped exactly).
+    */
+  def quantileStream(docs: DataFrame, storePath: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Sketches
+          .appendBatchToQuantileStore(storePath, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming incremental near-dup gate against a PERSISTED base
     * signature store ([[graft.operators.Dedup.writeSignatureStore]])
     * — the streaming composition of the store-backed batch path: each

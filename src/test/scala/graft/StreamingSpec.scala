@@ -212,6 +212,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile-store maintenance equals a fresh build over all docs") {
+    import graft.operators.Sketches
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsk_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    Sketches.writeQuantileStore(base, store)
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.quantileStream(
+      EventStream.readDocuments(spark, deltaDir), store,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = Sketches.quantileReport(spark, store)
+        .collect().map(_.toString).sorted
+      val freshDir = tmp.resolve("fresh").toString
+      Sketches.writeQuantileStore(docs, freshDir)
+      val fresh = Sketches.quantileReport(spark, freshDir)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(fresh))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mid-stream store appends reach the bloom gate (stamp re-resolution)") {
     import graft.operators.Dedup
     val docs = Ctx(spark, sfDir).documents

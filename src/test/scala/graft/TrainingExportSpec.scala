@@ -74,6 +74,29 @@ class TrainingExportSpec extends AnyFunSuite {
       s"$path/_manifest")).getModificationTime == stamp)
   }
 
+  test("reshard preserves global content exactly under a new shard count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_rs")
+    val a = tmp.resolve("a").toString
+    val b = tmp.resolve("b").toString
+    TrainingExport.exportShards(docs, a, shards = 8, waves = 4)
+    TrainingExport.reshard(spark, a, b, shards = 5, waves = 2)
+    def global(path: String): (Long, Long) = {
+      val r = TrainingExport.readManifest(spark, path)
+        .agg(sum("n_rows"), expr("bit_xor(xor_hash)")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(global(a) == global(b))
+    assert(TrainingExport.readManifest(spark, b).count() == 5)
+    // and the resharded export is itself a valid source-parity export
+    val direct = tmp.resolve("c").toString
+    TrainingExport.exportShards(docs, direct, shards = 5, waves = 2)
+    val x = TrainingExport.readManifest(spark, b)
+      .collect().map(_.toString).sorted
+    val y = TrainingExport.readManifest(spark, direct)
+      .collect().map(_.toString).sorted
+    assert(x.sameElements(y))
+  }
+
   test("rows inside each shard file are in (skey, doc_id) training order") {
     val path = java.nio.file.Files.createTempDirectory("graft_export_ord")
       .resolve("exp").toString
