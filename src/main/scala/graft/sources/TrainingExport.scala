@@ -69,6 +69,14 @@ object TrainingExport {
     val f = fs(spark)
     if (isCompleteExport(f, path)) return
     f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    // shard count is a property of the export — record it so append
+    // and reshard never have to guess (underscore name: invisible to
+    // the parquet reader)
+    val shardsFile = new org.apache.hadoop.fs.Path(s"$path/_shards")
+    if (!f.exists(shardsFile)) {
+      val o = f.create(shardsFile)
+      o.write(shards.toString.getBytes("UTF-8")); o.close()
+    }
     val assigned = docs
       .withColumn("skey", Sampling.hashBucketFull(ShardSalt, col("doc_id")))
       .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
@@ -97,13 +105,111 @@ object TrainingExport {
     }
     // manifest from the written files; temp+rename publish, _SUCCESS
     // inside is the completeness gate
-    val mTmp = s"$path/.manifest.tmp"
-    f.delete(new org.apache.hadoop.fs.Path(mTmp), true)
-    manifestFromFiles(spark, path).coalesce(1).write.parquet(mTmp)
+    publishManifest(spark, path, manifestFromFiles(spark, path), -1L)
+  }
+
+  private def publishManifest(spark: SparkSession, path: String,
+      frame: DataFrame, lastBatch: Long): Unit = {
+    val f = fs(spark)
+    val mTmp = new org.apache.hadoop.fs.Path(s"$path/.manifest.tmp")
+    f.delete(mTmp, true)
+    frame.coalesce(1).write.parquet(mTmp.toString)
+    // the append-replay watermark rides the same atomic swap as the
+    // manifest itself (the Sketches.publish discipline)
+    val o = f.create(new org.apache.hadoop.fs.Path(mTmp, "_last_batch"))
+    o.write(lastBatch.toString.getBytes("UTF-8")); o.close()
     val mDst = new org.apache.hadoop.fs.Path(s"$path/_manifest")
     f.delete(mDst, true)
-    require(f.rename(new org.apache.hadoop.fs.Path(mTmp), mDst),
-      s"rename $mTmp -> $mDst failed")
+    require(f.rename(mTmp, mDst), s"rename $mTmp -> $mDst failed")
+  }
+
+  def exportShardCount(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Int = {
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$path/_shards"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Highest appended batch id folded into the manifest (−1 for a
+    * fresh export or one written before this field existed).
+    */
+  def lastAppendedBatch(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_manifest/_last_batch")
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Incremental append — the daily-ingest closure of the export
+    * family: new documents land in their shards (the salted-md5 rule
+    * is append-stable, so existing docs' shards never change) and the
+    * manifest MERGES batch aggregates into the stored rows (xor is
+    * associative, counts additive — batch-proportional cost, the
+    * whole export is never re-read).
+    *
+    * Crash/replay discipline: batch files carry a `b<id>-` name
+    * prefix, so a re-run first deletes any partial leftovers of the
+    * SAME batch id before re-landing them (idempotent), and the
+    * replay watermark rides the manifest's atomic publish — a batch
+    * id at or below it is skipped exactly (a crash between file moves
+    * and manifest publish re-runs the whole batch cleanly).
+    * Returns whether the batch was applied.
+    */
+  def appendBatchToExport(path: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val f = fs(spark)
+    require(isCompleteExport(f, path), s"$path is not a completed export")
+    if (batchId <= lastAppendedBatch(f, path)) return false
+    val shards = exportShardCount(f, path)
+    // clean partial leftovers of a crashed attempt of THIS batch
+    for (st <- f.listStatus(new org.apache.hadoop.fs.Path(path))
+        if st.getPath.getName.startsWith("shard=");
+        file <- f.listStatus(st.getPath)
+        if file.getPath.getName.startsWith(s"b$batchId-"))
+      f.delete(file.getPath, false)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.append$batchId.tmp")
+    f.delete(tmp, true)
+    batch
+      .withColumn("skey", Sampling.hashBucketFull(ShardSalt, col("doc_id")))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "skey", "doc_id")
+      .write.partitionBy("shard").parquet(tmp.toString)
+    // batch manifest from the STAGED files (before they move)
+    val batchManifest = manifestFromFiles(spark, tmp.toString)
+      .collect() // ≤ shards rows
+    for (st <- f.listStatus(tmp)
+        if st.getPath.getName.startsWith("shard=")) {
+      val dstDir = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      f.mkdirs(dstDir)
+      for (file <- f.listStatus(st.getPath)
+          if file.getPath.getName.endsWith(".parquet"))
+        require(f.rename(file.getPath, new org.apache.hadoop.fs.Path(
+          dstDir, s"b$batchId-${file.getPath.getName}")),
+          s"rename ${file.getPath} failed")
+    }
+    f.delete(tmp, true)
+    import spark.implicits._
+    val fresh = batchManifest.toSeq.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toDF("shard", "n_rows", "xor_hash", "sum_chars", "min_doc", "max_doc")
+    val merged = readManifest(spark, path).unionAll(fresh)
+      .groupBy("shard")
+      .agg(sum("n_rows").as("n_rows"),
+        expr("bit_xor(xor_hash)").as("xor_hash"),
+        sum("sum_chars").as("sum_chars"),
+        min("min_doc").as("min_doc"), max("max_doc").as("max_doc"))
+      .orderBy("shard")
+      // the republish replaces what this plan reads — materialize first
+      // (the read-before-replace convention)
+      .localCheckpoint()
+    publishManifest(spark, path, merged, batchId)
+    true
   }
 
   /** Per-shard audit frame aggregated from the shard files themselves

@@ -74,6 +74,48 @@ class TrainingExportSpec extends AnyFunSuite {
       s"$path/_manifest")).getModificationTime == stamp)
   }
 
+  test("incremental append equals a fresh export over the union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_app")
+    val inc = tmp.resolve("inc").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    TrainingExport.exportShards(base, inc, shards = 8, waves = 2)
+    assert(TrainingExport.appendBatchToExport(inc, batch, 0L))
+    val fresh = tmp.resolve("fresh").toString
+    TrainingExport.exportShards(docs, fresh, shards = 8, waves = 2)
+    def m(p: String) = TrainingExport.readManifest(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(m(inc) == m(fresh))
+    // and the stored manifest still equals the from-files truth
+    assert(m(inc) == TrainingExport.manifestFromFiles(spark, inc)
+      .collect().map(_.toString).sorted.toSeq)
+    // replayed id: skipped exactly
+    assert(!TrainingExport.appendBatchToExport(inc, batch, 0L))
+    assert(m(inc) == m(fresh))
+  }
+
+  test("a crashed append attempt is cleaned up and re-applied exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_crash")
+    val inc = tmp.resolve("inc").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    TrainingExport.exportShards(base, inc, shards = 8, waves = 2)
+    // simulate: a previous attempt of batch 7 moved SOME files but
+    // died before publishing the manifest
+    val p = new org.apache.hadoop.fs.Path(_: String)
+    val someShard = fs.listStatus(p(inc))
+      .filter(_.getPath.getName.startsWith("shard=")).head.getPath
+    fs.create(new org.apache.hadoop.fs.Path(someShard,
+      "b7-part-garbage.parquet")).close()
+    assert(TrainingExport.appendBatchToExport(inc, batch, 7L))
+    val fresh = tmp.resolve("fresh").toString
+    TrainingExport.exportShards(docs, fresh, shards = 8, waves = 2)
+    def m(px: String) = TrainingExport.readManifest(spark, px)
+      .collect().map(_.toString).sorted.toSeq
+    assert(m(inc) == m(fresh))
+    assert(TrainingExport.lastAppendedBatch(fs, inc) == 7L)
+  }
+
   test("reshard preserves global content exactly under a new shard count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_export_rs")
     val a = tmp.resolve("a").toString
