@@ -535,6 +535,10 @@ object Extensions {
       (c => CorpusPipeline.corpusDiffEntry(c.documents)),
     // HLL sketch binaries are engine-specific -> rows-only by design;
     // SketchesSpec carries the append/accuracy laws
+    // declarative constraint audit: domain/enum/range/uniqueness/FK
+    // violation COUNTS (drift detection, not a gate)
+    "validate_constraints" -> (c => Validate.constraintReport(
+      c.lineitem, c.orders, c.customer, c.documents)),
     // resumable manifest'd shard export: the manifest is aggregated
     // from the WRITTEN files, so the oracle match proves the export
     // wrote exactly the source (once, uncorrupted, correct shards)
@@ -585,6 +589,7 @@ object Extensions {
 
   val oracles: Map[String, String] = Map(
     "export_manifest" -> graft.sources.TrainingExport.manifestSql(),
+    "validate_constraints" -> Validate.constraintReportSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_fingerprint" -> Dedup.fingerprintSql,
     "dedup_jaccard_hist" -> Dedup.jaccardHistogramSql,
