@@ -377,6 +377,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("constraint audit: conditional aggs + one anti-join, no windows, no SMJ") {
+    val p = planOf(graft.operators.Validate.constraintReport(
+      ctx.lineitem, ctx.orders, ctx.customer, ctx.documents))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("subword stats: dictionary rounds stay windowless, result is a bounded top-k") {
+    val p = planOf(graft.operators.CorpusPipeline
+      .subwordStats(ctx.documents, vocabSize = 20))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("perplexity buckets: rank rides the range exchange, corpus window partitions on shard") {
     val p = planOf(graft.operators.QualitySignals
       .perplexityBuckets(ctx.documents))
