@@ -232,6 +232,20 @@ object TrainingExport {
   def readManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest").orderBy("shard")
 
+  /** One shard in training order — the trainer-side reader. The shard
+    * predicate is a PARTITION filter (hive layout), so the scan touches
+    * only that shard's directory (plan-asserted in PlanSpec); the sort
+    * re-establishes the (skey, doc_id) order across the shard's files
+    * (each file is internally ordered, but file enumeration order is
+    * not a contract — and appended `b<id>-` files interleave). Sorting
+    * ONE shard (corpus/shards rows) is the trainer-side unit of work;
+    * shards are the parallel axis.
+    */
+  def readShard(spark: SparkSession, path: String, shard: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("shard") === shard)
+      .orderBy("skey", "doc_id")
+
   /** Build-once entry helper — content-fingerprint path keying + the
     * completeness gate (the ensure* discipline; EAGER by documented
     * design: the fingerprint and any missing waves run now so

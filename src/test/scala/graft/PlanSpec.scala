@@ -394,6 +394,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("export shard reader: shard predicate is a partition filter, not a scan filter") {
+    val path = graft.sources.TrainingExport.ensureExport(
+      ctx.documents, "planspec")
+    val p = planOf(graft.sources.TrainingExport.readShard(spark, path, 0))
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("shard"), p)
+    // the data filter list must NOT re-check shard (pruning did it)
+    assert(!p.contains("PushedFilters: [IsNotNull(shard)"), p)
+  }
+
   test("perplexity buckets: rank rides the range exchange, corpus window partitions on shard") {
     val p = planOf(graft.operators.QualitySignals
       .perplexityBuckets(ctx.documents))

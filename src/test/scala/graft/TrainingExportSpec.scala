@@ -116,6 +116,25 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(TrainingExport.lastAppendedBatch(fs, inc) == 7L)
   }
 
+  test("readShard returns exactly the shard's docs in training order, appends interleaved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_rd")
+    val inc = tmp.resolve("inc").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    TrainingExport.exportShards(base, inc, shards = 4, waves = 2)
+    TrainingExport.appendBatchToExport(inc, batch, 0L)
+    val got = TrainingExport.readShard(spark, inc, 2)
+      .select("skey", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = docs
+      .withColumn("skey", Sampling.hashBucketFull(
+        TrainingExport.ShardSalt, col("doc_id")))
+      .filter(pmod(col("skey"), lit(4L)) === 2L)
+      .select("skey", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("reshard preserves global content exactly under a new shard count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_export_rs")
     val a = tmp.resolve("a").toString
