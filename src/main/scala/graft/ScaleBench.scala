@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** Cache path for an amplified corpus — VERSIONED (`p1` = the
+    * permutation amplifier): the exists-check below reuses whatever
+    * sits at the path, so an amplifier semantics change MUST bump the
+    * tag or hosts with cached /tmp dirs silently measure the old
+    * fixture (the caesar-era lesson).
+    */
+  def ampCorpusDir(mult: Int): String = s"/tmp/graft_amp_corpus_p1_$mult"
+
   def amplifyToDir(spark: SparkSession, srcDir: String, outDir: String,
       mult: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -184,7 +192,7 @@ object ScaleBench {
         val dir =
           if (mult == 1) src
           else {
-            val d = s"/tmp/graft_amp_corpus_$mult"
+            val d = ampCorpusDir(mult)
             amplifyCorpusToDir(spark, src, d, mult)
             d
           }
@@ -248,13 +256,13 @@ object ScaleBench {
         val dir =
           if (mult == 1) src
           else {
-            val d = s"/tmp/graft_amp_corpus_$mult"
+            val d = ampCorpusDir(mult)
             amplifyCorpusToDir(spark, src, d, mult)
             d
           }
         val base = spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") % 3 =!= 0)
-        val store = s"/tmp/graft_sigstore_scale_$mult"
+        val store = s"/tmp/graft_sigstore_scale_p1_$mult"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val (wsec, _) = time {
@@ -357,7 +365,7 @@ object ScaleBench {
         val dir =
           if (mult == 1) src
           else {
-            val d = s"/tmp/graft_amp_corpus_$mult"
+            val d = ampCorpusDir(mult)
             amplifyCorpusToDir(spark, src, d, mult)
             d
           }
@@ -391,10 +399,10 @@ object ScaleBench {
       for (mult <- factMults) {
         val dir =
           if (mult == 1) src
-          else s"/tmp/graft_amp_corpus_$mult"
+          else ampCorpusDir(mult)
         val base = spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("doc_id") % 3 =!= 0)
-        val store = s"/tmp/graft_sigstore_scale_$mult"
+        val store = s"/tmp/graft_sigstore_scale_p1_$mult"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new org.apache.hadoop.fs.Path(store)))
@@ -425,7 +433,7 @@ object ScaleBench {
         val dir =
           if (mult == 1) src
           else {
-            val d = s"/tmp/graft_amp_corpus_$mult"
+            val d = ampCorpusDir(mult)
             amplifyCorpusToDir(spark, src, d, mult)
             d
           }
@@ -434,9 +442,12 @@ object ScaleBench {
         val store = s"/tmp/graft_sketchstore_scale_$mult"
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
+        // fresh store per run: wsec must measure the BUILD, and the
+        // un-stamped warm-up append below would otherwise accumulate
+        // the delta's additive n_tokens run over run
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
         val (wsec, _) = time {
-          if (!graft.operators.Sketches.isCompleteSketchStore(fs, store))
-            graft.operators.Sketches.writeSketchStore(base, store)
+          graft.operators.Sketches.writeSketchStore(base, store)
           1L
         }
         graft.operators.Sketches.appendToSketchStore(store, deltaDocs)
@@ -460,7 +471,7 @@ object ScaleBench {
         val dir =
           if (mult == 1) src
           else {
-            val d = s"/tmp/graft_amp_corpus_$mult"
+            val d = ampCorpusDir(mult)
             amplifyCorpusToDir(spark, src, d, mult)
             d
           }

@@ -5,7 +5,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -35,9 +35,11 @@ case class KllAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch] {
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kll_sketch_agg"
@@ -79,9 +81,11 @@ case class KllMergeAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch] {
+    extends TypedImperativeAggregate[KllDoublesSketch]
+    with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kll_merge_agg"
@@ -124,7 +128,10 @@ case class KllMergeAgg(
   * (≤|sources| rows), never in a corpus-sized hot path.
   */
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantile"

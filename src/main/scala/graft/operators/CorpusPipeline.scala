@@ -819,8 +819,11 @@ object CorpusPipeline {
     */
   def subwordVocab(docs: DataFrame, vocabSize: Int = 200,
       maxPieceLen: Int = 6, dictLimit: Int = 100000): DataFrame =
-    subwordWordHist(docs, dictLimit)
-      .select(col("w"), col("freq"),
+    vocabFromHist(subwordWordHist(docs, dictLimit), vocabSize, maxPieceLen)
+
+  private def vocabFromHist(wf: DataFrame, vocabSize: Int,
+      maxPieceLen: Int): DataFrame =
+    wf.select(col("w"), col("freq"),
         explode(expr(s"sequence(2, $maxPieceLen)")).as("L"))
       .filter(length(col("w")) >= col("L"))
       .select(col("freq"), col("L"), col("w"),
@@ -845,7 +848,8 @@ object CorpusPipeline {
     val chars = wf
       .select(col("w"), explode(expr("sequence(1, length(w))")).as("s"))
       .select(expr("substr(w, s, 1)").as("piece")).distinct()
-    val vocab = subwordVocab(docs, vocabSize, maxPieceLen, dictLimit)
+    // vocabulary from the SAME checkpointed histogram — one corpus pass
+    val vocab = vocabFromHist(wf, vocabSize, maxPieceLen)
       .select("piece")
       .unionAll(chars).distinct()
       .select(col("piece"), length(col("piece")).as("plen"))

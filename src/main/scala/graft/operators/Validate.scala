@@ -23,12 +23,16 @@ object Validate {
       customer: DataFrame, documents: DataFrame): DataFrame = {
     def viol(cond: org.apache.spark.sql.Column) =
       sum(when(cond, 1L).otherwise(0L))
-    val li = lineitem.agg(
+    // ONE aggregate over lineitem feeds both the rule rows and the FK
+    // rule's n_checked (identical agg subtrees — exchange reuse
+    // collapses them; never a third scan just for a count)
+    val liAgg = lineitem.agg(
       count(lit(1)).as("n"),
       viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
       viol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"),
       viol(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"),
       viol(col("l_shipdate").isNull).as("v_ship"))
+    val li = liAgg
       .select(explode(array(
         struct(lit("lineitem.quantity_in_1_50").as("rule"),
           col("n").as("n_checked"), col("v_qty").as("n_violations")),
@@ -68,7 +72,7 @@ object Validate {
       .join(orders.select(col("o_orderkey").as("k")).distinct(),
         col("l_orderkey") === col("k"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
-    val fk = lineitem.agg(count(lit(1)).as("n_checked")).crossJoin(fkV)
+    val fk = liAgg.select(col("n").as("n_checked")).crossJoin(fkV)
       .select(struct(lit("lineitem.orderkey_references_orders").as("rule"),
         col("n_checked"), col("n_violations")).as("r"))
     li.unionAll(ord).unionAll(cust).unionAll(docs).unionAll(fk)

@@ -76,12 +76,25 @@ object TrainingExport {
     if (!f.exists(shardsFile)) {
       val o = f.create(shardsFile)
       o.write(shards.toString.getBytes("UTF-8")); o.close()
+    } else {
+      // resuming: the caller's shard count must match the layout the
+      // first attempt recorded — silently mixing two shard rules would
+      // corrupt every wave written from here on
+      val rec = exportShardCount(f, path)
+      require(rec == shards,
+        s"resume with shards=$shards but $path was started with $rec")
     }
     val assigned = docs
       .withColumn("skey", Sampling.hashBucketFull(ShardSalt, col("doc_id")))
       .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
     for (w <- 0 until waves) {
-      val marker = new org.apache.hadoop.fs.Path(s"$path/_wave$w.done")
+      // marker keyed by the WAVE COUNT: resuming with a different
+      // `waves` then matches no markers and rewrites every wave —
+      // each shard dir is delete+renamed exactly once under the new
+      // grouping, so the mismatch self-heals instead of silently
+      // publishing an export missing the unwritten shard groups
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/_wave${w}of$waves.done")
       if (!f.exists(marker)) {
         val tmp = new org.apache.hadoop.fs.Path(s"$path/.wave$w.tmp")
         f.delete(tmp, true) // half-written state from a crashed attempt
@@ -150,6 +163,12 @@ object TrainingExport {
     * manifest MERGES batch aggregates into the stored rows (xor is
     * associative, counts additive — batch-proportional cost, the
     * whole export is never re-read).
+    *
+    * CONTRACT: the batch must be disjoint from the export (the
+    * upstream dedup gate's job — e.g. `Dedup.incrementalExactBloom`);
+    * a doc_id already exported would land twice, and the manifest
+    * would faithfully COUNT it twice (the audit reveals, not
+    * prevents, upstream double-sends).
     *
     * Crash/replay discipline: batch files carry a `b<id>-` name
     * prefix, so a re-run first deletes any partial leftovers of the

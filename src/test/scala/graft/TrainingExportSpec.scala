@@ -52,7 +52,7 @@ class TrainingExportSpec extends AnyFunSuite {
     // and wave 2 died mid-write leaving tmp garbage
     val p = new org.apache.hadoop.fs.Path(_: String)
     fs.delete(p(s"$path/_manifest"), true)
-    for (w <- 2 to 3) fs.delete(p(s"$path/_wave$w.done"), false)
+    for (w <- 2 to 3) fs.delete(p(s"$path/_wave${w}of4.done"), false)
     for (k <- 0 until 8 if k % 4 >= 2) fs.delete(p(s"$path/shard=$k"), true)
     fs.mkdirs(p(s"$path/.wave2.tmp/shard=2"))
     fs.create(p(s"$path/.wave2.tmp/shard=2/garbage")).close()
@@ -61,6 +61,28 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(TrainingExport.isCompleteExport(fs, path))
     assert(manifest(path) == want)
     assert(!fs.exists(p(s"$path/.wave2.tmp")))
+  }
+
+  test("resuming with a different wave count rewrites every wave, losing nothing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_export_wv")
+      .resolve("exp").toString
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 4)
+    val want = manifest(path)
+    // crash after waves 0,1 of a 4-wave export…
+    val p = new org.apache.hadoop.fs.Path(_: String)
+    fs.delete(p(s"$path/_manifest"), true)
+    for (w <- 2 to 3) fs.delete(p(s"$path/_wave${w}of4.done"), false)
+    for (k <- 0 until 8 if k % 4 >= 2) fs.delete(p(s"$path/shard=$k"), true)
+    // …resumed with waves=2: the old markers match nothing, every
+    // wave rewrites, the export completes identically
+    TrainingExport.exportShards(docs, path, shards = 8, waves = 2)
+    assert(TrainingExport.isCompleteExport(fs, path))
+    assert(manifest(path) == want)
+    // but a mismatched SHARD count on resume is refused outright
+    fs.delete(p(s"$path/_manifest"), true)
+    assertThrows[IllegalArgumentException] {
+      TrainingExport.exportShards(docs, path, shards = 5, waves = 2)
+    }
   }
 
   test("a completed export is a no-op on re-run") {

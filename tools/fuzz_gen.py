@@ -124,19 +124,34 @@ class Gen:
     def __init__(self, sf_dir, seed):
         self.rng = random.Random(seed)
         self.con = duckdb.connect()
+        self.con.sql("SET threads = 1")  # reproducibility
         for t in TABLES:
             self.con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         self.samples = {}  # (table, col) -> sampled distinct values
 
     def sample_vals(self, table, col, n=40):
+        """Deterministic pseudo-random distinct sample: md5 ordering is
+        a fixed total order, so the same fixture always yields the same
+        literal pool regardless of thread count or scan order (a
+        reservoir sample with a seed is only deterministic
+        single-threaded, and DISTINCT+LIMIT without ORDER BY isn't at
+        all). String values carrying backslashes or control characters
+        are excluded: Spark SQL processes C-style escapes inside string
+        literals while DuckDB takes backslashes literally, so such
+        literals would diverge by harness construction, not by engine
+        behavior."""
         key = (table, col)
         if key not in self.samples:
             rows = self.con.sql(
-                f"SELECT DISTINCT {col} FROM {table} "
-                f"WHERE {col} IS NOT NULL USING SAMPLE 2000 ROWS "
-                f"(reservoir, 42) LIMIT {n}").fetchall()
-            self.samples[key] = [r[0] for r in rows]
+                f"SELECT v FROM (SELECT DISTINCT {col} AS v FROM {table} "
+                f"WHERE {col} IS NOT NULL) t "
+                f"ORDER BY md5(CAST(v AS VARCHAR)) LIMIT {n}").fetchall()
+            vals = [r[0] for r in rows]
+            self.samples[key] = [
+                v for v in vals
+                if not (isinstance(v, str) and
+                        ("\\" in v or any(ord(ch) < 32 for ch in v)))]
         return self.samples[key]
 
     def lit(self, table, col, kind):
