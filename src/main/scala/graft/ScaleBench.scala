@@ -109,7 +109,7 @@ object ScaleBench {
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
-        "seminc,globalrank,giantsource,sketchstore,exportstore")
+        "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -274,6 +274,63 @@ object ScaleBench {
         val (sec, rows) = time(
           graft.operators.Dedup.incrementalLshStore(store, delta).count())
         println(f"$mult%-6d$wsec%14.2f$sec%9.2f$rows%8d")
+      }
+    }
+
+    section("clustermap") {
+      // the cluster-map store family's append path: folding a fixed
+      // delta into the persisted map must cost delta + touched
+      // components, independent of how large the clustered base has
+      // grown (amplified copies are alphabet-permuted, so the delta
+      // touches the SAME components at every mult — growth here would
+      // mean the append re-clusters or rescans the base quadratically;
+      // the narrow map/signature scans are the only O(base) terms)
+      println("== Incremental cluster-map append vs base-corpus size ==")
+      println(f"${"mult"}%-6s${"map_build_s"}%12s${"append_s"}%10s${"rows"}%9s")
+      val delta = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val sigStore = s"/tmp/graft_clmaprung_sigs_p1_$mult"
+        val baseMap = s"/tmp/graft_clmaprung_map_p1_$mult"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore)))
+          graft.operators.Dedup.writeSignatureStore(base, sigStore)
+        val (bsec, _) = time {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(baseMap)))
+            graft.operators.Dedup.writeClusterMap(base, baseMap)
+          1L
+        }
+        // append MUTATES its map: measure against a scratch copy so
+        // the rung is re-runnable (copy cost excluded — a production
+        // append works in place)
+        val scratch = s"/tmp/graft_clmaprung_scratch_$mult"
+        def freshScratch(): Unit = {
+          fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(baseMap), fs,
+            new org.apache.hadoop.fs.Path(scratch), false, conf)
+        }
+        freshScratch()
+        graft.operators.Dedup.appendToClusterMap(scratch, sigStore, delta)
+        freshScratch()
+        val (sec, _) = time {
+          graft.operators.Dedup.appendToClusterMap(scratch, sigStore, delta)
+          1L
+        }
+        val rows = graft.operators.Dedup
+          .readClusterMap(spark, scratch).count()
+        println(f"$mult%-6d$bsec%12.2f$sec%10.2f$rows%9d")
       }
     }
 

@@ -44,12 +44,16 @@ object SqlBatch {
     var failed = 0
     for (line <- Files.readAllLines(
         Paths.get(s"$outDir/queries.tsv")).asScala if line.nonEmpty) {
-      val Array(name, sql) = line.split("\t", 2)
-      try spark.sql(sql).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // destructure inside the try: a malformed line (missing tab)
+      // counts as ONE failure instead of aborting the whole batch
+      try {
+        val Array(name, sql) = line.split("\t", 2)
+        spark.sql(sql).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += 1
-        System.err.println(s"[sqlbatch] $name failed: ${e.getMessage}")
+        System.err.println(
+          s"[sqlbatch] ${line.takeWhile(_ != '\t')} failed: ${e.getMessage}")
       }
     }
     System.err.println(s"[sqlbatch] done, $failed failures")

@@ -860,29 +860,34 @@ object Dedup {
       keyCol, deltaDocs.filter(isDelta), numHashes, minEstSim, bucketCap)
   }
 
-  /** [[incrementalReport]] with the delta and base signature sets as
-    * separate frames — the entry point the persisted-store path uses,
-    * where the base side is READ from parquet, never recomputed.
+  /** Candidate-pair core of the asymmetric delta-vs-base probe: banded
+    * delta signatures joined against base signatures on (band, key),
+    * per-collision MinHash scoring, deduped to one `(dd, db, est_sim)`
+    * row per pair at `est_sim >= minEstSim`. Shared by the per-doc
+    * verdict report ([[incrementalReportSplit]]) and the incremental
+    * cluster-map append ([[appendToClusterMap]]), which consumes the
+    * pairs as graph edges.
+    *
+    * Occupancy guard, asymmetric form: a mega base bucket
+    * (boilerplate signatures shared by 10⁴⁺ stored docs) would pair
+    * every matching delta row against ALL of them. Base buckets over
+    * the cap are truncated to their `cap` LOWEST doc_ids — the
+    * verdict for a colliding delta doc still flags it as a dup with
+    * a deterministic best_match; only its n_dups undercounts (at
+    * ≥cap, which at that magnitude reads "many"). Deterministic
+    * truncation keeps the store path ≡ one-frame twin (both guard
+    * identically), and no fixture bucket reaches the cap, so oracle
+    * outputs are unchanged. Normal buckets pass through the
+    * anti-join untouched.
     */
-  private def incrementalReportSplit(d: DataFrame, b: DataFrame,
-      keyCol: String, deltaDocs: DataFrame, numHashes: Int,
-      minEstSim: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    // occupancy guard, asymmetric form: a mega base bucket
-    // (boilerplate signatures shared by 10⁴⁺ stored docs) would pair
-    // every matching delta row against ALL of them. Base buckets over
-    // the cap are truncated to their `cap` LOWEST doc_ids — the
-    // verdict for a colliding delta doc still flags it as a dup with
-    // a deterministic best_match; only its n_dups undercounts (at
-    // ≥cap, which at that magnitude reads "many"). Deterministic
-    // truncation keeps the store path ≡ one-frame twin (both guard
-    // identically), and no fixture bucket reaches the cap, so oracle
-    // outputs are unchanged. Normal buckets pass through the
-    // anti-join untouched.
+  private def deltaBasePairSims(d: DataFrame, b: DataFrame,
+      keyCol: String, numHashes: Int, minEstSim: Double,
+      bucketCap: Int): DataFrame = {
     val bG = truncateOverCapBuckets(b, Seq("band", keyCol), bucketCap)
     // shuffle_hash on both joins: sorting band buckets (or the final
     // verdict assembly) for a merge join is pure waste before hash
     // lookups, and it keeps the suite's zero-SMJ invariant at any size
-    val sims = d.as("a").hint("shuffle_hash")
+    d.as("a").hint("shuffle_hash")
       .join(bG.as("b"),
         col("a.band") === col("b.band") &&
           col(s"a.$keyCol") === col(s"b.$keyCol"))
@@ -892,6 +897,17 @@ object Dedup {
           .as("est_sim"))
       .groupBy("dd", "db").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** [[incrementalReport]] with the delta and base signature sets as
+    * separate frames — the entry point the persisted-store path uses,
+    * where the base side is READ from parquet, never recomputed.
+    */
+  private def incrementalReportSplit(d: DataFrame, b: DataFrame,
+      keyCol: String, deltaDocs: DataFrame, numHashes: Int,
+      minEstSim: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val sims = deltaBasePairSims(d, b, keyCol, numHashes, minEstSim,
+      bucketCap)
     val agg = sims.groupBy("dd")
       .agg(count(lit(1)).as("n_dups"),
         max("est_sim").as("best_sim"),
@@ -1023,8 +1039,7 @@ object Dedup {
     // Bloom sidecar rides inside the temp dir, so the rename publishes
     // store + filter together (a store is never visible bloom-less)
     writeStoreBloom(baseDocs.sparkSession, tmp.toString)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    StoreSwap.swapIn(fs, tmp, dst)
   }
 
   /** A published parquet artifact is COMPLETE iff the `_SUCCESS`
@@ -2112,8 +2127,7 @@ object Dedup {
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
     clustersLshMd5(docs, sampleMod).write.parquet(tmp.toString)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    StoreSwap.swapIn(fs, tmp, dst)
   }
 
   /** Read back a persisted cluster map
@@ -2121,6 +2135,114 @@ object Dedup {
   def readClusterMap(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Fold a DELTA batch into a persisted cluster map — the append
+    * path the cluster-map store family was missing: refreshing the
+    * map [[keepBestFromStore]] consumes costs delta + touched
+    * components, never a full re-clustering of the base corpus.
+    *
+    * Inputs: `mapPath` holds the base map ([[writeClusterMap]]
+    * layout); `storePath` holds the base corpus's banded signature
+    * store ([[writeSignatureStore]]) WITHOUT the delta — the same
+    * artifact pair a production ingest loop already maintains. After
+    * this call, fold the delta's signatures in via
+    * [[appendToSignatureStore]] so the NEXT batch probes them too.
+    * (If the signature store already contains the delta, correctness
+    * is unchanged — self-pairs are dropped by the component loop's
+    * `u =!= v` filter and delta-delta pairs just arrive twice — but
+    * the probe pays for the redundant rows; keep the documented
+    * order.) Delta doc_ids must be new (disjoint from the base).
+    *
+    * Edge set = delta-delta candidates (the same guarded band
+    * self-join the fresh path uses, over delta-only signatures) ∪
+    * delta-base candidates (the [[incrementalLshStore]] probe,
+    * pair-level) ∪ the stored components' star edges (member →
+    * cluster_id) restricted to TOUCHED components — those containing
+    * a base endpoint of some delta-base candidate. Star edges carry
+    * exactly the stored connectivity, so running the existing
+    * star-contraction loop over this subgraph relabels precisely the
+    * components the delta can change; every untouched row streams
+    * through unchanged (one narrow map scan, no shuffle beyond the
+    * semi/anti join).
+    *
+    * Append ≡ fresh ([[writeClusterMap]] over base ∪ delta,
+    * spec-checked law): per-doc banding is independent of the rest of
+    * the corpus, so delta-delta and delta-base candidates equal the
+    * fresh union's pairs touching a delta doc, base-base candidates
+    * equal the stored map's connectivity, and component labels
+    * (min doc_id) and sizes are determined by connectivity alone.
+    * The one deviation is the bucket-occupancy guard at the cap
+    * boundary: fresh decides over-cap on UNION occupancy while the
+    * append sees delta-only (self-join) and base-truncation
+    * ([[truncateOverCapBuckets]]) views, so a bucket crossing the
+    * cap BECAUSE of the append can leave the appended map with
+    * strictly MORE connectivity than fresh (which degrades the
+    * over-cap bucket to a star around its min doc and can lose
+    * est_sim-filtered links). Monotone-only: the append never drops
+    * a link fresh would keep. Below the cap the two are
+    * bit-identical — the same boundary caveat the incremental
+    * verdict path documents.
+    *
+    * Scale shape: one column-pruned scan of each store (signature
+    * probe + map pass-through), candidate work ∝ delta · bands +
+    * bucket probes, star-contraction over |delta edges| + |touched
+    * members| — per-batch cost independent of base size except
+    * through the scans (measured flat on the ScaleBench rung).
+    */
+  def appendToClusterMap(mapPath: String, storePath: String,
+      deltaDocs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      minEstSim: Double = 0.5, sampleMod: Int = 2,
+      bucketCap: Int = DefaultBucketCap): Unit = {
+    val spark = deltaDocs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // read-before-replace: the publish swap below replaces mapPath,
+    // so the stored rows this append consumes are EAGERLY
+    // materialized first (the store-family convention)
+    val stored = readClusterMap(spark, mapPath)
+      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    val base = readSignatureStore(spark, storePath)
+      .select("doc_id", "sig", "band", "bsig")
+    val dBanded = bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
+    // delta-delta: the fresh path's own guarded self-join, delta-only
+    val ddPairs = guardedSelfJoinPairs(dBanded, Seq("band", "bsig"),
+        bucketCap)(
+        expr(s"""CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
+           |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin),
+        "est_sim")
+      .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
+      .filter(col("est_sim") >= minEstSim).select("d1", "d2")
+    // delta-base: pair-level store probe (shared with the verdict path)
+    val dbPairs = deltaBasePairSims(dBanded, base, "bsig", numHashes,
+        minEstSim, bucketCap)
+      .select(col("dd").as("d1"), col("db").as("d2"))
+    // eager: shared by the touched-component lookup and the CC loop
+    val deltaEdges = ddPairs.unionAll(dbPairs).localCheckpoint()
+    // touched components = those owning a probed base endpoint;
+    // bounded by the delta's candidate count, so usually broadcast
+    val touched = stored
+      .join(dbPairs.select(col("d2").as("doc_id")).distinct(), "doc_id")
+      .select("cluster_id").distinct().localCheckpoint()
+    val touchedKeyed =
+      if (touched.count() <= 100000L) broadcast(touched)
+      else touched.hint("shuffle_hash")
+    val members = stored.join(touchedKeyed, Seq("cluster_id"), "left_semi")
+    val untouched = stored.join(touchedKeyed, Seq("cluster_id"), "left_anti")
+    val starEdges = members.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("d1"), col("cluster_id").as("d2"))
+    val nodes = deltaDocs
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select(col("doc_id").as("node"))
+      .unionAll(members.select(col("doc_id").as("node")))
+    val rebuilt = clusterize(deltaEdges.unionAll(starEdges), nodes)
+    val out = untouched.select("doc_id", "cluster_id", "cluster_size")
+      .unionAll(rebuilt).orderBy("doc_id")
+    val dst = new org.apache.hadoop.fs.Path(mapPath)
+    val tmp = new org.apache.hadoop.fs.Path(mapPath + ".inprogress")
+    fs.delete(tmp, true)
+    out.write.parquet(tmp.toString)
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
 
   /** [[keepBest]] fed from a PERSISTED cluster map — resolution reads
     * the artifact ([[readClusterMap]]), never re-runs the clustering
@@ -2150,6 +2272,41 @@ object Dedup {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
       writeClusterMap(docs, path, sampleMod)
+    path
+  }
+
+  /** Build-once helper for the APPENDED-map driver entry: carve
+    * `docs` into base (`doc_id < 4/5·max`) and delta slices, build
+    * the base cluster map + base signature store, fold the delta in
+    * via [[appendToClusterMap]], and publish the result under a
+    * content-fingerprint-keyed path. The whole build runs in a
+    * staging directory and lands via one [[StoreSwap]], so the
+    * completeness gate can never mistake a base-only map (crash
+    * between build and append) for the appended artifact.
+    */
+  def ensureAppendedClusterMap(docs: DataFrame, tag: String,
+      sampleMod: Int = 2): String = {
+    val fp = docs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_clustermap_app_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_m$sampleMod"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSignatureStore(fs, path)) {
+      val thr = (fp.getLong(1) * 4L) / 5L
+      val baseDocs = docs.filter(col("doc_id") < thr)
+      val deltaDocs = docs.filter(col("doc_id") >= thr)
+      val sigStore = ensureSignatureStore(baseDocs, tag + "_appbase",
+        sampleMod = sampleMod)
+      val staging = path + ".building"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      writeClusterMap(baseDocs, staging, sampleMod)
+      appendToClusterMap(staging, sigStore, deltaDocs,
+        sampleMod = sampleMod)
+      StoreSwap.swapIn(fs, new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(path))
+    }
     path
   }
 

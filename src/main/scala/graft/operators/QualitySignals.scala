@@ -680,7 +680,7 @@ object QualitySignals {
     fs.delete(tmp, true)
     // EAGER checkpoint is load-bearing on the append path: the merged
     // counts READ the store being replaced, so they must be fully
-    // materialized before the delete+rename below touches it
+    // materialized before the publish swap below touches it
     val vocab = vocabCounts.localCheckpoint()
     val tot = vocab.agg(sum("c").as("total"))
     vocab.crossJoin(broadcast(tot))
@@ -690,8 +690,7 @@ object QualitySignals {
       .select("w", "c", "lps")
       .write.parquet(tmp.toString + "/vocab")
     tot.write.parquet(tmp.toString + "/meta")
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    StoreSwap.swapIn(fs, tmp, dst)
   }
 
   /** Fold a batch's token counts into the persisted LM — counts are

@@ -1027,8 +1027,7 @@ object Similarity {
     asg.repartition(col("cell"))
       .write.partitionBy("cell").parquet(tmp.toString + "/vectors")
     cb.write.parquet(tmp.toString + "/codebook")
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    StoreSwap.swapIn(fs, tmp, dst)
   }
 
   /** Both halves present and complete (their own `_SUCCESS` markers) —
@@ -1302,7 +1301,8 @@ object Similarity {
     * index is supposed to exploit. Measured (sf0.001/0.01, 10 queries,
     * 10 members/cluster): IVF recall@5 = 1.0 on every query (vs ~0.16
     * on the isotropic originals — the eval can now fail); PQ(m=16,
-    * k=128) min 0.6; sign-RP min 0.4; SimilaritySpec floors 0.9 /
+    * k=64 — the shipped `sim_pq_recall_clustered` config) min 0.6;
+    * sign-RP min 0.4; SimilaritySpec floors 0.9 /
     * 0.5 / 0.3. Honest ceiling: once clusters hold ~40 members
     * (sf0.1) the WITHIN-cluster gaps (≈ eps·‖orig_i − orig_j‖ order
     * statistics over 40 draws) fall back below coarse-quantizer/
@@ -1339,6 +1339,13 @@ object Similarity {
   def clusteredEmbSql(inner: String, seeds: Int = 50, eps: Double = 0.4,
       dims: Int = 64): String = {
     require(inner.startsWith("WITH "), "inner oracle must start with WITH")
+    // whole-word re-point only: a substring hit inside a longer
+    // identifier / literal / CTE name would be silently corrupted by
+    // a blind replace, so guard that every occurrence is the bare
+    // table reference before rewriting
+    require("""\wembeddings|embeddings\w""".r.findFirstIn(inner).isEmpty,
+      "inner oracle contains a non-bare 'embeddings' occurrence; " +
+        "clusteredEmbSql can only re-point whole-word table references")
     s"""WITH emb_seed AS (
        |  SELECT vec_id AS sid, embedding AS s_emb FROM embeddings
        |  WHERE vec_id < $seeds),
@@ -1351,7 +1358,8 @@ object Similarity {
        |    CAST(e.vec_id % $seeds AS INTEGER) AS label
        |  FROM embeddings e JOIN emb_seed s ON e.vec_id % $seeds = s.sid),
        |""".stripMargin +
-      inner.stripPrefix("WITH ").replace("embeddings", "emb_clustered")
+      """\bembeddings\b""".r.replaceAllIn(
+        inner.stripPrefix("WITH "), "emb_clustered")
   }
 
   /** Per-label centroids of the embedding column — the IVF coarse

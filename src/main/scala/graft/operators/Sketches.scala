@@ -60,8 +60,7 @@ object Sketches {
     // swap, so store content and applied-batch stamp can never diverge
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "last_batch"))
     out.write(lastBatch.toString.getBytes("UTF-8")); out.close()
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    StoreSwap.swapIn(fs, tmp, dst)
   }
 
   /** Highest streaming batch id already folded in (−1 for a store

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe publish swap shared by every persisted store family
+  * (signature / cluster-map / semantic / LM / HLL / KLL / export
+  * manifest). Delete-then-rename has a window where a crash between
+  * the delete and the rename loses BOTH generations of the store;
+  * the three-step swap (dst → dst.old, tmp → dst, delete dst.old)
+  * leaves at least one complete generation on disk at every instant:
+  *
+  *  - crash before the first rename: old store intact at `dst`;
+  *  - crash between the renames: old store intact at `dst.old`
+  *    (recoverable by renaming it back — the store's `_SUCCESS` /
+  *    completeness gate distinguishes it from a half-written dst);
+  *  - crash before the final delete: NEW store live at `dst`, the
+  *    stale `dst.old` is swept by the next publish.
+  *
+  * Each store's completeness gate (`_SUCCESS` markers inside the
+  * published directory) is what readers consult, so a leftover
+  * `.old` or `.inprogress` directory is never mistaken for the
+  * store itself.
+  */
+object StoreSwap {
+
+  /** Atomically make `tmp` the new content of `dst`. `tmp` must be a
+    * fully-written directory (all files + completeness markers). Any
+    * stale `.old` from a previous crashed publish is swept first.
+    */
+  def swapIn(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    val old = new Path(dst.getParent, dst.getName + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dst))
+      require(fs.rename(dst, old), s"swap-out $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.delete(old, true)
+  }
+}

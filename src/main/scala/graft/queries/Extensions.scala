@@ -420,6 +420,17 @@ object Extensions {
         new java.io.File(c.dir).getName + "_clmap")
       Dedup.keepBestFromStore(c.documents, map)
     }),
+    // resolution over an INCREMENTALLY-MAINTAINED cluster map (base
+    // map built from the first 4/5 of doc_ids, last 1/5 folded in via
+    // appendToClusterMap) — the unchanged keepBest oracle proves
+    // append ≡ fresh end-to-end: delta-vs-base candidate edges +
+    // stored components as star edges reproduce the full
+    // re-clustering bit-for-bit
+    "dedup_keep_best_append" -> (c => {
+      val map = Dedup.ensureAppendedClusterMap(c.documents,
+        new java.io.File(c.dir).getName + "_clmap")
+      Dedup.keepBestFromStore(c.documents, map)
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -452,9 +463,10 @@ object Extensions {
     // FAILS (the isotropic originals can't discriminate — r9 verdict)
     "sim_ann_recall_clustered" ->
       (c => Similarity.annRecall(Similarity.clusteredEmbeddings(c.embeddings))),
-    // k=128 codes: ~2-3 codes per planted cluster, so PQ can resolve
-    // WITHIN-cluster ranking — at the default k=16 every member of a
-    // cluster shares one code and recall@5 degenerates to tie-breaks
+    // k=64 codes: ~1-2 codes per planted cluster, enough for PQ to
+    // resolve WITHIN-cluster ranking — at the default k=16 every
+    // member of a cluster shares one code and recall@5 degenerates to
+    // tie-breaks
     "sim_pq_recall_clustered" ->
       (c => Quantize.pqRecall(Similarity.clusteredEmbeddings(c.embeddings),
         k = 64, m = 16)),
@@ -616,6 +628,9 @@ object Extensions {
     "dedup_spans" -> Dedup.spanDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_keep_best_store" -> Dedup.keepBestSql(),
+    // the append path must be INVISIBLE in the resolved output — same
+    // oracle as the fresh-map entries
+    "dedup_keep_best_append" -> Dedup.keepBestSql(),
     "dedup_within_doc" -> Dedup.withinDocDedupSql(),
     "pipeline_corpus_stats" -> CorpusPipeline.corpusStatsSql(),
     "pipeline_decontaminate" -> CorpusPipeline.decontaminateSql(),

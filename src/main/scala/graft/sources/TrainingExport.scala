@@ -132,8 +132,7 @@ object TrainingExport {
     val o = f.create(new org.apache.hadoop.fs.Path(mTmp, "_last_batch"))
     o.write(lastBatch.toString.getBytes("UTF-8")); o.close()
     val mDst = new org.apache.hadoop.fs.Path(s"$path/_manifest")
-    f.delete(mDst, true)
-    require(f.rename(mTmp, mDst), s"rename $mTmp -> $mDst failed")
+    graft.operators.StoreSwap.swapIn(f, mTmp, mDst)
   }
 
   def exportShardCount(f: org.apache.hadoop.fs.FileSystem,

@@ -795,4 +795,105 @@ class DedupSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert(r.head.isNullAt(5) && r.head.isNullAt(6))
   }
+
+  private def mapRows(path: String): Array[String] =
+    Dedup.readClusterMap(spark, path)
+      .collect().map(_.toString).sorted
+
+  test("growing the cluster map by append equals building it fresh") {
+    import org.apache.spark.sql.functions.col
+    // base owns the {0,1} dup pair plus the unrelated 3; the delta
+    // brings 2 (ws/case variant of 0) and 4 (near-dup of 0), so the
+    // append must EXTEND a base component through delta-base edges
+    val base = docs.filter(col("doc_id") <= 1 || col("doc_id") === 3)
+    val delta = docs.filter(col("doc_id") === 2 || col("doc_id") === 4)
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_grow")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
+    Dedup.writeClusterMap(base, grown, sampleMod = 1)
+    Dedup.appendToClusterMap(grown, store, delta, sampleMod = 1)
+    Dedup.writeClusterMap(docs, fresh, sampleMod = 1)
+    val g = mapRows(grown)
+    assert(g.sameElements(mapRows(fresh)) && g.nonEmpty,
+      "appended cluster map diverged from fresh re-clustering")
+    // the cross-batch merge really happened: 4 (and on this fixture's
+    // md5 draws possibly 2) joined component 0 — at minimum the
+    // near-dup 4 must carry label 0 with a grown size
+    val byDoc = Dedup.readClusterMap(spark, grown)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byDoc(4L)._1 == 0L && byDoc(4L)._2 >= 3L,
+      s"delta doc 4 not folded into component 0: ${byDoc(4L)}")
+  }
+
+  test("cluster-map append over two batches equals fresh; untouched rows survive") {
+    import org.apache.spark.sql.functions.col
+    // batch 2 (docs 3: unrelated singleton) touches NOTHING the
+    // batch-3 delta later links to — its row must ride through the
+    // second append untouched
+    val b0 = docs.filter(col("doc_id") <= 1)
+    val b1 = docs.filter(col("doc_id") === 2 || col("doc_id") === 3)
+    val b2 = docs.filter(col("doc_id") === 4)
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_grow2")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(b0, store, sampleMod = 1)
+    Dedup.writeClusterMap(b0, grown, sampleMod = 1)
+    Dedup.appendToClusterMap(grown, store, b1, sampleMod = 1)
+    Dedup.appendToSignatureStore(b1, store, sampleMod = 1)
+    val mid = Dedup.readClusterMap(spark, grown)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Dedup.appendToClusterMap(grown, store, b2, sampleMod = 1)
+    Dedup.writeClusterMap(docs, fresh, sampleMod = 1)
+    val g = mapRows(grown)
+    assert(g.sameElements(mapRows(fresh)) && g.nonEmpty,
+      "two-batch append diverged from fresh re-clustering")
+    // the unrelated singleton 3 kept its mid-state row verbatim
+    val fin = Dedup.readClusterMap(spark, grown)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(fin(3L) == mid(3L) && fin(3L) == (3L, 1L))
+  }
+
+  test("append merges two separate base components through a bridging delta doc") {
+    // near-dup chain: T and T' share a 30-word prefix with disjoint
+    // 30-word suffixes (shingle Jaccard 0.32 — below the banding +
+    // est rails, so the base map holds them as SEPARATE components);
+    // the bridge is the midpoint (prefix + half of each suffix,
+    // J ≈ 0.59 / 0.55 to the two sides). The append probes with 8
+    // two-row bands so a collision with EACH side is near-certain,
+    // and gates at est ≥ 0.25 to absorb 16-hash estimate noise (md5
+    // est_sims are deterministic: whatever this fixture measures, it
+    // measures forever). The merge path exercised: TWO touched
+    // components' star edges enter one contraction loop with the
+    // delta edges and come out relabelled to the global min.
+    val pre = Seq.tabulate(30)(i => s"common$i").mkString(" ")
+    val tA = pre + " " + Seq.tabulate(30)(i => s"alpha$i").mkString(" ")
+    val tB = pre + " " + Seq.tabulate(30)(i => s"beta$i").mkString(" ")
+    val mid = pre + " " +
+      (Seq.tabulate(15)(i => s"alpha$i") ++
+        (15 until 30).map(i => s"beta$i")).mkString(" ")
+    val base = Seq((0L, tA), (1L, tA), (10L, tB), (11L, tB))
+      .toDF("doc_id", "text")
+    val delta = Seq((20L, mid)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_bridge")
+    val grown = tmp.resolve("grown").toString
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(base, store, bands = 8, sampleMod = 1)
+    Dedup.writeClusterMap(base, grown, sampleMod = 1)
+    val before = Dedup.readClusterMap(spark, grown)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(0L -> 0L, 1L -> 0L, 10L -> 10L, 11L -> 10L))
+    Dedup.appendToClusterMap(grown, store, delta, bands = 8,
+      sampleMod = 1, minEstSim = 0.25)
+    val after = Dedup.readClusterMap(spark, grown)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSet ==
+      Set(0L, 1L, 10L, 11L, 20L).map(d => (d, 0L, 5L)),
+      s"bridge merge failed: ${after.mkString(", ")}")
+  }
 }
