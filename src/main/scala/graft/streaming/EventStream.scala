@@ -236,6 +236,37 @@ object EventStream {
     q
   }
 
+  /** Streaming closure of the TERMINAL pipeline stage: each
+    * micro-batch of curated documents lands in the training-shard
+    * export ([[graft.sources.TrainingExport.appendBatchToExport]]) —
+    * shards grow by `b<id>-`-prefixed file moves and the manifest
+    * merges the batch's aggregates, so the trainer-side reader and
+    * the `export_manifest` audit stay correct mid-stream. This
+    * stream MUTATES the export, so replay safety is the
+    * applied-batch watermark INSIDE the manifest's atomic publish
+    * (the [[sketchStream]] discipline): a re-delivered batch id is
+    * skipped exactly — a blind re-append would double-write every
+    * doc in the batch and the manifest would faithfully count the
+    * damage. Batch rows must carry the export schema
+    * (doc_id, text, n_chars) and be disjoint from the export (the
+    * upstream dedup gate's contract, unchanged from the batch path).
+    */
+  def exportStream(docs: DataFrame, exportPath: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.TrainingExport
+          .appendBatchToExport(exportPath, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming maintenance of the KLL quantile store — identical
     * replay discipline to [[sketchStream]] (the applied-batch
     * watermark inside the store's atomic publish; a re-delivered

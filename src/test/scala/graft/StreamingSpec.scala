@@ -212,6 +212,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming export maintenance equals a fresh export over all docs; replay is a no-op") {
+    import graft.sources.TrainingExport
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export_stream")
+    val export = tmp.resolve("export").toString
+    val deltaDir = tmp.resolve("delta").toString
+    TrainingExport.exportShards(base, export, shards = 8, waves = 2)
+    // multiple files -> the AvailableNow file source may split them
+    // into several micro-batches; each lands as its own manifest'd
+    // append and the merged aggregates must compose
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.exportStream(
+      EventStream.readDocuments(spark, deltaDir), export,
+      tmp.resolve("ckpt").toString)
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val applied = TrainingExport.lastAppendedBatch(fs, export)
+      assert(applied >= 0L)
+      def m(p: String) = TrainingExport.readManifest(spark, p)
+        .collect().map(_.toString).sorted.toSeq
+      // stream-grown manifest equals a fresh export over everything,
+      // and still equals the from-files truth (every doc landed
+      // exactly once, in its correct shard)
+      val freshDir = tmp.resolve("fresh").toString
+      TrainingExport.exportShards(docs, freshDir, shards = 8, waves = 2)
+      assert(m(export) == m(freshDir) && m(export).nonEmpty)
+      assert(m(export) == TrainingExport.manifestFromFiles(spark, export)
+        .collect().map(_.toString).sorted.toSeq)
+      // replayed batch id (foreachBatch redelivery after a crash):
+      // skipped exactly by the watermark inside the manifest publish
+      assert(!TrainingExport.appendBatchToExport(export, delta, applied))
+      assert(m(export) == m(freshDir))
+      // trainer-side reader sees base + streamed docs interleaved in
+      // training order for an arbitrary shard
+      val got = TrainingExport.readShard(spark, export, 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = docs
+        .withColumn("shard", pmod(graft.operators.Sampling.hashBucketFull(
+          TrainingExport.ShardSalt, col("doc_id")), lit(8L)))
+        .filter(col("shard") === 3).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming quantile-store maintenance equals a fresh build over all docs") {
     import graft.operators.Sketches
     val docs = Ctx(spark, sfDir).documents
