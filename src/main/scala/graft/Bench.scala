@@ -31,6 +31,39 @@ import org.apache.spark.sql.SparkSession
   *      the timer starts.
   */
 object Bench {
+
+  /** Fixed-work, data-independent CPU probe (~1 s nominal): three
+    * rounds of xorshift-fill + sort + hash-fold over 4M longs,
+    * single-threaded, no Spark, no I/O. Timed at window start AND end
+    * and recorded in BENCH.json as `"calibration"`, so a swing in the
+    * public per-round numbers on untouched code is attributable: probe
+    * moved too → host load; probe flat → investigate the plan. (The
+    * r10 driver window moved the TPC-H subtotal +30% with zero TPC-H
+    * code change — without a probe that swing is indistinguishable
+    * from a regression.) Deterministic work; the returned hash check
+    * keeps the JIT from eliding the loop.
+    */
+  def calibrationProbe(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    val n = 1 << 22
+    val a = new Array[Long](n)
+    var rounds = 0
+    while (rounds < 3) {
+      var x = 88172645463325252L ^ rounds
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1
+      }
+      java.util.Arrays.sort(a)
+      i = 0
+      while (i < n) { h ^= a(i) * 0xff51afd7ed558ccdL; i += 1 }
+      rounds += 1
+    }
+    require(h != 0L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -47,6 +80,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // calibration: one untimed JIT warm-up, then the recorded
+    // window-start probe (see scaladoc — reading a window starts here)
+    calibrationProbe()
+    val calStart = calibrationProbe()
     val all = SparkEntry.queries
     val names = all.keys.toSeq.sortBy { n =>
       // numeric-aware sort: q1, q2, ..., q22, then extensions
@@ -204,10 +241,12 @@ object Bench {
     val blas =
       try dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
       catch { case _: Throwable => "unavailable" }
+    val calEnd = calibrationProbe()
+    val cal = f"""{"start":$calStart%.3f,"end":$calEnd%.3f}"""
     val headline =
-      s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","blas":"$blas","sf":"$sfDir"}"""
+      s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","calibration":$cal,"blas":"$blas","sf":"$sfDir"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"blas":"$blas","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"calibration":$cal,"blas":"$blas","sf":"$sfDir"}"""
     // the driver machine-parses this: sbt prefixes every stdout line
     // with "[info] ", so the bare lines also go to disk and stderr
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
