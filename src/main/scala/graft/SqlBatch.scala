@@ -34,13 +34,24 @@ object SqlBatch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents"))
+        "orders", "lineitem", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     // events goes through the same nanos/NTZ normalization the curated
     // entries use (Ctx.events) — DuckDB's read of the same parquet
     // truncates ns→µs identically, so fuzzed timestamp comparisons and
     // min/max agree exactly
     graft.queries.Ctx(spark, sfDir).events.createOrReplaceTempView("events")
+    // --nulls mode: the generator materializes null-injected fixture
+    // derivatives under <outDir>/nullfix; register each as a view so
+    // both engines read the SAME physical rows
+    val nullfix = Paths.get(s"$outDir/nullfix")
+    if (Files.isDirectory(nullfix))
+      Files.list(nullfix).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val name = p.getFileName.toString.stripSuffix(".parquet")
+          spark.read.parquet(p.toString).createOrReplaceTempView(name)
+        }
     var failed = 0
     for (line <- Files.readAllLines(
         Paths.get(s"$outDir/queries.tsv")).asScala if line.nonEmpty) {

@@ -119,15 +119,88 @@ JOINS = [
     ("nation", "n_regionkey", "region", "r_regionkey"),
 ]
 
+# --nulls mode: deterministic null-injected fixture derivatives.
+# The fixtures are null-free, so the base grammar never exercises
+# three-valued logic, null group keys, or outer-join null propagation
+# — classic cross-engine divergence territory (VERDICT r10). Each
+# n-table is a physical parquet copy of its source with ~1/16 of each
+# NULLABLE column nulled by a salted md5 of the row key (keys and
+# date columns stay intact: keys anchor joins and deterministic
+# ORDER BY; nulled timestamps would hit pandas NaT != NaT in the
+# comparator). One physical file read by BOTH engines — no
+# cross-engine expression parity to maintain.
+NULLTABLES = {
+    "nlineitem": {"src": "lineitem",
+                  "nullable": ["l_partkey", "l_suppkey", "l_quantity",
+                               "l_extendedprice", "l_discount", "l_tax",
+                               "l_returnflag", "l_linestatus"]},
+    "norders": {"src": "orders",
+                "nullable": ["o_custkey", "o_totalprice",
+                             "o_orderstatus", "o_orderpriority"]},
+    "ncustomer": {"src": "customer",
+                  "nullable": ["c_nationkey", "c_acctbal",
+                               "c_mktsegment", "c_name"]},
+}
+
+# null-universe FK edges: nullable FKs joining within the n-universe
+# and out to the original dimensions (an INNER join over a nullable
+# FK silently drops the null rows — both engines must agree on that)
+NULLJOINS = [
+    ("nlineitem", "l_orderkey", "norders", "o_orderkey"),
+    ("nlineitem", "l_partkey", "part", "p_partkey"),
+    ("nlineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("norders", "o_custkey", "ncustomer", "c_custkey"),
+    ("ncustomer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def write_null_fixture(con, out_dir):
+    """Materialize the n-tables under <outDir>/nullfix/ — pure
+    function of the source fixture (md5 row-key salt per column), so
+    every seed-run regenerates byte-identical files."""
+    os.makedirs(f"{out_dir}/nullfix", exist_ok=True)
+    for nt, meta in NULLTABLES.items():
+        src = meta["src"]
+        cols = [r[0] for r in con.sql(f"DESCRIBE {src}").fetchall()]
+        key = " || '-' || ".join(
+            f"CAST({k} AS VARCHAR)" for k in TABLES[src]["key"])
+        sel = []
+        for c in cols:
+            if c in meta["nullable"]:
+                sel.append(
+                    f"CASE WHEN substring(md5({key} || ':{c}'), 1, 1) "
+                    f"= '0' THEN NULL ELSE {c} END AS {c}")
+            else:
+                sel.append(c)
+        con.sql(f"COPY (SELECT {', '.join(sel)} FROM {src}) TO "
+                f"'{out_dir}/nullfix/{nt}.parquet' (FORMAT PARQUET)")
+
 
 class Gen:
-    def __init__(self, sf_dir, seed):
+    def __init__(self, sf_dir, seed, out_dir=None, nulls=False,
+                 ext=False):
         self.rng = random.Random(seed)
+        self.nulls = nulls
+        self.ext = ext
         self.con = duckdb.connect()
         self.con.sql("SET threads = 1")  # reproducibility
         for t in TABLES:
+            if t in NULLTABLES:
+                continue
             self.con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        if nulls:
+            write_null_fixture(self.con, out_dir)
+            # n-tables become first-class grammar tables: every
+            # existing template (group/distinct/limit/window/rollup/
+            # outer-join) then runs over nullable data for free
+            for nt, meta in NULLTABLES.items():
+                src = dict(TABLES[meta["src"]])
+                src["nullable"] = meta["nullable"]
+                TABLES[nt] = src
+                self.con.sql(f"CREATE VIEW {nt} AS SELECT * FROM "
+                             f"'{out_dir}/nullfix/{nt}.parquet'")
+            JOINS.extend(NULLJOINS)
         self.samples = {}  # (table, col) -> sampled distinct values
 
     def sample_vals(self, table, col, n=40):
@@ -171,6 +244,13 @@ class Gen:
     # ---- predicates -------------------------------------------------
     def atom_pred(self, table, q):
         c = TABLES[table]
+        # nullable columns: IS [NOT] NULL atoms (three-valued logic
+        # enters every AND/OR/NOT composition built on top)
+        if c.get("nullable") and self.rng.random() < 0.25:
+            col = self.rng.choice(c["nullable"])
+            ref = f"{q}.{col}" if q else col
+            neg = self.rng.choice(["", " NOT"])
+            return f"{ref} IS{neg} NULL"
         choices = []
         if c["int"]:
             choices.append("int")
@@ -396,9 +476,15 @@ class Gen:
                              if len(TABLES[x]["lowstr"]) >= 2])
         g1, g2 = self.rng.sample(TABLES[t]["lowstr"], 2)
         where = self.pred(t, None)
+        # HAVING count(*) > 0 is a no-op on every real group (grouped
+        # count(*) >= 1) but suppresses the ()-grouping-set grand-total
+        # row a standard engine (DuckDB) emits over an EMPTY filtered
+        # input and Spark does not — seed 201 hit that divergence with
+        # a zero-match shipdate equality predicate.
         return (f"SELECT {g1} AS g0, {g2} AS g1, count(*) AS cnt, "
                 f"CAST(SUM({self.int_expr(t, None)}) AS BIGINT) AS s0 "
-                f"FROM {t} WHERE {where} GROUP BY ROLLUP ({g1}, {g2})")
+                f"FROM {t} WHERE {where} GROUP BY ROLLUP ({g1}, {g2}) "
+                f"HAVING count(*) > 0")
 
     def union_agg(self):
         t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
@@ -457,35 +543,198 @@ class Gen:
         pred_t = self.rng.choice(tables)
         where = self.pred(pred_t, pred_t if qualify else None)
         k = self.rng.choice([5, 10, 25, 100])
+        # explicit NULLS FIRST on every order key: Spark's ASC default
+        # is NULLS FIRST, DuckDB's is NULLS LAST — over the null
+        # fixture an unspecified order would cut different LIMIT
+        # prefixes by harness construction (harmless on the null-free
+        # tables)
+        okeys = ", ".join(f"{r} NULLS FIRST" for r in order)
         return (f"SELECT {', '.join(sel)} FROM "
                 f"{self.from_clause(tables, conds)} WHERE {where} "
-                f"ORDER BY {', '.join(order)} LIMIT {k}")
+                f"ORDER BY {okeys} LIMIT {k}")
+
+    # ---- null-semantics templates (--nulls mode only) ---------------
+    def not_in_q(self):
+        """THE classic cross-engine divergence shape: `x NOT IN
+        (subquery)` where the subquery column contains NULLs is empty
+        under ANSI three-valued logic (x <> NULL is UNKNOWN for every
+        x); the IS NOT NULL-guarded twin behaves like an anti-join.
+        Both engines must agree on both forms."""
+        child, ccol, parent, pcol = self.rng.choice(
+            [e for e in NULLJOINS if e[1] in TABLES[e[0]]["nullable"]])
+        where = self.pred(child, None)
+        guard = (f" AND {ccol} IS NOT NULL"
+                 if self.rng.random() < 0.5 else "")
+        neg = self.rng.choice(["IN", "NOT IN"])
+        return (f"SELECT count(*) AS cnt FROM {parent} "
+                f"WHERE {pcol} {neg} "
+                f"(SELECT {ccol} FROM {child} WHERE ({where}){guard})")
+
+    def anti_join_q(self):
+        """Left join whose probe side misses: rows with a NULL FK (or
+        an FK filtered out of the parent) surface as parent-side NULLs
+        — the left-anti shape via IS NULL on the parent key."""
+        child, ccol, parent, pcol = self.rng.choice(NULLJOINS)
+        where = self.pred(child, child)
+        return (f"SELECT count(*) AS cnt, "
+                f"CAST(COUNT(DISTINCT {child}.{ccol}) AS BIGINT) AS u0 "
+                f"FROM {child} LEFT JOIN {parent} "
+                f"ON {child}.{ccol} = {parent}.{pcol} "
+                f"WHERE {parent}.{pcol} IS NULL AND ({where})")
+
+    def null_agg_q(self):
+        """Aggregates over a group that is all-NULL by construction
+        (the 'missing' slice): count(col) vs count(*), SUM over an
+        all-null slice (NULL, not 0), min/max NULL-skipping, and a
+        COALESCE spine — over a possibly-NULL group key as well."""
+        t = self.rng.choice(list(NULLTABLES))
+        c0 = self.rng.choice(TABLES[t]["nullable"])
+        g = self.rng.choice(TABLES[t]["lowstr"] or TABLES[t]["int"])
+        where = self.pred(t, None)
+        if c0 in TABLES[t]["money"]:
+            val = f"CAST(floor({c0} * 100.0 + 0.5) AS BIGINT)"
+        elif c0 in TABLES[t]["int"]:
+            val = c0
+        else:
+            val = f"length({c0})"
+        return (f"SELECT CASE WHEN {c0} IS NULL THEN 'missing' "
+                f"ELSE 'present' END AS g0, {g} AS g1, "
+                f"count(*) AS cnt, count({c0}) AS cnt_c, "
+                f"CAST(SUM(CASE WHEN {c0} IS NULL THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS nn, "
+                f"CAST(SUM({val}) AS BIGINT) AS s0, "
+                f"CAST(min({val}) AS BIGINT) AS mn, "
+                f"CAST(SUM(COALESCE({val}, -1)) AS BIGINT) AS sc "
+                f"FROM {t} WHERE {where} GROUP BY 1, 2")
+
+    # ---- extension-SQL templates (--ext mode only) ------------------
+    # The registered Graft SQL functions (GraftExtensions): cosine_sim
+    # is checked for BIT-EXACT value agreement against a DuckDB
+    # rewrite that mirrors the expression's sequential fold
+    # (per-element double products, left-to-right accumulation,
+    # dot/sqrt(nx*ny) — identical IEEE ops on identical inputs are
+    # bit-identical, the CLAUDE.md rule); minhash_signature (xxhash64,
+    # engine-specific values) is checked via the union-min LAW
+    # sig(A ∪ B) = elementwise-min(sig(A), sig(B)) plus signature
+    # width, with DuckDB supplying the expected constants over the
+    # same group membership. These templates return (spark_sql,
+    # duck_sql) PAIRS — the one place the two engines run different
+    # text by necessity.
+    def _duck_cosine(self, ea, eb):
+        def dots(u, v):
+            return (f"list_reduce(list_transform(range(1, 65), i -> "
+                    f"CAST({u}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), "
+                    f"(x, y) -> x + y)")
+        return (f"{dots(ea, eb)} AS dot, {dots(ea, ea)} AS nx, "
+                f"{dots(eb, eb)} AS ny")
+
+    def ext_cosine_pairs(self):
+        k = self.rng.randint(1, 97)
+        m = self.rng.choice([7, 11, 13, 23])
+        r = self.rng.randrange(m)
+        lim = self.rng.choice([25, 50, 100])
+        spark = (f"SELECT a.vec_id AS v1, b.vec_id AS v2, "
+                 f"cosine_sim(a.embedding, b.embedding) AS cs "
+                 f"FROM embeddings a JOIN embeddings b "
+                 f"ON b.vec_id = a.vec_id + {k} "
+                 f"WHERE a.vec_id % {m} = {r} ORDER BY v1 LIMIT {lim}")
+        duck = (f"WITH p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, "
+                f"{self._duck_cosine('a.embedding', 'b.embedding')} "
+                f"FROM embeddings a JOIN embeddings b "
+                f"ON b.vec_id = a.vec_id + {k} "
+                f"WHERE a.vec_id % {m} = {r}) "
+                f"SELECT v1, v2, CASE WHEN nx = 0.0 OR ny = 0.0 "
+                f"THEN CAST(0.0 AS DOUBLE) ELSE dot / sqrt(nx * ny) END "
+                f"AS cs FROM p ORDER BY v1 LIMIT {lim}")
+        return spark, duck
+
+    def ext_cosine_agg(self):
+        """cosine_sim inside a grouped aggregate: per-label count of
+        shifted-pair similarities above a threshold (comparisons on
+        bit-identical doubles are deterministic)."""
+        k = self.rng.randint(1, 47)
+        t = self.rng.choice(["0.1", "0.2", "0.3"])
+        spark = (f"SELECT a.label AS g0, count(*) AS cnt, "
+                 f"CAST(SUM(CASE WHEN cosine_sim(a.embedding, "
+                 f"b.embedding) >= {t} THEN 1 ELSE 0 END) AS BIGINT) "
+                 f"AS s0 FROM embeddings a JOIN embeddings b "
+                 f"ON b.vec_id = a.vec_id + {k} GROUP BY a.label")
+        duck = (f"WITH p AS (SELECT a.label AS g0, "
+                f"{self._duck_cosine('a.embedding', 'b.embedding')} "
+                f"FROM embeddings a JOIN embeddings b "
+                f"ON b.vec_id = a.vec_id + {k}) "
+                f"SELECT g0, count(*) AS cnt, "
+                f"CAST(SUM(CASE WHEN (CASE WHEN nx = 0.0 OR ny = 0.0 "
+                f"THEN CAST(0.0 AS DOUBLE) ELSE dot / sqrt(nx * ny) "
+                f"END) >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS s0 "
+                f"FROM p GROUP BY g0")
+        return spark, duck
+
+    def ext_minhash_law(self):
+        k = self.rng.choice([4, 8, 16])
+        where = self.pred("documents", None)
+        spark = (
+            f"WITH w AS (SELECT source, doc_id AS d, "
+            f"explode(split(trim(text), '\\\\s+')) AS w "
+            f"FROM documents WHERE {where}), "
+            f"se AS (SELECT source, minhash_signature(w, {k}) AS s "
+            f"FROM w WHERE d % 2 = 0 GROUP BY source), "
+            f"so AS (SELECT source, minhash_signature(w, {k}) AS s "
+            f"FROM w WHERE d % 2 = 1 GROUP BY source), "
+            f"sa AS (SELECT source, minhash_signature(w, {k}) AS s "
+            f"FROM w GROUP BY source) "
+            f"SELECT sa.source, CAST(size(sa.s) AS BIGINT) AS k, "
+            f"CAST(CASE WHEN zip_with(se.s, so.s, (x, y) -> "
+            f"least(x, y)) = sa.s THEN 1 ELSE 0 END AS BIGINT) AS ok "
+            f"FROM sa JOIN se ON se.source = sa.source "
+            f"JOIN so ON so.source = sa.source")
+        duck = (f"SELECT source, CAST({k} AS BIGINT) AS k, "
+                f"CAST(1 AS BIGINT) AS ok FROM documents WHERE {where} "
+                f"GROUP BY source HAVING count(DISTINCT doc_id % 2) = 2")
+        return spark, duck
 
     def query(self):
-        f = self.rng.choices(
-            [self.grouped_agg, self.distinct_q, self.limit_q,
-             self.left_join_agg, self.union_agg, self.window_q,
-             self.rollup_q],
-            weights=[5, 2, 3, 2, 1, 2, 1])[0]
-        return f()
+        forms = [self.grouped_agg, self.distinct_q, self.limit_q,
+                 self.left_join_agg, self.union_agg, self.window_q,
+                 self.rollup_q]
+        weights = [5, 2, 3, 2, 1, 2, 1]
+        if self.nulls:
+            forms += [self.not_in_q, self.anti_join_q, self.null_agg_q]
+            weights += [2, 1, 2]
+        if self.ext:
+            forms += [self.ext_cosine_pairs, self.ext_cosine_agg,
+                      self.ext_minhash_law]
+            weights += [2, 1, 2]
+        f = self.rng.choices(forms, weights=weights)[0]
+        out = f()
+        return out if isinstance(out, tuple) else (out, out)
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    n = int(sys.argv[4]) if len(sys.argv) > 4 else 120
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nulls = "--nulls" in sys.argv
+    ext = "--ext" in sys.argv
+    sf_dir, out_dir = args[0], args[1]
+    seed = int(args[2]) if len(args) > 2 else 1
+    n = int(args[3]) if len(args) > 3 else 120
     os.makedirs(out_dir, exist_ok=True)
-    g = Gen(sf_dir, seed)
-    queries = {}
+    g = Gen(sf_dir, seed, out_dir=out_dir, nulls=nulls, ext=ext)
+    spark_q, duck_q = {}, {}
     for i in range(n):
-        sql = g.query()
-        assert "\t" not in sql and "\n" not in sql
-        queries[f"fuzz_{seed}_{i:04d}"] = sql
+        s_sql, d_sql = g.query()
+        assert "\t" not in s_sql and "\n" not in s_sql
+        assert "\t" not in d_sql and "\n" not in d_sql
+        name = f"fuzz_{seed}_{i:04d}"
+        spark_q[name] = s_sql
+        duck_q[name] = d_sql
+    # queries.tsv carries the Spark text, oracle_sql.json the DuckDB
+    # text — identical except for the --ext templates, where the
+    # registered Graft functions are rewritten for DuckDB
     with open(f"{out_dir}/queries.tsv", "w") as f:
-        for name, sql in queries.items():
+        for name, sql in spark_q.items():
             f.write(f"{name}\t{sql}\n")
     with open(f"{out_dir}/oracle_sql.json", "w") as f:
-        json.dump(queries, f, indent=1)
+        json.dump(duck_q, f, indent=1)
     print(f"wrote {n} queries (seed {seed}) to {out_dir}")
 
 

@@ -10,6 +10,7 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -37,6 +38,14 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # null-injected fixture derivatives (fuzz --nulls mode): same
+    # physical files the Spark side registered
+    nullfix = os.path.join(out_dir, "nullfix")
+    if os.path.isdir(nullfix):
+        for f in os.listdir(nullfix):
+            if f.endswith(".parquet"):
+                con.sql(f"CREATE VIEW {f[:-8]} AS SELECT * FROM "
+                        f"'{nullfix}/{f}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
