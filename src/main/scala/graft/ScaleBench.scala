@@ -109,7 +109,8 @@ object ScaleBench {
     val sections = (if (args.length > 2) args(2)
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
-        "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap")
+        "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
+        "ctstore")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -331,6 +332,60 @@ object ScaleBench {
         val rows = graft.operators.Dedup
           .readClusterMap(spark, scratch).count()
         println(f"$mult%-6d$bsec%12.2f$sec%10.2f$rows%9d")
+      }
+    }
+
+    section("ctstore") {
+      // the containment store's ingest loop: per-batch PROBE (delta
+      // whole-doc signatures vs the stored chunk index + exact verify
+      // against stored shingle hashes) and APPEND (fold the delta's
+      // chunk/shingle/size frames in) must stay free of base-side
+      // COMPUTE as the base grows — remaining growth is column-pruned
+      // store scans only (the incrementalLshStore story)
+      println("== Containment store: per-batch probe/append vs base scale ==")
+      println(f"${"mult"}%-6s${"build(s)"}%10s${"probe(s)"}%10s" +
+        f"${"append(s)"}%11s${"rows"}%9s")
+      val ctDelta = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_ctstore_rung_p1_$mult"
+        val (bsec, _) = time {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_SUCCESS")))
+            graft.operators.Dedup.writeContainmentStore(base, store)
+          1L
+        }
+        // warm-up, then measured probe
+        graft.operators.Dedup.containmentFromStore(store, ctDelta).count()
+        settle()
+        val (psec, rows) = time(
+          graft.operators.Dedup.containmentFromStore(store, ctDelta).count())
+        // measured append, then sweep the new batch dirs so the store
+        // stays base-only and the rung is re-runnable (a production
+        // append keeps them — the sweep is bookkeeping, not workload)
+        def batchDirs(sub: String): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$sub"))
+            .map(_.getPath.getName).toSet
+        val subs = Seq("chunks", "shingles", "sizes")
+        val before = subs.map(s => s -> batchDirs(s)).toMap
+        settle()
+        val (asec, _) = time {
+          graft.operators.Dedup.appendToContainmentStore(ctDelta, store)
+          1L
+        }
+        for (s <- subs; d <- batchDirs(s) -- before(s))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$store/$s/$d"), true)
+        println(f"$mult%-6d$bsec%10.2f$psec%10.2f$asec%11.2f$rows%9d")
       }
     }
 

@@ -638,6 +638,56 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Per-doc shingle-hash frame (doc_id, h) — the narrow exact-verify
+    * input shared by the containment paths and persisted by
+    * [[writeContainmentStore]]. `docs` arrives pre-sampled.
+    */
+  private def shingleHashFrame(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), expr(shingleHashExpr).as("h"))
+
+  /** Per-chunk banded md5 minhash signatures (doc_id, band, bsig) over
+    * a deterministic 1-in-`sampleMod` document sample — the container
+    * index of [[containmentChunkLshMd5]], factored out so the one-shot
+    * path and the persisted store ([[writeContainmentStore]] /
+    * [[appendToContainmentStore]]) build the IDENTICAL frame. Chunks
+    * are sliding word windows of `chunkWords` every `stride` (the
+    * [[CorpusPipeline.chunkDocuments]] window rule); signatures are
+    * pre-explode-checkpointed (r9 convention) and band rows derived
+    * lazily.
+    */
+  private def chunkBandedMd5Sigs(docs: DataFrame, chunkWords: Int,
+      stride: Int, numHashes: Int, bands: Int,
+      sampleMod: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sample = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+    val chunkSigs = sample
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, greatest(CAST(ceil((size(ws) - $chunkWords)
+           |  / CAST($stride AS DOUBLE)) AS INT), 0)),
+           |  ci -> slice(ws, ci * $stride + 1, $chunkWords))""".stripMargin)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ws")
+      .select(col("doc_id"), col("chunk"), explode(expr(shingleArrExpr)).as("sh"))
+      .distinct()
+      .select(col("doc_id"), col("chunk"), col("sh"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', sh)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("doc_id", "chunk", "seed").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id", "chunk")
+      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
+        .as("sig"))
+      .localCheckpoint()
+    chunkSigs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bsig")
+      .select("doc_id", "band", "bsig").distinct()
+  }
+
   /** ASYMMETRIC containment via chunk-LSH — the recall closure for
     * the tiny-A-in-giant-B case that symmetric Jaccard banding
     * ([[containmentLshMd5]]) structurally misses: a short document
@@ -667,38 +717,14 @@ object Dedup {
       chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
       bands: Int = 4, sampleMod: Int = 2,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sample = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
     // SHORT side: whole-doc signatures from the shared front end
     val whole = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
       .select(col("doc_id").as("d1"), col("band"), col("bsig"))
-    // LONG side: per-chunk signatures (pre-explode checkpoint, r9)
-    val chunkSigs = sample
-      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
-      .where(size(col("ws")) > 0)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, greatest(CAST(ceil((size(ws) - $chunkWords)
-           |  / CAST($stride AS DOUBLE)) AS INT), 0)),
-           |  ci -> slice(ws, ci * $stride + 1, $chunkWords))""".stripMargin)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "ws")
-      .select(col("doc_id"), col("chunk"), explode(expr(shingleArrExpr)).as("sh"))
-      .distinct()
-      .select(col("doc_id"), col("chunk"), col("sh"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
-      .withColumn("h", expr(
-        "CAST(conv(substring(md5(concat(CAST(seed AS STRING), ':', sh)), 1, 15), 16, 10) AS BIGINT)"))
-      .groupBy("doc_id", "chunk", "seed").agg(min(col("h")).as("mh"))
-      .groupBy("doc_id", "chunk")
-      .agg(expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)")
-        .as("sig"))
-      .localCheckpoint()
-    val chunkBanded = chunkSigs
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bsig")
-      .select("doc_id", "band", "bsig").distinct()
+    // LONG side: per-chunk banded signatures (shared with the
+    // containment store so the two paths can never diverge)
+    val chunkBanded = chunkBandedMd5Sigs(docs, chunkWords, stride,
+      numHashes, bands, sampleMod)
     val guarded = truncateOverCapBuckets(chunkBanded, Seq("band", "bsig"),
       bucketCap)
     val cands = whole.hint("shuffle_hash")
@@ -707,9 +733,7 @@ object Dedup {
       .filter(col("d1") =!= col("d2"))
       .select("d1", "d2").distinct()
     // exact DIRECTED verify on candidates, over FULL doc shingle sets
-    val sh = shingles(sample)
-      .select(col("doc_id"), expr(shingleHashExpr).as("h"))
-      .localCheckpoint()
+    val sh = shingleHashFrame(sample).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cands.hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("d1"), col("h")), "d1")
@@ -732,8 +756,36 @@ object Dedup {
     */
   def containmentChunkLshMd5Sql(tau: Double = 0.5, chunkWords: Int = 16,
       stride: Int = 8, numHashes: Int = 16, bands: Int = 4,
-      sampleMod: Int = 2): String = {
+      sampleMod: Int = 2): String =
+    containmentChunkSql(tau, chunkWords, stride, numHashes, bands,
+      sampleMod, wholePred = "", chunkPred = "")
+
+  /** DuckDB oracle for [[containmentFromStore]] over the standard
+    * base/delta carve (`doc_id % deltaMod`): the SAME one-frame SQL
+    * with the whole-doc (probe) side restricted to the delta and the
+    * chunk (container) side to the base — the
+    * store-round-trip-changes-nothing pattern.
+    */
+  def containmentStoreSql(tau: Double = 0.5, deltaMod: Int = 3,
+      chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): String =
+    containmentChunkSql(tau, chunkWords, stride, numHashes, bands,
+      sampleMod, wholePred = s"doc_id % $deltaMod = 0",
+      chunkPred = s"doc_id % $deltaMod <> 0")
+
+  /** Shared SQL builder for the chunk-LSH containment twins.
+    * `wholePred` / `chunkPred` restrict the whole-doc (probe) and
+    * chunk (container) sides respectively — empty = unrestricted (the
+    * symmetric one-frame twin). The shingle-hash / size CTEs stay
+    * unrestricted: only candidate pairs consult them, and a pair's
+    * endpoints already satisfy the side predicates.
+    */
+  private def containmentChunkSql(tau: Double, chunkWords: Int,
+      stride: Int, numHashes: Int, bands: Int, sampleMod: Int,
+      wholePred: String, chunkPred: String): String = {
     val rowsPerBand = numHashes / bands
+    val wWhere = if (wholePred.isEmpty) "" else s" WHERE $wholePred"
+    val cAnd = if (chunkPred.isEmpty) "" else s" AND $chunkPred"
     s"""WITH docs_s AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
        |  FROM documents WHERE doc_id % $sampleMod = 0),
@@ -751,7 +803,7 @@ object Dedup {
        |wmins AS (
        |  SELECT doc_id, seed,
        |    MIN(CAST('0x' || substring(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
-       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(0, $numHashes)) AS seed) s$wWhere
        |  GROUP BY 1, 2),
        |wbands AS (
        |  SELECT doc_id, seed // $rowsPerBand AS band,
@@ -763,7 +815,7 @@ object Dedup {
        |  FROM (SELECT doc_id, ws,
        |          UNNEST(range(0, GREATEST(CAST(ceil((len(ws) - $chunkWords)
        |            / CAST($stride AS DOUBLE)) AS INTEGER), 0) + 1)) AS ci
-       |        FROM docs_s WHERE len(ws) > 0) t),
+       |        FROM docs_s WHERE len(ws) > 0$cAnd) t),
        |csh AS (
        |  SELECT DISTINCT doc_id, ci,
        |    concat_ws(' ', cws[j], cws[j + 1], cws[j + 2]) AS sh
@@ -797,6 +849,190 @@ object Dedup {
        |JOIN sizes z2 ON d2 = z2.doc_id
        |WHERE CAST(common AS DOUBLE) / z1.n >= $tau
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Containment store — persisted chunk-LSH container index
+  // -------------------------------------------------------------------
+
+  /** Content-derived batch tag for the containment store's
+    * `batch=<tag>` subdirectories: row count, max doc_id and a
+    * bit_xor(xxhash64(doc_id)) content fold (r10 ensure* convention)
+    * of the batch. Deterministic, so RE-RUNNING an append overwrites
+    * its own directories instead of double-appending — the
+    * `batch=<id>` idempotent-sink convention, applied to a batch API.
+    * Returns None for an empty batch (a no-op append).
+    */
+  private def containmentBatchTag(docs: DataFrame): Option[String] = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+      expr("bit_xor(xxhash64(doc_id))").as("xh")).collect().head
+    if (fp.getLong(0) == 0L) None
+    else Some(s"b${fp.getLong(0)}_${fp.getLong(1)}_" +
+      java.lang.Long.toHexString(fp.getLong(2)))
+  }
+
+  /** One batch's three store frames, written under `batch=<tag>`
+    * subdirectories with OVERWRITE — shared by
+    * [[writeContainmentStore]] (into the temp staging dir) and
+    * [[appendToContainmentStore]] (into the live store). Write order
+    * is verify-side first, probe index LAST: at every crash point the
+    * store yields only CORRECT values — a batch whose chunk index
+    * hasn't landed is simply invisible to the band probe (reduced
+    * recall until the idempotent retry), never a candidate whose
+    * exact-verify inputs are missing (which the inner verify joins
+    * would silently drop — a persistent false negative) and never
+    * duplicated shingle rows (which would inflate `common`).
+    */
+  private def writeContainmentBatch(docs: DataFrame, root: String,
+      tag: String, chunkWords: Int, stride: Int, numHashes: Int,
+      bands: Int, sampleMod: Int): Unit = {
+    val sample = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+    // one shingle pass feeds both the hash frame and the sizes
+    val sh = shingleHashFrame(sample).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$root/shingles/batch=$tag")
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$root/sizes/batch=$tag")
+    chunkBandedMd5Sigs(docs, chunkWords, stride, numHashes, bands,
+        sampleMod)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$root/chunks/batch=$tag")
+  }
+
+  /** Persist the base corpus's CONTAINMENT INDEX — the durable
+    * artifact that makes delta-vs-base containment
+    * ([[containmentFromStore]]) cost ∝ batch instead of re-running
+    * [[containmentChunkLshMd5]]'s container pass over the whole base
+    * per ingest. Three frames under one root:
+    *
+    *  - `chunks/`  — per-chunk banded signatures (doc_id, bsig)
+    *    hive-partitioned by `band` inside `batch=` dirs, so the band
+    *    join reads whole-band directories with partition pruning;
+    *  - `shingles/` — the narrow (doc_id, shingle-hash) frame the
+    *    exact directed verify joins against;
+    *  - `sizes/`   — per-doc shingle-set sizes (the `n2` output).
+    *
+    * Persisting shingle hashes is what keeps the verify stage free of
+    * base-side COMPUTE: a batch's probe re-reads them as a
+    * column-pruned parquet scan — no re-tokenization, no md5 — the
+    * same scan-not-recompute story as [[incrementalLshStore]].
+    * Published atomically: everything is written under a temp sibling,
+    * a root `_SUCCESS` completeness marker last, then one
+    * [[StoreSwap]].
+    */
+  def writeContainmentStore(baseDocs: DataFrame, path: String,
+      chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    val tag = containmentBatchTag(baseDocs).getOrElse("b0_empty")
+    writeContainmentBatch(baseDocs, tmp.toString, tag, chunkWords,
+      stride, numHashes, bands, sampleMod)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+      Array.emptyByteArray)
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
+
+  /** Fold a delta batch into the containment store so the NEXT
+    * batch's probe sees it as base. Delta doc_ids must be new
+    * (disjoint from the store). The append is IDEMPOTENT: all three
+    * frames land under content-tagged `batch=` subdirectories with
+    * overwrite ([[writeContainmentBatch]]), so a crashed append is
+    * simply re-run — at every intermediate state the store returns
+    * correct (at worst recall-incomplete) results, never wrong
+    * values. Cost ∝ batch: chunking/signing/shingling only the delta,
+    * directory-level adds, no rewrite of existing base files.
+    * Append ≡ fresh [[writeContainmentStore]] over the union is
+    * spec-checked (per-doc signatures and shingle sets are
+    * independent of the rest of the corpus, so the union of
+    * batch directories IS the fresh store's content).
+    */
+  def appendToContainmentStore(deltaDocs: DataFrame, path: String,
+      chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): Unit =
+    containmentBatchTag(deltaDocs).foreach { tag =>
+      writeContainmentBatch(deltaDocs, path, tag, chunkWords, stride,
+        numHashes, bands, sampleMod)
+    }
+
+  /** [[containmentChunkLshMd5]] with the container side fed from a
+    * PERSISTED store — the production ingest shape: each batch
+    * computes only its OWN whole-doc signatures and shingle hashes,
+    * probes the stored chunk index (band-bucket join, occupancy-capped
+    * via [[truncateOverCapBuckets]]), and exact-verifies directed
+    * containment C(delta→base) against the STORED shingle frame.
+    * Per-batch work is O(delta) compute plus column-pruned store
+    * scans — no base-side tokenization, hashing or chunking, ever
+    * again. With base/delta carved from one corpus by
+    * `doc_id % deltaMod`, the output is bit-identical to the
+    * one-frame chunk path restricted to cross-side pairs, so
+    * [[containmentStoreSql]] is this path's oracle — proving the
+    * store round-trip changes nothing.
+    *
+    * CONSTRUCTING this frame is eager — delta signature/shingle
+    * checkpoints + the store-index occupancy guard (house
+    * convention).
+    */
+  def containmentFromStore(storePath: String, delta: DataFrame,
+      tau: Double = 0.5, numHashes: Int = 16, bands: Int = 4,
+      sampleMod: Int = 2,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val spark = delta.sparkSession
+    val whole = bandedMd5Sigs(delta, numHashes, bands, sampleMod)
+      .select(col("doc_id").as("d1"), col("band"), col("bsig"))
+    val baseChunks = spark.read.parquet(s"$storePath/chunks")
+      .select("doc_id", "band", "bsig")
+    val guarded = truncateOverCapBuckets(baseChunks, Seq("band", "bsig"),
+      bucketCap)
+    val cands = whole.hint("shuffle_hash")
+      .join(guarded.select(col("doc_id").as("d2"), col("band"),
+        col("bsig")), Seq("band", "bsig"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    val sample = delta.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+    val sh1 = shingleHashFrame(sample).localCheckpoint()
+    val n1s = sh1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh2 = spark.read.parquet(s"$storePath/shingles")
+      .select("doc_id", "h")
+    val n2s = spark.read.parquet(s"$storePath/sizes")
+      .select("doc_id", "n")
+    cands.hint("shuffle_hash")
+      .join(sh1.select(col("doc_id").as("d1"), col("h")), "d1")
+      .join(sh2.select(col("doc_id").as("d2"), col("h"))
+        .hint("shuffle_hash"), Seq("d2", "h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+      .join(n1s.select(col("doc_id").as("d1"), col("n").as("n1"))
+        .hint("shuffle_hash"), "d1")
+      .join(n2s.select(col("doc_id").as("d2"), col("n").as("n2"))
+        .hint("shuffle_hash"), "d2")
+      .withColumn("containment", col("common").cast("double") / col("n1"))
+      .filter(col("containment") >= tau)
+      .select("d1", "d2", "n1", "n2", "common", "containment")
+      .orderBy("d1", "d2")
+  }
+
+  /** Build-once helper for the driver entry — the containment-store
+    * twin of [[ensureSignatureStore]]: `_SUCCESS` completeness gate +
+    * content-fingerprint path keying, so crashed partials and stale
+    * stores from regenerated fixtures are rebuilt, never trusted.
+    */
+  def ensureContainmentStore(baseDocs: DataFrame, tag: String,
+      chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
+      bands: Int = 4, sampleMod: Int = 2): String = {
+    val fp = baseDocs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .collect().head
+    val path = s"/tmp/graft_ctstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${chunkWords}w${stride}s${numHashes}x${bands}" +
+      s"m$sampleMod"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSignatureStore(fs, path))
+      writeContainmentStore(baseDocs, path, chunkWords, stride,
+        numHashes, bands, sampleMod)
+    path
   }
 
   /** Truncate over-cap buckets of a banded frame to their `cap`

@@ -371,6 +371,19 @@ object Extensions {
       (c => Dedup.containmentLshMd5(c.documents, tau = 0.9)),
     "dedup_containment_chunk_lsh_md5" ->
       (c => Dedup.containmentChunkLshMd5(c.documents, tau = 0.9)),
+    // delta-vs-base containment against a PERSISTED chunk-LSH
+    // container index (chunk signatures + shingle hashes + sizes,
+    // written once per fixture): the probe and the exact verify READ
+    // the store, never recompute the base — the oracle is the
+    // one-frame chunk twin restricted per side, proving the store
+    // round-trip changes nothing
+    "dedup_containment_store" -> (c => {
+      val base = c.documents.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val delta = c.documents.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val store = Dedup.ensureContainmentStore(base,
+        new java.io.File(c.dir).getName + "_ctstore")
+      Dedup.containmentFromStore(store, delta, tau = 0.5)
+    }),
     "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
     "dedup_split_leakage" -> (c => Dedup.splitLeakage(c.documents)),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
@@ -609,6 +622,7 @@ object Extensions {
     "dedup_containment_lsh_md5" -> Dedup.containmentLshMd5Sql(tau = 0.9),
     "dedup_containment_chunk_lsh_md5" ->
       Dedup.containmentChunkLshMd5Sql(tau = 0.9),
+    "dedup_containment_store" -> Dedup.containmentStoreSql(tau = 0.5),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),

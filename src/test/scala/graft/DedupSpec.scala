@@ -129,6 +129,58 @@ class DedupSpec extends AnyFunSuite {
       chunkWords = 16, stride = 4, sampleMod = 1).collect().map(_.toString)))
   }
 
+  test("containment store: probe finds embedded docs; append ≡ fresh; re-append no-op") {
+    // base1 reuses the proven chunk-geometry fixture above (doc 0
+    // embedded in doc 10); base2's embedded run is chunk-ALIGNED
+    // (16 words at offset 52 with stride 4), so the covering chunk's
+    // shingle set EQUALS the probe's → identical chunk signature →
+    // the band collision is certain, not an md5 draw
+    val embedded = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val embedded2 = "uno dos tres cuatro cinco seis siete ocho " +
+      "nueve diez once doce trece catorce quince dieciseis"
+    def filler(w: String, n: Int) =
+      Seq.tabulate(n)(i => s"$w$i").mkString(" ")
+    val base1 = Seq(
+      (10L, s"${filler("pre", 54)} $embedded ${filler("post", 54)}"),
+      (20L, "totally unrelated words about something else entirely here"))
+      .toDF("doc_id", "text")
+    val base2 = Seq(
+      (30L, s"${filler("aaa", 52)} $embedded2 ${filler("bbb", 52)}"))
+      .toDF("doc_id", "text")
+    val probes = Seq((0L, embedded), (5L, embedded2))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ctstore")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    Dedup.writeContainmentStore(base1, grown, stride = 4, sampleMod = 1)
+    def probe(path: String) =
+      Dedup.containmentFromStore(path, probes, tau = 0.9, sampleMod = 1)
+    // base1-only: 0→10 at exact containment 1.0; 5 finds nothing yet
+    val r1 = probe(grown).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(r1.keySet == Set((0L, 10L)) && r1((0L, 10L)) == 1.0, s"r1=$r1")
+    // fold base2 in: 5→30 surfaces, 0→10 unchanged
+    Dedup.appendToContainmentStore(base2, grown, stride = 4,
+      sampleMod = 1)
+    val r2 = probe(grown).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(r2.keySet == Set((0L, 10L), (5L, 30L)) &&
+      r2((5L, 30L)) == 1.0, s"r2=$r2")
+    // append ≡ fresh store over the union, bit-identical rows
+    Dedup.writeContainmentStore(base1.unionAll(base2), fresh,
+      stride = 4, sampleMod = 1)
+    val g = probe(grown).collect().map(_.toString)
+    assert(g.sameElements(probe(fresh).collect().map(_.toString)) &&
+      g.nonEmpty, "appended containment store diverged from fresh")
+    // content-tagged batch dirs: re-appending the SAME batch
+    // overwrites its own directories — results unchanged, no
+    // double-counted shingles inflating `common`
+    Dedup.appendToContainmentStore(base2, grown, stride = 4,
+      sampleMod = 1)
+    assert(probe(grown).collect().map(_.toString).sameElements(g))
+  }
+
   test("splitLeakage flags duplicate clusters spanning splits") {
     def h60(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
