@@ -110,7 +110,7 @@ object ScaleBench {
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
-        "ctstore")
+        "ctstore,ingestloop")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -386,6 +386,69 @@ object ScaleBench {
         for (s <- subs; d <- batchDirs(s) -- before(s))
           fs.delete(new org.apache.hadoop.fs.Path(s"$store/$s/$d"), true)
         println(f"$mult%-6d$bsec%10.2f$psec%10.2f$asec%11.2f$rows%9d")
+      }
+    }
+
+    section("ingestloop") {
+      // the COMPOSED per-batch maintenance loop (IngestLoop.runBatch:
+      // cluster-map append → signature append → export append) must
+      // stay flat as the base corpus grows — each family's measured
+      // flat-append law has to survive COMPOSITION (shared session,
+      // shared shuffle budget). The keep-best REFRESH is reported
+      // separately: it aggregates the whole map by definition
+      // (consumer-cadence work, not ingest-cadence), so its column is
+      // EXPECTED to grow linearly with base — flat batch(s) next to a
+      // growing refresh(s) is the designed split.
+      println("== Composed ingest loop: per-batch cost vs base scale ==")
+      println(f"${"mult"}%-6s${"build(s)"}%10s${"batch(s)"}%10s" +
+        f"${"refresh(s)"}%11s${"rows"}%9s")
+      val delta = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val conf = spark.sparkContext.hadoopConfiguration
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+        val base = docsAll.filter(col("doc_id") % 3 =!= 0)
+        val root = s"/tmp/graft_iloop_rung_p1_$mult"
+        val (bsec, _) = time {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))) {
+            graft.operators.Dedup.writeSignatureStore(base, s"$root/sigs")
+            graft.operators.Dedup.writeClusterMap(base, s"$root/map")
+            graft.sources.TrainingExport.exportShards(base,
+              s"$root/export", shards = 16, waves = 2)
+            fs.create(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"),
+              true).close()
+          }
+          1L
+        }
+        // the loop MUTATES all three artifacts: measure against a
+        // scratch copy so the rung is re-runnable (copy excluded — a
+        // production loop works in place)
+        val scratch = s"/tmp/graft_iloop_scratch_$mult"
+        def freshScratch(): Unit = {
+          fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(root), fs,
+            new org.apache.hadoop.fs.Path(scratch), false, conf)
+        }
+        def run(): Boolean = graft.operators.IngestLoop.runBatch(
+          s"$scratch/map", s"$scratch/sigs", s"$scratch/export",
+          delta, batchId = 0L)
+        freshScratch(); run() // warm-up
+        freshScratch(); settle()
+        val (sec, _) = time { require(run(), "batch skipped"); 1L }
+        settle()
+        val (rsec, rows) = time(graft.operators.Dedup
+          .keepBestFromStore(docsAll, s"$scratch/map").count())
+        println(f"$mult%-6d$bsec%10.2f$sec%10.2f$rsec%11.2f$rows%9d")
       }
     }
 

@@ -1342,10 +1342,17 @@ object Similarity {
     // whole-word re-point only: a substring hit inside a longer
     // identifier / literal / CTE name would be silently corrupted by
     // a blind replace, so guard that every occurrence is the bare
-    // table reference before rewriting
+    // table reference before rewriting. Quoted occurrences (string
+    // literals / quoted identifiers) are word-adjacent to the quote,
+    // not to a \w char, so they need their own rejection — \b matches
+    // at a quote boundary and the blind replace WOULD rewrite them
     require("""\wembeddings|embeddings\w""".r.findFirstIn(inner).isEmpty,
       "inner oracle contains a non-bare 'embeddings' occurrence; " +
         "clusteredEmbSql can only re-point whole-word table references")
+    require("""['"`]\s*embeddings|embeddings\s*['"`]""".r
+        .findFirstIn(inner).isEmpty,
+      "inner oracle contains a quoted 'embeddings' occurrence; " +
+        "clusteredEmbSql cannot distinguish it from a table reference")
     s"""WITH emb_seed AS (
        |  SELECT vec_id AS sid, embedding AS s_emb FROM embeddings
        |  WHERE vec_id < $seeds),

@@ -25,14 +25,39 @@ object StoreSwap {
 
   /** Atomically make `tmp` the new content of `dst`. `tmp` must be a
     * fully-written directory (all files + completeness markers). Any
-    * stale `.old` from a previous crashed publish is swept first.
+    * stale `.old` from a previous crashed publish is swept first —
+    * but if `dst` itself is MISSING while a `.old` survives (a crash
+    * landed between the two renames of a previous swap), the old
+    * generation is restored first, so the normal swap-out below
+    * preserves it as the rollback generation for THIS publish too.
     */
   def swapIn(fs: FileSystem, tmp: Path, dst: Path): Unit = {
     val old = new Path(dst.getParent, dst.getName + ".old")
+    recover(fs, dst, fs.exists)
     fs.delete(old, true)
     if (fs.exists(dst))
       require(fs.rename(dst, old), s"swap-out $dst -> $old failed")
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
     fs.delete(old, true)
+  }
+
+  /** Auto-recovery from a crash between [[swapIn]]'s two renames:
+    * if `dst` is incomplete (per the caller's gate — typically "has
+    * a `_SUCCESS` marker") while `dst.old` IS complete, rename the
+    * old generation back into place. Turns the scaladoc'd manual
+    * recovery into code on every read/ensure/publish path that calls
+    * it, so a direct-read consumer never fails on a missing store
+    * while a complete generation sits in `.old`. Returns true iff a
+    * recovery happened. Single-writer discipline assumed (the same
+    * assumption every store publish already makes).
+    */
+  def recover(fs: FileSystem, dst: Path,
+      isComplete: Path => Boolean): Boolean = {
+    val old = new Path(dst.getParent, dst.getName + ".old")
+    if (!isComplete(dst) && fs.exists(old) && isComplete(old)) {
+      fs.delete(dst, true)
+      require(fs.rename(old, dst), s"recover $old -> $dst failed")
+      true
+    } else false
   }
 }

@@ -444,6 +444,16 @@ object Extensions {
         new java.io.File(c.dir).getName + "_clmap")
       Dedup.keepBestFromStore(c.documents, map)
     }),
+    // the COMPOSED production loop: one delta batch through signature
+    // append → cluster-map append → export append, then the post-batch
+    // state (export manifest ⋈ keep-best winner census per shard)
+    // oracle-checked against a from-scratch recomputation — the
+    // end-to-end append ≡ fresh law across all three store families
+    "pipeline_ingest_loop" -> (c => {
+      val root = IngestLoop.ensureIngestLoop(c.documents,
+        new java.io.File(c.dir).getName + "_iloop")
+      IngestLoop.loopReport(c.documents, root)
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -623,6 +633,7 @@ object Extensions {
     "dedup_containment_chunk_lsh_md5" ->
       Dedup.containmentChunkLshMd5Sql(tau = 0.9),
     "dedup_containment_store" -> Dedup.containmentStoreSql(tau = 0.5),
+    "pipeline_ingest_loop" -> IngestLoop.ingestLoopSql(),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),

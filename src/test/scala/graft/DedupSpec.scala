@@ -505,8 +505,10 @@ class DedupSpec extends AnyFunSuite {
   test("LSH-edged clustering clusters the sampled near-dups") {
     // sampleMod=2 keeps docs 0/2/4; 0 and 4 are near-dups (LSH pair),
     // 2 differs case-wise (different shingles — own cluster)
+    // map output carries no total order (r12: the terminal orderBy
+    // was dead weight — consumers aggregate, the driver sorts)
     val out = Dedup.clustersLshMd5(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.map(_._1).toSeq == Seq(0L, 2L, 4L))
     val byId = out.map(t => t._1 -> t).toMap
     assert(byId(4L)._2 == 0L && byId(0L)._3 == 2L)
@@ -515,7 +517,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("dedup clustering groups near-dup docs and keeps singletons total") {
     val out = Dedup.clusters(docs, tau = 0.3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // total map
     val byId = out.map(t => t._1 -> t).toMap
     assert(byId(1L)._2 == 0L && byId(4L)._2 == 0L) // near-dups of doc 0
@@ -947,5 +949,100 @@ class DedupSpec extends AnyFunSuite {
     assert(after.toSet ==
       Set(0L, 1L, 10L, 11L, 20L).map(d => (d, 0L, 5L)),
       s"bridge merge failed: ${after.mkString(", ")}")
+  }
+
+  test("replayed cluster-map append is a no-op; compaction folds overlays") {
+    import org.apache.spark.sql.functions.col
+    val base = docs.filter(col("doc_id") <= 1 || col("doc_id") === 3)
+    val delta = docs.filter(col("doc_id") === 2 || col("doc_id") === 4)
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_replay")
+    val grown = tmp.resolve("grown").toString
+    val store = tmp.resolve("sigs").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def batchDirs(): Seq[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(grown))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
+    Dedup.writeClusterMap(base, grown, sampleMod = 1)
+    assert(batchDirs().isEmpty)
+    Dedup.appendToClusterMap(grown, store, delta, sampleMod = 1)
+    val rows = mapRows(grown)
+    val dirs = batchDirs()
+    assert(dirs.size == 1 && dirs.head.startsWith("batch=1_"))
+    // replay the SAME delta: same content tag → publish skipped
+    Dedup.appendToClusterMap(grown, store, delta, sampleMod = 1)
+    assert(batchDirs() == dirs, "replayed append published a new batch")
+    assert(mapRows(grown).sameElements(rows))
+    // compaction folds the overlay into base/ without changing reads
+    assert(Dedup.compactClusterMap(spark, grown) == 1)
+    assert(batchDirs().isEmpty, "compaction left overlay batches behind")
+    assert(mapRows(grown).sameElements(rows),
+      "compaction changed the map contents")
+    assert(Dedup.compactClusterMap(spark, grown) == 0) // idempotent
+  }
+
+  test("append to a missing or incomplete cluster map is refused") {
+    import org.apache.spark.sql.functions.col
+    val delta = docs.filter(col("doc_id") === 2)
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_refuse")
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(docs, store, sampleMod = 1)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToClusterMap(tmp.resolve("nope").toString, store,
+        delta, sampleMod = 1)
+    }
+  }
+
+  test("crashed store swap auto-recovers the complete .old generation") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("clmap_crash")
+    val path = tmp.resolve("map").toString
+    Dedup.writeClusterMap(docs, path, sampleMod = 1)
+    val rows = mapRows(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between swapIn's two renames: the complete
+    // generation sits in `.old`, nothing at the published path
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    // the completeness gate self-heals instead of reporting missing
+    assert(Dedup.isCompleteSignatureStore(fs, path),
+      "gate did not recover the .old generation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
+    assert(mapRows(path).sameElements(rows))
+  }
+
+  test("containment store over an empty base probes empty, accepts appends") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val probeDocs = Seq((0L, "alpha beta gamma delta " +
+      Seq.tabulate(16)(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ctstore_empty")
+    val path = tmp.resolve("store").toString
+    Dedup.writeContainmentStore(empty, path, sampleMod = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Dedup.isCompleteSignatureStore(fs, path))
+    // probe against nothing: empty frame with the full output schema
+    val r = Dedup.containmentFromStore(path, probeDocs, sampleMod = 1)
+    assert(r.columns.toSeq ==
+      Seq("d1", "d2", "n1", "n2", "common", "containment"))
+    assert(r.count() == 0L)
+    // the store still accepts appends and then probes normally
+    Dedup.appendToContainmentStore(probeDocs, path, stride = 4,
+      sampleMod = 1)
+    val self = Dedup.containmentFromStore(path,
+      probeDocs.withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 100L),
+      tau = 0.9, sampleMod = 1).collect()
+    assert(self.length == 1 && self.head.getDouble(5) == 1.0)
+  }
+
+  test("containment append to a missing store is refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("ctstore_refuse")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToContainmentStore(docs,
+        tmp.resolve("nope").toString, sampleMod = 1)
+    }
   }
 }

@@ -416,4 +416,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(__shard"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
+    // the audit went stale in r11 because nothing failed when a new
+    // entry lacked a row — this is the loud failure: add an entry,
+    // re-run `sbt "runMain graft.PlanStats"` before sealing the round
+    val plansFile = new java.io.File("docs/PLANS.md")
+    assert(plansFile.exists, "docs/PLANS.md missing — run graft.PlanStats")
+    val audited = java.nio.file.Files.readAllLines(plansFile.toPath,
+        java.nio.charset.StandardCharsets.UTF_8)
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.startsWith("| "))
+      .map(_.split("\\|")(1).trim)
+      .filterNot(n => n == "query" || n.startsWith("---"))
+      .toSet
+    val missing = SparkEntry.queries.keySet.diff(audited)
+    assert(missing.isEmpty,
+      s"PLANS.md stale — entries without an audit row: " +
+        s"${missing.toSeq.sorted.mkString(", ")}; " +
+        "regenerate with `sbt \"runMain graft.PlanStats\"`")
+  }
 }

@@ -260,6 +260,83 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment store: probe-then-append parity; replay is a no-op") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def filler(w: String, n: Int) =
+      Seq.tabulate(n)(i => s"$w$i").mkString(" ")
+    val embedded = filler("uno", 17)
+    val embedded2 = filler("dos", 17)
+    def docRow(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    // base holds a container of `embedded`; batch 1 brings the
+    // contained probe 0 AND a container of `embedded2`; batch 2's
+    // probe 5 is contained in batch 1's doc 40 — found only if the
+    // stream's append made batch 1 visible as base (the loop order)
+    val base = Seq(
+      docRow(10L, s"${filler("pre", 54)} $embedded ${filler("post", 54)}"),
+      docRow(20L, "totally unrelated words about something else entirely"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = Seq(docRow(0L, embedded),
+      docRow(40L, s"${filler("aaa", 52)} $embedded2 ${filler("bbb", 52)}"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d2 = Seq(docRow(5L, embedded2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ct_stream")
+    val store = tmp.resolve("store").toString
+    val twin = tmp.resolve("twin").toString
+    val streamDir = tmp.resolve("stream").toString
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Dedup.writeContainmentStore(base, store, stride = 4, sampleMod = 1)
+    Dedup.writeContainmentStore(base, twin, stride = 4, sampleMod = 1)
+    def runStream(): Unit = {
+      val q = EventStream.containmentStream(
+        EventStream.readDocuments(spark, streamDir), store, outDir,
+        ckpt, tau = 0.9, stride = 4)
+      q.stop()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // batch 1: one file → one micro-batch; batch twin = probe + append
+    d1.coalesce(1).write.mode("append").parquet(streamDir)
+    runStream()
+    val v1 = rows(Dedup.containmentFromStore(twin, d1, tau = 0.9,
+      sampleMod = 1).select("d1", "d2", "n1", "n2", "common",
+      "containment"))
+    Dedup.appendToContainmentStore(d1, twin, stride = 4, sampleMod = 1)
+    assert(rows(spark.read.parquet(outDir).drop("batch")) == v1)
+    assert(v1.nonEmpty, "batch 1 found no containment")
+    // batch 2: the SAME checkpoint resumes and sees only the new file;
+    // its probe must find d2's doc 5 inside batch 1's doc 40 — proof
+    // the stream's append landed before the next trigger
+    d2.coalesce(1).write.mode("append").parquet(streamDir)
+    runStream()
+    val v2 = rows(Dedup.containmentFromStore(twin, d2, tau = 0.9,
+      sampleMod = 1).select("d1", "d2", "n1", "n2", "common",
+      "containment"))
+    Dedup.appendToContainmentStore(d2, twin, stride = 4, sampleMod = 1)
+    assert(v2.exists(_.contains("[5,40,")),
+      s"cross-batch containment 5→40 not found: $v2")
+    assert(rows(spark.read.parquet(outDir).drop("batch")) == (v1 ++ v2).sorted)
+    // replay the last batch by hand (what a crash-restart would
+    // re-deliver): the probe's batch-self exclusion makes the output
+    // bit-identical even though the store now CONTAINS d2, and the
+    // content-tagged re-append leaves the store unchanged
+    val replayed = rows(Dedup.containmentFromStore(store, d2, tau = 0.9,
+        sampleMod = 1)
+      .join(d2.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+      .select("d1", "d2", "n1", "n2", "common", "containment"))
+    assert(replayed == v2, "replayed probe diverged")
+    val probeBefore = rows(Dedup.containmentFromStore(store, d2
+      .withColumn("doc_id", col("doc_id") + 1000L), tau = 0.9,
+      sampleMod = 1))
+    Dedup.appendToContainmentStore(d2, store, stride = 4, sampleMod = 1)
+    assert(rows(Dedup.containmentFromStore(store, d2
+      .withColumn("doc_id", col("doc_id") + 1000L), tau = 0.9,
+      sampleMod = 1)) == probeBefore, "replayed append changed the store")
+  }
+
   test("streaming quantile-store maintenance equals a fresh build over all docs") {
     import graft.operators.Sketches
     val docs = Ctx(spark, sfDir).documents
