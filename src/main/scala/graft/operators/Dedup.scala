@@ -1406,6 +1406,25 @@ object Dedup {
     */
   def appendToSignatureStore(deltaDocs: DataFrame, path: String,
       numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): Unit = {
+    val appendFs = org.apache.hadoop.fs.FileSystem.get(
+      deltaDocs.sparkSession.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(appendFs, path),
+      s"appendToSignatureStore: $path is not a complete store")
+    // content-tagged replay discipline (r12 — the store-family rule,
+    // retrofitted onto what was the one blind mode("append") left):
+    // an `_applied/<tag>` marker records a landed batch, written LAST;
+    // batch files carry a `b<tag>-` name prefix and a retry deletes
+    // same-prefix leftovers before re-moving, so a crashed append
+    // re-runs cleanly and a REPLAYED batch (marker present) is a
+    // no-op — never duplicated signature rows inflating probes. The
+    // bloom fold stays sidecar-FIRST (its crash asymmetry note below);
+    // a crashed-retry re-OR only inflates the items count — the
+    // false-positive direction, which the exact join clears.
+    val tagOpt = containmentBatchTag(deltaDocs)
+    if (tagOpt.isEmpty) return // empty delta
+    val tag = tagOpt.get
+    val marker = new org.apache.hadoop.fs.Path(path, s"_applied/$tag")
+    if (appendFs.exists(marker)) return // replayed batch
     val sigs = bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)
     // fold the batch's bucket keys into the Bloom sidecar BEFORE the
     // parquet append: the sidecar and the band dirs can't move in one
@@ -1461,7 +1480,25 @@ object Dedup {
           StoreBloom(shards, sb.expectedItems, sb.numBits, items))
       }
     }
-    sigs.write.mode("append").partitionBy("band").parquet(path)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".appendtmp_$tag")
+    appendFs.delete(tmp, true)
+    sigs.write.partitionBy("band").parquet(tmp.toString)
+    for (bd <- appendFs.listStatus(tmp)
+        if bd.getPath.getName.startsWith("band=")) {
+      val dstDir = new org.apache.hadoop.fs.Path(path, bd.getPath.getName)
+      appendFs.mkdirs(dstDir)
+      // clean partial leftovers of a crashed attempt of THIS batch
+      for (f <- appendFs.listStatus(dstDir)
+          if f.getPath.getName.startsWith(s"b$tag-"))
+        appendFs.delete(f.getPath, false)
+      for (f <- appendFs.listStatus(bd.getPath)
+          if f.getPath.getName.endsWith(".parquet"))
+        require(appendFs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+          dstDir, s"b$tag-${f.getPath.getName}")),
+          s"signature batch move failed: ${f.getPath}")
+    }
+    appendFs.delete(tmp, true)
+    writeSmallFile(appendFs, marker, Array.emptyByteArray)
   }
 
   /** Build-once helper for the driver entries: write the store for
@@ -2577,11 +2614,17 @@ object Dedup {
     val existing = clusterMapBatches(fs, mapPath)
     // replayed batch (same content tag already folded in) — no-op
     if (existing.exists(_._2.getName.endsWith("_" + tag))) return
-    // eager: the latest-wins merge feeding this append is consumed by
-    // two branches (touched lookup + member semi-join) — one
-    // materialization, not two merge jobs
-    val stored = readClusterMap(spark, mapPath)
-      .select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    // overlay publish never replaces base/, so the old
+    // read-before-replace checkpoint (an O(base) materialization per
+    // append) is gone. The two consumers (touched lookup + member
+    // semi-join) each re-scan the column-pruned parquet — cheap, and
+    // the only O(base) term the contract allows. Only when overlays
+    // already exist is the latest-wins AGGREGATE worth materializing
+    // once instead of running per consumer.
+    val storedRaw = readClusterMap(spark, mapPath)
+      .select("doc_id", "cluster_id", "cluster_size")
+    val stored =
+      if (existing.isEmpty) storedRaw else storedRaw.localCheckpoint()
     val base = readSignatureStore(spark, storePath)
       .select("doc_id", "sig", "band", "bsig")
     val dBanded = bandedMd5Sigs(deltaDocs, numHashes, bands, sampleMod)

@@ -337,6 +337,35 @@ object EventStream {
     q
   }
 
+  /** The COMPOSED ingest loop from a stream — each micro-batch of
+    * newly-ingested documents runs [[graft.operators.IngestLoop
+    * .runBatch]] (cluster-map append → signature append → export
+    * append, the production order). Exactly-once under checkpoint
+    * replay WITHOUT a sink of its own: all three appends are
+    * individually replay-safe — the cluster map by content tag, the
+    * signature store by its `_applied/<tag>` marker (r12), the export
+    * by the batch-id watermark inside the manifest publish — so a
+    * re-delivered micro-batch is a provable no-op across every
+    * artifact (spec-checked). Per-batch cost is the sum of the three
+    * flat appends (the `ingestloop` ScaleBench rung).
+    */
+  def ingestLoopStream(docs: DataFrame, mapPath: String,
+      sigStorePath: String, exportPath: String, checkpointDir: String,
+      sampleMod: Int = 2): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.IngestLoop.runBatch(mapPath, sigStorePath,
+          exportPath, batch.toDF(), batchId, sampleMod)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Streaming incremental near-dup gate against a PERSISTED base
     * signature store ([[graft.operators.Dedup.writeSignatureStore]])
     * — the streaming composition of the store-backed batch path: each

@@ -337,6 +337,65 @@ class StreamingSpec extends AnyFunSuite {
       sampleMod = 1)) == probeBefore, "replayed append changed the store")
   }
 
+  test("streaming ingest loop: final state equals fresh; replayed batch no-ops everywhere") {
+    import graft.operators.{Dedup, IngestLoop}
+    import graft.sources.TrainingExport
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val d1 = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+    val d2 = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iloop_stream")
+    val sigs = tmp.resolve("sigs").toString
+    val map = tmp.resolve("map").toString
+    val export = tmp.resolve("export").toString
+    val streamDir = tmp.resolve("stream").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    Dedup.writeSignatureStore(base, sigs, sampleMod = 1)
+    Dedup.writeClusterMap(base, map, sampleMod = 1)
+    TrainingExport.exportShards(base, export, shards = 8, waves = 2)
+    def runStream(): Unit = EventStream.ingestLoopStream(
+      EventStream.readDocuments(spark, streamDir), map, sigs, export,
+      ckpt, sampleMod = 1).stop()
+    // two controlled micro-batches: one file per trigger round
+    d1.coalesce(1).write.mode("append").parquet(streamDir)
+    runStream()
+    d2.coalesce(1).write.mode("append").parquet(streamDir)
+    runStream()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // stream-grown cluster map resolves identically to a from-scratch
+    // clustering of everything (append ≡ fresh, composed over batches)
+    val streamedKeep = rows(Dedup.keepBestFromStore(docs, map,
+      sampleMod = 1))
+    assert(streamedKeep == rows(Dedup.keepBest(docs, sampleMod = 1)) &&
+      streamedKeep.nonEmpty, "stream-grown map diverged from fresh")
+    // export grew to exactly base ∪ d1 ∪ d2
+    val freshExp = tmp.resolve("fresh_export").toString
+    TrainingExport.exportShards(docs, freshExp, shards = 8, waves = 2)
+    def manifest(p: String) = rows(TrainingExport.readManifest(spark, p))
+    assert(manifest(export) == manifest(freshExp))
+    // replay the LAST batch by hand (what a crash-restart would
+    // re-deliver): every artifact no-ops — export by watermark (the
+    // runBatch return), map by content tag, signature store by its
+    // _applied marker (file census unchanged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def sigFiles(): Int = fs
+      .listStatus(new org.apache.hadoop.fs.Path(sigs))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("band="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).sum
+    val (mapBefore, filesBefore, manBefore) =
+      (rows(Dedup.readClusterMap(spark, map)), sigFiles(), manifest(export))
+    assert(!IngestLoop.runBatch(map, sigs, export, d2, batchId = 1L,
+      sampleMod = 1), "replayed batch applied to the export")
+    assert(rows(Dedup.readClusterMap(spark, map)) == mapBefore,
+      "replayed batch changed the cluster map")
+    assert(sigFiles() == filesBefore,
+      "replayed batch duplicated signature rows")
+    assert(manifest(export) == manBefore)
+  }
+
   test("streaming quantile-store maintenance equals a fresh build over all docs") {
     import graft.operators.Sketches
     val docs = Ctx(spark, sfDir).documents
