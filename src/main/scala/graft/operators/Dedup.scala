@@ -1480,8 +1480,11 @@ object Dedup {
           StoreBloom(shards, sb.expectedItems, sb.numBits, items))
       }
     }
+    // sweep stale temp dirs from crashed appends of ANY batch
+    for (st <- appendFs.listStatus(new org.apache.hadoop.fs.Path(path))
+        if st.getPath.getName.startsWith(".appendtmp_"))
+      appendFs.delete(st.getPath, true)
     val tmp = new org.apache.hadoop.fs.Path(path, s".appendtmp_$tag")
-    appendFs.delete(tmp, true)
     sigs.write.partitionBy("band").parquet(tmp.toString)
     for (bd <- appendFs.listStatus(tmp)
         if bd.getPath.getName.startsWith("band=")) {
@@ -2666,8 +2669,13 @@ object Dedup {
     val seq = existing.lastOption.map(_._1 + 1L).getOrElse(1L)
     val batchDir = new org.apache.hadoop.fs.Path(mapPath,
       s"batch=${seq}_$tag")
+    // sweep ALL stale temp dirs, not just this tag's — a crashed
+    // append of a DIFFERENT batch would otherwise leave its tmp
+    // orphaned forever (single-writer discipline, like every publish)
+    for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(mapPath))
+        if st.getPath.getName.startsWith(".batchtmp_"))
+      fs.delete(st.getPath, true)
     val tmp = new org.apache.hadoop.fs.Path(mapPath, s".batchtmp_$tag")
-    fs.delete(tmp, true)
     rebuilt.write.parquet(tmp.toString)
     require(fs.rename(tmp, batchDir),
       s"cluster-map batch publish failed: $batchDir")
