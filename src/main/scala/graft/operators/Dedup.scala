@@ -2483,13 +2483,24 @@ object Dedup {
     * republishes rows ONLY for the components it touched (plus its
     * delta docs), so the row for a doc is the one from the highest
     * batch seq that carries it. With no overlays the base streams
-    * through untouched (no shuffle); with overlays the merge is ONE
-    * hash-partitioned aggregate keyed on doc_id — map-side partials
-    * collapse the 1–(#batches) rows per doc, and downstream
-    * consumers ([[keepBestFromStore]]'s join) reuse the doc_id
-    * partitioning. max_by over the seq preserves exactness (seqs are
-    * small integers). A crashed swap generation is auto-recovered
-    * from `.old` before reading ([[StoreSwap.recover]]).
+    * through untouched (no shuffle). With overlays, latest-wins
+    * among the OVERLAY rows is always an overlay-sized aggregate;
+    * how the base joins in is picked from FS METADATA (total overlay
+    * bytes — no Spark job, the read stays lazy):
+    *
+    *  - overlays small (the production shape — batch-sized deltas on
+    *    a corpus-sized base): the base anti-joins the overlay winner
+    *    ids under an explicit `broadcast()` — the BASE NEVER
+    *    SHUFFLES, the exact property that matters at 100 TB;
+    *  - overlays large (many uncompacted appends): one
+    *    hash-partitioned max_by aggregate over base ∪ overlays
+    *    (map-side partials collapse the 1–(#batches) rows per doc).
+    *
+    * Both shapes produce identical rows (base gen 0 loses to every
+    * overlay gen; max_by over small-integer seqs is exact).
+    * [[compactClusterMap]] restores the no-overlay fast path. A
+    * crashed swap generation is auto-recovered from `.old` before
+    * reading ([[StoreSwap.recover]]).
     */
   def readClusterMap(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
@@ -2502,16 +2513,30 @@ object Dedup {
     val batches = clusterMapBatches(fs, path)
     if (batches.isEmpty) base
     else {
-      val all = batches.foldLeft(base.withColumn("gen", lit(0L))) {
-        case (acc, (seq, p)) =>
-          acc.unionAll(spark.read.parquet(p.toString)
-            .select(cols.map(col): _*).withColumn("gen", lit(seq)))
+      val overlays = batches.map { case (seq, p) =>
+        spark.read.parquet(p.toString)
+          .select(cols.map(col): _*).withColumn("gen", lit(seq))
+      }.reduce(_ unionAll _)
+      val overlayBytes = batches
+        .map(b => fs.getContentSummary(b._2).getLength).sum
+      if (overlayBytes <= 64L * 1024 * 1024) {
+        // window bound n/a: overlay-sized agg + broadcast anti-join
+        val ovLatest = overlays.groupBy("doc_id")
+          .agg(max_by(struct(col("cluster_id"), col("cluster_size")),
+            col("gen")).as("s"))
+          .select(col("doc_id"), col("s.cluster_id").as("cluster_id"),
+            col("s.cluster_size").as("cluster_size"))
+        base.join(broadcast(ovLatest.select("doc_id")), Seq("doc_id"),
+            "left_anti")
+          .unionAll(ovLatest)
+      } else {
+        base.withColumn("gen", lit(0L)).unionAll(overlays)
+          .groupBy("doc_id")
+          .agg(max_by(struct(col("cluster_id"), col("cluster_size")),
+            col("gen")).as("s"))
+          .select(col("doc_id"), col("s.cluster_id").as("cluster_id"),
+            col("s.cluster_size").as("cluster_size"))
       }
-      all.groupBy("doc_id")
-        .agg(max_by(struct(col("cluster_id"), col("cluster_size")),
-          col("gen")).as("s"))
-        .select(col("doc_id"), col("s.cluster_id").as("cluster_id"),
-          col("s.cluster_size").as("cluster_size"))
     }
   }
 
@@ -2523,6 +2548,21 @@ object Dedup {
     * before the swap deletes its inputs. Compact ≡ no-op for readers
     * (spec-checked). Returns the number of batches folded.
     */
+  /** Compaction POLICY: fold overlays only once their count reaches
+    * `maxBatches` — the knob an ingest loop calls after every append
+    * so read amplification stays bounded without paying a map rewrite
+    * per batch (rewrite cost amortizes over `maxBatches` appends).
+    * Returns the number of batches folded (0 = under threshold).
+    */
+  def maintainClusterMap(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBatches: Int = 16): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (clusterMapBatches(fs, path).size >= maxBatches)
+      compactClusterMap(spark, path)
+    else 0
+  }
+
   def compactClusterMap(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -2534,6 +2574,13 @@ object Dedup {
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
     merged.write.parquet(new org.apache.hadoop.fs.Path(tmp, "base").toString)
+    // carry the applied-tag ledger into the new generation: it is the
+    // replay evidence that outlives the overlay dirs being folded
+    val applied = new org.apache.hadoop.fs.Path(path, "_applied")
+    if (fs.exists(applied))
+      for (m <- fs.listStatus(applied))
+        writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+          s"_applied/${m.getPath.getName}"), Array.emptyByteArray)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
       Array.emptyByteArray)
     StoreSwap.swapIn(fs, tmp, dst)
@@ -2615,8 +2662,16 @@ object Dedup {
     if (tagOpt.isEmpty) return // empty delta — no-op append
     val tag = tagOpt.get
     val existing = clusterMapBatches(fs, mapPath)
-    // replayed batch (same content tag already folded in) — no-op
-    if (existing.exists(_._2.getName.endsWith("_" + tag))) return
+    // replayed batch — no-op. The `_applied/<tag>` ledger (not the
+    // overlay dir's name) is the durable evidence: compaction folds
+    // overlay DIRS away but carries the ledger into the new
+    // generation, so a batch replayed after a compaction still skips
+    // (re-appending an already-folded delta would feed its docs into
+    // the node frame twice and double-count cluster sizes)
+    val appliedMarker = new org.apache.hadoop.fs.Path(mapPath,
+      s"_applied/$tag")
+    if (fs.exists(appliedMarker) ||
+        existing.exists(_._2.getName.endsWith("_" + tag))) return
     // overlay publish never replaces base/, so the old
     // read-before-replace checkpoint (an O(base) materialization per
     // append) is gone. The two consumers (touched lookup + member
@@ -2679,6 +2734,9 @@ object Dedup {
     rebuilt.write.parquet(tmp.toString)
     require(fs.rename(tmp, batchDir),
       s"cluster-map batch publish failed: $batchDir")
+    // ledger AFTER the batch is visible: a crash in between re-runs
+    // the append, which skips via the batch dir's own tag
+    writeSmallFile(fs, appliedMarker, Array.emptyByteArray)
   }
 
   /** [[keepBest]] fed from a PERSISTED cluster map — resolution reads

@@ -351,7 +351,7 @@ object EventStream {
     */
   def ingestLoopStream(docs: DataFrame, mapPath: String,
       sigStorePath: String, exportPath: String, checkpointDir: String,
-      sampleMod: Int = 2): StreamingQuery = {
+      sampleMod: Int = 2, compactMapAt: Int = 0): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -359,6 +359,13 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.IngestLoop.runBatch(mapPath, sigStorePath,
           exportPath, batch.toDF(), batchId, sampleMod)
+        // optional read-amplification bound: fold overlays once their
+        // count reaches compactMapAt (0 = never; compaction is
+        // idempotent and replay-neutral — it changes no map CONTENT,
+        // so a crash anywhere around it re-runs cleanly)
+        if (compactMapAt > 0)
+          graft.operators.Dedup.maintainClusterMap(
+            batch.sparkSession, mapPath, compactMapAt)
         ()
       }
       .start()

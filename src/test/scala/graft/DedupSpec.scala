@@ -974,12 +974,45 @@ class DedupSpec extends AnyFunSuite {
     Dedup.appendToClusterMap(grown, store, delta, sampleMod = 1)
     assert(batchDirs() == dirs, "replayed append published a new batch")
     assert(mapRows(grown).sameElements(rows))
+    // the overlaid read takes the broadcast-anti shape: the base
+    // frame joins the (tiny) overlay winner ids under an explicit
+    // broadcast — the base never shuffles; the only hash exchange in
+    // the whole read is the overlay-sized latest-wins aggregate
+    val readPlan = Dedup.readClusterMap(spark, grown)
+      .queryExecution.executedPlan.toString
+    assert(readPlan.contains("LeftAnti, BuildRight"), readPlan)
+    assert(!readPlan.contains("SortMergeJoin"), readPlan)
+    // the ≤2 hash exchanges are BOTH overlay-sized (the latest-wins
+    // agg + the distinct broadcast build side); the base FileScan
+    // feeds the anti-join directly — no exchange on the base branch
+    assert("Exchange hashpartitioning".r.findAllIn(readPlan).size <= 2,
+      readPlan)
+    assert("""BroadcastHashJoin[^\n]*\n[^\n]*FileScan parquet"""
+      .r.findFirstIn(readPlan).isDefined,
+      "base scan is not the anti-join's unshuffled probe side\n" +
+        readPlan)
     // compaction folds the overlay into base/ without changing reads
     assert(Dedup.compactClusterMap(spark, grown) == 1)
     assert(batchDirs().isEmpty, "compaction left overlay batches behind")
     assert(mapRows(grown).sameElements(rows),
       "compaction changed the map contents")
     assert(Dedup.compactClusterMap(spark, grown) == 0) // idempotent
+    // the replay guard OUTLIVES compaction: the _applied ledger rode
+    // into the new generation, so re-appending the folded delta is
+    // still a no-op (a re-append would double-feed its docs into the
+    // node frame and corrupt cluster sizes)
+    Dedup.appendToClusterMap(grown, store, delta, sampleMod = 1)
+    assert(batchDirs().isEmpty,
+      "replayed append after compaction published a batch")
+    assert(mapRows(grown).sameElements(rows))
+    // maintenance policy: under threshold = no-op, at threshold = fold
+    val d2 = Seq((7L, "another wholly new document about engines"))
+      .toDF("doc_id", "text")
+    Dedup.appendToSignatureStore(delta, store, sampleMod = 1)
+    Dedup.appendToClusterMap(grown, store, d2, sampleMod = 1)
+    assert(Dedup.maintainClusterMap(spark, grown, maxBatches = 2) == 0)
+    assert(Dedup.maintainClusterMap(spark, grown, maxBatches = 1) == 1)
+    assert(batchDirs().isEmpty)
   }
 
   test("append to a missing or incomplete cluster map is refused") {

@@ -394,6 +394,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(sigFiles() == filesBefore,
       "replayed batch duplicated signature rows")
     assert(manifest(export) == manBefore)
+    // compaction (the compactMapAt policy) is replay-neutral: fold the
+    // overlays, then the same re-delivered batch STILL no-ops — the
+    // _applied ledger outlives the overlay dirs
+    assert(Dedup.maintainClusterMap(spark, map, maxBatches = 1) >= 1)
+    assert(rows(Dedup.readClusterMap(spark, map)) == mapBefore,
+      "compaction changed map contents")
+    assert(!IngestLoop.runBatch(map, sigs, export, d2, batchId = 1L,
+      sampleMod = 1), "replay applied after compaction")
+    assert(rows(Dedup.readClusterMap(spark, map)) == mapBefore)
   }
 
   test("streaming quantile-store maintenance equals a fresh build over all docs") {
