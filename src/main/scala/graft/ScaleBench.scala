@@ -234,7 +234,7 @@ object ScaleBench {
         val nodes = spark.range(0L, n, 1L, 32).select(col("id").as("node"))
         val t0 = System.nanoTime()
         val (lbl, rounds) = graft.operators.Dedup.ccWithRounds(
-          edges.toDF, nodes.toDF, maxIter = 60)
+          edges.toDF(), nodes.toDF(), maxIter = 60)
         val distinctLbls = lbl.select("lbl").distinct().count()
         val sec = (System.nanoTime() - t0) / 1e9
         require(distinctLbls == 1L, s"chain split into $distinctLbls labels")

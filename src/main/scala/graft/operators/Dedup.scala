@@ -395,7 +395,7 @@ object Dedup {
       val normal = banded.join(keyed.select(keys.map(col): _*),
         keys, "left_anti")
       val flagged = banded.join(keyed, keys)
-        .select((banded.columns :+ "bmin").map(col): _*)
+        .select((banded.columns :+ "bmin").toIndexedSeq.map(col): _*)
       val roots = flagged.filter(col("doc_id") === col("bmin")).drop("bmin")
       val members = flagged.filter(col("doc_id") =!= col("bmin")).drop("bmin")
       pairJoin(normal, normal, ordered = true)
@@ -1102,9 +1102,9 @@ object Dedup {
         else keepIds.hint("shuffle_hash")
       val capped = b.join(keyed, keys)
         .join(keepKeyed, keys :+ "doc_id", "left_semi")
-        .select(b.columns.map(col): _*)
+        .select(b.columns.toIndexedSeq.map(col): _*)
       b.join(keyed, keys, "left_anti")
-        .select(b.columns.map(col): _*)
+        .select(b.columns.toIndexedSeq.map(col): _*)
         .unionAll(capped)
     }
   }

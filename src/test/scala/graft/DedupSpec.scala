@@ -1071,6 +1071,40 @@ class DedupSpec extends AnyFunSuite {
     assert(self.length == 1 && self.head.getDouble(5) == 1.0)
   }
 
+  test("store stats report completeness, overlays, ledger and crash evidence") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.StoreStats
+    val base = docs.filter(col("doc_id") <= 1 || col("doc_id") === 3)
+    val delta = docs.filter(col("doc_id") === 2 || col("doc_id") === 4)
+    val tmp = java.nio.file.Files.createTempDirectory("storestats")
+    val map = tmp.resolve("map").toString
+    val store = tmp.resolve("sigs").toString
+    Dedup.writeSignatureStore(base, store, sampleMod = 1)
+    Dedup.writeClusterMap(base, map, sampleMod = 1)
+    Dedup.appendToClusterMap(map, store, delta, sampleMod = 1)
+    def row(name: String) = StoreStats.inspect(spark,
+        Map("map" -> map, "sigs" -> store, "gone" -> (map + "_nope")))
+      .collect().map(r => r.getString(0) -> r).toMap.apply(name)
+    val m = row("map")
+    assert(m.getBoolean(1) && !m.getBoolean(2)) // complete, not recovery
+    assert(m.getInt(3) == 1 && m.getInt(4) == 1) // 1 overlay, 1 ledger tag
+    assert(m.getLong(5) > 0 && m.getLong(6) > 0) // files, bytes
+    assert(!m.getBoolean(7) && !m.getBoolean(8) && m.getInt(9) == 0)
+    val g = row("gone")
+    assert(!g.getBoolean(1) && !g.getBoolean(2) && g.getLong(5) == 0L)
+    // crash between swap renames: incomplete root, complete .old —
+    // reported as recoverable, NOT silently healed (inspect observes)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(map),
+      new org.apache.hadoop.fs.Path(map + ".old")))
+    val c = row("map")
+    assert(!c.getBoolean(1) && c.getBoolean(2),
+      s"crashed generation not reported recoverable: $c")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(map + ".old")),
+      "inspect mutated the store")
+  }
+
   test("containment append to a missing store is refused") {
     val tmp = java.nio.file.Files.createTempDirectory("ctstore_refuse")
     intercept[IllegalArgumentException] {
