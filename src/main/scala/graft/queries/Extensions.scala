@@ -386,6 +386,16 @@ object Extensions {
     }),
     "dedup_source_overlap" -> (c => Dedup.sourceOverlap(c.documents)),
     "dedup_split_leakage" -> (c => Dedup.splitLeakage(c.documents)),
+    // the audit's PRODUCTION shape: leakage report fed from the
+    // persisted cluster map (same fixture keep_best_store reuses) —
+    // the unchanged oracle proves store-fed ≡ one-shot, and the audit
+    // never re-runs the clustering
+    "dedup_split_leakage_store" -> (c => {
+      val map = Dedup.ensureClusterMap(c.documents,
+        new java.io.File(c.dir).getName + "_clmap")
+      Dedup.splitLeakageFromClusters(c.documents,
+        Dedup.readClusterMap(c.spark, map))
+    }),
     "dedup_minhash_lsh" -> (c => Dedup.minHashLsh(c.documents)),
     "dedup_minhash_lsh_md5" -> (c => Dedup.minHashLshMd5(c.documents)),
     "dedup_simhash_pairs" -> (c => Dedup.simHashPairs(c.documents)),
@@ -636,6 +646,8 @@ object Extensions {
     "pipeline_ingest_loop" -> IngestLoop.ingestLoopSql(),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
+    // store round-trip must be invisible — same oracle as the one-shot
+    "dedup_split_leakage_store" -> Dedup.splitLeakageSql(),
     "dedup_minhash_lsh_md5" -> Dedup.minHashLshMd5Sql(),
     "dedup_simhash_pairs_md5" -> Dedup.simHashPairsMd5Sql(),
     "dedup_embedding_cosine" -> Similarity.embeddingNearDupsSql(),
