@@ -486,6 +486,27 @@ class Gen:
                 f"FROM {t} WHERE {where} GROUP BY ROLLUP ({g1}, {g2}) "
                 f"HAVING count(*) > 0")
 
+    def cube_q(self):
+        # CUBE / GROUPING SETS axis (r12): same empty-input HAVING
+        # guard as rollup_q; GROUPING() disambiguates real NULL group
+        # values from the grouping-set placeholder so the row-hash
+        # compare can't confuse them
+        t = self.rng.choice([x for x in TABLES
+                             if len(TABLES[x]["lowstr"]) >= 2])
+        g1, g2 = self.rng.sample(TABLES[t]["lowstr"], 2)
+        where = self.pred(t, None)
+        if self.rng.random() < 0.5:
+            grouping = f"CUBE ({g1}, {g2})"
+        else:
+            grouping = f"GROUPING SETS (({g1}), ({g2}), ({g1}, {g2}))"
+        return (f"SELECT {g1} AS g0, {g2} AS g1, "
+                f"CAST(GROUPING({g1}) AS BIGINT) AS gi0, "
+                f"CAST(GROUPING({g2}) AS BIGINT) AS gi1, "
+                f"count(*) AS cnt, "
+                f"CAST(SUM({self.int_expr(t, None)}) AS BIGINT) AS s0 "
+                f"FROM {t} WHERE {where} GROUP BY {grouping} "
+                f"HAVING count(*) > 0")
+
     def union_agg(self):
         t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
         g = self.rng.choice(TABLES[t]["lowstr"])
@@ -696,8 +717,8 @@ class Gen:
     def query(self):
         forms = [self.grouped_agg, self.distinct_q, self.limit_q,
                  self.left_join_agg, self.union_agg, self.window_q,
-                 self.rollup_q]
-        weights = [5, 2, 3, 2, 1, 2, 1]
+                 self.rollup_q, self.cube_q]
+        weights = [5, 2, 3, 2, 1, 2, 1, 1]
         if self.nulls:
             forms += [self.not_in_q, self.anti_join_q, self.null_agg_q]
             weights += [2, 1, 2]
