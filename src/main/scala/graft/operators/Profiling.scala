@@ -1,0 +1,376 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus observability: a declarative column profiler and a
+  * snapshot-drift report (PSI / KL divergence), plus the persisted
+  * reference-profile store that turns the drift report into a
+  * production ingest monitor ("has this week's crawl shifted the
+  * source / language / length mix?").
+  *
+  * The reference exposes dataset-shape introspection as
+  * `DataFrame.describe`-style per-column summaries and leaves drift
+  * to the user; here both are first-class, oracle-checked operators
+  * (the reference's nearest analogue is the per-partition statistics
+  * used by its scheduler for rebalancing,
+  * `/root/reference/distributed/scheduler.py:5743` `get_worker_load`
+  * family — per-key counts, never content profiles).
+  *
+  * Scale notes (100 TB):
+  *  - [[columnProfile]]'s exact distinct counts are two-level
+  *    hash-aggs keyed on (column, value) — map-side combine collapses
+  *    hot values per partition before the shuffle, so skew is bounded
+  *    by per-partition distinct counts, and the shuffled volume is
+  *    the number of DISTINCT (column, value) pairs, not the row
+  *    count. That is the inherent cost of exactness; at 100 TB the
+  *    approximate path is the persisted HLL sketch store
+  *    ([[Sketches]]), which answers the same question in KB.
+  *  - [[driftReport]] shuffles only (feature, bin) partial counts —
+  *    dictionary-sized by construction (|sources| + |langs| + length
+  *    buckets) — and every downstream step is over that tiny frame.
+  *  - the profile store follows the store-family contract
+  *    (docs/STORES.md): atomic temp+rename publish, `_SUCCESS`
+  *    completeness gate, additive append with the applied-batch
+  *    watermark inside the publish, dictionary-sized republish.
+  */
+object Profiling {
+
+  // --- column profiler -------------------------------------------------
+
+  /** Per-column profile: row/null/exact-distinct counts and
+    * min/max (rendered as strings; numeric columns are min/max'd
+    * numerically BEFORE rendering, so "9" < "10" behaves as a number,
+    * not a byte string). One unpivoted two-level agg for the
+    * null/distinct side + one single-row ungrouped agg for min/max —
+    * both fully partial-aggregated, nothing collected.
+    *
+    * Rendering restriction: pass only columns whose string rendering
+    * is engine-portable (strings, integer types). Floating-point
+    * rendering differs across engines — profile those via their exact
+    * bit patterns or a decimal cast upstream.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val unpivoted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"),
+        col(c).cast("string").as("v"))): _*)).as("cv"))
+      .select(col("cv.column_name").as("column_name"), col("cv.v").as("v"))
+    // level 1: collapse to distinct (column, value) with multiplicity;
+    // level 2: dictionary-sized per-column rollup
+    val counts = unpivoted.groupBy("column_name", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("column_name")
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+    // single-row min/max agg (numeric semantics), reshaped to rows
+    val aggs: Seq[Column] = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val mm = one.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"),
+        col(s"min_$c").as("min_repr"),
+        col(s"max_$c").as("max_repr"))): _*)).as("m"))
+      .select(col("m.column_name").as("column_name"),
+        col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))
+    counts.join(broadcast(mm), Seq("column_name"), "left")
+      .orderBy("column_name")
+  }
+
+  /** Driver entry: profile every `documents` column (all string /
+    * bigint — portable renderings).
+    */
+  def columnProfileEntry(docs: DataFrame): DataFrame =
+    columnProfile(docs, Seq("doc_id", "lang", "n_chars", "source", "text"))
+
+  val columnProfileSql: String = {
+    def per(c: String) =
+      s"""SELECT '$c' AS column_name,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_repr,
+         |  CAST(MAX($c) AS VARCHAR) AS max_repr
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "n_chars", "source", "text").map(per)
+      .mkString("WITH p AS (\n", "\nUNION ALL\n",
+        ")\nSELECT * FROM p ORDER BY column_name")
+  }
+
+  // --- drift report ----------------------------------------------------
+
+  /** (feature, bin) rows for the three monitored dimensions: source,
+    * lang, and the 64-char length bucket. One narrow projection +
+    * explode — no shuffle until the caller aggregates.
+    */
+  def featureBins(docs: DataFrame): DataFrame =
+    docs.select(explode(array(
+      struct(lit("lang").as("feature"), col("lang").as("bin")),
+      struct(lit("len_bucket").as("feature"),
+        expr("cast(n_chars div 64 as string)").as("bin")),
+      struct(lit("source").as("feature"), col("source").as("bin"))))
+      .as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+
+  /** Population-stability / KL drift between a reference snapshot and
+    * a current snapshot, per monitored feature:
+    *
+    *   psi = Σ_bins (p − q) · ln(p / q),   kl = Σ_bins p · ln(p / q)
+    *
+    * over add-1 (Laplace) smoothed bin probabilities
+    * p = (c_ref + 1) / (n_ref + B), q = (c_cur + 1) / (n_cur + B)
+    * with B = |union bins| — smoothing makes both sums well-defined
+    * when a bin exists on only one side (the interesting case: a new
+    * source appearing, a language vanishing).
+    *
+    * Exactness (house convention): p and q are single IEEE divisions
+    * of exact integers — bit-identical in any engine — and each
+    * ln-carrying term snaps to the 1e-9 BIGINT grid before the
+    * order-free sum ([[QualitySignals]] pattern); `max_abs_diff` is
+    * pure exact-input arithmetic and is emitted unrounded.
+    *
+    * Shuffles: ONE hash-agg over (feature, bin) partial counts; the
+    * rest runs on the dictionary-sized bins frame with a broadcast
+    * totals join. No windows.
+    */
+  def driftReport(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val bins = featureBins(ref).withColumn("is_cur", lit(0L))
+      .unionAll(featureBins(cur).withColumn("is_cur", lit(1L)))
+      .groupBy("feature", "bin")
+      .agg(sum(when(col("is_cur") === 0L, 1L).otherwise(0L)).as("c_ref"),
+        sum(col("is_cur")).as("c_cur"))
+    val tot = bins.groupBy("feature")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    val t = bins.join(broadcast(tot), Seq("feature"))
+      .withColumn("p", (col("c_ref") + lit(1L)).cast("double") /
+        (col("n_ref") + col("n_bins")).cast("double"))
+      .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
+        (col("n_cur") + col("n_bins")).cast("double"))
+      .withColumn("lr", log(col("p") / col("q")))
+      .withColumn("psi9",
+        floor((col("p") - col("q")) * col("lr") * lit(1e9) + lit(0.5))
+          .cast("bigint"))
+      .withColumn("kl9",
+        floor(col("p") * col("lr") * lit(1e9) + lit(0.5)).cast("bigint"))
+    t.groupBy("feature")
+      .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
+        max("n_cur").as("n_cur"),
+        (sum("psi9").cast("double") / lit(1e9)).as("psi"),
+        (sum("kl9").cast("double") / lit(1e9)).as("kl"),
+        max(abs(col("p") - col("q"))).as("max_abs_diff"))
+      .orderBy("feature")
+  }
+
+  /** Driver-entry fixture split with REAL drift: ref = even doc_ids;
+    * cur = odd doc_ids minus half their English docs (a language-mix
+    * shift that also moves the source and length marginals).
+    */
+  def driftEntry(docs: DataFrame): DataFrame =
+    driftReport(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1 &&
+        !(col("lang") === "en" && pmod(col("doc_id"), lit(4L)) === 1)))
+
+  /** DuckDB mirror. `ln` (NOT `log`, which is log10 in DuckDB); the
+    * same add-1 smoothing, 1e9 grid, and unrounded `max_abs_diff`.
+    */
+  def driftSqlOver(refWhere: String, curWhere: String): String =
+    s"""WITH fb AS (
+       |  SELECT f.feature, f.bin, f.is_cur FROM (
+       |    SELECT 'lang' AS feature, lang AS bin,
+       |      CASE WHEN $curWhere THEN 1 ELSE 0 END AS is_cur
+       |    FROM documents WHERE ($refWhere) OR ($curWhere)
+       |    UNION ALL
+       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR),
+       |      CASE WHEN $curWhere THEN 1 ELSE 0 END
+       |    FROM documents WHERE ($refWhere) OR ($curWhere)
+       |    UNION ALL
+       |    SELECT 'source', source,
+       |      CASE WHEN $curWhere THEN 1 ELSE 0 END
+       |    FROM documents WHERE ($refWhere) OR ($curWhere)) f),
+       |bins AS (
+       |  SELECT feature, bin,
+       |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+       |    SUM(is_cur) AS c_cur
+       |  FROM fb GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT feature, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
+       |    COUNT(*) AS n_bins
+       |  FROM bins GROUP BY 1),
+       |t AS (
+       |  SELECT b.feature, t.n_bins, t.n_ref, t.n_cur,
+       |    CAST(b.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.n_bins AS DOUBLE)
+       |      AS p,
+       |    CAST(b.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_bins AS DOUBLE)
+       |      AS q
+       |  FROM bins b JOIN tot t USING (feature)),
+       |g AS (
+       |  SELECT feature, n_bins, n_ref, n_cur,
+       |    CAST(floor((p - q) * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
+       |      AS BIGINT) AS psi9,
+       |    CAST(floor(p * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
+       |      AS BIGINT) AS kl9,
+       |    abs(p - q) AS ad
+       |  FROM t)
+       |SELECT feature, MAX(n_bins) AS n_bins, MAX(n_ref) AS n_ref,
+       |  MAX(n_cur) AS n_cur,
+       |  CAST(SUM(psi9) AS DOUBLE) / 1e9 AS psi,
+       |  CAST(SUM(kl9) AS DOUBLE) / 1e9 AS kl,
+       |  MAX(ad) AS max_abs_diff
+       |FROM g GROUP BY feature ORDER BY feature""".stripMargin
+
+  val driftSql: String = driftSqlOver(
+    "doc_id % 2 = 0",
+    "doc_id % 2 = 1 AND NOT (lang = 'en' AND doc_id % 4 = 1)")
+
+  // --- profile store ---------------------------------------------------
+  // The persisted reference profile: the (feature, bin, c_ref) counts
+  // frame, maintained additively across ingest batches so the drift
+  // monitor never re-reads the reference corpus. Store-family
+  // contract per docs/STORES.md.
+
+  def isCompleteProfileStore(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = {
+    StoreSwap.recover(fs, new org.apache.hadoop.fs.Path(path),
+      p => fs.exists(new org.apache.hadoop.fs.Path(p, "bins/_SUCCESS")))
+    fs.exists(new org.apache.hadoop.fs.Path(path + "/bins/_SUCCESS"))
+  }
+
+  private def refBinCounts(ref: DataFrame): DataFrame =
+    featureBins(ref).groupBy("feature", "bin")
+      .agg(count(lit(1)).as("c_ref"))
+
+  private def publish(frame: DataFrame, path: String,
+      lastBatch: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      frame.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    frame.coalesce(1).write.parquet(tmp.toString + "/bins")
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "last_batch"))
+    out.write(lastBatch.toString.getBytes("UTF-8")); out.close()
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
+
+  /** Atomic build of the reference profile (one corpus pass). */
+  def writeProfileStore(ref: DataFrame, path: String): Unit =
+    publish(refBinCounts(ref), path, -1L)
+
+  /** Build-once, content-fingerprinted path ([[Sketches]] ensure
+    * discipline; EAGER by documented design — the fingerprint agg and
+    * possible build run at construction).
+    */
+  def ensureProfileStore(ref: DataFrame, tag: String): String = {
+    val fp = ref.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, source, lang, n_chars))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_profilestore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ref.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteProfileStore(fs, path)) writeProfileStore(ref, path)
+    path
+  }
+
+  private def mergedBins(path: String, batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val stored = spark.read.parquet(s"$path/bins")
+      .select(col("feature"), col("bin"), col("c_ref").as("c_old"))
+    refBinCounts(batch)
+      .select(col("feature"), col("bin"), col("c_ref").as("c_new"))
+      .join(stored.hint("shuffle_hash"), Seq("feature", "bin"),
+        "full_outer")
+      .select(col("feature"), col("bin"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c_ref"))
+  }
+
+  /** Fold an ingest batch into the reference profile: counts are
+    * additive integers, so append ≡ fresh EXACTLY (spec law). Batch
+    * cost = the batch's own agg + a dictionary-sized republish.
+    */
+  def appendToProfileStore(path: String, batch: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    require(isCompleteProfileStore(fs, path),
+      s"appendToProfileStore: $path is missing or incomplete")
+    publish(mergedBins(path, batch), path,
+      Sketches.lastAppliedBatch(fs, path))
+  }
+
+  /** Streaming-replay-safe fold — additive counts double-count under
+    * blind re-append, so the applied-batch watermark rides the atomic
+    * publish ([[Sketches.appendBatchToSketchStore]] discipline).
+    * Returns whether the batch was applied.
+    */
+  def appendBatchToProfileStore(path: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    require(isCompleteProfileStore(fs, path),
+      s"appendBatchToProfileStore: $path is missing or incomplete")
+    if (batchId <= Sketches.lastAppliedBatch(fs, path)) false
+    else { publish(mergedBins(path, batch), path, batchId); true }
+  }
+
+  /** Drift of a current snapshot against the STORED reference profile
+    * — the reference corpus is never re-read. Same math (and the same
+    * oracle SQL) as [[driftReport]].
+    */
+  def driftFromStore(spark: SparkSession, path: String,
+      cur: DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(isCompleteProfileStore(fs, path),
+      s"driftFromStore: $path is missing or incomplete")
+    val stored = spark.read.parquet(s"$path/bins")
+    val curBins = featureBins(cur).groupBy("feature", "bin")
+      .agg(count(lit(1)).as("c_cur"))
+    val bins = stored.join(curBins.hint("shuffle_hash"),
+        Seq("feature", "bin"), "full_outer")
+      .select(col("feature"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = bins.groupBy("feature")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    bins.join(broadcast(tot), Seq("feature"))
+      .withColumn("p", (col("c_ref") + lit(1L)).cast("double") /
+        (col("n_ref") + col("n_bins")).cast("double"))
+      .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
+        (col("n_cur") + col("n_bins")).cast("double"))
+      .withColumn("lr", log(col("p") / col("q")))
+      .withColumn("psi9",
+        floor((col("p") - col("q")) * col("lr") * lit(1e9) + lit(0.5))
+          .cast("bigint"))
+      .withColumn("kl9",
+        floor(col("p") * col("lr") * lit(1e9) + lit(0.5)).cast("bigint"))
+      .groupBy("feature")
+      .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
+        max("n_cur").as("n_cur"),
+        (sum("psi9").cast("double") / lit(1e9)).as("psi"),
+        (sum("kl9").cast("double") / lit(1e9)).as("kl"),
+        max(abs(col("p") - col("q"))).as("max_abs_diff"))
+      .orderBy("feature")
+  }
+
+  /** Driver-entry split for the store round-trip: ref = doc_id ≡ 0
+    * (mod 3) builds the store, cur = the rest probes it. The oracle
+    * recomputes the same drift from the raw table, so a hash match
+    * proves the store holds exactly the reference's counts.
+    */
+  def driftStoreEntry(docs: DataFrame, tag: String): DataFrame = {
+    val ref = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val cur = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val path = ensureProfileStore(ref, tag)
+    driftFromStore(docs.sparkSession, path, cur)
+  }
+
+  val driftStoreSql: String =
+    driftSqlOver("doc_id % 3 = 0", "doc_id % 3 <> 0")
+}

@@ -625,6 +625,14 @@ object Extensions {
     "stats_quantiles_rank" -> (quantilesRank _),
     "stats_quantiles_approx" -> (quantilesApprox _),
     "profile_lineitem" -> (profileLineitem _),
+    // generic long-format per-column profiler (exact distincts; the
+    // 100 TB approximate path is the HLL sketch store)
+    "profile_columns" -> (c => Profiling.columnProfileEntry(c.documents)),
+    // snapshot drift (PSI / KL, add-1 smoothed) + the persisted
+    // reference-profile store round-trip
+    "pipeline_drift_psi" -> (c => Profiling.driftEntry(c.documents)),
+    "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
+      java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     "salted_revenue" -> (saltedRevenue _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sql_view_query" -> (sqlViewQuery _),
@@ -749,6 +757,11 @@ object Extensions {
     "stats_quantiles" -> quantilesSql,
     "stats_quantiles_rank" -> quantilesRankSql,
     "profile_lineitem" -> profileLineitemSql,
+    "profile_columns" -> Profiling.columnProfileSql,
+    "pipeline_drift_psi" -> Profiling.driftSql,
+    // store round-trip must be invisible — the oracle recomputes the
+    // same drift from the raw table
+    "pipeline_drift_store" -> Profiling.driftStoreSql,
     "salted_revenue" -> saltedRevenueSql,
     "salted_join_agg" -> saltedJoinAggSql,
     "sql_view_query" -> sqlViewQuerySql)

@@ -337,6 +337,53 @@ object EventStream {
     q
   }
 
+  /** Streaming drift monitor over the PERSISTED reference profile
+    * ([[graft.operators.Profiling.writeProfileStore]]): each
+    * micro-batch of ingested documents (1) computes its PSI/KL drift
+    * AGAINST the stored reference
+    * ([[graft.operators.Profiling.driftFromStore]]) into a
+    * `batch=<id>` report sink, then (2) if `absorb`, folds its own
+    * bin counts into the store so the reference tracks the accepted
+    * stream — alert-then-absorb, the production ingest-QA order.
+    *
+    * Replay discipline: the report is computed against the
+    * PRE-absorb store and written BEFORE the absorb, and both steps
+    * are gated on the applied-batch watermark inside the store's
+    * atomic publish — a re-delivered batch id skips report and
+    * absorb together, so at every crash point the on-disk report
+    * matches the store generation it was measured against
+    * (spec-checked). With `absorb = false` the store is frozen and
+    * the `batch=` overwrite alone is idempotent.
+    */
+  def driftMonitorStream(docs: DataFrame, storePath: String,
+      outDir: String, checkpointDir: String,
+      absorb: Boolean = true): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val applied = graft.operators.Sketches
+          .lastAppliedBatch(fs, storePath)
+        if (!absorb || batchId > applied) {
+          graft.operators.Profiling.driftFromStore(spark, storePath, b)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (absorb) {
+            graft.operators.Profiling
+              .appendBatchToProfileStore(storePath, b, batchId)
+            ()
+          }
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** The COMPOSED ingest loop from a stream — each micro-batch of
     * newly-ingested documents runs [[graft.operators.IngestLoop
     * .runBatch]] (cluster-map append → signature append → export

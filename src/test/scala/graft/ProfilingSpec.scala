@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq.tabulate(120)(i =>
+    (i.toLong, s"text body ${i % 37}", Seq("en", "de", "fr")(i % 3),
+      s"src${i % 4}", 40L + (i % 5) * 64L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("columnProfile: exact rows/nulls/distincts and NUMERIC min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "b"), (10L, "a"), (10L, null), (null, "a"))
+      .toDF("k", "s")
+    val rows = Profiling.columnProfile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // numeric semantics: min 9 / max 10, NOT byte-string "10" < "9"
+    assert(rows("k") == ((4L, 1L, 2L, "9", "10")))
+    assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("driftReport on identical snapshots is exactly zero") {
+    val r = Profiling.driftReport(docs, docs).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getDouble(4) == 0.0 && row.getDouble(5) == 0.0 &&
+        row.getDouble(6) == 0.0, s"nonzero drift: $row")
+    }
+  }
+
+  test("driftReport flags a removed language; smoothing handles one-sided bins") {
+    val cur = docs.filter(col("lang") =!= "de")
+    val byFeature = Profiling.driftReport(docs, cur).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // 'de' exists only on the ref side: add-1 smoothing keeps the sum
+    // finite and the vanished bin dominates the lang PSI
+    assert(byFeature("lang") > 0.1)
+    // untouched marginal stays comparatively calm but nonzero (the
+    // removed third shifts all shares)
+    assert(byFeature("source") >= 0.0 && byFeature("source") < byFeature("lang"))
+  }
+
+  test("profile store: append equals a fresh build over the union, exactly") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profile")
+    val inc = tmp.resolve("inc").toString
+    Profiling.writeProfileStore(base, inc)
+    Profiling.appendToProfileStore(inc, batch)
+    val fresh = tmp.resolve("fresh").toString
+    Profiling.writeProfileStore(docs, fresh)
+    def bins(p: String) = spark.read.parquet(s"$p/bins")
+      .orderBy("feature", "bin").collect().map(_.toString)
+    assert(bins(inc).sameElements(bins(fresh)) && bins(inc).nonEmpty)
+    // and the drift a consumer computes from either store is identical
+    val cur = docs.filter(col("lang") =!= "fr")
+    val a = Profiling.driftFromStore(spark, inc, cur).collect()
+      .map(_.toString)
+    val b = Profiling.driftFromStore(spark, fresh, cur).collect()
+      .map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("batch-stamped append skips a replayed batch id exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profile_replay")
+      .resolve("store").toString
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    Profiling.writeProfileStore(base, tmp)
+    assert(Profiling.appendBatchToProfileStore(tmp, batch, 0L))
+    def bins() = spark.read.parquet(s"$tmp/bins")
+      .orderBy("feature", "bin").collect().map(_.toString)
+    val once = bins()
+    // replayed id: skipped — additive counts would double-count
+    assert(!Profiling.appendBatchToProfileStore(tmp, batch, 0L))
+    assert(bins().sameElements(once))
+    // next id applies
+    assert(Profiling.appendBatchToProfileStore(tmp,
+      batch.limit(0), 1L))
+  }
+
+  test("driftFromStore matches the direct two-snapshot report") {
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_profile_rt")
+      .resolve("store").toString
+    Profiling.writeProfileStore(ref, tmp)
+    val viaStore = Profiling.driftFromStore(spark, tmp, cur).collect()
+      .map(_.toString)
+    val direct = Profiling.driftReport(ref, cur).collect().map(_.toString)
+    assert(viaStore.sameElements(direct) && viaStore.nonEmpty)
+  }
+
+  test("append into a missing store is refused (no orphan publishes)") {
+    val ghost = java.nio.file.Files.createTempDirectory("graft_profile_ghost")
+      .resolve("nope").toString
+    intercept[IllegalArgumentException] {
+      Profiling.appendToProfileStore(ghost, docs)
+    }
+  }
+}

@@ -212,6 +212,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: single-batch report matches the batch path; absorb folds the batch in") {
+    import graft.operators.Profiling
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    val outDir = tmp.resolve("out").toString
+    Profiling.writeProfileStore(base, store)
+    // ONE file -> the AvailableNow source delivers one micro-batch,
+    // so the report is deterministically "delta vs pre-absorb base"
+    delta.coalesce(1).write.parquet(deltaDir)
+    val q = EventStream.driftMonitorStream(
+      EventStream.readDocuments(spark, deltaDir), store, outDir,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = spark.read.parquet(s"$outDir/batch=0")
+        .collect().map(_.toString).sorted
+      val batch = Profiling.driftReport(base, delta)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch) && streamed.nonEmpty)
+      // absorb: the store now equals a fresh build over the union
+      val fresh = tmp.resolve("fresh").toString
+      Profiling.writeProfileStore(docs, fresh)
+      def bins(p: String) = spark.read.parquet(s"$p/bins")
+        .orderBy("feature", "bin").collect().map(_.toString)
+      assert(bins(store).sameElements(bins(fresh)))
+    } finally q.stop()
+  }
+
   test("streaming export maintenance equals a fresh export over all docs; replay is a no-op") {
     import graft.sources.TrainingExport
     val docs = Ctx(spark, sfDir).documents
