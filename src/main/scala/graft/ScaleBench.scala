@@ -110,7 +110,7 @@ object ScaleBench {
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
-        "ctstore,ingestloop,clustermap_compact")
+        "ctstore,ingestloop,clustermap_compact,profilestore")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1187,6 +1187,49 @@ object ScaleBench {
         }
         val gflops = 2.0 * n.toDouble * n * n / sec / 1e9
         println(f"$n%-8d$sec%8.2f$gflops%10.2f")
+      }
+    }
+    section("profilestore") {
+      // the profile-store law at 100 TB: per-append cost is the
+      // BATCH's (feature, bin) aggregation plus a dictionary-sized
+      // merge + republish — independent of how much corpus the stored
+      // counts summarize; the drift report reads KBs of stored bins
+      // plus the probe snapshot, never the reference corpus. Delta
+      // and probe held constant while the summarized base grows.
+      println("== profile store: fixed-delta append vs summarized base ==")
+      println(f"${"mult"}%-6s${"write_s"}%9s${"append_s"}%10s${"drift_s"}%9s")
+      val deltaDocs = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_profilestore_scale_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        // fresh store per run: additive counts would accumulate the
+        // warm-up append run over run
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        val (wsec, _) = time {
+          graft.operators.Profiling.writeProfileStore(base, store); 1L
+        }
+        graft.operators.Profiling.appendToProfileStore(store, deltaDocs)
+        val (asec, _) = time {
+          graft.operators.Profiling.appendToProfileStore(store, deltaDocs)
+          1L
+        }
+        graft.operators.Profiling.driftFromStore(spark, store, deltaDocs)
+          .count()
+        val (dsec, _) = time(
+          graft.operators.Profiling.driftFromStore(spark, store, deltaDocs)
+            .count())
+        println(f"$mult%-6d$wsec%9.2f$asec%10.2f$dsec%9.2f")
       }
     }
     spark.stop()
