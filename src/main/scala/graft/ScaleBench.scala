@@ -110,7 +110,7 @@ object ScaleBench {
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
-        "ctstore,ingestloop,clustermap_compact,profilestore")
+        "ctstore,ingestloop,clustermap_compact,profilestore,searchindex")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1189,6 +1189,52 @@ object ScaleBench {
         println(f"$n%-8d$sec%8.2f$gflops%10.2f")
       }
     }
+    section("searchindex") {
+      // the index-store law at 100 TB: per-append cost is the BATCH's
+      // tokenize-agg + two content-tagged dir writes + a KB meta
+      // republish — independent of the indexed base; the query probe
+      // reads ONLY its terms' wb partitions + the doclens join, so it
+      // may grow with matched postings but never re-tokenizes the
+      // corpus. Delta and query table held constant while the indexed
+      // base grows.
+      println("== BM25 index store: fixed-delta append vs indexed base ==")
+      println(f"${"mult"}%-6s${"write_s"}%9s${"append_s"}%10s${"probe_s"}%9s")
+      val deltaDocs = spark.read.parquet(s"$src/documents.parquet")
+        .filter(col("doc_id") % 3 === 0)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 =!= 0)
+        val store = s"/tmp/graft_searchindex_scale_$mult"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        // fresh store per run: replayed content tags would no-op the
+        // measured append otherwise
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        val (wsec, _) = time {
+          graft.operators.SearchIndex.writeIndexStore(base, store); 1L
+        }
+        // measured append must LAND (distinct content): shift doc_ids
+        val d2 = deltaDocs.withColumn("doc_id",
+          col("doc_id") + lit(900000000L))
+        graft.operators.SearchIndex.appendToIndexStore(store, deltaDocs)
+        settle()
+        val (asec, _) = time {
+          graft.operators.SearchIndex.appendToIndexStore(store, d2); 1L
+        }
+        graft.operators.SearchIndex.bm25FromStore(spark, store).count()
+        val (psec, _) = time(
+          graft.operators.SearchIndex.bm25FromStore(spark, store).count())
+        println(f"$mult%-6d$wsec%9.2f$asec%10.2f$psec%9.2f")
+      }
+    }
+
     section("profilestore") {
       // the profile-store law at 100 TB: per-append cost is the
       // BATCH's (feature, bin) aggregation plus a dictionary-sized

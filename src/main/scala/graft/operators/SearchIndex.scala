@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.functions.TextFunctions
+
+/** Persisted BM25 inverted-index store — the SEARCH member of the
+  * store family (docs/STORES.md): the corpus is tokenized ONCE into
+  * hash-bucketed postings + document lengths + one-row corpus stats,
+  * ingest batches fold in at batch-proportional cost, and queries run
+  * against the STORED index without ever re-reading the corpus — the
+  * production "retrieve over the whole curated set, maintained across
+  * daily ingests" shape that [[Search.bm25Queries]] (which
+  * re-tokenizes per call) deliberately is not.
+  *
+  * Layout:
+  *  - `postings/batch=<tag>/wb=<b>/` — (w, doc_id, tf), hive-
+  *    partitioned on `wb = pmod(xxhash64(w), WB)` so a query probe
+  *    PARTITION-PRUNES to its own terms' buckets (the 100 TB axis:
+  *    probe IO ∝ matched buckets, not index size);
+  *  - `doclens/batch=<tag>/` — (doc_id, dl);
+  *  - `meta/` — one-row stats (n_docs, sum_dl), the applied-tag
+  *    manifest, and the streaming watermark, republished ATOMICALLY
+  *    ([[StoreSwap.swapIn]]) after the batch dirs land.
+  *
+  * Crash/replay discipline (the containment-store order, hardened
+  * with a visibility manifest): batch dirs are content-tagged
+  * overwrites written FIRST, and readers enumerate batch dirs FROM
+  * THE MANIFEST — so a crash between the dirs and the meta publish
+  * leaves an orphan directory that is simply INVISIBLE (the store
+  * still answers queries over exactly the previously-published
+  * generation), the idempotent retry overwrites it whole, and a
+  * replayed batch (tag already in the manifest, or batch id at-or-
+  * below the watermark) is a provable no-op. Scores from the store
+  * are bit-identical to [[Search.bm25Queries]] over the same corpus:
+  * every stored quantity (tf, dl, n_docs, sum_dl) is an exact
+  * integer, and the scoring chain is the same 1e9/1e12 fixed-point
+  * grid — so `append ≡ fresh` holds END-TO-END through retrieval,
+  * not just through the stored frames (spec + oracle-checked).
+  *
+  * Contract shared with the export: batches are DISJOINT from the
+  * store's documents (the upstream dedup gate's invariant) — a
+  * re-ingested doc_id would double its postings.
+  *
+  * Reference frame: the reference keeps no retrieval index; its
+  * nearest shape is the per-key task-state dict rebuilt per run
+  * (`/root/reference/distributed/scheduler.py:4497` key dedup) —
+  * the store exists precisely so stable work is never redone.
+  */
+object SearchIndex {
+
+  /** Postings hash-bucket count. 32 keeps per-batch directory fanout
+    * trivial while giving a 3-term query a ≤3/32 IO fraction; at real
+    * scale raise it with corpus size (buckets are independent).
+    */
+  val WB: Int = 32
+
+  private def batchTag(docs: DataFrame): Option[String] = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+      expr("bit_xor(xxhash64(doc_id))").as("xh")).collect().head
+    if (fp.getLong(0) == 0L) None
+    else Some(s"b${fp.getLong(0)}_${fp.getLong(1)}_" +
+      java.lang.Long.toHexString(fp.getLong(2)))
+  }
+
+  private def fsOf(df: DataFrame): FileSystem =
+    FileSystem.get(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** (w, doc_id, tf, wb) — the single corpus-sized aggregation. */
+  private def tokAgg(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("wb", pmod(xxhash64(col("w")), lit(WB.toLong)))
+
+  /** Write one batch's postings + doclens under `batch=<tag>` with
+    * OVERWRITE (idempotent retry), postings hive-partitioned on wb.
+    */
+  private def writeBatchDirs(docs: DataFrame, root: String,
+      tag: String): Unit = {
+    val tok = tokAgg(docs).localCheckpoint(eager = false)
+    tok.write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$root/postings/batch=$tag")
+    tok.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$root/doclens/batch=$tag")
+  }
+
+  /** Atomically (re)publish `meta/`: stats row, applied-tag manifest,
+    * streaming watermark. All inputs are driver-resident scalars —
+    * nothing here re-reads what the swap replaces.
+    */
+  private def publishMeta(spark: SparkSession, path: String,
+      nDocs: Long, sumDl: Long, tags: Seq[String],
+      lastBatch: Long): Unit = {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path, "meta")
+    val tmp = new Path(path, "meta.inprogress")
+    fs.delete(tmp, true)
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.parquet(s"$tmp/stats")
+    tags.toDF("tag").coalesce(1).write.parquet(s"$tmp/tags")
+    val out = fs.create(new Path(tmp, "last_batch"))
+    out.write(lastBatch.toString.getBytes("UTF-8")); out.close()
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
+
+  def isCompleteIndexStore(fs: FileSystem, path: String): Boolean = {
+    val meta = new Path(path, "meta")
+    StoreSwap.recover(fs, meta,
+      p => fs.exists(new Path(p, "stats/_SUCCESS")))
+    fs.exists(new Path(path + "/meta/stats/_SUCCESS"))
+  }
+
+  private def readMeta(spark: SparkSession,
+      path: String): (Long, Long, Seq[String], Long) = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val st = spark.read.parquet(s"$path/meta/stats").collect().head
+    val tags = spark.read.parquet(s"$path/meta/tags")
+      .collect().map(_.getString(0)).toSeq
+    (st.getLong(0), st.getLong(1), tags,
+      Sketches.lastAppliedBatch(fs, s"$path/meta"))
+  }
+
+  /** Atomic fresh build: batch dirs + meta staged together, one swap. */
+  def writeIndexStore(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsOf(docs)
+    val dst = new Path(path)
+    val tmp = new Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    val tag = batchTag(docs).getOrElse("b0_empty")
+    if (tag != "b0_empty") writeBatchDirs(docs, tmp.toString, tag)
+    val (n, s) =
+      if (tag == "b0_empty") (0L, 0L)
+      else {
+        val r = spark.read.parquet(s"$tmp/doclens/batch=$tag")
+          .agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+          .collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+    // meta staged INSIDE the store's own tmp tree, then one swap
+    // publishes everything — the per-subdir swap is only for appends
+    val metaTags = if (tag == "b0_empty") Seq.empty[String] else Seq(tag)
+    import spark.implicits._
+    Seq((n, s)).toDF("n_docs", "sum_dl")
+      .coalesce(1).write.parquet(s"$tmp/meta/stats")
+    metaTags.toDF("tag").coalesce(1).write.parquet(s"$tmp/meta/tags")
+    val out = fs.create(new Path(tmp, "meta/last_batch"))
+    out.write("-1".getBytes("UTF-8")); out.close()
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
+
+  /** Fold a disjoint ingest batch in: batch-sized tokenize + two
+    * content-tagged dir writes + a KB-sized meta republish. Replayed
+    * tag (manifest hit) is a no-op.
+    */
+  def appendToIndexStore(path: String, batch: DataFrame): Unit = {
+    val fs = fsOf(batch)
+    require(isCompleteIndexStore(fs, path),
+      s"appendToIndexStore: $path is missing or incomplete")
+    appendTagged(path, batch, stampedId = None)
+  }
+
+  /** Streaming-replay-safe fold: skips ids at-or-below the watermark
+    * (which rides the atomic meta publish). Returns whether applied.
+    */
+  def appendBatchToIndexStore(path: String, batch: DataFrame,
+      batchId: Long): Boolean = {
+    val fs = fsOf(batch)
+    require(isCompleteIndexStore(fs, path),
+      s"appendBatchToIndexStore: $path is missing or incomplete")
+    val (_, _, _, last) = readMeta(batch.sparkSession, path)
+    if (batchId <= last) false
+    else { appendTagged(path, batch, stampedId = Some(batchId)); true }
+  }
+
+  private def appendTagged(path: String, batch: DataFrame,
+      stampedId: Option[Long]): Unit = {
+    val spark = batch.sparkSession
+    val tagOpt = batchTag(batch)
+    if (tagOpt.isEmpty) {
+      // empty batch: still advance the watermark so a replayed empty
+      // id stays a no-op without re-running the fingerprint
+      stampedId.foreach { id =>
+        val (n, s, tags, _) = readMeta(spark, path)
+        publishMeta(spark, path, n, s, tags, id)
+      }
+      return
+    }
+    val tag = tagOpt.get
+    val (n, s, tags, last) = readMeta(spark, path)
+    if (tags.contains(tag)) return // replayed batch, dirs already live
+    writeBatchDirs(batch, path, tag)
+    val r = spark.read.parquet(s"$path/doclens/batch=$tag")
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect().head
+    publishMeta(spark, path, n + r.getLong(0), s + r.getLong(1),
+      tags :+ tag, stampedId.getOrElse(last))
+  }
+
+  /** Manifest-gated multi-batch read with an optional wb partition
+    * prune (`buckets`) — orphan dirs from a crashed append are never
+    * enumerated.
+    */
+  private[graft] def readBatched(spark: SparkSession, path: String, sub: String,
+      tags: Seq[String], buckets: Option[Seq[Long]]): DataFrame = {
+    if (tags.isEmpty) {
+      import spark.implicits._
+      return if (sub == "postings")
+        Seq.empty[(String, Long, Long, Long)].toDF("w", "doc_id", "tf", "wb")
+      else Seq.empty[(Long, Long)].toDF("doc_id", "dl")
+    }
+    val dirs = tags.map(t => s"$path/$sub/batch=$t")
+    val df = spark.read.option("basePath", s"$path/$sub")
+      .parquet(dirs: _*).drop("batch")
+    buckets match {
+      case Some(bs) => df.filter(col("wb").isin(bs: _*))
+      case None => df
+    }
+  }
+
+  /** BM25 over the query TABLE against the STORED index — identical
+    * math (and bit-identical scores) to [[Search.bm25Queries]] over
+    * the same corpus, but the only corpus-sized reads are the
+    * partition-pruned postings buckets and the doclens join. The
+    * query side is dictionary-sized by definition, so its terms, wb
+    * buckets (one tiny job — the store-fingerprint collect
+    * convention) and per-term dfs all broadcast.
+    */
+  def bm25FromStore(spark: SparkSession, path: String,
+      queryTable: Seq[(Long, String)] = Search.defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import graft.functions.BottomKByKey.bottom_k_by_key
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(isCompleteIndexStore(fs, path),
+      s"bm25FromStore: $path is missing or incomplete")
+    val (nDocs, sumDl, tags, _) = readMeta(spark, path)
+    val queries = queryTable.toDF("qid", "qtext")
+    val qterms = queries.select(col("qid"),
+        explode(TextFunctions.words(col("qtext"))).as("w"))
+      .where(col("w") =!= "").distinct()
+      .localCheckpoint(eager = false)
+    val wbs = qterms.select(pmod(xxhash64(col("w")), lit(WB.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = readBatched(spark, path, "postings", tags, Some(wbs))
+      .join(broadcast(qterms.select("w").distinct()), Seq("w"), "left_semi")
+      .localCheckpoint(eager = false)
+    val dfs = postings.groupBy("w").agg(count(lit(1)).as("df"))
+    val doclens = readBatched(spark, path, "doclens", tags, None)
+    val idf9 = floor(log(lit(1.0) +
+      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
+      .cast("bigint")
+    val c9 = floor(idf9.cast("double") / lit(1e9) *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") /
+              (lit(sumDl).cast("double") / lit(nDocs)))))) *
+        lit(1e12) + lit(0.5)).cast("bigint")
+    postings
+      .join(broadcast(qterms), "w")
+      .join(broadcast(dfs), "w")
+      .join(doclens.hint("shuffle_hash"), "doc_id")
+      .select(col("qid"), col("doc_id"), c9.as("c9"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("c9").as("s9"))
+      .groupBy("qid")
+      .agg(bottom_k_by_key(struct((-col("s9")).as("key"),
+        col("doc_id").as("id"), col("n_terms").as("payload")), topK)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("doc_id"),
+        col("col.payload").as("n_terms"),
+        ((-col("col.key")).cast("double") / lit(1e12)).as("score"),
+        (col("pos") + 1).cast("bigint").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Build-once base + delta append keyed on the FULL corpus
+    * fingerprint (the `ensureAppendedClusterMap` convention) — the
+    * driver entry's store round-trip exercises write AND append every
+    * time the fixture content changes, cheaply otherwise. EAGER by
+    * documented design.
+    */
+  def ensureAppendedIndexStore(docs: DataFrame, tag: String): String = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_searchindex_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fs = fsOf(docs)
+    if (!isCompleteIndexStore(fs, path)) {
+      val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+      val delta = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      writeIndexStore(base, path)
+      appendToIndexStore(path, delta)
+    }
+    path
+  }
+
+  /** Driver entry: base-build + delta-append + retrieval from the
+    * store; the oracle is [[Search.bm25QueriesSql]] UNCHANGED over the
+    * full table — a hash match proves append ≡ fresh end-to-end
+    * through scoring and ranking.
+    */
+  def bm25StoreEntry(docs: DataFrame, tag: String): DataFrame = {
+    val path = ensureAppendedIndexStore(docs, tag)
+    bm25FromStore(docs.sparkSession, path)
+  }
+}

@@ -536,6 +536,11 @@ object Extensions {
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
     "text_bm25_queries" -> (c => Search.bm25Queries(c.documents)),
+    // persisted inverted-index store: base build + delta append +
+    // retrieval FROM the store; unchanged bm25QueriesSql oracle =
+    // append ≡ fresh proven end-to-end through scoring and ranking
+    "text_bm25_store" -> (c => SearchIndex.bm25StoreEntry(c.documents,
+      java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -717,6 +722,7 @@ object Extensions {
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     "text_bm25_queries" -> Search.bm25QueriesSql(),
+    "text_bm25_store" -> Search.bm25QueriesSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
     "text_pii_redact" -> QualitySignals.piiRedactSql,

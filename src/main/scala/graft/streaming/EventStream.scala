@@ -384,6 +384,32 @@ object EventStream {
     q
   }
 
+  /** Streaming maintenance of the persisted BM25 inverted-index store
+    * ([[graft.operators.SearchIndex]]): each micro-batch of curated
+    * documents folds its postings/doclens in at batch-proportional
+    * cost, so retrieval always runs against the full ingested corpus.
+    * This stream MUTATES the store — replay safety is the
+    * applied-batch watermark riding the atomic meta publish PLUS the
+    * content-tag manifest (either alone suffices; together they make
+    * both the stamped and unstamped append paths idempotent), the
+    * [[sketchStream]] discipline.
+    */
+  def searchIndexStream(docs: DataFrame, storePath: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.SearchIndex
+          .appendBatchToIndexStore(storePath, batch.toDF(), batchId)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** The COMPOSED ingest loop from a stream — each micro-batch of
     * newly-ingested documents runs [[graft.operators.IngestLoop
     * .runBatch]] (cluster-map append → signature append → export

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Search, SearchIndex}
+
+class SearchIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vocabulary overlaps the default query table ("hash join merge" …)
+  private def docs = Seq.tabulate(80)(i =>
+    (i.toLong,
+      Seq("hash", "join", "filter", "scan", "merge", "agg", "window",
+        "stream", "batch", "vector")
+        .zipWithIndex.filter { case (_, j) => (i + j) % 3 != 0 }
+        .map { case (w, j) => (w + " ") * ((i + j) % 4 + 1) }
+        .mkString(" "),
+      "en", s"src${i % 3}", 50L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("retrieval from the store is bit-identical to the direct BM25") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs, tmp)
+    val stored = SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString)
+    val direct = Search.bm25Queries(docs).collect().map(_.toString)
+    assert(stored.sameElements(direct) && stored.nonEmpty)
+  }
+
+  test("append equals a fresh build over the union, through retrieval") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_app")
+    val inc = tmp.resolve("inc").toString
+    SearchIndex.writeIndexStore(base, inc)
+    SearchIndex.appendToIndexStore(inc, delta)
+    val fresh = tmp.resolve("fresh").toString
+    SearchIndex.writeIndexStore(docs, fresh)
+    val a = SearchIndex.bm25FromStore(spark, inc).collect().map(_.toString)
+    val b = SearchIndex.bm25FromStore(spark, fresh).collect()
+      .map(_.toString)
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
+  test("replayed content tag and replayed batch id are both no-ops") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_rp")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(base, tmp)
+    SearchIndex.appendToIndexStore(tmp, delta)
+    val once = SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString)
+    // same content tag: manifest hit, nothing re-lands
+    SearchIndex.appendToIndexStore(tmp, delta)
+    assert(SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString).sameElements(once))
+    // stamped path: id 0 applies once, replay refused
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_sidx_rp2")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(base, tmp2)
+    assert(SearchIndex.appendBatchToIndexStore(tmp2, delta, 0L))
+    val after = SearchIndex.bm25FromStore(spark, tmp2).collect()
+      .map(_.toString)
+    assert(!SearchIndex.appendBatchToIndexStore(tmp2, delta, 0L))
+    assert(SearchIndex.bm25FromStore(spark, tmp2).collect()
+      .map(_.toString).sameElements(after))
+  }
+
+  test("orphan batch dirs from a crashed append are invisible to readers") {
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_crash")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(base, tmp)
+    val before = SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString)
+    // simulate the crash window: batch dirs landed, meta publish never
+    // ran — write them exactly as the append would, manifest untouched
+    val tok = delta.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("wb", pmod(xxhash64(col("w")), lit(32L)))
+    tok.write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$tmp/postings/batch=borphan")
+    tok.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$tmp/doclens/batch=borphan")
+    assert(SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString).sameElements(before))
+  }
+
+  test("query probe partition-prunes the postings scan to its wb buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_prune")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs, tmp)
+    // the outer retrieval plan hides the scan behind a lazy
+    // localCheckpoint barrier, so assert on the store-read building
+    // block the retrieval composes: manifest-gated read + wb filter
+    val wb = spark.range(1).select(
+        pmod(xxhash64(lit("hash")), lit(32L))).collect().head.getLong(0)
+    val tags = spark.read.parquet(s"$tmp/meta/tags")
+      .collect().map(_.getString(0)).toSeq
+    val plan = SearchIndex
+      .readBatched(spark, tmp, "postings", tags, Some(Seq(wb)))
+      .queryExecution.executedPlan
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "wb"))),
+      "postings scan carries no wb partition filter — prune lost")
+    // and the pruned read returns exactly the one term's postings
+    val rows = SearchIndex
+      .readBatched(spark, tmp, "postings", tags, Some(Seq(wb)))
+      .filter(col("w") === "hash")
+    assert(rows.count() > 0)
+  }
+
+  test("empty store and missing store behave (empty result; append refused)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_empty")
+    val empty = tmp.resolve("empty").toString
+    SearchIndex.writeIndexStore(docs.limit(0), empty)
+    assert(SearchIndex.bm25FromStore(spark, empty).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      SearchIndex.appendToIndexStore(tmp.resolve("nope").toString, docs)
+    }
+  }
+}

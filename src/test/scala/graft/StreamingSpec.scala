@@ -212,6 +212,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming search-index maintenance: retrieval equals a fresh index over all docs") {
+    import graft.operators.{Search, SearchIndex}
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    SearchIndex.writeIndexStore(base, store)
+    // multiple files -> possibly several micro-batches; the stamped
+    // tagged folds must compose
+    delta.repartition(3).write.parquet(deltaDir)
+    val q = EventStream.searchIndexStream(
+      EventStream.readDocuments(spark, deltaDir), store,
+      tmp.resolve("ckpt").toString)
+    try {
+      val streamed = SearchIndex.bm25FromStore(spark, store)
+        .collect().map(_.toString)
+      val direct = Search.bm25Queries(docs).collect().map(_.toString)
+      assert(streamed.sameElements(direct) && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: single-batch report matches the batch path; absorb folds the batch in") {
     import graft.operators.Profiling
     val docs = Ctx(spark, sfDir).documents
