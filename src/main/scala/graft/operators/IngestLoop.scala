@@ -36,9 +36,21 @@ object IngestLoop {
 
   /** Run one delta batch through the full maintenance loop. Returns
     * whether the export append applied (false = replayed batch id).
+    * The two r12 families ride along when their paths are given —
+    * each individually replay-safe, so the composed loop stays
+    * exactly-once without a coordinator:
+    *  - `indexPath`: fold the batch into the BM25 inverted index
+    *    ([[SearchIndex.appendBatchToIndexStore]] — manifest tag +
+    *    watermark);
+    *  - `profilePath`: absorb the batch's bin counts into the
+    *    reference profile ([[Profiling.appendBatchToProfileStore]] —
+    *    watermark; the drift ALERT against the pre-absorb profile is
+    *    the stream wrapper's concern, not the batch fold's).
     */
   def runBatch(mapPath: String, sigStorePath: String, exportPath: String,
-      delta: DataFrame, batchId: Long, sampleMod: Int = 2): Boolean = {
+      delta: DataFrame, batchId: Long, sampleMod: Int = 2,
+      indexPath: Option[String] = None,
+      profilePath: Option[String] = None): Boolean = {
     // order matters: the cluster-map append probes the signature
     // store WITHOUT the delta (its scaladoc'd contract), so it goes
     // first; the signature fold makes the delta visible to the NEXT
@@ -47,6 +59,10 @@ object IngestLoop {
       sampleMod = sampleMod)
     Dedup.appendToSignatureStore(delta, sigStorePath,
       sampleMod = sampleMod)
+    indexPath.foreach(p =>
+      SearchIndex.appendBatchToIndexStore(p, delta, batchId))
+    profilePath.foreach(p =>
+      Profiling.appendBatchToProfileStore(p, delta, batchId))
     TrainingExport.appendBatchToExport(exportPath, delta, batchId)
   }
 
@@ -64,9 +80,13 @@ object IngestLoop {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
       expr("bit_xor(xxhash64(doc_id, length(text)))").as("xh"))
       .collect().head
+    // `_ix` marks the generation that also carries the index +
+    // profile artifacts — pre-r12-late roots lack them and must
+    // rebuild by PATH, not pass the completeness gate
     val root = s"/tmp/graft_ingestloop_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_" +
-      java.lang.Long.toHexString(fp.getLong(2)) + s"_m${sampleMod}s$shards"
+      java.lang.Long.toHexString(fp.getLong(2)) +
+      s"_m${sampleMod}s${shards}_ix"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!Dedup.isCompleteSignatureStore(fs, root)) {
@@ -82,8 +102,12 @@ object IngestLoop {
       Dedup.writeClusterMap(base, s"$building/map", sampleMod)
       TrainingExport.exportShards(base, s"$building/export",
         shards = shards, waves = 2)
+      SearchIndex.writeIndexStore(base, s"$building/index")
+      Profiling.writeProfileStore(base, s"$building/profile")
       require(runBatch(s"$building/map", s"$building/sigs",
-        s"$building/export", delta, batchId = 0L, sampleMod),
+        s"$building/export", delta, batchId = 0L, sampleMod,
+        indexPath = Some(s"$building/index"),
+        profilePath = Some(s"$building/profile")),
         "ingest-loop batch did not apply")
       val out = fs.create(
         new org.apache.hadoop.fs.Path(bp, "_SUCCESS"), true)
@@ -111,7 +135,9 @@ object IngestLoop {
       .withColumn("shard", pmod(Sampling.hashBucketFull(
         TrainingExport.ShardSalt, col("kept_doc")), lit(shards.toLong)))
       .groupBy("shard").agg(count(lit(1)).as("n_kept"))
-    manifest.join(kept, Seq("shard"), "left")
+    // kept is ≤`shards` rows by construction — broadcast it, else the
+    // planner's unknown-size default serves a sort-merge join here
+    manifest.join(broadcast(kept), Seq("shard"), "left")
       .na.fill(0L, Seq("n_kept"))
       .orderBy("shard")
   }

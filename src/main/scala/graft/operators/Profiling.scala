@@ -177,21 +177,27 @@ object Profiling {
 
   /** DuckDB mirror. `ln` (NOT `log`, which is log10 in DuckDB); the
     * same add-1 smoothing, 1e9 grid, and unrounded `max_abs_diff`.
+    * Ref and cur are scanned as separate branches, so the mirror is
+    * correct even when the two snapshots OVERLAP (ref = whole corpus,
+    * cur = a probe subset — the store-fed monitoring shape).
     */
   def driftSqlOver(refWhere: String, curWhere: String): String =
     s"""WITH fb AS (
        |  SELECT f.feature, f.bin, f.is_cur FROM (
-       |    SELECT 'lang' AS feature, lang AS bin,
-       |      CASE WHEN $curWhere THEN 1 ELSE 0 END AS is_cur
-       |    FROM documents WHERE ($refWhere) OR ($curWhere)
+       |    SELECT 'lang' AS feature, lang AS bin, 0 AS is_cur
+       |    FROM documents WHERE $refWhere
        |    UNION ALL
-       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR),
-       |      CASE WHEN $curWhere THEN 1 ELSE 0 END
-       |    FROM documents WHERE ($refWhere) OR ($curWhere)
+       |    SELECT 'lang', lang, 1 FROM documents WHERE $curWhere
        |    UNION ALL
-       |    SELECT 'source', source,
-       |      CASE WHEN $curWhere THEN 1 ELSE 0 END
-       |    FROM documents WHERE ($refWhere) OR ($curWhere)) f),
+       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR), 0
+       |    FROM documents WHERE $refWhere
+       |    UNION ALL
+       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR), 1
+       |    FROM documents WHERE $curWhere
+       |    UNION ALL
+       |    SELECT 'source', source, 0 FROM documents WHERE $refWhere
+       |    UNION ALL
+       |    SELECT 'source', source, 1 FROM documents WHERE $curWhere) f),
        |bins AS (
        |  SELECT feature, bin,
        |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,

@@ -464,6 +464,21 @@ object Extensions {
         new java.io.File(c.dir).getName + "_iloop")
       IngestLoop.loopReport(c.documents, root)
     }),
+    // the loop-grown index and profile, probed as the consumer would:
+    // retrieval oracle = UNCHANGED fresh-corpus bm25QueriesSql, drift
+    // oracle = stored-full-corpus reference vs an overlapping probe —
+    // append ≡ fresh for the two r12-late families THROUGH the loop
+    "pipeline_ingest_search" -> (c => {
+      val root = IngestLoop.ensureIngestLoop(c.documents,
+        new java.io.File(c.dir).getName + "_iloop")
+      SearchIndex.bm25FromStore(c.spark, s"$root/index")
+    }),
+    "pipeline_ingest_profile" -> (c => {
+      val root = IngestLoop.ensureIngestLoop(c.documents,
+        new java.io.File(c.dir).getName + "_iloop")
+      Profiling.driftFromStore(c.spark, s"$root/profile",
+        c.documents.filter(pmod(col("doc_id"), lit(2L)) === 0))
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -657,6 +672,9 @@ object Extensions {
       Dedup.containmentChunkLshMd5Sql(tau = 0.9),
     "dedup_containment_store" -> Dedup.containmentStoreSql(tau = 0.5),
     "pipeline_ingest_loop" -> IngestLoop.ingestLoopSql(),
+    "pipeline_ingest_search" -> Search.bm25QueriesSql(),
+    "pipeline_ingest_profile" ->
+      Profiling.driftSqlOver("1 = 1", "doc_id % 2 = 0"),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     // store round-trip must be invisible — same oracle as the one-shot

@@ -420,18 +420,24 @@ object EventStream {
     * by the batch-id watermark inside the manifest publish — so a
     * re-delivered micro-batch is a provable no-op across every
     * artifact (spec-checked). Per-batch cost is the sum of the three
-    * flat appends (the `ingestloop` ScaleBench rung).
+    * flat appends (the `ingestloop` ScaleBench rung). The r12-late
+    * families ride along when their paths are given (search index by
+    * manifest tag + watermark, reference profile by watermark) —
+    * still coordinator-free exactly-once, now across five artifacts.
     */
   def ingestLoopStream(docs: DataFrame, mapPath: String,
       sigStorePath: String, exportPath: String, checkpointDir: String,
-      sampleMod: Int = 2, compactMapAt: Int = 0): StreamingQuery = {
+      sampleMod: Int = 2, compactMapAt: Int = 0,
+      indexPath: Option[String] = None,
+      profilePath: Option[String] = None): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.IngestLoop.runBatch(mapPath, sigStorePath,
-          exportPath, batch.toDF(), batchId, sampleMod)
+          exportPath, batch.toDF(), batchId, sampleMod,
+          indexPath = indexPath, profilePath = profilePath)
         // optional read-amplification bound: fold overlays once their
         // count reaches compactMapAt (0 = never; compaction is
         // idempotent and replay-neutral — it changes no map CONTENT,

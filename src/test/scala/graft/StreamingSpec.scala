@@ -391,6 +391,44 @@ class StreamingSpec extends AnyFunSuite {
       sampleMod = 1)) == probeBefore, "replayed append changed the store")
   }
 
+  test("streaming ingest loop with index+profile: five artifacts end fresh-equivalent") {
+    import graft.operators.{Dedup, IngestLoop, Profiling, Search, SearchIndex}
+    import graft.sources.TrainingExport
+    val docs = Ctx(spark, sfDir).documents
+    val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_iloop_full")
+    val sigs = tmp.resolve("sigs").toString
+    val map = tmp.resolve("map").toString
+    val export = tmp.resolve("export").toString
+    val index = tmp.resolve("index").toString
+    val profile = tmp.resolve("profile").toString
+    val streamDir = tmp.resolve("stream").toString
+    Dedup.writeSignatureStore(base, sigs, sampleMod = 1)
+    Dedup.writeClusterMap(base, map, sampleMod = 1)
+    TrainingExport.exportShards(base, export, shards = 8, waves = 2)
+    SearchIndex.writeIndexStore(base, index)
+    Profiling.writeProfileStore(base, profile)
+    delta.repartition(2).write.parquet(streamDir)
+    val q = EventStream.ingestLoopStream(
+      EventStream.readDocuments(spark, streamDir), map, sigs, export,
+      tmp.resolve("ckpt").toString, sampleMod = 1,
+      indexPath = Some(index), profilePath = Some(profile))
+    try {
+      // the two riding stores ended exactly as a fresh build over the
+      // union would (the three core stores carry their own spec)
+      val viaLoop = SearchIndex.bm25FromStore(spark, index).collect()
+        .map(_.toString)
+      val fresh = Search.bm25Queries(docs).collect().map(_.toString)
+      assert(viaLoop.sameElements(fresh) && viaLoop.nonEmpty)
+      val freshProfile = tmp.resolve("profile_fresh").toString
+      Profiling.writeProfileStore(docs, freshProfile)
+      def bins(p: String) = spark.read.parquet(s"$p/bins")
+        .orderBy("feature", "bin").collect().map(_.toString)
+      assert(bins(profile).sameElements(bins(freshProfile)))
+    } finally q.stop()
+  }
+
   test("streaming ingest loop: final state equals fresh; replayed batch no-ops everywhere") {
     import graft.operators.{Dedup, IngestLoop}
     import graft.sources.TrainingExport
