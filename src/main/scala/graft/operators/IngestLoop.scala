@@ -77,8 +77,12 @@ object IngestLoop {
     */
   def ensureIngestLoop(docs: DataFrame, tag: String, sampleMod: Int = 2,
       shards: Int = 16): String = {
+    // full-text content hash: the root now carries the BM25 index,
+    // whose postings depend on the WORDS — a same-ids/same-lengths
+    // regenerated fixture (the amplifier's alphabet permutation is
+    // exactly that shape) must rebuild, not serve stale postings
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-      expr("bit_xor(xxhash64(doc_id, length(text)))").as("xh"))
+      expr("bit_xor(xxhash64(doc_id, text))").as("xh"))
       .collect().head
     // `_ix` marks the generation that also carries the index +
     // profile artifacts — pre-r12-late roots lack them and must

@@ -136,16 +136,22 @@ object Profiling {
     * rest runs on the dictionary-sized bins frame with a broadcast
     * totals join. No windows.
     */
-  def driftReport(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val bins = featureBins(ref).withColumn("is_cur", lit(0L))
+  def driftReport(ref: DataFrame, cur: DataFrame): DataFrame =
+    driftFromBins(featureBins(ref).withColumn("is_cur", lit(0L))
       .unionAll(featureBins(cur).withColumn("is_cur", lit(1L)))
       .groupBy("feature", "bin")
       .agg(sum(when(col("is_cur") === 0L, 1L).otherwise(0L)).as("c_ref"),
-        sum(col("is_cur")).as("c_cur"))
+        sum(col("is_cur")).as("c_cur")))
+
+  /** The shared PSI/KL scoring tail over a (feature, bin, c_ref,
+    * c_cur) frame — ONE copy of the smoothing/grid math, so
+    * [[driftReport]] and [[driftFromStore]] cannot drift apart.
+    */
+  private def driftFromBins(bins: DataFrame): DataFrame = {
     val tot = bins.groupBy("feature")
       .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
         count(lit(1)).as("n_bins"))
-    val t = bins.join(broadcast(tot), Seq("feature"))
+    bins.join(broadcast(tot), Seq("feature"))
       .withColumn("p", (col("c_ref") + lit(1L)).cast("double") /
         (col("n_ref") + col("n_bins")).cast("double"))
       .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
@@ -156,7 +162,7 @@ object Profiling {
           .cast("bigint"))
       .withColumn("kl9",
         floor(col("p") * col("lr") * lit(1e9) + lit(0.5)).cast("bigint"))
-    t.groupBy("feature")
+      .groupBy("feature")
       .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
         max("n_cur").as("n_cur"),
         (sum("psi9").cast("double") / lit(1e9)).as("psi"),
@@ -337,33 +343,21 @@ object Profiling {
     val stored = spark.read.parquet(s"$path/bins")
     val curBins = featureBins(cur).groupBy("feature", "bin")
       .agg(count(lit(1)).as("c_cur"))
-    val bins = stored.join(curBins.hint("shuffle_hash"),
+    driftFromBins(stored.join(curBins.hint("shuffle_hash"),
         Seq("feature", "bin"), "full_outer")
       .select(col("feature"), col("bin"),
         coalesce(col("c_ref"), lit(0L)).as("c_ref"),
-        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
-    val tot = bins.groupBy("feature")
-      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
-        count(lit(1)).as("n_bins"))
-    bins.join(broadcast(tot), Seq("feature"))
-      .withColumn("p", (col("c_ref") + lit(1L)).cast("double") /
-        (col("n_ref") + col("n_bins")).cast("double"))
-      .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
-        (col("n_cur") + col("n_bins")).cast("double"))
-      .withColumn("lr", log(col("p") / col("q")))
-      .withColumn("psi9",
-        floor((col("p") - col("q")) * col("lr") * lit(1e9) + lit(0.5))
-          .cast("bigint"))
-      .withColumn("kl9",
-        floor(col("p") * col("lr") * lit(1e9) + lit(0.5)).cast("bigint"))
-      .groupBy("feature")
-      .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
-        max("n_cur").as("n_cur"),
-        (sum("psi9").cast("double") / lit(1e9)).as("psi"),
-        (sum("kl9").cast("double") / lit(1e9)).as("kl"),
-        max(abs(col("p") - col("q"))).as("max_abs_diff"))
-      .orderBy("feature")
+        coalesce(col("c_cur"), lit(0L)).as("c_cur")))
   }
+
+  /** The profile store's streaming watermark — the ONE accessor
+    * consumers ([[graft.streaming.EventStream.driftMonitorStream]])
+    * go through, so the watermark's on-disk location stays an
+    * implementation detail of [[publish]].
+    */
+  def lastAppliedProfileBatch(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long =
+    Sketches.lastAppliedBatch(fs, path)
 
   /** Driver-entry split for the store round-trip: ref = doc_id ≡ 0
     * (mod 3) builds the store, cur = the rest probes it. The oracle

@@ -68,7 +68,7 @@ object SearchIndex {
     FileSystem.get(df.sparkSession.sparkContext.hadoopConfiguration)
 
   /** (w, doc_id, tf, wb) — the single corpus-sized aggregation. */
-  private def tokAgg(docs: DataFrame): DataFrame =
+  private[graft] def tokAgg(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
@@ -108,6 +108,11 @@ object SearchIndex {
   }
 
   def isCompleteIndexStore(fs: FileSystem, path: String): Boolean = {
+    // two swap scopes, two recoveries: writeIndexStore swaps the
+    // ROOT, appends swap only meta/ — a crash inside either rename
+    // pair must self-heal from its own `.old`
+    StoreSwap.recover(fs, new Path(path),
+      p => fs.exists(new Path(p, "meta/stats/_SUCCESS")))
     val meta = new Path(path, "meta")
     StoreSwap.recover(fs, meta,
       p => fs.exists(new Path(p, "stats/_SUCCESS")))
@@ -161,43 +166,59 @@ object SearchIndex {
     val fs = fsOf(batch)
     require(isCompleteIndexStore(fs, path),
       s"appendToIndexStore: $path is missing or incomplete")
-    appendTagged(path, batch, stampedId = None)
+    appendTagged(path, batch, readMeta(batch.sparkSession, path),
+      stampedId = None)
+    ()
   }
 
   /** Streaming-replay-safe fold: skips ids at-or-below the watermark
-    * (which rides the atomic meta publish). Returns whether applied.
+    * (which rides the atomic meta publish). Returns whether the
+    * batch's CONTENT newly landed — false for both a replayed id and
+    * a new id carrying an already-manifested content tag (the latter
+    * still advances the watermark, so the stamped and tagged guards
+    * agree about the store's state at every point).
     */
   def appendBatchToIndexStore(path: String, batch: DataFrame,
       batchId: Long): Boolean = {
     val fs = fsOf(batch)
     require(isCompleteIndexStore(fs, path),
       s"appendBatchToIndexStore: $path is missing or incomplete")
-    val (_, _, _, last) = readMeta(batch.sparkSession, path)
-    if (batchId <= last) false
-    else { appendTagged(path, batch, stampedId = Some(batchId)); true }
+    val meta = readMeta(batch.sparkSession, path)
+    if (batchId <= meta._4) false
+    else appendTagged(path, batch, meta, stampedId = Some(batchId))
   }
 
+  /** Returns whether the batch's content landed (vs a tag/empty
+    * no-op). Takes the already-read meta so the streamed hot path
+    * pays one meta read per append, not two.
+    */
   private def appendTagged(path: String, batch: DataFrame,
-      stampedId: Option[Long]): Unit = {
+      meta: (Long, Long, Seq[String], Long),
+      stampedId: Option[Long]): Boolean = {
     val spark = batch.sparkSession
+    val (n, s, tags, last) = meta
     val tagOpt = batchTag(batch)
     if (tagOpt.isEmpty) {
       // empty batch: still advance the watermark so a replayed empty
       // id stays a no-op without re-running the fingerprint
-      stampedId.foreach { id =>
-        val (n, s, tags, _) = readMeta(spark, path)
-        publishMeta(spark, path, n, s, tags, id)
-      }
-      return
+      stampedId.foreach(id => publishMeta(spark, path, n, s, tags, id))
+      return false
     }
     val tag = tagOpt.get
-    val (n, s, tags, last) = readMeta(spark, path)
-    if (tags.contains(tag)) return // replayed batch, dirs already live
+    if (tags.contains(tag)) {
+      // dirs already live; a NEW stamped id over old content still
+      // records its watermark (KB publish) so the two replay guards
+      // never disagree about what has been folded
+      stampedId.filter(_ > last)
+        .foreach(id => publishMeta(spark, path, n, s, tags, id))
+      return false
+    }
     writeBatchDirs(batch, path, tag)
     val r = spark.read.parquet(s"$path/doclens/batch=$tag")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect().head
     publishMeta(spark, path, n + r.getLong(0), s + r.getLong(1),
       tags :+ tag, stampedId.getOrElse(last))
+    true
   }
 
   /** Manifest-gated multi-batch read with an optional wb partition

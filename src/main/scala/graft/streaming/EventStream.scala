@@ -367,8 +367,8 @@ object EventStream {
         val spark = b.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        val applied = graft.operators.Sketches
-          .lastAppliedBatch(fs, storePath)
+        val applied = graft.operators.Profiling
+          .lastAppliedProfileBatch(fs, storePath)
         if (!absorb || batchId > applied) {
           graft.operators.Profiling.driftFromStore(spark, storePath, b)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")

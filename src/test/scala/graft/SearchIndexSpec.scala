@@ -67,6 +67,32 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(!SearchIndex.appendBatchToIndexStore(tmp2, delta, 0L))
     assert(SearchIndex.bm25FromStore(spark, tmp2).collect()
       .map(_.toString).sameElements(after))
+    // a NEW id carrying already-manifested content: content no-op
+    // (returns false, store unchanged) but the watermark advances so
+    // the stamped and tagged guards agree — id 1 then replays as a
+    // plain watermark hit
+    assert(!SearchIndex.appendBatchToIndexStore(tmp2, delta, 1L))
+    assert(SearchIndex.bm25FromStore(spark, tmp2).collect()
+      .map(_.toString).sameElements(after))
+    assert(!SearchIndex.appendBatchToIndexStore(tmp2, delta, 1L))
+  }
+
+  test("a crash inside the root swap self-heals from .old") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_heal")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs, tmp)
+    val before = SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString)
+    // the window between swapIn's two renames: dst gone, .old complete
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(tmp + ".old")
+    fs.delete(old, true)
+    require(fs.rename(p, old))
+    assert(SearchIndex.isCompleteIndexStore(fs, tmp))
+    assert(SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString).sameElements(before))
   }
 
   test("orphan batch dirs from a crashed append are invisible to readers") {
@@ -78,12 +104,10 @@ class SearchIndexSpec extends AnyFunSuite {
     val before = SearchIndex.bm25FromStore(spark, tmp).collect()
       .map(_.toString)
     // simulate the crash window: batch dirs landed, meta publish never
-    // ran — write them exactly as the append would, manifest untouched
-    val tok = delta.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("wb", pmod(xxhash64(col("w")), lit(32L)))
+    // ran — write them exactly as the append would (the store's OWN
+    // tokenizer/bucketing, so a WB change can't desync the fixture),
+    // manifest untouched
+    val tok = SearchIndex.tokAgg(delta)
     tok.write.mode("overwrite").partitionBy("wb")
       .parquet(s"$tmp/postings/batch=borphan")
     tok.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -100,7 +124,8 @@ class SearchIndexSpec extends AnyFunSuite {
     // localCheckpoint barrier, so assert on the store-read building
     // block the retrieval composes: manifest-gated read + wb filter
     val wb = spark.range(1).select(
-        pmod(xxhash64(lit("hash")), lit(32L))).collect().head.getLong(0)
+        pmod(xxhash64(lit("hash")), lit(SearchIndex.WB.toLong)))
+      .collect().head.getLong(0)
     val tags = spark.read.parquet(s"$tmp/meta/tags")
       .collect().map(_.getString(0)).toSeq
     val plan = SearchIndex
