@@ -417,13 +417,17 @@ object ScaleBench {
           }
         val docsAll = spark.read.parquet(s"$dir/documents.parquet")
         val base = docsAll.filter(col("doc_id") % 3 =!= 0)
-        val root = s"/tmp/graft_iloop_rung_p1_$mult"
+        val root = s"/tmp/graft_iloop_rung_p2_$mult"
         val (bsec, _) = time {
           if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))) {
             graft.operators.Dedup.writeSignatureStore(base, s"$root/sigs")
             graft.operators.Dedup.writeClusterMap(base, s"$root/map")
             graft.sources.TrainingExport.exportShards(base,
               s"$root/export", shards = 16, waves = 2)
+            graft.operators.SearchIndex.writeIndexStore(base,
+              s"$root/index")
+            graft.operators.Profiling.writeProfileStore(base,
+              s"$root/profile")
             fs.create(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"),
               true).close()
           }
@@ -439,9 +443,13 @@ object ScaleBench {
             new org.apache.hadoop.fs.Path(root), fs,
             new org.apache.hadoop.fs.Path(scratch), false, conf)
         }
+        // FIVE artifacts per batch since r12-late (index + profile
+        // ride along) — the flat-in-base claim covers the full loop
         def run(): Boolean = graft.operators.IngestLoop.runBatch(
           s"$scratch/map", s"$scratch/sigs", s"$scratch/export",
-          delta, batchId = 0L)
+          delta, batchId = 0L,
+          indexPath = Some(s"$scratch/index"),
+          profilePath = Some(s"$scratch/profile"))
         freshScratch(); run() // warm-up
         freshScratch(); settle()
         val (sec, _) = time { require(run(), "batch skipped"); 1L }
