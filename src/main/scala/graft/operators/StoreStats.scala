@@ -52,8 +52,15 @@ object StoreStats {
           val cs = fs.getContentSummary(root)
           (cs.getLength, cs.getFileCount)
         }
-      def ok(q: String): Boolean =
-        fs.exists(new org.apache.hadoop.fs.Path(q + "/_SUCCESS"))
+      // completeness = the family's own gate marker: root `_SUCCESS`
+      // (signature/containment stores, cluster map, loop root) or the
+      // well-known frame-level markers of the subdir-publishing
+      // families (profile `bins/`, sketch stores `sketches/`, index
+      // `meta/stats/`, export `_manifest/`)
+      val gateDirs = Seq("", "/bins", "/sketches", "/meta/stats",
+        "/_manifest")
+      def ok(q: String): Boolean = gateDirs.exists(g =>
+        fs.exists(new org.apache.hadoop.fs.Path(q + g + "/_SUCCESS")))
       (name,
         ok(p),
         !ok(p) && ok(p + ".old"),

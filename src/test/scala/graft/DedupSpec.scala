@@ -1103,6 +1103,21 @@ class DedupSpec extends AnyFunSuite {
       s"crashed generation not reported recoverable: $c")
     assert(fs.exists(new org.apache.hadoop.fs.Path(map + ".old")),
       "inspect mutated the store")
+    // the subdir-publishing families (r12-late) report complete via
+    // their own frame-level gate markers, not a root _SUCCESS
+    val profile = tmp.resolve("profile").toString
+    val index = tmp.resolve("index").toString
+    val rich = Seq.tabulate(20)(i => (i.toLong, s"tok${i % 5} body",
+        "en", s"src${i % 2}", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Profiling.writeProfileStore(rich, profile)
+    graft.operators.SearchIndex.writeIndexStore(rich, index)
+    val pr = StoreStats.inspect(spark,
+        Map("profile" -> profile, "index" -> index))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pr("profile").getBoolean(1), s"profile store: ${pr("profile")}")
+    assert(pr("index").getBoolean(1), s"index store: ${pr("index")}")
+    assert(pr("index").getInt(3) >= 2) // postings + doclens batch dirs
   }
 
   test("containment append to a missing store is refused") {
