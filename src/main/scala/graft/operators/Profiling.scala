@@ -137,11 +137,7 @@ object Profiling {
     * totals join. No windows.
     */
   def driftReport(ref: DataFrame, cur: DataFrame): DataFrame =
-    driftFromBins(featureBins(ref).withColumn("is_cur", lit(0L))
-      .unionAll(featureBins(cur).withColumn("is_cur", lit(1L)))
-      .groupBy("feature", "bin")
-      .agg(sum(when(col("is_cur") === 0L, 1L).otherwise(0L)).as("c_ref"),
-        sum(col("is_cur")).as("c_cur")))
+    driftFromBins(twoSnapshotBins(featureBins(ref), featureBins(cur)))
 
   /** The shared PSI/KL scoring tail over a (feature, bin, c_ref,
     * c_cur) frame — ONE copy of the smoothing/grid math, so
@@ -169,6 +165,104 @@ object Profiling {
         (sum("kl9").cast("double") / lit(1e9)).as("kl"),
         max(abs(col("p") - col("q"))).as("max_abs_diff"))
       .orderBy("feature")
+  }
+
+  /** Two tagged bin frames → (feature, bin, c_ref, c_cur) — the
+    * shared front half of every two-snapshot drift.
+    */
+  private def twoSnapshotBins(refBins: DataFrame,
+      curBins: DataFrame): DataFrame =
+    refBins.withColumn("is_cur", lit(0L))
+      .unionAll(curBins.withColumn("is_cur", lit(1L)))
+      .groupBy("feature", "bin")
+      .agg(sum(when(col("is_cur") === 0L, 1L).otherwise(0L)).as("c_ref"),
+        sum(col("is_cur")).as("c_cur"))
+
+  /** (feature, bin) rows for the EVENT-stream marginals: type mix,
+    * hour-of-day profile, and the 10-unit value bucket — the "did
+    * this week's traffic shift?" monitoring axes. `floor(value/10)`
+    * is a single IEEE chain on the stored double, identical in any
+    * engine; hour() is exact calendar arithmetic on the µs timestamp.
+    */
+  def eventBins(events: DataFrame): DataFrame =
+    events.select(explode(array(
+      struct(lit("event_type").as("feature"),
+        col("event_type").as("bin")),
+      struct(lit("hour_of_day").as("feature"),
+        expr("cast(hour(ts) as string)").as("bin")),
+      struct(lit("value_bucket").as("feature"),
+        expr("cast(cast(floor(value / 10.0) as bigint) as string)")
+          .as("bin")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+
+  /** PSI/KL drift between two event-stream snapshots — the same
+    * smoothing/grid tail as [[driftReport]] over the event marginals.
+    */
+  def eventsDrift(ref: DataFrame, cur: DataFrame): DataFrame =
+    driftFromBins(twoSnapshotBins(eventBins(ref), eventBins(cur)))
+
+  /** Driver-entry split with REAL traffic drift: ref = even
+    * event_ids; cur = odd event_ids minus half their error events (an
+    * incident resolving — the type mix, hourly profile and value
+    * histogram all move).
+    */
+  def eventsDriftEntry(events: DataFrame): DataFrame =
+    eventsDrift(
+      events.filter(pmod(col("event_id"), lit(2L)) === 0),
+      events.filter(pmod(col("event_id"), lit(2L)) === 1 &&
+        !(col("event_type") === "error" &&
+          pmod(col("event_id"), lit(4L)) === 1)))
+
+  val eventsDriftSql: String = {
+    val refW = "event_id % 2 = 0"
+    val curW = "event_id % 2 = 1 AND NOT (event_type = 'error' " +
+      "AND event_id % 4 = 1)"
+    def branch(feature: String, bin: String, w: String, cur: Int) =
+      s"SELECT '$feature' AS feature, $bin AS bin, $cur AS is_cur " +
+        s"FROM events WHERE $w"
+    val branches = Seq(
+      branch("event_type", "event_type", refW, 0),
+      branch("event_type", "event_type", curW, 1),
+      branch("hour_of_day", "CAST(hour(ts) AS VARCHAR)", refW, 0),
+      branch("hour_of_day", "CAST(hour(ts) AS VARCHAR)", curW, 1),
+      branch("value_bucket",
+        "CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
+          "AS VARCHAR)", refW, 0),
+      branch("value_bucket",
+        "CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
+          "AS VARCHAR)", curW, 1))
+    s"""WITH fb AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |bins AS (
+       |  SELECT feature, bin,
+       |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,
+       |    SUM(is_cur) AS c_cur
+       |  FROM fb GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT feature, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
+       |    COUNT(*) AS n_bins
+       |  FROM bins GROUP BY 1),
+       |t AS (
+       |  SELECT b.feature, t.n_bins, t.n_ref, t.n_cur,
+       |    CAST(b.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.n_bins AS DOUBLE)
+       |      AS p,
+       |    CAST(b.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_bins AS DOUBLE)
+       |      AS q
+       |  FROM bins b JOIN tot t USING (feature)),
+       |g AS (
+       |  SELECT feature, n_bins, n_ref, n_cur,
+       |    CAST(floor((p - q) * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
+       |      AS BIGINT) AS psi9,
+       |    CAST(floor(p * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
+       |      AS BIGINT) AS kl9,
+       |    abs(p - q) AS ad
+       |  FROM t)
+       |SELECT feature, MAX(n_bins) AS n_bins, MAX(n_ref) AS n_ref,
+       |  MAX(n_cur) AS n_cur,
+       |  CAST(SUM(psi9) AS DOUBLE) / 1e9 AS psi,
+       |  CAST(SUM(kl9) AS DOUBLE) / 1e9 AS kl,
+       |  MAX(ad) AS max_abs_diff
+       |FROM g GROUP BY feature ORDER BY feature""".stripMargin
   }
 
   /** Driver-entry fixture split with REAL drift: ref = even doc_ids;

@@ -651,6 +651,7 @@ object Extensions {
     // snapshot drift (PSI / KL, add-1 smoothed) + the persisted
     // reference-profile store round-trip
     "pipeline_drift_psi" -> (c => Profiling.driftEntry(c.documents)),
+    "events_drift" -> (c => Profiling.eventsDriftEntry(c.events)),
     "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
       java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     "salted_revenue" -> (saltedRevenue _),
@@ -783,6 +784,7 @@ object Extensions {
     "profile_lineitem" -> profileLineitemSql,
     "profile_columns" -> Profiling.columnProfileSql,
     "pipeline_drift_psi" -> Profiling.driftSql,
+    "events_drift" -> Profiling.eventsDriftSql,
     // store round-trip must be invisible — the oracle recomputes the
     // same drift from the raw table
     "pipeline_drift_store" -> Profiling.driftStoreSql,

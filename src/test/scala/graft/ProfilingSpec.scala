@@ -46,6 +46,22 @@ class ProfilingSpec extends AnyFunSuite {
     assert(byFeature("source") >= 0.0 && byFeature("source") < byFeature("lang"))
   }
 
+  test("eventsDrift: zero on identical snapshots, moves when a type vanishes") {
+    val events = Seq.tabulate(200)(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L),
+        i.toLong % 7, Seq("click", "view", "error")(i % 3),
+        (i % 50) * 3.7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Profiling.eventsDrift(events, events).collect().foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getDouble(6) == 0.0)
+    }
+    val byFeature = Profiling
+      .eventsDrift(events, events.filter(col("event_type") =!= "error"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byFeature("event_type") > 0.1)
+    assert(byFeature.size == 3)
+  }
+
   test("profile store: append equals a fresh build over the union, exactly") {
     val base = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
