@@ -110,7 +110,8 @@ object ScaleBench {
       else "tpch,pipeline,events,svd,matmul,lloyd,ccchain,incstore," +
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
-        "ctstore,ingestloop,clustermap_compact,profilestore,searchindex")
+        "ctstore,ingestloop,clustermap_compact,profilestore,searchindex," +
+        "storecompact")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1240,6 +1241,62 @@ object ScaleBench {
         val (psec, _) = time(
           graft.operators.SearchIndex.bm25FromStore(spark, store).count())
         println(f"$mult%-6d$wsec%9.2f$asec%10.2f$psec%9.2f")
+      }
+    }
+
+    section("storecompact") {
+      // the compaction law: CONTENT constant, batch-dir COUNT varies —
+      // K appends leave K dirs and every probe pays K× file
+      // listings/footers; the fold restores the one-dir read without
+      // changing a single result row. Read the probe_k → probe_1 drop,
+      // not absolute seconds (single-run probes bounce ±0.5 s).
+      println("== store compaction: probe vs batch-dir count (constant content) ==")
+      println(f"${"family"}%-8s${"dirs"}%6s${"probe_k_s"}%10s" +
+        f"${"compact_s"}%10s${"probe_1_s"}%10s${"folded"}%8s")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val K = 12
+      locally {
+        val store = "/tmp/graft_sidx_compact_scale"
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        graft.operators.SearchIndex.writeIndexStore(
+          docs.filter(pmod(col("doc_id"), lit(K.toLong)) === 0), store)
+        for (i <- 1 until K)
+          graft.operators.SearchIndex.appendToIndexStore(store,
+            docs.filter(pmod(col("doc_id"), lit(K.toLong)) === i))
+        def probe(): Long =
+          graft.operators.SearchIndex.bm25FromStore(spark, store).count()
+        probe(); settle()
+        val (pk, _) = time(probe())
+        val (cs, folded) = time(
+          graft.operators.SearchIndex.compactIndexStore(spark, store)
+            .toLong)
+        probe(); settle()
+        val (p1, _) = time(probe())
+        println(f"${"bm25"}%-8s$K%6d$pk%10.2f$cs%10.2f$p1%10.2f$folded%8d")
+      }
+      locally {
+        val store = "/tmp/graft_ct_compact_scale"
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        // delta carved OUT of the ingested base (probe ≠ store ids)
+        val delta = docs.filter(pmod(col("doc_id"), lit(17L)) === 0)
+        val base = docs.filter(pmod(col("doc_id"), lit(17L)) =!= 0)
+        graft.operators.Dedup.writeContainmentStore(
+          base.filter(pmod(col("doc_id"), lit(K.toLong)) === 0), store)
+        for (i <- 1 until K)
+          graft.operators.Dedup.appendToContainmentStore(
+            base.filter(pmod(col("doc_id"), lit(K.toLong)) === i), store)
+        def probe(): Long = graft.operators.Dedup
+          .containmentFromStore(store, delta).count()
+        probe(); settle()
+        val (pk, _) = time(probe())
+        val (cs, folded) = time(
+          graft.operators.Dedup.compactContainmentStore(spark, store)
+            .toLong)
+        probe(); settle()
+        val (p1, _) = time(probe())
+        println(f"${"ctstore"}%-8s$K%6d$pk%10.2f$cs%10.2f$p1%10.2f$folded%8d")
       }
     }
 

@@ -935,6 +935,8 @@ object Dedup {
     containmentBatchTag(baseDocs).foreach { tag =>
       writeContainmentBatch(baseDocs, tmp.toString, tag, chunkWords,
         stride, numHashes, bands, sampleMod)
+      writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+        s"_applied/$tag"), Array.emptyByteArray)
     }
     fs.mkdirs(tmp)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
@@ -966,8 +968,17 @@ object Dedup {
     require(isCompleteSignatureStore(fs, path),
       s"appendToContainmentStore: $path is not a complete store")
     containmentBatchTag(deltaDocs).foreach { tag =>
-      writeContainmentBatch(deltaDocs, path, tag, chunkWords, stride,
-        numHashes, bands, sampleMod)
+      // `_applied/<tag>` ledger (the signature-store discipline),
+      // written LAST: a replayed batch whose dirs a compaction has
+      // since folded away must stay a no-op — recreating them would
+      // double its shingle rows (inflating `common`) and chunk sigs.
+      // A crash before the marker just re-overwrites the same dirs.
+      val marker = new org.apache.hadoop.fs.Path(path, s"_applied/$tag")
+      if (!fs.exists(marker)) {
+        writeContainmentBatch(deltaDocs, path, tag, chunkWords, stride,
+          numHashes, bands, sampleMod)
+        writeSmallFile(fs, marker, Array.emptyByteArray)
+      }
     }
   }
 
@@ -1037,6 +1048,96 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select("d1", "d2", "n1", "n2", "common", "containment")
       .orderBy("d1", "d2")
+  }
+
+  /** Tags of COMPLETE batches in a containment store: all three frame
+    * dirs landed (their `_SUCCESS` markers exist — chunks last, per
+    * the write order). A crashed append's partial dirs (shingles/sizes
+    * without chunks) are excluded: they were never probe-visible, so
+    * dropping them at compaction changes no result.
+    */
+  private def containmentStoreBatchTags(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val chunks = new org.apache.hadoop.fs.Path(s"$path/chunks")
+    if (!fs.exists(chunks)) return Seq.empty
+    fs.listStatus(chunks).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch="))
+      .filter { t =>
+        Seq("chunks", "shingles", "sizes").forall(sub => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/$sub/batch=$t/_SUCCESS")))
+      }.toSeq
+  }
+
+  /** Fold all complete batch directories into ONE — the maintenance
+    * pass bounding probe read-amplification in APPEND COUNT (the
+    * [[compactClusterMap]] role for this family): without it every
+    * probe's three store scans pay batch-count × file
+    * listings/footers. Batches are doc_id-disjoint (the append
+    * contract), so the fold is a pure re-layout — no aggregation,
+    * probe results bit-identical (spec law).
+    *
+    * Published as a WHOLE-ROOT [[StoreSwap]] (this store's readers
+    * enumerate batch dirs by listing, so per-dir replacement can't be
+    * atomic for them): merged frames + the carried `_applied` ledger
+    * + `_SUCCESS` staged under a temp sibling, one swap. The ledger
+    * gains every folded tag (covering pre-ledger batches), which is
+    * what keeps a replayed old batch a no-op once its dir is gone.
+    * The compact tag is deterministic in the folded set (prefix `c`,
+    * disjoint from content tags' `b`), so a re-run overwrites itself.
+    * Returns the number of batch dirs folded (0 = nothing to do).
+    */
+  def compactContainmentStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(fs, path),
+      s"compactContainmentStore: $path is not a complete store")
+    val tags = containmentStoreBatchTags(fs, path)
+    if (tags.size <= 1) return 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ctag = "c" + tags.size + "_" + md.digest(
+      tags.sorted.mkString("|").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    def merged(sub: String) = spark.read
+      .option("basePath", s"$path/$sub")
+      .parquet(tags.map(t => s"$path/$sub/batch=$t"): _*)
+      .drop("batch")
+    merged("shingles").write.parquet(s"$tmp/shingles/batch=$ctag")
+    merged("sizes").write.parquet(s"$tmp/sizes/batch=$ctag")
+    merged("chunks").write.partitionBy("band")
+      .parquet(s"$tmp/chunks/batch=$ctag")
+    val applied = new org.apache.hadoop.fs.Path(path, "_applied")
+    val carried =
+      if (fs.exists(applied))
+        fs.listStatus(applied).map(_.getPath.getName).toSeq
+      else Seq.empty
+    (carried ++ tags).distinct.foreach(t =>
+      writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+        s"_applied/$t"), Array.emptyByteArray))
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+      Array.emptyByteArray)
+    StoreSwap.swapIn(fs, tmp, dst)
+    tags.size
+  }
+
+  /** Compaction policy knob (the [[maintainClusterMap]] convention):
+    * fold only once the complete-batch count reaches `maxBatches`, so
+    * an ingest loop calls this after every append and amortizes the
+    * store-sized rewrite over `maxBatches` appends.
+    */
+  def maintainContainmentStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxBatches: Int = 16): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (containmentStoreBatchTags(fs, path).size >= maxBatches)
+      compactContainmentStore(spark, path)
+    else 0
   }
 
   /** Build-once helper for the driver entry — the containment-store

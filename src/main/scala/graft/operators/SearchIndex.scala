@@ -87,13 +87,17 @@ object SearchIndex {
       .write.mode("overwrite").parquet(s"$root/doclens/batch=$tag")
   }
 
-  /** Atomically (re)publish `meta/`: stats row, applied-tag manifest,
-    * streaming watermark. All inputs are driver-resident scalars —
-    * nothing here re-reads what the swap replaces.
+  /** Atomically (re)publish `meta/`: stats row, the VISIBILITY
+    * manifest (`tags` — the batch dirs readers enumerate), the
+    * APPLIED ledger (`applied` — every content tag ever folded; it
+    * outlives compaction, which is what keeps a replayed old batch a
+    * no-op after its dir has been folded away), and the streaming
+    * watermark. All inputs are driver-resident scalars — nothing here
+    * re-reads what the swap replaces.
     */
   private def publishMeta(spark: SparkSession, path: String,
       nDocs: Long, sumDl: Long, tags: Seq[String],
-      lastBatch: Long): Unit = {
+      applied: Seq[String], lastBatch: Long): Unit = {
     import spark.implicits._
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(path, "meta")
@@ -102,6 +106,7 @@ object SearchIndex {
     Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.parquet(s"$tmp/stats")
     tags.toDF("tag").coalesce(1).write.parquet(s"$tmp/tags")
+    applied.toDF("tag").coalesce(1).write.parquet(s"$tmp/applied")
     val out = fs.create(new Path(tmp, "last_batch"))
     out.write(lastBatch.toString.getBytes("UTF-8")); out.close()
     StoreSwap.swapIn(fs, tmp, dst)
@@ -119,13 +124,22 @@ object SearchIndex {
     fs.exists(new Path(path + "/meta/stats/_SUCCESS"))
   }
 
+  /** (n_docs, sum_dl, visible tags, applied ledger, watermark).
+    * Pre-ledger generations (no `applied/` dir) fall back to
+    * applied = tags — exactly the old replay semantics.
+    */
   private def readMeta(spark: SparkSession,
-      path: String): (Long, Long, Seq[String], Long) = {
+      path: String): (Long, Long, Seq[String], Seq[String], Long) = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val st = spark.read.parquet(s"$path/meta/stats").collect().head
     val tags = spark.read.parquet(s"$path/meta/tags")
       .collect().map(_.getString(0)).toSeq
-    (st.getLong(0), st.getLong(1), tags,
+    val applied =
+      if (fs.exists(new Path(s"$path/meta/applied")))
+        spark.read.parquet(s"$path/meta/applied")
+          .collect().map(_.getString(0)).toSeq
+      else tags
+    (st.getLong(0), st.getLong(1), tags, applied,
       Sketches.lastAppliedBatch(fs, s"$path/meta"))
   }
 
@@ -153,6 +167,7 @@ object SearchIndex {
     Seq((n, s)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.parquet(s"$tmp/meta/stats")
     metaTags.toDF("tag").coalesce(1).write.parquet(s"$tmp/meta/tags")
+    metaTags.toDF("tag").coalesce(1).write.parquet(s"$tmp/meta/applied")
     val out = fs.create(new Path(tmp, "meta/last_batch"))
     out.write("-1".getBytes("UTF-8")); out.close()
     StoreSwap.swapIn(fs, tmp, dst)
@@ -184,7 +199,7 @@ object SearchIndex {
     require(isCompleteIndexStore(fs, path),
       s"appendBatchToIndexStore: $path is missing or incomplete")
     val meta = readMeta(batch.sparkSession, path)
-    if (batchId <= meta._4) false
+    if (batchId <= meta._5) false
     else appendTagged(path, batch, meta, stampedId = Some(batchId))
   }
 
@@ -193,31 +208,35 @@ object SearchIndex {
     * pays one meta read per append, not two.
     */
   private def appendTagged(path: String, batch: DataFrame,
-      meta: (Long, Long, Seq[String], Long),
+      meta: (Long, Long, Seq[String], Seq[String], Long),
       stampedId: Option[Long]): Boolean = {
     val spark = batch.sparkSession
-    val (n, s, tags, last) = meta
+    val (n, s, tags, applied, last) = meta
     val tagOpt = batchTag(batch)
     if (tagOpt.isEmpty) {
       // empty batch: still advance the watermark so a replayed empty
       // id stays a no-op without re-running the fingerprint
-      stampedId.foreach(id => publishMeta(spark, path, n, s, tags, id))
+      stampedId.foreach(id =>
+        publishMeta(spark, path, n, s, tags, applied, id))
       return false
     }
     val tag = tagOpt.get
-    if (tags.contains(tag)) {
-      // dirs already live; a NEW stamped id over old content still
-      // records its watermark (KB publish) so the two replay guards
-      // never disagree about what has been folded
-      stampedId.filter(_ > last)
-        .foreach(id => publishMeta(spark, path, n, s, tags, id))
+    // replay check against the APPLIED ledger, not the visibility
+    // manifest: a compaction folds dirs out of `tags` but the content
+    // stays counted — re-appending it would double its postings
+    if (applied.contains(tag)) {
+      // a NEW stamped id over old content still records its watermark
+      // (KB publish) so the two replay guards never disagree about
+      // what has been folded
+      stampedId.filter(_ > last).foreach(id =>
+        publishMeta(spark, path, n, s, tags, applied, id))
       return false
     }
     writeBatchDirs(batch, path, tag)
     val r = spark.read.parquet(s"$path/doclens/batch=$tag")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect().head
     publishMeta(spark, path, n + r.getLong(0), s + r.getLong(1),
-      tags :+ tag, stampedId.getOrElse(last))
+      tags :+ tag, applied :+ tag, stampedId.getOrElse(last))
     true
   }
 
@@ -242,6 +261,70 @@ object SearchIndex {
     }
   }
 
+  /** Fold all visible batch directories into ONE — the maintenance
+    * pass that keeps probe cost flat in APPEND COUNT: without it a
+    * daily-ingest index accumulates a `batch=` dir per fold and every
+    * retrieval pays batch-count × bucket file listings/footers (the
+    * same read-amplification the cluster map's LSM fold bounds).
+    * Postings are disjoint across batches (doc_ids are — the append
+    * contract), so the fold is a pure RE-LAYOUT: no aggregation, stats
+    * unchanged, scores bit-identical (spec law).
+    *
+    * Crash-safe by the manifest discipline: the merged dirs land
+    * first (invisible — not in the manifest), then ONE atomic meta
+    * publish makes them the only visible generation, then the folded
+    * dirs (now invisible) are swept — a crash at any point leaves a
+    * correct store. The APPLIED ledger carries every folded tag
+    * forward, so a replayed old batch stays a no-op after its dir is
+    * gone. The compact tag is deterministic in the folded set
+    * (prefix `c`, never colliding with content tags' `b`), so a
+    * re-run compaction overwrites its own dirs. Runs on the
+    * consumer's cadence via [[maintainIndexStore]], amortizing the
+    * index-sized rewrite over `maxBatches` appends.
+    * Returns the number of batch dirs folded (0 = nothing to do).
+    */
+  def compactIndexStore(spark: SparkSession, path: String): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(isCompleteIndexStore(fs, path),
+      s"compactIndexStore: $path is missing or incomplete")
+    val (n, s, tags, applied, last) = readMeta(spark, path)
+    if (tags.size <= 1) return 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ctag = "c" + tags.size + "_" + md.digest(
+      tags.sorted.mkString("|").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    readBatched(spark, path, "postings", tags, None)
+      .write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$path/postings/batch=$ctag")
+    readBatched(spark, path, "doclens", tags, None)
+      .write.mode("overwrite").parquet(s"$path/doclens/batch=$ctag")
+    publishMeta(spark, path, n, s, Seq(ctag),
+      (applied ++ tags).distinct, last)
+    // the folded dirs are already invisible; sweeping them is pure
+    // space reclamation — a crash mid-sweep leaves harmless orphans
+    // the next compaction's sweep (or StoreStats) surfaces
+    tags.filter(_ != ctag).foreach { t =>
+      fs.delete(new Path(s"$path/postings/batch=$t"), true)
+      fs.delete(new Path(s"$path/doclens/batch=$t"), true)
+    }
+    tags.size
+  }
+
+  /** Compaction policy knob (the [[Dedup.maintainClusterMap]]
+    * convention): fold only once the visible batch count reaches
+    * `maxBatches`, so an ingest loop can call this after every append
+    * and pay the index rewrite once per `maxBatches` batches.
+    */
+  def maintainIndexStore(spark: SparkSession, path: String,
+      maxBatches: Int = 16): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(isCompleteIndexStore(fs, path),
+      s"maintainIndexStore: $path is missing or incomplete")
+    if (readMeta(spark, path)._3.size >= maxBatches)
+      compactIndexStore(spark, path)
+    else 0
+  }
+
   /** BM25 over the query TABLE against the STORED index — identical
     * math (and bit-identical scores) to [[Search.bm25Queries]] over
     * the same corpus, but the only corpus-sized reads are the
@@ -258,7 +341,7 @@ object SearchIndex {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     require(isCompleteIndexStore(fs, path),
       s"bm25FromStore: $path is missing or incomplete")
-    val (nDocs, sumDl, tags, _) = readMeta(spark, path)
+    val (nDocs, sumDl, tags, _, _) = readMeta(spark, path)
     val queries = queryTable.toDF("qid", "qtext")
     val qterms = queries.select(col("qid"),
         explode(TextFunctions.words(col("qtext"))).as("w"))

@@ -314,7 +314,8 @@ object EventStream {
   def containmentStream(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String, tau: Double = 0.5,
       chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
-      bands: Int = 4, sampleMod: Int = 1): StreamingQuery = {
+      bands: Int = 4, sampleMod: Int = 1,
+      compactAt: Int = 0): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -331,6 +332,14 @@ object EventStream {
         verdicts.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         graft.operators.Dedup.appendToContainmentStore(b, storePath,
           chunkWords, stride, numHashes, bands, sampleMod)
+        // optional read-amplification bound: fold batch dirs once
+        // their count reaches compactAt (0 = never; the fold changes
+        // no store CONTENT and the `_applied` ledger outlives it, so
+        // a crash anywhere around it re-runs cleanly)
+        if (compactAt > 0)
+          graft.operators.Dedup.maintainContainmentStore(
+            b.sparkSession, storePath, compactAt)
+        ()
       }
       .start()
     q.processAllAvailable()
@@ -395,14 +404,22 @@ object EventStream {
     * [[sketchStream]] discipline.
     */
   def searchIndexStream(docs: DataFrame, storePath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, compactAt: Int = 0): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
         graft.operators.SearchIndex
-          .appendBatchToIndexStore(storePath, batch.toDF(), batchId)
+          .appendBatchToIndexStore(storePath, b, batchId)
+        // fold batch dirs once the manifest reaches compactAt (0 =
+        // never): scores are unchanged by construction and the
+        // applied ledger keeps replays no-ops, so the fold is
+        // replay-neutral at every crash point
+        if (compactAt > 0)
+          graft.operators.SearchIndex.maintainIndexStore(
+            b.sparkSession, storePath, compactAt)
         ()
       }
       .start()
@@ -429,7 +446,8 @@ object EventStream {
       sigStorePath: String, exportPath: String, checkpointDir: String,
       sampleMod: Int = 2, compactMapAt: Int = 0,
       indexPath: Option[String] = None,
-      profilePath: Option[String] = None): StreamingQuery = {
+      profilePath: Option[String] = None,
+      compactIndexAt: Int = 0): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -445,6 +463,9 @@ object EventStream {
         if (compactMapAt > 0)
           graft.operators.Dedup.maintainClusterMap(
             batch.sparkSession, mapPath, compactMapAt)
+        if (compactIndexAt > 0)
+          indexPath.foreach(p => graft.operators.SearchIndex
+            .maintainIndexStore(batch.sparkSession, p, compactIndexAt))
         ()
       }
       .start()

@@ -181,6 +181,73 @@ class DedupSpec extends AnyFunSuite {
     assert(probe(grown).collect().map(_.toString).sameElements(g))
   }
 
+  test("containment store compaction: probe bit-identical; ledger outlives the fold") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val embedded = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val embedded2 = "uno dos tres cuatro cinco seis siete ocho " +
+      "nueve diez once doce trece catorce quince dieciseis"
+    def filler(w: String, n: Int) =
+      Seq.tabulate(n)(i => s"$w$i").mkString(" ")
+    val base1 = Seq(
+      (10L, s"${filler("pre", 54)} $embedded ${filler("post", 54)}"),
+      (20L, "totally unrelated words about something else entirely here"))
+      .toDF("doc_id", "text")
+    val base2 = Seq(
+      (30L, s"${filler("aaa", 52)} $embedded2 ${filler("bbb", 52)}"))
+      .toDF("doc_id", "text")
+    // chunk-ALIGNED like base2 (16 words at offset 52, stride 4) so
+    // the covering chunk's shingle set EQUALS probe 5's — the band
+    // collision is certain, not an md5 draw; post-append the probe
+    // finds 5→30 AND 5→40
+    val base3 = Seq(
+      (40L, s"${filler("ccc", 52)} $embedded2 ${filler("ddd", 52)}"))
+      .toDF("doc_id", "text")
+    val probes = Seq((0L, embedded), (5L, embedded2))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("ctstore_cmp")
+    val grown = tmp.resolve("grown").toString
+    Dedup.writeContainmentStore(base1, grown, stride = 4, sampleMod = 1)
+    Dedup.appendToContainmentStore(base2, grown, stride = 4,
+      sampleMod = 1)
+    def probe(path: String) =
+      Dedup.containmentFromStore(path, probes, tau = 0.9, sampleMod = 1)
+    def batchDirs(sub: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$grown/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    val before = probe(grown).collect().map(_.toString)
+    assert(before.length == 2) // 0→10 and 5→30, per the store test above
+    // under threshold: maintain no-op; at it: folds both batches
+    assert(Dedup.maintainContainmentStore(spark, grown, 3) == 0)
+    assert(Dedup.maintainContainmentStore(spark, grown, 2) == 2)
+    assert(probe(grown).collect().map(_.toString).sameElements(before),
+      "compaction changed probe results")
+    Seq("chunks", "shingles", "sizes").foreach { sub =>
+      assert(batchDirs(sub).length == 1 &&
+        batchDirs(sub).head.startsWith("batch=c2_"), s"$sub not folded")
+    }
+    // the `_applied` ledger outlives the folded dirs: a replayed old
+    // batch is a no-op — its dirs are NOT recreated, nothing doubles
+    Dedup.appendToContainmentStore(base2, grown, stride = 4,
+      sampleMod = 1)
+    assert(batchDirs("chunks").length == 1)
+    assert(probe(grown).collect().map(_.toString).sameElements(before))
+    // nothing left to fold
+    assert(Dedup.compactContainmentStore(spark, grown) == 0)
+    // compaction composes with append: a NEW batch lands and the
+    // store still probes identically to a fresh build over the union
+    Dedup.appendToContainmentStore(base3, grown, stride = 4,
+      sampleMod = 1)
+    val fresh = tmp.resolve("fresh").toString
+    Dedup.writeContainmentStore(base1.unionAll(base2).unionAll(base3),
+      fresh, stride = 4, sampleMod = 1)
+    val g = probe(grown).collect().map(_.toString)
+    assert(g.length == 3 && g.sameElements(
+      probe(fresh).collect().map(_.toString)),
+      "post-compaction append diverged from fresh")
+  }
+
   test("splitLeakage flags duplicate clusters spanning splits") {
     def h60(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

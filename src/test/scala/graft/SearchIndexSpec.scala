@@ -145,6 +145,51 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(rows.count() > 0)
   }
 
+  test("compaction: scores bit-identical, one dir left, ledger outlives the fold") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_cmp")
+    val store = tmp.resolve("store").toString
+    val parts = (0 to 2).map(m => docs.filter(col("doc_id") % 3 === m))
+    SearchIndex.writeIndexStore(parts(0), store)
+    SearchIndex.appendToIndexStore(store, parts(1))
+    SearchIndex.appendToIndexStore(store, parts(2))
+    val before = SearchIndex.bm25FromStore(spark, store).collect()
+      .map(_.toString)
+    def batchDirs(sub: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(batchDirs("postings").length == 3)
+    // under threshold: maintain is a no-op; at it: folds all three
+    assert(SearchIndex.maintainIndexStore(spark, store, 4) == 0)
+    assert(SearchIndex.maintainIndexStore(spark, store, 3) == 3)
+    assert(SearchIndex.bm25FromStore(spark, store).collect()
+      .map(_.toString).sameElements(before), "compaction changed scores")
+    assert(batchDirs("postings").length == 1 &&
+      batchDirs("postings").head.startsWith("batch=c3_"))
+    assert(batchDirs("doclens").length == 1)
+    // the applied LEDGER outlives the folded dirs: replaying an old
+    // batch (tagged or stamped) is a no-op — its dir is NOT recreated
+    SearchIndex.appendToIndexStore(store, parts(1))
+    assert(!SearchIndex.appendBatchToIndexStore(store, parts(2), 7L))
+    assert(batchDirs("postings").length == 1)
+    assert(SearchIndex.bm25FromStore(spark, store).collect()
+      .map(_.toString).sameElements(before))
+    // nothing left to fold
+    assert(SearchIndex.compactIndexStore(spark, store) == 0)
+    // compaction composes with append: a genuinely NEW batch lands
+    // after the fold and the store still equals a fresh build
+    val extra = docs.withColumn("doc_id", col("doc_id") + 1000L)
+    SearchIndex.appendToIndexStore(store, extra)
+    val fresh = tmp.resolve("fresh").toString
+    SearchIndex.writeIndexStore(docs.unionAll(extra), fresh)
+    assert(SearchIndex.bm25FromStore(spark, store).collect()
+      .map(_.toString).sameElements(
+        SearchIndex.bm25FromStore(spark, fresh).collect()
+          .map(_.toString)),
+      "post-compaction append diverged from fresh")
+  }
+
   test("empty store and missing store behave (empty result; append refused)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_empty")
     val empty = tmp.resolve("empty").toString
