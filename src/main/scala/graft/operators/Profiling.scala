@@ -213,26 +213,14 @@ object Profiling {
         !(col("event_type") === "error" &&
           pmod(col("event_id"), lit(4L)) === 1)))
 
-  val eventsDriftSql: String = {
-    val refW = "event_id % 2 = 0"
-    val curW = "event_id % 2 = 1 AND NOT (event_type = 'error' " +
-      "AND event_id % 4 = 1)"
-    def branch(feature: String, bin: String, w: String, cur: Int) =
-      s"SELECT '$feature' AS feature, $bin AS bin, $cur AS is_cur " +
-        s"FROM events WHERE $w"
-    val branches = Seq(
-      branch("event_type", "event_type", refW, 0),
-      branch("event_type", "event_type", curW, 1),
-      branch("hour_of_day", "CAST(hour(ts) AS VARCHAR)", refW, 0),
-      branch("hour_of_day", "CAST(hour(ts) AS VARCHAR)", curW, 1),
-      branch("value_bucket",
-        "CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
-          "AS VARCHAR)", refW, 0),
-      branch("value_bucket",
-        "CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
-          "AS VARCHAR)", curW, 1))
+  /** The DuckDB mirror of [[driftFromBins]] — ONE copy of the SQL
+    * smoothing/grid tail shared by every drift oracle; callers supply
+    * the `(feature, bin, is_cur)` branch union. `ln` (NOT `log`, which
+    * is log10 in DuckDB).
+    */
+  private def driftTailSql(fbBody: String): String =
     s"""WITH fb AS (
-       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |  $fbBody),
        |bins AS (
        |  SELECT feature, bin,
        |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,
@@ -263,7 +251,86 @@ object Profiling {
        |  CAST(SUM(kl9) AS DOUBLE) / 1e9 AS kl,
        |  MAX(ad) AS max_abs_diff
        |FROM g GROUP BY feature ORDER BY feature""".stripMargin
-  }
+
+  /** `(feature, bin, is_cur)` branch pairs over one table — the fb
+    * body every two-snapshot drift oracle feeds [[driftTailSql]].
+    */
+  private def snapshotBranchesSql(table: String,
+      features: Seq[(String, String)], refWhere: String,
+      curWhere: String): String =
+    features.flatMap { case (feature, bin) => Seq(
+      s"SELECT '$feature' AS feature, $bin AS bin, 0 AS is_cur " +
+        s"FROM $table WHERE $refWhere",
+      s"SELECT '$feature', $bin, 1 FROM $table WHERE $curWhere")
+    }.mkString("\n  UNION ALL\n  ")
+
+  val eventsDriftSql: String = driftTailSql(snapshotBranchesSql(
+    "events",
+    Seq(
+      "event_type" -> "event_type",
+      "hour_of_day" -> "CAST(hour(ts) AS VARCHAR)",
+      "value_bucket" ->
+        ("CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
+          "AS VARCHAR)")),
+    "event_id % 2 = 0",
+    "event_id % 2 = 1 AND NOT (event_type = 'error' AND event_id % 4 = 1)"))
+
+  /** (feature, bin) rows for the EMBEDDING-space marginals — the
+    * monitoring axes for a vector corpus where per-dimension
+    * histograms are too wide to eyeball: the cluster-label mix, the
+    * dominant direction (argmax dimension — both engines return the
+    * FIRST index of the max element, and the compared values are the
+    * same stored floats, so ties break identically), and the squared-
+    * L2-norm bucket. The norm is an arbitrary-float reduction, so it
+    * rides the per-element BIGINT grid (house rule): each x² is ONE
+    * IEEE double chain on the losslessly-widened float — identical in
+    * any engine — snapped to the 1e9 grid and summed as longs
+    * (order-free, exact), then bucketed by integer division (0.1
+    * steps of norm²).
+    */
+  def embBins(emb: DataFrame): DataFrame =
+    emb.select(explode(array(
+      struct(lit("label").as("feature"),
+        col("label").cast("string").as("bin")),
+      struct(lit("argmax_dim").as("feature"),
+        expr("cast(array_position(embedding, array_max(embedding)) " +
+          "as string)").as("bin")),
+      struct(lit("norm_bucket").as("feature"),
+        expr("cast(aggregate(transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * cast(x as double) * 1e9 " +
+          "+ 0.5d) as bigint)), cast(0 as bigint), (a, x) -> a + x) " +
+          "div 100000000 as string)").as("bin")))).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+
+  /** PSI/KL drift between two embedding snapshots — the same
+    * smoothing/grid tail as [[driftReport]] over the vector marginals.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame =
+    driftFromBins(twoSnapshotBins(embBins(ref), embBins(cur)))
+
+  /** Driver-entry split with REAL drift: ref = even vec_ids; cur =
+    * odd vec_ids minus cluster 3 (a mode collapsing out of the stream
+    * — the label mix and dominant-direction marginals both move).
+    */
+  def embeddingDriftEntry(emb: DataFrame): DataFrame =
+    embeddingDrift(
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2L)) === 1 &&
+        col("label") =!= 3))
+
+  val embeddingDriftSql: String = driftTailSql(snapshotBranchesSql(
+    "embeddings",
+    Seq(
+      "label" -> "CAST(label AS VARCHAR)",
+      "argmax_dim" ->
+        "CAST(list_indexof(embedding, list_max(embedding)) AS VARCHAR)",
+      "norm_bucket" ->
+        ("CAST(CAST(list_sum(list_transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT) " +
+          "// 100000000 AS VARCHAR)")),
+    "vec_id % 2 = 0",
+    "vec_id % 2 = 1 AND label <> 3"))
 
   /** Driver-entry fixture split with REAL drift: ref = even doc_ids;
     * cur = odd doc_ids minus half their English docs (a language-mix
@@ -282,52 +349,12 @@ object Profiling {
     * cur = a probe subset — the store-fed monitoring shape).
     */
   def driftSqlOver(refWhere: String, curWhere: String): String =
-    s"""WITH fb AS (
-       |  SELECT f.feature, f.bin, f.is_cur FROM (
-       |    SELECT 'lang' AS feature, lang AS bin, 0 AS is_cur
-       |    FROM documents WHERE $refWhere
-       |    UNION ALL
-       |    SELECT 'lang', lang, 1 FROM documents WHERE $curWhere
-       |    UNION ALL
-       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR), 0
-       |    FROM documents WHERE $refWhere
-       |    UNION ALL
-       |    SELECT 'len_bucket', CAST(n_chars // 64 AS VARCHAR), 1
-       |    FROM documents WHERE $curWhere
-       |    UNION ALL
-       |    SELECT 'source', source, 0 FROM documents WHERE $refWhere
-       |    UNION ALL
-       |    SELECT 'source', source, 1 FROM documents WHERE $curWhere) f),
-       |bins AS (
-       |  SELECT feature, bin,
-       |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,
-       |    SUM(is_cur) AS c_cur
-       |  FROM fb GROUP BY 1, 2),
-       |tot AS (
-       |  SELECT feature, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
-       |    COUNT(*) AS n_bins
-       |  FROM bins GROUP BY 1),
-       |t AS (
-       |  SELECT b.feature, t.n_bins, t.n_ref, t.n_cur,
-       |    CAST(b.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.n_bins AS DOUBLE)
-       |      AS p,
-       |    CAST(b.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_bins AS DOUBLE)
-       |      AS q
-       |  FROM bins b JOIN tot t USING (feature)),
-       |g AS (
-       |  SELECT feature, n_bins, n_ref, n_cur,
-       |    CAST(floor((p - q) * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
-       |      AS BIGINT) AS psi9,
-       |    CAST(floor(p * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
-       |      AS BIGINT) AS kl9,
-       |    abs(p - q) AS ad
-       |  FROM t)
-       |SELECT feature, MAX(n_bins) AS n_bins, MAX(n_ref) AS n_ref,
-       |  MAX(n_cur) AS n_cur,
-       |  CAST(SUM(psi9) AS DOUBLE) / 1e9 AS psi,
-       |  CAST(SUM(kl9) AS DOUBLE) / 1e9 AS kl,
-       |  MAX(ad) AS max_abs_diff
-       |FROM g GROUP BY feature ORDER BY feature""".stripMargin
+    driftTailSql(snapshotBranchesSql("documents",
+      Seq(
+        "lang" -> "lang",
+        "len_bucket" -> "CAST(n_chars // 64 AS VARCHAR)",
+        "source" -> "source"),
+      refWhere, curWhere))
 
   val driftSql: String = driftSqlOver(
     "doc_id % 2 = 0",

@@ -652,6 +652,7 @@ object Extensions {
     // reference-profile store round-trip
     "pipeline_drift_psi" -> (c => Profiling.driftEntry(c.documents)),
     "events_drift" -> (c => Profiling.eventsDriftEntry(c.events)),
+    "embeddings_drift" -> (c => Profiling.embeddingDriftEntry(c.embeddings)),
     "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
       java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     "salted_revenue" -> (saltedRevenue _),
@@ -785,6 +786,7 @@ object Extensions {
     "profile_columns" -> Profiling.columnProfileSql,
     "pipeline_drift_psi" -> Profiling.driftSql,
     "events_drift" -> Profiling.eventsDriftSql,
+    "embeddings_drift" -> Profiling.embeddingDriftSql,
     // store round-trip must be invisible — the oracle recomputes the
     // same drift from the raw table
     "pipeline_drift_store" -> Profiling.driftStoreSql,

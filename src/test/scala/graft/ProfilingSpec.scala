@@ -62,6 +62,27 @@ class ProfilingSpec extends AnyFunSuite {
     assert(byFeature.size == 3)
   }
 
+  test("embeddingDrift: zero on identical snapshots, moves when a cluster collapses") {
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(300) { i =>
+      val label = i % 5
+      // cluster direction = dimension 2*label, plus small noise
+      val v = Array.tabulate(16)(d =>
+        (if (d == 2 * label) 1.0f else 0.0f) +
+          (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+    Profiling.embeddingDrift(emb, emb).collect().foreach { r =>
+      assert(r.getDouble(4) == 0.0 && r.getDouble(6) == 0.0)
+    }
+    val byFeature = Profiling
+      .embeddingDrift(emb, emb.filter(col("label") =!= 2))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byFeature.size == 3)
+    assert(byFeature("label") > 0.1)
+    assert(byFeature("argmax_dim") > 0.05) // direction 4 vanished with it
+  }
+
   test("profile store: append equals a fresh build over the union, exactly") {
     val base = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
