@@ -410,11 +410,20 @@ class StreamingSpec extends AnyFunSuite {
     SearchIndex.writeIndexStore(base, index)
     Profiling.writeProfileStore(base, profile)
     delta.repartition(2).write.parquet(streamDir)
+    // compactIndexAt = 1 folds the index after EVERY micro-batch —
+    // the harshest cadence — so the fresh-equivalence assertion below
+    // also proves in-loop compaction is invisible to retrieval
     val q = EventStream.ingestLoopStream(
       EventStream.readDocuments(spark, streamDir), map, sigs, export,
       tmp.resolve("ckpt").toString, sampleMod = 1,
-      indexPath = Some(index), profilePath = Some(profile))
+      indexPath = Some(index), profilePath = Some(profile),
+      compactIndexAt = 1)
     try {
+      // the index was actually folded (one compact dir, c-prefixed)
+      val visibleTags = spark.read.parquet(s"$index/meta/tags")
+        .collect().map(_.getString(0))
+      assert(visibleTags.length == 1 && visibleTags.head.startsWith("c"),
+        s"index not compacted: ${visibleTags.toSeq}")
       // the two riding stores ended exactly as a fresh build over the
       // union would (the three core stores carry their own spec)
       val viaLoop = SearchIndex.bm25FromStore(spark, index).collect()
