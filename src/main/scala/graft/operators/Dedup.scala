@@ -1094,12 +1094,17 @@ object Dedup {
       spark.sparkContext.hadoopConfiguration)
     require(isCompleteSignatureStore(fs, path),
       s"compactContainmentStore: $path is not a complete store")
-    val tags = containmentStoreBatchTags(fs, path)
+    compactContainmentTags(spark, path,
+      containmentStoreBatchTags(fs, path))
+  }
+
+  private def compactContainmentTags(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tags: Seq[String]): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     if (tags.size <= 1) return 0
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val ctag = "c" + tags.size + "_" + md.digest(
-      tags.sorted.mkString("|").getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    val ctag = StoreSwap.compactTag(tags)
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
@@ -1128,15 +1133,28 @@ object Dedup {
   /** Compaction policy knob (the [[maintainClusterMap]] convention):
     * fold only once the complete-batch count reaches `maxBatches`, so
     * an ingest loop calls this after every append and amortizes the
-    * store-sized rewrite over `maxBatches` appends.
+    * store-sized rewrite over `maxBatches` appends. Goes through the
+    * self-healing completeness gate FIRST (house rule: never a bare
+    * listing on a store a crashed swap may have left in `.old`); one
+    * dir listing covers both the threshold check and the fold.
+    *
+    * Reader caveat (single-writer, CONCURRENT readers): the fold's
+    * whole-root swap retires the old generation, so a LAZY frame
+    * built over the store before it breaks at execution — execute
+    * store-read frames within a store generation
+    * ([[containmentFromStore]] is construction-eager, so the driver
+    * entries already do).
     */
   def maintainContainmentStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       maxBatches: Int = 16): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (containmentStoreBatchTags(fs, path).size >= maxBatches)
-      compactContainmentStore(spark, path)
+    require(isCompleteSignatureStore(fs, path),
+      s"maintainContainmentStore: $path is not a complete store")
+    val tags = containmentStoreBatchTags(fs, path)
+    if (tags.size >= maxBatches)
+      compactContainmentTags(spark, path, tags)
     else 0
   }
 

@@ -287,12 +287,15 @@ object SearchIndex {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     require(isCompleteIndexStore(fs, path),
       s"compactIndexStore: $path is missing or incomplete")
-    val (n, s, tags, applied, last) = readMeta(spark, path)
+    compactWithMeta(spark, path, readMeta(spark, path))
+  }
+
+  private def compactWithMeta(spark: SparkSession, path: String,
+      meta: (Long, Long, Seq[String], Seq[String], Long)): Int = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val (n, s, tags, applied, last) = meta
     if (tags.size <= 1) return 0
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val ctag = "c" + tags.size + "_" + md.digest(
-      tags.sorted.mkString("|").getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    val ctag = StoreSwap.compactTag(tags)
     readBatched(spark, path, "postings", tags, None)
       .write.mode("overwrite").partitionBy("wb")
       .parquet(s"$path/postings/batch=$ctag")
@@ -300,12 +303,18 @@ object SearchIndex {
       .write.mode("overwrite").parquet(s"$path/doclens/batch=$ctag")
     publishMeta(spark, path, n, s, Seq(ctag),
       (applied ++ tags).distinct, last)
-    // the folded dirs are already invisible; sweeping them is pure
-    // space reclamation — a crash mid-sweep leaves harmless orphans
-    // the next compaction's sweep (or StoreStats) surfaces
-    tags.filter(_ != ctag).foreach { t =>
-      fs.delete(new Path(s"$path/postings/batch=$t"), true)
-      fs.delete(new Path(s"$path/doclens/batch=$t"), true)
+    // sweep EVERY batch dir the new manifest doesn't name — the
+    // folded tags AND any crash orphans (a previous fold's partial
+    // merge dir, a crashed append's unmanifested dirs): all are
+    // unreachable from the manifest, and the single-writer contract
+    // means no append is mid-flight, so deleting them is pure
+    // reclamation (a crashed append simply re-runs whole)
+    Seq("postings", "doclens").foreach { sub =>
+      val root = new Path(s"$path/$sub")
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          p.getName != s"batch=$ctag")
+        .foreach(p => fs.delete(p, true))
     }
     tags.size
   }
@@ -313,15 +322,22 @@ object SearchIndex {
   /** Compaction policy knob (the [[Dedup.maintainClusterMap]]
     * convention): fold only once the visible batch count reaches
     * `maxBatches`, so an ingest loop can call this after every append
-    * and pay the index rewrite once per `maxBatches` batches.
+    * and pay the index rewrite once per `maxBatches` appends. One
+    * meta read covers both the threshold check and the fold.
+    *
+    * Reader caveat (single-writer, CONCURRENT readers): the fold is
+    * reader-atomic at the manifest — but a LAZY frame built before it
+    * resolves its file listing at execution, so execute store-read
+    * frames within a store generation (the entries' eager-probe
+    * convention already does).
     */
   def maintainIndexStore(spark: SparkSession, path: String,
       maxBatches: Int = 16): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     require(isCompleteIndexStore(fs, path),
       s"maintainIndexStore: $path is missing or incomplete")
-    if (readMeta(spark, path)._3.size >= maxBatches)
-      compactIndexStore(spark, path)
+    val meta = readMeta(spark, path)
+    if (meta._3.size >= maxBatches) compactWithMeta(spark, path, meta)
     else 0
   }
 

@@ -41,6 +41,20 @@ object StoreSwap {
     fs.delete(old, true)
   }
 
+  /** Deterministic directory tag for a compaction fold over `tags` —
+    * ONE copy of the cross-family contract: prefix `c` (disjoint from
+    * content tags' `b`, so a fold can never collide with an ingest
+    * batch), arity + 6-byte md5 of the sorted set (a re-run fold
+    * overwrites its own dirs; different folded sets never share a
+    * tag).
+    */
+  def compactTag(tags: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "c" + tags.size + "_" + md.digest(
+      tags.sorted.mkString("|").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   /** Auto-recovery from a crash between [[swapIn]]'s two renames:
     * if `dst` is incomplete (per the caller's gate — typically "has
     * a `_SUCCESS` marker") while `dst.old` IS complete, rename the

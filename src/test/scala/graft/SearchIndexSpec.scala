@@ -160,13 +160,19 @@ class SearchIndexSpec extends AnyFunSuite {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/$sub"))
         .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
     assert(batchDirs("postings").length == 3)
+    // a crashed append's orphan (unmanifested dir): invisible to
+    // reads, and the fold's sweep must RECLAIM it, not just the
+    // folded tags
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$store/postings/batch=borphan"))
     // under threshold: maintain is a no-op; at it: folds all three
     assert(SearchIndex.maintainIndexStore(spark, store, 4) == 0)
     assert(SearchIndex.maintainIndexStore(spark, store, 3) == 3)
     assert(SearchIndex.bm25FromStore(spark, store).collect()
       .map(_.toString).sameElements(before), "compaction changed scores")
     assert(batchDirs("postings").length == 1 &&
-      batchDirs("postings").head.startsWith("batch=c3_"))
+      batchDirs("postings").head.startsWith("batch=c3_"),
+      s"orphan or folded dirs survived: ${batchDirs("postings").toSeq}")
     assert(batchDirs("doclens").length == 1)
     // the applied LEDGER outlives the folded dirs: replaying an old
     // batch (tagged or stamped) is a no-op — its dir is NOT recreated
