@@ -165,6 +165,93 @@ object TextAnalysis {
        |FROM c, tot WHERE cnt * $k > n
        |ORDER BY cnt DESC, w""".stripMargin
 
+  /** CONTENT-level drift between two corpus snapshots: which terms
+    * entered / left the exact top-`k` and how far the survivors moved
+    * — the "what changed" view the distributional PSI/KL reports
+    * ([[Profiling.driftReport]]) deliberately aggregate away. Output
+    * is ≤ 2k rows: term, per-side exact count and rank (count desc,
+    * term asc — a total order), status, and the survivors' rank
+    * shift.
+    *
+    * Scale shape: each side is one vocab-sized hash-agg collapsed to
+    * k rows by a `TakeOrderedAndProject` LIMIT (never a corpus sort);
+    * the rank is a row_number over the POST-LIMIT frame — window
+    * bound: construction-bounded, ≤ k rows in one inherent partition
+    * — and the churn join is k-vs-k. All counts/ranks exact integers.
+    */
+  def heavyHitterChurn(ref: DataFrame, cur: DataFrame,
+      k: Int = 30): DataFrame = {
+    def topk(docs: DataFrame) = {
+      val counts = docs
+        .select(explode(TextFunctions.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("w")).limit(k)
+      counts.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cnt"), col("w"))).cast("bigint"))
+    }
+    val r = topk(ref).select(col("w"), col("cnt").as("cnt_ref"),
+      col("rk").as("rk_ref"))
+    val c = topk(cur).select(col("w"), col("cnt").as("cnt_cur"),
+      col("rk").as("rk_cur"))
+    // full outer can't broadcast; without the hint the planner's
+    // unknown-size default serves a sort-merge join even for two
+    // k-row frames (the loopReport lesson — keep the audit at 0 SMJ)
+    r.join(c.hint("shuffle_hash"), Seq("w"), "full_outer")
+      .withColumn("status",
+        when(col("rk_ref").isNotNull && col("rk_cur").isNotNull,
+          "stayed")
+          .when(col("rk_ref").isNotNull, "left").otherwise("entered"))
+      .withColumn("rank_shift", col("rk_ref") - col("rk_cur"))
+      .select("w", "cnt_ref", "rk_ref", "cnt_cur", "rk_cur", "status",
+        "rank_shift")
+      .orderBy(coalesce(col("rk_cur"), lit((k + 1).toLong)),
+        coalesce(col("rk_ref"), lit((k + 1).toLong)), col("w"))
+  }
+
+  /** Driver-entry split: the SAME planted shift as the PSI report's
+    * (`Profiling.driftSql`), so the two views complement each other
+    * over one incident.
+    */
+  def heavyHitterChurnEntry(docs: DataFrame, k: Int = 30): DataFrame =
+    heavyHitterChurn(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1 &&
+        !(col("lang") === "en" && pmod(col("doc_id"), lit(4L)) === 1)),
+      k)
+
+  /** DuckDB oracle for [[heavyHitterChurn]] — the plain exact
+    * definition (per-side counts, ROW_NUMBER rank, full outer join).
+    */
+  def heavyHitterChurnSql(k: Int = 30): String = {
+    val refW = "doc_id % 2 = 0"
+    val curW = "doc_id % 2 = 1 AND NOT (lang = 'en' AND doc_id % 4 = 1)"
+    def side(w: String) =
+      s"""SELECT w, cnt, rk FROM (
+         |    SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w)
+         |      AS rk
+         |    FROM (SELECT w, COUNT(*) AS cnt FROM (
+         |            SELECT UNNEST(regexp_split_to_array(trim(text),
+         |              '\\s+')) AS w
+         |            FROM documents WHERE $w) t
+         |          WHERE w <> '' GROUP BY 1) c) q
+         |  WHERE rk <= $k""".stripMargin
+    s"""WITH tr AS (
+       |  ${side(refW)}),
+       |tc AS (
+       |  ${side(curW)})
+       |SELECT COALESCE(r.w, c.w) AS w, r.cnt AS cnt_ref,
+       |  r.rk AS rk_ref, c.cnt AS cnt_cur, c.rk AS rk_cur,
+       |  CASE WHEN r.w IS NOT NULL AND c.w IS NOT NULL THEN 'stayed'
+       |       WHEN r.w IS NOT NULL THEN 'left'
+       |       ELSE 'entered' END AS status,
+       |  r.rk - c.rk AS rank_shift
+       |FROM tr r FULL OUTER JOIN tc c ON r.w = c.w
+       |ORDER BY COALESCE(c.rk, ${k + 1}), COALESCE(r.rk, ${k + 1}),
+       |  COALESCE(r.w, c.w)""".stripMargin
+  }
+
   /** Stopword-hit language ID: count stopword matches per candidate
     * language, predict the argmax (ties → lexicographically first;
     * all-zero → 'und'), reported as a (actual, predicted) confusion

@@ -547,6 +547,8 @@ object Extensions {
     "text_quality" -> (c => TextAnalysis.quality(c.documents)),
     "text_lang_id" -> (c => TextAnalysis.langId(c.documents)),
     "text_heavy_hitters" -> (c => TextAnalysis.heavyHitters(c.documents)),
+    "text_heavy_hitter_churn" ->
+      (c => TextAnalysis.heavyHitterChurnEntry(c.documents)),
     "text_winnow_fingerprint" -> (c => TextAnalysis.winnowFingerprint(c.documents)),
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
@@ -738,6 +740,7 @@ object Extensions {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_lang_id" -> TextAnalysis.langIdSql,
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+    "text_heavy_hitter_churn" -> TextAnalysis.heavyHitterChurnSql(),
     "text_winnow_fingerprint" -> TextAnalysis.winnowFingerprintSql(),
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),

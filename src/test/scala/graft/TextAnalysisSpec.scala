@@ -60,6 +60,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(all.length == 26 && all.head.getString(0) == "hot")
   }
 
+  test("heavyHitterChurn labels entered/left/stayed with exact rank shifts") {
+    def corpus(hotA: Int, hotB: Int) =
+      (Seq.fill(hotA)("alpha") ++ Seq.fill(hotB)("beta") ++
+        Seq.fill(3)("gamma") ++ Seq("delta"))
+        .grouped(5).map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s1", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // ref: alpha(10) > beta(5) > gamma(3); cur: beta(9) > alpha(4) >
+    // gamma(3) — alpha and beta swap, delta replaces nothing at k=3
+    val out = TextAnalysis
+      .heavyHitterChurn(corpus(10, 5), corpus(4, 9), k = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(5), Option(r.get(2)), Option(r.get(4)))))
+      .toMap
+    assert(out("alpha") == (("stayed", Some(1L), Some(2L))))
+    assert(out("beta") == (("stayed", Some(2L), Some(1L))))
+    assert(out("gamma") == (("stayed", Some(3L), Some(3L))))
+    assert(out.size == 3)
+    // shrink k to 1: the swap becomes one 'left' and one 'entered'
+    val k1 = TextAnalysis
+      .heavyHitterChurn(corpus(10, 5), corpus(4, 9), k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(k1 == Map("beta" -> "entered", "alpha" -> "left"))
+  }
+
   test("quality combines length, diversity and stopword ratio") {
     val q = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
