@@ -187,7 +187,12 @@ object ScaleBench {
         "sim_ann_recall_clustered", "text_vocab_growth",
         "text_bigram_fluency", "pipeline_corpus_diff", "sample_exact_k",
         "pipeline_subword_vocab", "pipeline_subword_stats",
-        "export_manifest", "sketch_source_quantiles")
+        "export_manifest", "sketch_source_quantiles",
+        // r12-late entries: distributional + content drift, profiler
+        // (events_drift ladders with the events section's dirs — the
+        // corpus amplifier writes no events.parquet)
+        "pipeline_drift_psi", "embeddings_drift", "profile_columns",
+        "text_heavy_hitter_churn")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
