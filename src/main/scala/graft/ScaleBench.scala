@@ -1071,7 +1071,10 @@ object ScaleBench {
     section("events") {
       println("== Event-stream ops vs user-population scale ==")
       val eventOps = Seq("events_asof_join", "events_range_join",
-        "events_sessionize", "events_sessionize_capped", "events_top_days")
+        "events_sessionize", "events_sessionize_capped", "events_top_days",
+        // r12 late; the amplifier's even event_id shift preserves the
+        // drift split's parity
+        "events_drift")
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
         val dir =
