@@ -245,6 +245,51 @@ object Multimodal {
     }
   }
 
+  /** Real image RESIZE (decode PNG → scale → re-encode PNG),
+    * partition-local like [[extractFeatures]] — binary payloads never
+    * cross a shuffle; non-image rows pass through untouched. The
+    * scale kernel is a hand-rolled nearest-neighbour loop rather than
+    * `AffineTransformOp`: integer source-pixel selection
+    * (`sx = x·W/w`) is bit-deterministic across JVMs and platforms
+    * (no anti-aliasing rounding), so a resized corpus is reproducible
+    * — the determinism discipline every oracle-checked operator
+    * follows, applied to a path DuckDB cannot mirror (rows-only +
+    * spec: round-trip decode recovers the target dims and the exact
+    * source pixels NN selects).
+    */
+  def resizeImages(media: Dataset[MediaRecord], w: Int,
+      h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "image") r
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) r
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y, img.getRGB(
+                  (x.toLong * img.getWidth / w).toInt,
+                  (y.toLong * img.getHeight / h).toInt))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(payload = bos.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video payloads: every `stride`-th frame index
     * up to the decoded frame count — the Spark-side shape of
     * keyframe extraction (explode AFTER dropping the payload, so the
@@ -271,6 +316,25 @@ object Multimodal {
           case _ => MediaRecord(id, "video", gifPayload(id), "gif")
         }
     }
+  }
+
+  /** End-to-end RESIZE query: documents-derived media → image resize
+    * → feature re-extraction (REAL decodes of the re-encoded
+    * payloads) → per-kind aggregate. Rows-only by design (DuckDB has
+    * no codec); the spec proves the pixel-level laws.
+    */
+  def resizeQuery(spark: SparkSession, docs: DataFrame, w: Int = 24,
+      h: Int = 16): DataFrame = {
+    val feats = extractFeatures(
+      resizeImages(mediaFromDocuments(spark, docs), w, h))
+    feats.toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"),
+        max("width").as("max_width"),
+        max("height").as("max_height"),
+        min("checksum").as("min_checksum"))
+      .orderBy("kind")
   }
 
   /** End-to-end features query over the documents-derived media table

@@ -662,7 +662,9 @@ object Extensions {
     "sql_view_query" -> (sqlViewQuery _),
     // multimodal plumbing (stubbed decode, real Dataset pipeline)
     "multimodal_features" ->
-      (c => Multimodal.featuresQuery(c.spark, c.documents)))
+      (c => Multimodal.featuresQuery(c.spark, c.documents)),
+    "multimodal_resize" ->
+      (c => Multimodal.resizeQuery(c.spark, c.documents)))
 
   val oracles: Map[String, String] = Map(
     "export_manifest" -> graft.sources.TrainingExport.manifestSql(),

@@ -110,6 +110,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.getInt(3) == 43 && img.getInt(4) == 36)
   }
 
+  test("resizeImages: NN pixel law, target dims, non-image passthrough") {
+    val src = MediaRecord(0L, "image", Multimodal.pngPayload(0L), "png")
+    val wav = MediaRecord(1L, "audio", Multimodal.wavPayload(1L), "wav")
+    val (w, h) = (24, 16)
+    val out = Multimodal.resizeImages(Seq(src, wav).toDS(), w, h)
+      .collect().map(r => r.media_id -> r).toMap
+    // audio passes through byte-identical
+    assert(out(1L).payload.sameElements(wav.payload))
+    val orig = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(src.payload))
+    val res = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0L).payload))
+    assert(res.getWidth == w && res.getHeight == h)
+    // nearest-neighbour law: every target pixel IS the integer-
+    // selected source pixel — checked exhaustively
+    for (y <- 0 until h; x <- 0 until w) {
+      val sx = (x.toLong * orig.getWidth / w).toInt
+      val sy = (y.toLong * orig.getHeight / h).toInt
+      assert((res.getRGB(x, y) & 0xffffff) ==
+        (orig.getRGB(sx, sy) & 0xffffff), s"pixel ($x,$y)")
+    }
+    // determinism: a second run re-encodes byte-identically
+    val again = Multimodal.resizeImages(Seq(src).toDS(), w, h)
+      .collect().head.payload
+    assert(again.sameElements(out(0L).payload))
+    // and the end-to-end query reports the target dims for images
+    val docs = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val q = Multimodal.resizeQuery(spark, docs, w, h).collect()
+      .find(_.getString(0) == "image").get
+    assert(q.getInt(3) == w && q.getInt(4) == h)
+  }
+
   test("sampleFrames explodes stride-sampled frame indices without payloads") {
     val feats = Seq(
       Multimodal.MediaFeatures(1L, "video", 4096L, 640, 360, 25, 7L)
