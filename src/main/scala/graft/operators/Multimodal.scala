@@ -263,7 +263,11 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         if (r.kind != "image") r
-        else {
+        else try {
+          // the family's failure contract ([[decodeImage]]): corrupt
+          // payloads degrade (pass through unresized), never kill the
+          // task — ImageIO THROWS on truncated streams, it only
+          // returns null for unrecognized bytes
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
           if (img == null) r
@@ -285,7 +289,7 @@ object Multimodal {
             javax.imageio.ImageIO.write(out, "png", bos)
             r.copy(payload = bos.toByteArray)
           }
-        }
+        } catch { case _: Exception => r }
       }
     }
   }

@@ -332,15 +332,28 @@ object Profiling {
     "vec_id % 2 = 0",
     "vec_id % 2 = 1 AND label <> 3"))
 
-  /** Driver-entry fixture split with REAL drift: ref = even doc_ids;
+  /** The documents fixture's planted incident — ONE definition of the
+    * ref/cur split shared by every view of it (the PSI report here,
+    * the heavy-hitter churn in [[TextAnalysis]]): ref = even doc_ids;
     * cur = odd doc_ids minus half their English docs (a language-mix
-    * shift that also moves the source and length marginals).
+    * shift that also moves the source, length and term marginals).
+    * Column and SQL forms are the same predicate by inspection; a
+    * change here moves all views together.
+    */
+  val plantedShiftRefCol: Column = pmod(col("doc_id"), lit(2L)) === 0
+  val plantedShiftCurCol: Column =
+    pmod(col("doc_id"), lit(2L)) === 1 &&
+      !(col("lang") === "en" && pmod(col("doc_id"), lit(4L)) === 1)
+  val plantedShiftRefSql: String = "doc_id % 2 = 0"
+  val plantedShiftCurSql: String =
+    "doc_id % 2 = 1 AND NOT (lang = 'en' AND doc_id % 4 = 1)"
+
+  /** Driver-entry fixture split with REAL drift (the planted shift
+    * above).
     */
   def driftEntry(docs: DataFrame): DataFrame =
-    driftReport(
-      docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
-      docs.filter(pmod(col("doc_id"), lit(2L)) === 1 &&
-        !(col("lang") === "en" && pmod(col("doc_id"), lit(4L)) === 1)))
+    driftReport(docs.filter(plantedShiftRefCol),
+      docs.filter(plantedShiftCurCol))
 
   /** DuckDB mirror. `ln` (NOT `log`, which is log10 in DuckDB); the
     * same add-1 smoothing, 1e9 grid, and unrounded `max_abs_diff`.
@@ -356,9 +369,8 @@ object Profiling {
         "source" -> "source"),
       refWhere, curWhere))
 
-  val driftSql: String = driftSqlOver(
-    "doc_id % 2 = 0",
-    "doc_id % 2 = 1 AND NOT (lang = 'en' AND doc_id % 4 = 1)")
+  val driftSql: String =
+    driftSqlOver(plantedShiftRefSql, plantedShiftCurSql)
 
   // --- profile store ---------------------------------------------------
   // The persisted reference profile: the (feature, bin, c_ref) counts

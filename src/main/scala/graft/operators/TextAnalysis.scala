@@ -216,17 +216,16 @@ object TextAnalysis {
     */
   def heavyHitterChurnEntry(docs: DataFrame, k: Int = 30): DataFrame =
     heavyHitterChurn(
-      docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
-      docs.filter(pmod(col("doc_id"), lit(2L)) === 1 &&
-        !(col("lang") === "en" && pmod(col("doc_id"), lit(4L)) === 1)),
+      docs.filter(Profiling.plantedShiftRefCol),
+      docs.filter(Profiling.plantedShiftCurCol),
       k)
 
   /** DuckDB oracle for [[heavyHitterChurn]] — the plain exact
     * definition (per-side counts, ROW_NUMBER rank, full outer join).
     */
   def heavyHitterChurnSql(k: Int = 30): String = {
-    val refW = "doc_id % 2 = 0"
-    val curW = "doc_id % 2 = 1 AND NOT (lang = 'en' AND doc_id % 4 = 1)"
+    val refW = Profiling.plantedShiftRefSql
+    val curW = Profiling.plantedShiftCurSql
     def side(w: String) =
       s"""SELECT w, cnt, rk FROM (
          |    SELECT w, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w)

@@ -8,9 +8,9 @@ import graft.operators._
   * similarity search, text analysis, time windows, set ops, multimodal
   * plumbing. Each SQL-expressible operator carries a DuckDB oracle;
   * hash-based ops (minhash/simhash/ANN — engine-specific hash
-  * functions) and the multimodal stub are declared without oracles →
-  * the driver records a rows-only check, and ScalaTest covers their
-  * semantics.
+  * functions) and the multimodal codec paths (real JDK decode/resize
+  * DuckDB cannot mirror) are declared without oracles → the driver
+  * records a rows-only check, and ScalaTest covers their semantics.
   */
 object Extensions {
 
@@ -660,7 +660,8 @@ object Extensions {
     "salted_revenue" -> (saltedRevenue _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sql_view_query" -> (sqlViewQuery _),
-    // multimodal plumbing (stubbed decode, real Dataset pipeline)
+    // multimodal plumbing (REAL JDK decode/resize; rows-only — DuckDB
+    // has no codec)
     "multimodal_features" ->
       (c => Multimodal.featuresQuery(c.spark, c.documents)),
     "multimodal_resize" ->

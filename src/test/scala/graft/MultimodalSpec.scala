@@ -135,6 +135,14 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resizeImages(Seq(src).toDS(), w, h)
       .collect().head.payload
     assert(again.sameElements(out(0L).payload))
+    // failure contract: a truncated PNG (valid signature, cut-off
+    // data — ImageIO THROWS on these) degrades to passthrough, never
+    // kills the task
+    val corrupt = MediaRecord(9L, "image",
+      src.payload.take(src.payload.length / 2), "png")
+    val kept = Multimodal.resizeImages(Seq(corrupt).toDS(), w, h)
+      .collect().head
+    assert(kept.payload.sameElements(corrupt.payload))
     // and the end-to-end query reports the target dims for images
     val docs = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val q = Multimodal.resizeQuery(spark, docs, w, h).collect()
