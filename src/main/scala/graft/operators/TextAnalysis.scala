@@ -251,6 +251,80 @@ object TextAnalysis {
        |  COALESCE(r.w, c.w)""".stripMargin
   }
 
+  /** DISTINCTIVE terms per source — the "what makes this source
+    * different" curation view: TF-IDF over sources-as-documents,
+    * top-`k` per source. Candidates are first capped by PIGEONHOLE:
+    * only terms with `tf · capInv > n_source` survive, so each source
+    * contributes AT MOST `capInv` candidate terms no matter the
+    * corpus size — that cap is what makes the per-source ranking
+    * window safe (and the df/broadcast frames dictionary-sized:
+    * ≤ sources · capInv rows). df counts the sources where the term
+    * is a candidate; score = tf · ln(S/df), snapped to the 1e9 BIGINT
+    * grid (one IEEE chain of exact integers — identical in DuckDB)
+    * with term-asc tie-break.
+    */
+  def sourceSignatureTerms(docs: DataFrame, k: Int = 5,
+      capInv: Int = 1000): DataFrame = {
+    val terms = docs.select(col("source"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    val tf = terms.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val n = terms.groupBy("source").agg(count(lit(1)).as("n"))
+    val cands = tf.join(broadcast(n), "source")
+      .filter(col("tf") * capInv > col("n"))
+    val dfs = cands.groupBy("w").agg(count(lit(1)).as("df"))
+    val sources = docs.select(countDistinct("source").as("n_sources"))
+    val scored = cands
+      .join(broadcast(dfs), "w")
+      .crossJoin(broadcast(sources))
+      .withColumn("score9", floor(col("tf").cast("double") *
+        log(col("n_sources").cast("double") / col("df").cast("double")) *
+        lit(1e9) + lit(0.5)).cast("bigint"))
+    // window bound: construction-bounded — ≤ capInv rows per source
+    // by the pigeonhole filter above
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(desc("score9"), col("w"))).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("w"), col("tf"), col("df"),
+        (col("score9").cast("double") / lit(1e9)).as("tfidf"),
+        col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** DuckDB oracle for [[sourceSignatureTerms]] — the plain exact
+    * definition (pigeonhole candidate cap, candidate-df, grid score,
+    * per-source ROW_NUMBER).
+    */
+  def sourceSignatureTermsSql(k: Int = 5, capInv: Int = 1000): String =
+    s"""WITH tw AS (
+       |  SELECT source, w FROM (
+       |    SELECT source,
+       |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE w <> ''),
+       |tf AS (SELECT source, w, COUNT(*) AS tf FROM tw GROUP BY 1, 2),
+       |n AS (SELECT source, COUNT(*) AS n FROM tw GROUP BY 1),
+       |cands AS (
+       |  SELECT f.source, f.w, f.tf
+       |  FROM tf f JOIN n USING (source) WHERE f.tf * $capInv > n.n),
+       |s AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+       |d AS (SELECT w, COUNT(*) AS df FROM cands GROUP BY 1),
+       |sc AS (
+       |  SELECT c.source, c.w, c.tf, d.df,
+       |    CAST(floor(CAST(c.tf AS DOUBLE) *
+       |      ln(CAST(s.n_sources AS DOUBLE) / CAST(d.df AS DOUBLE)) *
+       |      1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score9
+       |  FROM cands c JOIN d USING (w) CROSS JOIN s),
+       |r AS (
+       |  SELECT source, w, tf, df, score9,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY score9 DESC, w) AS rk
+       |  FROM sc)
+       |SELECT source, w, tf, df,
+       |  CAST(score9 AS DOUBLE) / 1e9 AS tfidf, rk
+       |FROM r WHERE rk <= $k ORDER BY source, rk""".stripMargin
+
   /** Stopword-hit language ID: count stopword matches per candidate
     * language, predict the argmax (ties → lexicographically first;
     * all-zero → 'und'), reported as a (actual, predicted) confusion

@@ -549,6 +549,8 @@ object Extensions {
     "text_heavy_hitters" -> (c => TextAnalysis.heavyHitters(c.documents)),
     "text_heavy_hitter_churn" ->
       (c => TextAnalysis.heavyHitterChurnEntry(c.documents)),
+    "text_source_signature" ->
+      (c => TextAnalysis.sourceSignatureTerms(c.documents)),
     "text_winnow_fingerprint" -> (c => TextAnalysis.winnowFingerprint(c.documents)),
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
@@ -744,6 +746,7 @@ object Extensions {
     "text_lang_id" -> TextAnalysis.langIdSql,
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "text_heavy_hitter_churn" -> TextAnalysis.heavyHitterChurnSql(),
+    "text_source_signature" -> TextAnalysis.sourceSignatureTermsSql(),
     "text_winnow_fingerprint" -> TextAnalysis.winnowFingerprintSql(),
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),

@@ -86,6 +86,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(k1 == Map("beta" -> "entered", "alpha" -> "left"))
   }
 
+  test("sourceSignatureTerms surfaces source-exclusive terms above shared ones") {
+    // 'zebra' is exclusive to s1 and frequent there; 'common' is
+    // frequent EVERYWHERE (df = S → ln 1 → score 0)
+    val d = (Seq.fill(6)(("zebra common", "s1")) ++
+      Seq.fill(6)(("octopus common", "s2")) ++
+      Seq.fill(6)(("walrus common", "s3")))
+      .zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.sourceSignatureTerms(d, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(5)) ->
+        (r.getString(1), r.getDouble(4)))
+      .toMap
+    // rank 1 per source = the exclusive term with tf·ln(3/1) > 0
+    assert(out(("s1", 1L))._1 == "zebra" && out(("s1", 1L))._2 > 0.0)
+    assert(out(("s2", 1L))._1 == "octopus")
+    assert(out(("s3", 1L))._1 == "walrus")
+    // 'common' ranks second with score exactly 0 (df = S)
+    assert(out(("s1", 2L)) == (("common", 0.0)))
+    // pigeonhole cap: with capInv = 1 nothing can satisfy tf > n
+    assert(TextAnalysis.sourceSignatureTerms(d, k = 2, capInv = 1)
+      .collect().isEmpty)
+  }
+
   test("quality combines length, diversity and stopword ratio") {
     val q = TextAnalysis.quality(docs).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
