@@ -264,16 +264,23 @@ object Profiling {
       s"SELECT '$feature', $bin, 1 FROM $table WHERE $curWhere")
     }.mkString("\n  UNION ALL\n  ")
 
-  val eventsDriftSql: String = driftTailSql(snapshotBranchesSql(
-    "events",
-    Seq(
-      "event_type" -> "event_type",
-      "hour_of_day" -> "CAST(hour(ts) AS VARCHAR)",
-      "value_bucket" ->
-        ("CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
-          "AS VARCHAR)")),
+  /** The SQL forms of [[eventBins]]' three marginals — shared by the
+    * two-snapshot oracle and the store-round-trip oracle.
+    */
+  private val eventFeaturesSql: Seq[(String, String)] = Seq(
+    "event_type" -> "event_type",
+    "hour_of_day" -> "CAST(hour(ts) AS VARCHAR)",
+    "value_bucket" ->
+      ("CAST(CAST(floor(value / CAST(10.0 AS DOUBLE)) AS BIGINT) " +
+        "AS VARCHAR)"))
+
+  def eventsDriftSqlOver(refWhere: String, curWhere: String): String =
+    driftTailSql(snapshotBranchesSql("events", eventFeaturesSql,
+      refWhere, curWhere))
+
+  val eventsDriftSql: String = eventsDriftSqlOver(
     "event_id % 2 = 0",
-    "event_id % 2 = 1 AND NOT (event_type = 'error' AND event_id % 4 = 1)"))
+    "event_id % 2 = 1 AND NOT (event_type = 'error' AND event_id % 4 = 1)")
 
   /** (feature, bin) rows for the EMBEDDING-space marginals — the
     * monitoring axes for a vector corpus where per-dimension
@@ -385,8 +392,15 @@ object Profiling {
     fs.exists(new org.apache.hadoop.fs.Path(path + "/bins/_SUCCESS"))
   }
 
-  private def refBinCounts(ref: DataFrame): DataFrame =
-    featureBins(ref).groupBy("feature", "bin")
+  /** The store machinery below is marginal-agnostic: every function
+    * takes the (feature, bin) projection as `binsOf` (documents →
+    * [[featureBins]], the default; events → [[eventBins]]), so ONE
+    * write/ensure/append/watermark/monitor implementation serves
+    * every snapshot kind.
+    */
+  private def refBinCounts(ref: DataFrame,
+      binsOf: DataFrame => DataFrame): DataFrame =
+    binsOf(ref).groupBy("feature", "bin")
       .agg(count(lit(1)).as("c_ref"))
 
   private def publish(frame: DataFrame, path: String,
@@ -403,8 +417,9 @@ object Profiling {
   }
 
   /** Atomic build of the reference profile (one corpus pass). */
-  def writeProfileStore(ref: DataFrame, path: String): Unit =
-    publish(refBinCounts(ref), path, -1L)
+  def writeProfileStore(ref: DataFrame, path: String,
+      binsOf: DataFrame => DataFrame = featureBins): Unit =
+    publish(refBinCounts(ref, binsOf), path, -1L)
 
   /** Build-once, content-fingerprinted path ([[Sketches]] ensure
     * discipline; EAGER by documented design — the fingerprint agg and
@@ -422,11 +437,12 @@ object Profiling {
     path
   }
 
-  private def mergedBins(path: String, batch: DataFrame): DataFrame = {
+  private def mergedBins(path: String, batch: DataFrame,
+      binsOf: DataFrame => DataFrame): DataFrame = {
     val spark = batch.sparkSession
     val stored = spark.read.parquet(s"$path/bins")
       .select(col("feature"), col("bin"), col("c_ref").as("c_old"))
-    refBinCounts(batch)
+    refBinCounts(batch, binsOf)
       .select(col("feature"), col("bin"), col("c_ref").as("c_new"))
       .join(stored.hint("shuffle_hash"), Seq("feature", "bin"),
         "full_outer")
@@ -439,12 +455,13 @@ object Profiling {
     * additive integers, so append ≡ fresh EXACTLY (spec law). Batch
     * cost = the batch's own agg + a dictionary-sized republish.
     */
-  def appendToProfileStore(path: String, batch: DataFrame): Unit = {
+  def appendToProfileStore(path: String, batch: DataFrame,
+      binsOf: DataFrame => DataFrame = featureBins): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     require(isCompleteProfileStore(fs, path),
       s"appendToProfileStore: $path is missing or incomplete")
-    publish(mergedBins(path, batch), path,
+    publish(mergedBins(path, batch, binsOf), path,
       Sketches.lastAppliedBatch(fs, path))
   }
 
@@ -454,13 +471,14 @@ object Profiling {
     * Returns whether the batch was applied.
     */
   def appendBatchToProfileStore(path: String, batch: DataFrame,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      binsOf: DataFrame => DataFrame = featureBins): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     require(isCompleteProfileStore(fs, path),
       s"appendBatchToProfileStore: $path is missing or incomplete")
     if (batchId <= Sketches.lastAppliedBatch(fs, path)) false
-    else { publish(mergedBins(path, batch), path, batchId); true }
+    else { publish(mergedBins(path, batch, binsOf), path, batchId); true }
   }
 
   /** Drift of a current snapshot against the STORED reference profile
@@ -468,13 +486,14 @@ object Profiling {
     * oracle SQL) as [[driftReport]].
     */
   def driftFromStore(spark: SparkSession, path: String,
-      cur: DataFrame): DataFrame = {
+      cur: DataFrame,
+      binsOf: DataFrame => DataFrame = featureBins): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     require(isCompleteProfileStore(fs, path),
       s"driftFromStore: $path is missing or incomplete")
     val stored = spark.read.parquet(s"$path/bins")
-    val curBins = featureBins(cur).groupBy("feature", "bin")
+    val curBins = binsOf(cur).groupBy("feature", "bin")
       .agg(count(lit(1)).as("c_cur"))
     driftFromBins(stored.join(curBins.hint("shuffle_hash"),
         Seq("feature", "bin"), "full_outer")
@@ -506,4 +525,39 @@ object Profiling {
 
   val driftStoreSql: String =
     driftSqlOver("doc_id % 3 = 0", "doc_id % 3 <> 0")
+
+  /** Build-once EVENT-stream reference profile — the traffic-baseline
+    * artifact the events drift monitor probes/absorbs. Same store
+    * machinery ([[writeProfileStore]] with [[eventBins]]); the
+    * fingerprint folds the event content columns so regenerated
+    * fixtures rebuild by PATH. EAGER by documented design.
+    */
+  def ensureEventProfileStore(events: DataFrame, tag: String): String = {
+    val fp = events.agg(count(lit(1)).as("n"),
+        max(col("event_id")).as("mx"),
+        expr("bit_xor(xxhash64(event_id, event_type, value))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_evprofile_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      events.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteProfileStore(fs, path))
+      writeProfileStore(events, path, eventBins)
+    path
+  }
+
+  /** Driver-entry store round-trip for the EVENTS profile: ref =
+    * event_id ≡ 0 (mod 3) builds the store, cur = the rest probes it;
+    * the oracle recomputes the drift from the raw events table, so a
+    * hash match proves the store holds exactly the traffic baseline.
+    */
+  def eventsDriftStoreEntry(events: DataFrame, tag: String): DataFrame = {
+    val ref = events.filter(pmod(col("event_id"), lit(3L)) === 0)
+    val cur = events.filter(pmod(col("event_id"), lit(3L)) =!= 0)
+    val path = ensureEventProfileStore(ref, tag)
+    driftFromStore(events.sparkSession, path, cur, eventBins)
+  }
+
+  val eventsDriftStoreSql: String =
+    eventsDriftSqlOver("event_id % 3 = 0", "event_id % 3 <> 0")
 }

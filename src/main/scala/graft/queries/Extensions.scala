@@ -659,6 +659,8 @@ object Extensions {
     "embeddings_drift" -> (c => Profiling.embeddingDriftEntry(c.embeddings)),
     "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
       java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
+    "events_drift_store" -> (c => Profiling.eventsDriftStoreEntry(c.events,
+      java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     "salted_revenue" -> (saltedRevenue _),
     "salted_join_agg" -> (saltedJoinAgg _),
     "sql_view_query" -> (sqlViewQuery _),
@@ -799,6 +801,7 @@ object Extensions {
     // store round-trip must be invisible — the oracle recomputes the
     // same drift from the raw table
     "pipeline_drift_store" -> Profiling.driftStoreSql,
+    "events_drift_store" -> Profiling.eventsDriftStoreSql,
     "salted_revenue" -> saltedRevenueSql,
     "salted_join_agg" -> saltedJoinAggSql,
     "sql_view_query" -> sqlViewQuerySql)

@@ -362,11 +362,16 @@ object EventStream {
     * absorb together, so at every crash point the on-disk report
     * matches the store generation it was measured against
     * (spec-checked). With `absorb = false` the store is frozen and
-    * the `batch=` overwrite alone is idempotent.
+    * the `batch=` overwrite alone is idempotent. `binsOf` picks the
+    * marginals (documents by default; pass
+    * [[graft.operators.Profiling.eventBins]] to monitor an event
+    * stream against a traffic baseline — same store machinery).
     */
   def driftMonitorStream(docs: DataFrame, storePath: String,
-      outDir: String, checkpointDir: String,
-      absorb: Boolean = true): StreamingQuery = {
+      outDir: String, checkpointDir: String, absorb: Boolean = true,
+      binsOf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+        graft.operators.Profiling.featureBins): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -379,11 +384,12 @@ object EventStream {
         val applied = graft.operators.Profiling
           .lastAppliedProfileBatch(fs, storePath)
         if (!absorb || batchId > applied) {
-          graft.operators.Profiling.driftFromStore(spark, storePath, b)
+          graft.operators.Profiling
+            .driftFromStore(spark, storePath, b, binsOf)
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           if (absorb) {
             graft.operators.Profiling
-              .appendBatchToProfileStore(storePath, b, batchId)
+              .appendBatchToProfileStore(storePath, b, batchId, binsOf)
             ()
           }
         }

@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events drift monitor: traffic baseline via eventBins, report + absorb") {
+    import graft.operators.Profiling
+    val events = Ctx(spark, sfDir).events
+    val base = events.filter(pmod(col("event_id"), lit(3)) =!= 0)
+    val delta = events.filter(pmod(col("event_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evdrift_stream")
+    val store = tmp.resolve("store").toString
+    val deltaDir = tmp.resolve("delta").toString
+    val outDir = tmp.resolve("out").toString
+    Profiling.writeProfileStore(base, store, Profiling.eventBins)
+    delta.coalesce(1).write.parquet(deltaDir)
+    val q = EventStream.driftMonitorStream(
+      EventStream.readEvents(spark, deltaDir), store, outDir,
+      tmp.resolve("ckpt").toString, binsOf = Profiling.eventBins)
+    try {
+      val streamed = spark.read.parquet(s"$outDir/batch=0")
+        .collect().map(_.toString).sorted
+      val batch = Profiling.eventsDrift(base, delta)
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch) && streamed.nonEmpty)
+      // absorb: the store now equals a fresh EVENT profile over the
+      // union — the marginal projection rode the whole loop
+      val fresh = tmp.resolve("fresh").toString
+      Profiling.writeProfileStore(events, fresh, Profiling.eventBins)
+      def bins(p: String) = spark.read.parquet(s"$p/bins")
+        .orderBy("feature", "bin").collect().map(_.toString)
+      assert(bins(store).sameElements(bins(fresh)))
+    } finally q.stop()
+  }
+
   test("streaming export maintenance equals a fresh export over all docs; replay is a no-op") {
     import graft.sources.TrainingExport
     val docs = Ctx(spark, sfDir).documents
