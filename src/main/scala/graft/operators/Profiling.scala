@@ -58,13 +58,28 @@ object Profiling {
       .select(col("cv.column_name").as("column_name"), col("cv.v").as("v"))
     // level 1: collapse to distinct (column, value) with multiplicity;
     // level 2: dictionary-sized per-column rollup
-    val counts = unpivoted.groupBy("column_name", "v")
+    val grouped = unpivoted.groupBy("column_name", "v")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("column_name")
       .agg(sum("cnt").as("n_rows"),
         sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L)))
           .as("n_nulls"),
         count(when(col("v").isNotNull, lit(1))).as("n_distinct"))
+    // seed frame of the requested column names: on an EMPTY input the
+    // explode/groupBy side yields zero rows, while the per-column SQL
+    // oracle's ungrouped aggregates always yield one row per column —
+    // the left join keeps the shapes identical (n=0, null min/max)
+    val spark = df.sparkSession
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(cols.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column_name",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val counts = seed.join(broadcast(grouped), Seq("column_name"), "left")
+      .select(col("column_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
     // single-row min/max agg (numeric semantics), reshaped to rows
     val aggs: Seq[Column] = cols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
@@ -132,6 +147,19 @@ object Profiling {
     * order-free sum ([[QualitySignals]] pattern); `max_abs_diff` is
     * pure exact-input arithmetic and is emitted unrounded.
     *
+    * Emission resolution (r13): the grid SUM is exact and order-free,
+    * but its ±1-unit tail depends on `ln` being bit-identical across
+    * engines — a ~1-ulp, implementation-defined function whose
+    * cross-build variation flipped six driver hashes in r12 (the args
+    * here are fresh per-bin quotients, not shared small rationals like
+    * the LM entries'). So psi/kl are EMITTED at 1e-6 resolution via
+    * one integer division of the exact sum (`sum div 1000 / 1e6`): a
+    * ±1-unit term flip only changes the output when the whole sum sits
+    * within 1e-9·1000 of a 1000-boundary. Sums are clamped at 0 first
+    * (PSI/KL are ≥ 0 by Gibbs; a negative grid sum is sub-1e-9-per-bin
+    * noise) so integer division never sees the truncate-vs-floor
+    * negative-operand divergence.
+    *
     * Shuffles: ONE hash-agg over (feature, bin) partial counts; the
     * rest runs on the dictionary-sized bins frame with a broadcast
     * totals join. No windows.
@@ -161,8 +189,10 @@ object Profiling {
       .groupBy("feature")
       .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
         max("n_cur").as("n_cur"),
-        (sum("psi9").cast("double") / lit(1e9)).as("psi"),
-        (sum("kl9").cast("double") / lit(1e9)).as("kl"),
+        (expr("greatest(sum(psi9), 0L) div 1000").cast("double") /
+          lit(1e6)).as("psi"),
+        (expr("greatest(sum(kl9), 0L) div 1000").cast("double") /
+          lit(1e6)).as("kl"),
         max(abs(col("p") - col("q"))).as("max_abs_diff"))
       .orderBy("feature")
   }
@@ -216,7 +246,9 @@ object Profiling {
   /** The DuckDB mirror of [[driftFromBins]] — ONE copy of the SQL
     * smoothing/grid tail shared by every drift oracle; callers supply
     * the `(feature, bin, is_cur)` branch union. `ln` (NOT `log`, which
-    * is log10 in DuckDB).
+    * is log10 in DuckDB); psi/kl emitted at the same clamped 1e-6
+    * resolution as the Scala tail (DuckDB `//` on the clamped
+    * nonnegative BIGINT ≡ Spark `div`).
     */
   private def driftTailSql(fbBody: String): String =
     s"""WITH fb AS (
@@ -247,8 +279,10 @@ object Profiling {
        |  FROM t)
        |SELECT feature, MAX(n_bins) AS n_bins, MAX(n_ref) AS n_ref,
        |  MAX(n_cur) AS n_cur,
-       |  CAST(SUM(psi9) AS DOUBLE) / 1e9 AS psi,
-       |  CAST(SUM(kl9) AS DOUBLE) / 1e9 AS kl,
+       |  CAST(greatest(CAST(SUM(psi9) AS BIGINT), 0) // 1000 AS DOUBLE)
+       |    / 1e6 AS psi,
+       |  CAST(greatest(CAST(SUM(kl9) AS BIGINT), 0) // 1000 AS DOUBLE)
+       |    / 1e6 AS kl,
        |  MAX(ad) AS max_abs_diff
        |FROM g GROUP BY feature ORDER BY feature""".stripMargin
 
@@ -368,16 +402,42 @@ object Profiling {
     * correct even when the two snapshots OVERLAP (ref = whole corpus,
     * cur = a probe subset — the store-fed monitoring shape).
     */
+  /** The SQL forms of [[featureBins]]' three document marginals —
+    * shared by the scored oracles and the per-bin diagnostic.
+    */
+  private val docFeaturesSql: Seq[(String, String)] = Seq(
+    "lang" -> "lang",
+    "len_bucket" -> "CAST(n_chars // 64 AS VARCHAR)",
+    "source" -> "source")
+
   def driftSqlOver(refWhere: String, curWhere: String): String =
-    driftTailSql(snapshotBranchesSql("documents",
-      Seq(
-        "lang" -> "lang",
-        "len_bucket" -> "CAST(n_chars // 64 AS VARCHAR)",
-        "source" -> "source"),
+    driftTailSql(snapshotBranchesSql("documents", docFeaturesSql,
       refWhere, curWhere))
 
   val driftSql: String =
     driftSqlOver(plantedShiftRefSql, plantedShiftCurSql)
+
+  /** The PRE-SCORING per-bin counts frame over the planted shift —
+    * the drift family's self-localizing diagnostic. Every column is a
+    * string or an exact BIGINT (no `ln`, no doubles anywhere), so it
+    * hashes identically in any engine: if a scored drift entry ever
+    * goes red while this stays green, the divergence is provably in
+    * the `ln` scoring tail, not the data or the binning.
+    */
+  def driftBinsEntry(docs: DataFrame): DataFrame =
+    twoSnapshotBins(featureBins(docs.filter(plantedShiftRefCol)),
+      featureBins(docs.filter(plantedShiftCurCol)))
+      .orderBy("feature", "bin")
+
+  val driftBinsSql: String =
+    s"""WITH fb AS (
+       |  ${snapshotBranchesSql("documents", docFeaturesSql,
+            plantedShiftRefSql, plantedShiftCurSql)})
+       |SELECT feature, bin,
+       |  CAST(SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS c_ref,
+       |  CAST(SUM(is_cur) AS BIGINT) AS c_cur
+       |FROM fb GROUP BY 1, 2 ORDER BY feature, bin""".stripMargin
 
   // --- profile store ---------------------------------------------------
   // The persisted reference profile: the (feature, bin, c_ref) counts
@@ -533,9 +593,14 @@ object Profiling {
     * fixtures rebuild by PATH. EAGER by documented design.
     */
   def ensureEventProfileStore(events: DataFrame, tag: String): String = {
+    // ts rides the fingerprint because the stored eventBins marginals
+    // include hour(ts): a regenerated fixture with identical
+    // ids/types/values but shifted timestamps must rebuild, not reuse
+    // a stale hour-of-day baseline (r10 same-shape-regeneration rule)
     val fp = events.agg(count(lit(1)).as("n"),
         max(col("event_id")).as("mx"),
-        expr("bit_xor(xxhash64(event_id, event_type, value))").as("h"))
+        expr("bit_xor(xxhash64(event_id, event_type, value, ts))")
+          .as("h"))
       .collect().head
     val path = s"/tmp/graft_evprofile_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"

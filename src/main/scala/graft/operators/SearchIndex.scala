@@ -294,7 +294,16 @@ object SearchIndex {
       meta: (Long, Long, Seq[String], Seq[String], Long)): Int = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val (n, s, tags, applied, last) = meta
-    if (tags.size <= 1) return 0
+    if (tags.size <= 1) {
+      // nothing to fold, but still sweep manifest-orphan dirs: a crash
+      // between a previous fold's meta publish and ITS sweep leaves
+      // the folded batch dirs on disk with exactly one visible tag —
+      // without this, every later call early-returns here and the
+      // orphans (invisible to readers, correctness intact) leak
+      // forever under crash-retry cycles. One cheap listing.
+      sweepUnmanifested(fs, path, tags.toSet)
+      return 0
+    }
     val ctag = StoreSwap.compactTag(tags)
     readBatched(spark, path, "postings", tags, None)
       .write.mode("overwrite").partitionBy("wb")
@@ -309,15 +318,23 @@ object SearchIndex {
     // unreachable from the manifest, and the single-writer contract
     // means no append is mid-flight, so deleting them is pure
     // reclamation (a crashed append simply re-runs whole)
+    sweepUnmanifested(fs, path, Set(ctag))
+    tags.size
+  }
+
+  /** Delete every `batch=` dir under postings/doclens whose tag the
+    * manifest does not name — shared by the fold's post-publish sweep
+    * and the single-tag reclamation pass.
+    */
+  private def sweepUnmanifested(fs: FileSystem, path: String,
+      visible: Set[String]): Unit =
     Seq("postings", "doclens").foreach { sub =>
       val root = new Path(s"$path/$sub")
       if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
         .filter(p => p.getName.startsWith("batch=") &&
-          p.getName != s"batch=$ctag")
+          !visible.contains(p.getName.stripPrefix("batch=")))
         .foreach(p => fs.delete(p, true))
     }
-    tags.size
-  }
 
   /** Compaction policy knob (the [[Dedup.maintainClusterMap]]
     * convention): fold only once the visible batch count reaches

@@ -655,6 +655,10 @@ object Extensions {
     // snapshot drift (PSI / KL, add-1 smoothed) + the persisted
     // reference-profile store round-trip
     "pipeline_drift_psi" -> (c => Profiling.driftEntry(c.documents)),
+    // the pre-scoring per-bin counts (all exact BIGINTs, no ln): if a
+    // scored drift entry goes red while this stays green, the
+    // divergence provably isolates to the ln scoring tail
+    "pipeline_drift_bins" -> (c => Profiling.driftBinsEntry(c.documents)),
     "events_drift" -> (c => Profiling.eventsDriftEntry(c.events)),
     "embeddings_drift" -> (c => Profiling.embeddingDriftEntry(c.embeddings)),
     "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
@@ -796,6 +800,7 @@ object Extensions {
     "profile_lineitem" -> profileLineitemSql,
     "profile_columns" -> Profiling.columnProfileSql,
     "pipeline_drift_psi" -> Profiling.driftSql,
+    "pipeline_drift_bins" -> Profiling.driftBinsSql,
     "events_drift" -> Profiling.eventsDriftSql,
     "embeddings_drift" -> Profiling.embeddingDriftSql,
     // store round-trip must be invisible — the oracle recomputes the

@@ -25,6 +25,47 @@ class ProfilingSpec extends AnyFunSuite {
     assert(rows("s") == ((4L, 1L, 2L, "a", "b")))
   }
 
+  test("columnProfile on an EMPTY input keeps the oracle's one-row-per-column shape") {
+    val empty = Seq.empty[(java.lang.Long, String)].toDF("k", "s")
+    val rows = Profiling.columnProfile(empty, Seq("k", "s")).collect()
+    assert(rows.length == 2, s"expected 2 seeded rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5), s"empty min/max not null: $r")
+    }
+  }
+
+  test("drift psi/kl are emitted on the 1e-6 grid (driver-portable resolution)") {
+    // the per-term 1e-9 grid sum is exact, but its ±1-unit tail rides
+    // cross-engine ln bits (the r12 driver red); emission divides the
+    // exact sum by 1000 so a term flip can only show when the whole
+    // sum sits within 1e-6 of a boundary
+    val cur = docs.filter(col("lang") =!= "de")
+    Profiling.driftReport(docs, cur).collect().foreach { r =>
+      Seq(r.getDouble(4), r.getDouble(5)).foreach { v =>
+        assert(v >= 0.0, s"negative emitted drift: $r")
+        val scaled = v * 1e6
+        assert(scaled == math.rint(scaled), s"psi/kl off the 1e-6 grid: $r")
+      }
+    }
+  }
+
+  test("driftBinsEntry: all-integer per-bin counts reconstruct the planted shift") {
+    val rows = Profiling.driftBinsEntry(
+        docs.withColumn("source", col("source")))
+      .collect()
+    assert(rows.nonEmpty)
+    // counts are exact and consistent with the split sizes
+    val nRef = docs.filter(Profiling.plantedShiftRefCol).count()
+    val nCur = docs.filter(Profiling.plantedShiftCurCol).count()
+    val byFeature = rows.groupBy(_.getString(0))
+    byFeature.foreach { case (f, rs) =>
+      assert(rs.map(_.getLong(2)).sum == nRef, s"$f c_ref total")
+      assert(rs.map(_.getLong(3)).sum == nCur, s"$f c_cur total")
+    }
+    assert(byFeature.keySet == Set("lang", "len_bucket", "source"))
+  }
+
   test("driftReport on identical snapshots is exactly zero") {
     val r = Profiling.driftReport(docs, docs).collect()
     assert(r.length == 3)

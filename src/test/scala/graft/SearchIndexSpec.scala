@@ -183,6 +183,18 @@ class SearchIndexSpec extends AnyFunSuite {
       .map(_.toString).sameElements(before))
     // nothing left to fold
     assert(SearchIndex.compactIndexStore(spark, store) == 0)
+    // crash window between a fold's meta publish and ITS sweep: one
+    // visible tag, folded dirs still on disk — the single-tag call
+    // must still reclaim them (else they leak forever: every later
+    // call would early-return at one visible tag)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$store/postings/batch=bstale"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$store/doclens/batch=bstale"))
+    assert(SearchIndex.compactIndexStore(spark, store) == 0)
+    assert(!batchDirs("postings").contains("batch=bstale") &&
+      !batchDirs("doclens").contains("batch=bstale"),
+      "single-tag compact left crash orphans on disk")
     // compaction composes with append: a genuinely NEW batch lands
     // after the fold and the store still equals a fresh build
     val extra = docs.withColumn("doc_id", col("doc_id") + 1000L)
