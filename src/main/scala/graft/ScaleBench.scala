@@ -111,7 +111,7 @@ object ScaleBench {
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
         "ctstore,ingestloop,clustermap_compact,profilestore,searchindex," +
-        "storecompact")
+        "storecompact,compactdirs")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1306,6 +1306,46 @@ object ScaleBench {
         val (p1, _) = time(probe())
         println(f"${"ctstore"}%-8s$K%6d$pk%10.2f$cs%10.2f$p1%10.2f$folded%8d")
       }
+    }
+
+    section("compactdirs") {
+      // compaction at the regime it EXISTS for (r12 honesty note: the
+      // 12-dir point is footer-overhead-dominated): O(100+) batch
+      // dirs, the daily-ingest accumulation. The variable is DIR
+      // COUNT — batches are tiny (~40 docs), bytes constant-small —
+      // so the probe_k curve isolates the per-dir listing/footer
+      // read-amplification the fold reclaims. Probe twice per rung
+      // and read the min (single-run listings bounce with FS cache).
+      println("== compaction at O(100+) dirs: probe vs dir count (tiny batches) ==")
+      println(f"${"dirs"}%6s${"probe_s"}%9s")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+        .localCheckpoint()
+      val K = 129 // base + 128 tiny appends
+      val store = "/tmp/graft_sidx_compactdirs"
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.operators.SearchIndex.writeIndexStore(
+        docs.filter(pmod(col("doc_id"), lit(K.toLong)) === 0), store)
+      def probe(): Long =
+        graft.operators.SearchIndex.bm25FromStore(spark, store).count()
+      def probeMin(): Double = {
+        probe(); settle()
+        val (a, _) = time(probe()); val (b, _) = time(probe())
+        math.min(a, b)
+      }
+      val marks = Set(1, 17, 65, 129)
+      println(f"${1}%6d${probeMin()}%9.2f")
+      for (i <- 1 until K) {
+        graft.operators.SearchIndex.appendToIndexStore(store,
+          docs.filter(pmod(col("doc_id"), lit(K.toLong)) === i))
+        if (marks(i + 1)) println(f"${i + 1}%6d${probeMin()}%9.2f")
+      }
+      val (cs, folded) = time(
+        graft.operators.SearchIndex.compactIndexStore(spark, store)
+          .toLong)
+      println(f"compact: $cs%.2f s, folded $folded dirs; " +
+        f"post-fold probe ${probeMin()}%.2f s")
     }
 
     section("profilestore") {

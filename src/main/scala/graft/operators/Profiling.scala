@@ -359,19 +359,39 @@ object Profiling {
       emb.filter(pmod(col("vec_id"), lit(2L)) === 1 &&
         col("label") =!= 3))
 
+  /** The SQL forms of [[embBins]]' three vector marginals — shared by
+    * the scored oracle and the per-bin diagnostic.
+    */
+  private val embFeaturesSql: Seq[(String, String)] = Seq(
+    "label" -> "CAST(label AS VARCHAR)",
+    "argmax_dim" ->
+      "CAST(list_indexof(embedding, list_max(embedding)) AS VARCHAR)",
+    "norm_bucket" ->
+      ("CAST(CAST(list_sum(list_transform(embedding, x -> " +
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 " +
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT) " +
+        "// 100000000 AS VARCHAR)"))
+
   val embeddingDriftSql: String = driftTailSql(snapshotBranchesSql(
-    "embeddings",
-    Seq(
-      "label" -> "CAST(label AS VARCHAR)",
-      "argmax_dim" ->
-        "CAST(list_indexof(embedding, list_max(embedding)) AS VARCHAR)",
-      "norm_bucket" ->
-        ("CAST(CAST(list_sum(list_transform(embedding, x -> " +
-          "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 " +
-          "+ CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT) " +
-          "// 100000000 AS VARCHAR)")),
+    "embeddings", embFeaturesSql,
     "vec_id % 2 = 0",
     "vec_id % 2 = 1 AND label <> 3"))
+
+  /** Embeddings twin of [[driftBinsEntry]] — pins the vector BINNING
+    * expressions (argmax tie-discipline, the norm's per-element
+    * BIGINT grid) as exact cross-engine facts, independent of the
+    * scoring tail.
+    */
+  def embeddingDriftBinsEntry(emb: DataFrame): DataFrame =
+    twoSnapshotBins(
+      embBins(emb.filter(pmod(col("vec_id"), lit(2L)) === 0)),
+      embBins(emb.filter(pmod(col("vec_id"), lit(2L)) === 1 &&
+        col("label") =!= 3)))
+      .orderBy("feature", "bin")
+
+  val embeddingDriftBinsSql: String = binsSqlOver("embeddings",
+    embFeaturesSql, "vec_id % 2 = 0",
+    "vec_id % 2 = 1 AND label <> 3")
 
   /** The documents fixture's planted incident — ONE definition of the
     * ref/cur split shared by every view of it (the PSI report here,
@@ -429,15 +449,40 @@ object Profiling {
       featureBins(docs.filter(plantedShiftCurCol)))
       .orderBy("feature", "bin")
 
-  val driftBinsSql: String =
+  /** The SQL twin of the per-bin diagnostic frame — the
+    * [[driftTailSql]] front half emitted raw (counts CAST to BIGINT:
+    * DuckDB's SUM over INTEGER returns HUGEINT).
+    */
+  private def binsSqlOver(table: String,
+      features: Seq[(String, String)], refWhere: String,
+      curWhere: String): String =
     s"""WITH fb AS (
-       |  ${snapshotBranchesSql("documents", docFeaturesSql,
-            plantedShiftRefSql, plantedShiftCurSql)})
+       |  ${snapshotBranchesSql(table, features, refWhere, curWhere)})
        |SELECT feature, bin,
        |  CAST(SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS c_ref,
        |  CAST(SUM(is_cur) AS BIGINT) AS c_cur
        |FROM fb GROUP BY 1, 2 ORDER BY feature, bin""".stripMargin
+
+  val driftBinsSql: String = binsSqlOver("documents", docFeaturesSql,
+    plantedShiftRefSql, plantedShiftCurSql)
+
+  /** Events twin of [[driftBinsEntry]] — additionally pins the event
+    * BINNING expressions themselves (`hour(ts)`, the value bucket's
+    * single IEEE chain) as exact cross-engine facts, independent of
+    * the scoring tail.
+    */
+  def eventsDriftBinsEntry(events: DataFrame): DataFrame =
+    twoSnapshotBins(
+      eventBins(events.filter(pmod(col("event_id"), lit(2L)) === 0)),
+      eventBins(events.filter(pmod(col("event_id"), lit(2L)) === 1 &&
+        !(col("event_type") === "error" &&
+          pmod(col("event_id"), lit(4L)) === 1))))
+      .orderBy("feature", "bin")
+
+  val eventsDriftBinsSql: String = binsSqlOver("events",
+    eventFeaturesSql, "event_id % 2 = 0",
+    "event_id % 2 = 1 AND NOT (event_type = 'error' AND event_id % 4 = 1)")
 
   // --- profile store ---------------------------------------------------
   // The persisted reference profile: the (feature, bin, c_ref) counts

@@ -659,6 +659,9 @@ object Extensions {
     // scored drift entry goes red while this stays green, the
     // divergence provably isolates to the ln scoring tail
     "pipeline_drift_bins" -> (c => Profiling.driftBinsEntry(c.documents)),
+    "events_drift_bins" -> (c => Profiling.eventsDriftBinsEntry(c.events)),
+    "embeddings_drift_bins" ->
+      (c => Profiling.embeddingDriftBinsEntry(c.embeddings)),
     "events_drift" -> (c => Profiling.eventsDriftEntry(c.events)),
     "embeddings_drift" -> (c => Profiling.embeddingDriftEntry(c.embeddings)),
     "pipeline_drift_store" -> (c => Profiling.driftStoreEntry(c.documents,
@@ -801,6 +804,8 @@ object Extensions {
     "profile_columns" -> Profiling.columnProfileSql,
     "pipeline_drift_psi" -> Profiling.driftSql,
     "pipeline_drift_bins" -> Profiling.driftBinsSql,
+    "events_drift_bins" -> Profiling.eventsDriftBinsSql,
+    "embeddings_drift_bins" -> Profiling.embeddingDriftBinsSql,
     "events_drift" -> Profiling.eventsDriftSql,
     "embeddings_drift" -> Profiling.embeddingDriftSql,
     // store round-trip must be invisible — the oracle recomputes the

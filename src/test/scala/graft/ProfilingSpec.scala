@@ -66,6 +66,32 @@ class ProfilingSpec extends AnyFunSuite {
     assert(byFeature.keySet == Set("lang", "len_bucket", "source"))
   }
 
+  test("events/embeddings bins diagnostics: per-feature totals equal split sizes") {
+    val events = Seq.tabulate(200)(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 3600000L),
+        i.toLong % 7, Seq("click", "view", "error")(i % 3),
+        (i % 50) * 3.7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val er = Profiling.eventsDriftBinsEntry(events).collect()
+    val eRef = events.filter(col("event_id") % 2 === 0).count()
+    er.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      assert(rs.map(_.getLong(2)).sum == eRef, s"events $f c_ref total")
+    }
+    assert(er.map(_.getString(0)).toSet ==
+      Set("event_type", "hour_of_day", "value_bucket"))
+    val emb = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.tabulate(8)(d => (d + 1) * 0.25f *
+        (if (d == i % 8) 2f else 1f)), i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    val br = Profiling.embeddingDriftBinsEntry(emb).collect()
+    val bRef = emb.filter(col("vec_id") % 2 === 0).count()
+    br.groupBy(_.getString(0)).foreach { case (f, rs) =>
+      assert(rs.map(_.getLong(2)).sum == bRef, s"emb $f c_ref total")
+    }
+    assert(br.map(_.getString(0)).toSet ==
+      Set("label", "argmax_dim", "norm_bucket"))
+  }
+
   test("driftReport on identical snapshots is exactly zero") {
     val r = Profiling.driftReport(docs, docs).collect()
     assert(r.length == 3)

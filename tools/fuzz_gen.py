@@ -178,10 +178,11 @@ def write_null_fixture(con, out_dir):
 
 class Gen:
     def __init__(self, sf_dir, seed, out_dir=None, nulls=False,
-                 ext=False):
+                 ext=False, approx=False):
         self.rng = random.Random(seed)
         self.nulls = nulls
         self.ext = ext
+        self.approx = approx
         self.con = duckdb.connect()
         self.con.sql("SET threads = 1")  # reproducibility
         for t in TABLES:
@@ -628,6 +629,85 @@ class Gen:
                 f"CAST(SUM(COALESCE({val}, -1)) AS BIGINT) AS sc "
                 f"FROM {t} WHERE {where} GROUP BY 1, 2")
 
+    # ---- approximate-math templates (--approx mode only) ------------
+    # The r12 driver red came from CURATED entries because the base
+    # grammar is exact-typed by design — ln never appeared in a fuzzed
+    # query. These templates drive the approximate-math seam through
+    # the SAME conventions production uses (CLAUDE.md): each ln-derived
+    # term snaps to a per-element BIGINT grid (exact, order-free sum),
+    # and the emitted value coarsens the exact sum by a factor-1000
+    # integer step, so a ±1-unit cross-engine term flip only surfaces
+    # when the whole sum sits within flip-count units of a boundary.
+    # The integer step is written portably as
+    # floor(CAST(sum + OFFSET AS DOUBLE) / 1000): the offset keeps the
+    # operand positive (no truncate-vs-floor divergence) and below 2^53
+    # (the cast is exact), so both engines compute the identical IEEE
+    # quotient and floor.
+    def _coarsen(self, sum_expr, offset):
+        return (f"CAST(floor(CAST({sum_expr} + {offset} AS DOUBLE) / "
+                f"CAST(1000 AS DOUBLE)) AS BIGINT)")
+
+    def approx_ln_ratio_q(self):
+        """Fresh per-row ln quotients (the exact r12 hazard shape:
+        query-specific args, no shared subexpressions) summed per
+        group. Terms ride a 1e6 grid — |ln| <= ~16 on the fixture's
+        int columns, and the smaller grid keeps the sf0.1 group sums
+        (600k rows) far below 2^53 even before coarsening."""
+        t = self.rng.choice([x for x in TABLES
+                             if TABLES[x]["lowstr"]
+                             and len(TABLES[x]["int"]) >= 2])
+        c = TABLES[t]
+        g = self.rng.choice(c["lowstr"])
+        a, b = self.rng.sample(c["int"], 2)
+        where = self.pred(t, None)
+        # int columns are nonnegative in every fixture table; +1 keeps
+        # the quotient strictly positive (ln well-defined)
+        term = (f"ln(CAST({a} + 1 AS DOUBLE) / "
+                f"CAST({b} + 1 AS DOUBLE))")
+        t6 = (f"CAST(floor({term} * 1e6 + CAST(0.5 AS DOUBLE)) "
+              f"AS BIGINT)")
+        s = self._coarsen(f"SUM({t6})", 10000000000000)
+        return (f"SELECT {g} AS g0, count(*) AS cnt, {s} AS lns "
+                f"FROM {t} WHERE {where} GROUP BY {g}")
+
+    def approx_entropy_q(self):
+        """The drift family's own shape: p = c/n over exact grouped
+        counts (fresh quotients), p*ln(p) per bin on the 1e9 grid,
+        coarsened at emission — a Shannon entropy the two engines must
+        agree on at 1e-6-of-a-nat resolution."""
+        t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
+        g = self.rng.choice(TABLES[t]["lowstr"])
+        where = self.pred(t, None)
+        p = "CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+        t9 = (f"CAST(floor(({p}) * ln({p}) * 1e9 "
+              f"+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        ent = self._coarsen(f"SUM({t9})", 100000000000)
+        return (f"WITH b AS (SELECT {g} AS g0, count(*) AS c "
+                f"FROM {t} WHERE {where} GROUP BY {g}), "
+                f"tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b) "
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(n) AS n, "
+                f"{ent} AS ent FROM b CROSS JOIN tot")
+
+    def approx_logsum_money_q(self):
+        """ln over the money grid: per-group log-sum of the exact
+        cent carrier (abs-guarded — acctbal can be negative), the
+        geometric-mean building block. 1e6 per-term grid, coarsened
+        emission."""
+        cands = [x for x in TABLES
+                 if TABLES[x]["money"] and TABLES[x]["lowstr"]]
+        t = self.rng.choice(cands)
+        c = TABLES[t]
+        g = self.rng.choice(c["lowstr"])
+        m = self.rng.choice(c["money"])
+        where = self.pred(t, None)
+        cents = f"CAST(floor({m} * 100.0 + 0.5) AS BIGINT)"
+        term = f"ln(CAST(abs({cents}) + 1 AS DOUBLE))"
+        t6 = (f"CAST(floor({term} * 1e6 + CAST(0.5 AS DOUBLE)) "
+              f"AS BIGINT)")
+        s = self._coarsen(f"SUM({t6})", 10000000000000)
+        return (f"SELECT {g} AS g0, count(*) AS cnt, {s} AS logsum "
+                f"FROM {t} WHERE {where} GROUP BY {g}")
+
     # ---- extension-SQL templates (--ext mode only) ------------------
     # The registered Graft SQL functions (GraftExtensions): cosine_sim
     # is checked for BIT-EXACT value agreement against a DuckDB
@@ -722,6 +802,10 @@ class Gen:
         if self.nulls:
             forms += [self.not_in_q, self.anti_join_q, self.null_agg_q]
             weights += [2, 1, 2]
+        if self.approx:
+            forms += [self.approx_ln_ratio_q, self.approx_entropy_q,
+                      self.approx_logsum_money_q]
+            weights += [3, 2, 2]
         if self.ext:
             forms += [self.ext_cosine_pairs, self.ext_cosine_agg,
                       self.ext_minhash_law]
@@ -735,11 +819,13 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     nulls = "--nulls" in sys.argv
     ext = "--ext" in sys.argv
+    approx = "--approx" in sys.argv
     sf_dir, out_dir = args[0], args[1]
     seed = int(args[2]) if len(args) > 2 else 1
     n = int(args[3]) if len(args) > 3 else 120
     os.makedirs(out_dir, exist_ok=True)
-    g = Gen(sf_dir, seed, out_dir=out_dir, nulls=nulls, ext=ext)
+    g = Gen(sf_dir, seed, out_dir=out_dir, nulls=nulls, ext=ext,
+            approx=approx)
     spark_q, duck_q = {}, {}
     for i in range(n):
         s_sql, d_sql = g.query()
