@@ -743,8 +743,17 @@ object CorpusPipeline {
     g.join(broadcast(lw), "b")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_grams"), sum("lw9").as("s9"))
+      // r13 coarsened emission (drift-family convention): s9 is
+      // SIGNED (non-target buckets carry negative log-ratios), so the
+      // factor-1000 step is floor on the exact double image of the
+      // sum (|s9| < 2^53 ⇒ the cast is exact and the IEEE quotient +
+      // floor are identical in both engines for either sign) — a
+      // ±1-unit ln flip in a bucket weight moves the output only when
+      // the sum sits at a 1000-boundary; the top-k cut runs on the
+      // same coarsened value
       .select(col("doc_id"), col("lang"), col("n_grams"),
-        (col("s9").cast("double") / col("n_grams") / lit(1e9))
+        (floor(col("s9").cast("double") / lit(1000.0)).cast("bigint")
+          .cast("double") / col("n_grams") / lit(1e6))
           .as("avg_logratio"))
       .orderBy(col("avg_logratio").desc, col("doc_id"))
       .limit(topK)
@@ -785,7 +794,9 @@ object CorpusPipeline {
        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lw9
        |  FROM cnt, tot)
        |SELECT doc_id, lang, COUNT(*) AS n_grams,
-       |  CAST(SUM(lw9) AS DOUBLE) / COUNT(*) / 1e9 AS avg_logratio
+       |  CAST(CAST(floor(CAST(SUM(lw9) AS DOUBLE) /
+       |      CAST(1000 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+       |    / COUNT(*) / 1e6 AS avg_logratio
        |FROM g JOIN lw USING (b)
        |GROUP BY 1, 2
        |ORDER BY avg_logratio DESC, doc_id LIMIT $topK""".stripMargin

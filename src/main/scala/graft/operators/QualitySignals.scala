@@ -139,8 +139,11 @@ object QualitySignals {
     *
     * Exactness: each log-probability is snapped to a 1e-9 grid and
     * carried as a BIGINT (`floor(ln(p)·1e9 + 0.5)`), so all sums are
-    * exact integer sums regardless of partitioning, and a single
-    * final division produces the double. The 1e9 grid bounds group
+    * exact integer sums regardless of partitioning; emission drops the
+    * sum's last 3 digits through one integer division before the final
+    * IEEE division (r13 drift-family convention — a cross-engine
+    * ±1-unit `ln` flip in any term can no longer move the hashed
+    * output unless the whole sum sits at a 1000-boundary). The 1e9 grid bounds group
     * token counts at ~1e8 per group before BIGINT overflow — per-group
     * (not corpus-wide) at 100 TB. The bound is ENFORCED, not just
     * documented: a DECIMAL(38,0) carrier of Σ|lps| rides alongside
@@ -179,11 +182,17 @@ object QualitySignals {
             coalesce(col("source"), lit("<null>")),
             lit(") — shard the group or rescale the grid")
           )).cast("double"))
-          .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
-            lit(1e9)).as("avg_nll_token"),
-        min(-(col("s").cast("double")) / col("n") / lit(1e9))
+          // r13 coarsened emission (the drift-family convention): the
+          // negated grid sum (≥ 0: every lp9 ≤ 0 since p ≤ 1) drops
+          // its last 3 digits through one integer division, so a
+          // cross-engine ±1-unit ln flip in any single term can no
+          // longer move the hashed double unless the whole sum sits
+          // at a 1000-boundary
+          .otherwise(expr("cast((-sum(s)) div 1000 as double)") /
+            sum("n").cast("double") / lit(1e6)).as("avg_nll_token"),
+        min(expr("cast((-s) div 1000 as double)") / col("n") / lit(1e6))
           .as("min_doc_nll"),
-        max(-(col("s").cast("double")) / col("n") / lit(1e9))
+        max(expr("cast((-s) div 1000 as double)") / col("n") / lit(1e6))
           .as("max_doc_nll"))
       .orderBy("lang", "source")
   }
@@ -252,11 +261,12 @@ object QualitySignals {
           raise_error(lit(
             "bigramFluency: BIGINT log-prob carrier overflow — shard " +
               "the group or rescale the grid")).cast("double"))
-          .otherwise(-(sum("s").cast("double")) / sum("n").cast("double") /
-            lit(1e9)).as("avg_nll_token"),
-        min(-(col("s").cast("double")) / col("n") / lit(1e9))
+          // r13 coarsened emission — see unigramLm
+          .otherwise(expr("cast((-sum(s)) div 1000 as double)") /
+            sum("n").cast("double") / lit(1e6)).as("avg_nll_token"),
+        min(expr("cast((-s) div 1000 as double)") / col("n") / lit(1e6))
           .as("min_doc_nll"),
-        max(-(col("s").cast("double")) / col("n") / lit(1e9))
+        max(expr("cast((-s) div 1000 as double)") / col("n") / lit(1e6))
           .as("max_doc_nll"))
       .orderBy("lang", "source")
   }
@@ -298,10 +308,10 @@ object QualitySignals {
        |  FROM terms GROUP BY 1, 2, 3)
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
-       |  -CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9
-       |    AS avg_nll_token,
-       |  MIN(-CAST(s AS DOUBLE) / n / 1e9) AS min_doc_nll,
-       |  MAX(-CAST(s AS DOUBLE) / n / 1e9) AS max_doc_nll
+       |  CAST((-CAST(SUM(s) AS BIGINT)) // 1000 AS DOUBLE)
+       |    / CAST(SUM(n) AS DOUBLE) / 1e6 AS avg_nll_token,
+       |  MIN(CAST((-s) // 1000 AS DOUBLE) / n / 1e6) AS min_doc_nll,
+       |  MAX(CAST((-s) // 1000 AS DOUBLE) / n / 1e6) AS max_doc_nll
        |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -325,10 +335,10 @@ object QualitySignals {
       |  FROM w JOIN lp USING (w) GROUP BY 1, 2, 3)
       |SELECT lang, source, COUNT(*) AS n_docs,
       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
-      |  -CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) / 1e9
-      |    AS avg_nll_token,
-      |  MIN(-CAST(s AS DOUBLE) / n / 1e9) AS min_doc_nll,
-      |  MAX(-CAST(s AS DOUBLE) / n / 1e9) AS max_doc_nll
+      |  CAST((-CAST(SUM(s) AS BIGINT)) // 1000 AS DOUBLE)
+      |    / CAST(SUM(n) AS DOUBLE) / 1e6 AS avg_nll_token,
+      |  MIN(CAST((-s) // 1000 AS DOUBLE) / n / 1e6) AS min_doc_nll,
+      |  MAX(CAST((-s) // 1000 AS DOUBLE) / n / 1e6) AS max_doc_nll
       |FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
@@ -768,7 +778,9 @@ object QualitySignals {
         sum("oov").cast("bigint").as("n_oov"),
         sum("t").as("s"))
       .select(col("doc_id"), col("n_tok"), col("n_oov"),
-        (-(col("s").cast("double")) / col("n_tok") / lit(1e9)).as("nll"))
+        // r13 coarsened emission — see unigramLm
+        (expr("cast((-s) div 1000 as double)") / col("n_tok") /
+          lit(1e6)).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -808,7 +820,8 @@ object QualitySignals {
       |  FROM dw LEFT JOIN lp USING (w) CROSS JOIN oov)
       |SELECT doc_id, COUNT(*) AS n_tok,
       |  CAST(SUM(oovf) AS BIGINT) AS n_oov,
-      |  -CAST(SUM(t) AS DOUBLE) / COUNT(*) / 1e9 AS nll
+      |  CAST((-CAST(SUM(t) AS BIGINT)) // 1000 AS DOUBLE)
+      |    / COUNT(*) / 1e6 AS nll
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
@@ -858,7 +871,11 @@ object QualitySignals {
           raise_error(lit("perplexityBuckets: BIGINT log-prob carrier " +
             "overflow — rescale the grid or shard the document"))
             .cast("double"))
-          .otherwise(-(col("s").cast("double")) / col("n_tok") / lit(1e9))
+          // r13 coarsened emission — see unigramLm; the RANKING below
+          // also runs on the coarsened nll, so a single ln flip can't
+          // reorder two docs unless their sums straddle a boundary
+          .otherwise(expr("cast((-s) div 1000 as double)") /
+            col("n_tok") / lit(1e6))
           .as("nll"))
     Kernels.globalRank(scored, Seq(col("nll"), col("doc_id")), "rnk")
       .withColumn("bucket", expr(s"((rnk - 1) * $buckets) div n_total"))
@@ -890,9 +907,10 @@ object QualitySignals {
        |nd AS (SELECT COUNT(*) AS n_total FROM perdoc),
        |r AS (
        |  SELECT doc_id, n_tok,
-       |    -CAST(s AS DOUBLE) / n_tok / 1e9 AS nll,
+       |    CAST((-s) // 1000 AS DOUBLE) / n_tok / 1e6 AS nll,
        |    ROW_NUMBER() OVER (
-       |      ORDER BY -CAST(s AS DOUBLE) / n_tok / 1e9, doc_id) AS rnk
+       |      ORDER BY CAST((-s) // 1000 AS DOUBLE) / n_tok / 1e6, doc_id)
+       |      AS rnk
        |  FROM perdoc)
        |SELECT doc_id, n_tok, nll, rnk,
        |  (rnk - 1) * $buckets // n_total AS bucket,

@@ -79,8 +79,12 @@ object Search {
       .map(i => when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
+      // r13 coarsened emission + ordering (drift-family convention):
+      // the nonnegative 1e-12-grid sum drops its last 3 digits before
+      // both the emitted score and the top-k sort key
+      .withColumn("s9w", s9)
       .select(col("doc_id"), nTerms.as("n_terms"),
-        (s9.cast("double") / lit(1e12)).as("score"))
+        (expr("s9w div 1000").cast("double") / lit(1e9)).as("score"))
       .filter(col("n_terms") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
@@ -135,7 +139,8 @@ object Search {
        |    $nTerms AS n_terms,
        |    $s9 AS s9
        |  FROM perdoc, stats)
-       |SELECT doc_id, n_terms, CAST(s9 AS DOUBLE) / 1e12 AS score
+       |SELECT doc_id, n_terms,
+       |  CAST(s9 // 1000 AS DOUBLE) / 1e9 AS score
        |FROM scored WHERE n_terms > 0
        |ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
   }
@@ -209,14 +214,21 @@ object Search {
       .select(col("qid"), col("doc_id"), c9.as("c9"))
       .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c9").as("s9"))
+      // r13 coarsened emission + ranking (drift-family convention):
+      // s9 ≥ 0 (idf ≥ 0, contributions positive), so one integer
+      // division drops the ln-flip-exposed last 3 digits of the
+      // 1e-12-grid sum; the top-k key is the coarsened value, making
+      // the cut flip-immune (near-ties within 1 raw unit become hard
+      // ties at 1e-9, broken by doc_id)
+      .withColumn("s6", expr("s9 div 1000"))
       .groupBy("qid")
-      .agg(bottom_k_by_key(struct((-col("s9")).as("key"),
+      .agg(bottom_k_by_key(struct((-col("s6")).as("key"),
         col("doc_id").as("id"), col("n_terms").as("payload")), topK)
         .as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("doc_id"),
         col("col.payload").as("n_terms"),
-        ((-col("col.key")).cast("double") / lit(1e12)).as("score"),
+        ((-col("col.key")).cast("double") / lit(1e9)).as("score"),
         (col("pos") + 1).cast("bigint").as("rk"))
       .orderBy("qid", "rk")
   }
@@ -270,9 +282,10 @@ object Search {
        |    CAST(SUM(c9) AS BIGINT) AS s9
        |  FROM contrib GROUP BY 1, 2),
        |ranked AS (
-       |  SELECT qid, doc_id, n_terms, CAST(s9 AS DOUBLE) / 1e12 AS score,
+       |  SELECT qid, doc_id, n_terms,
+       |    CAST(s9 // 1000 AS DOUBLE) / 1e9 AS score,
        |    ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY s9 DESC, doc_id) AS rk
+       |      ORDER BY s9 // 1000 DESC, doc_id) AS rk
        |  FROM scored)
        |SELECT qid, doc_id, n_terms, score, rk FROM ranked
        |WHERE rk <= $topK ORDER BY qid, rk""".stripMargin

@@ -404,14 +404,19 @@ object SearchIndex {
       .select(col("qid"), col("doc_id"), c9.as("c9"))
       .groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("c9").as("s9"))
+      // r13 coarsened emission + ranking (drift-family convention,
+      // mirrors Search.bm25Queries exactly): s9 ≥ 0, one integer
+      // division absorbs per-term idf9 ln flips; ranking runs on the
+      // coarsened key so the top-k cut is flip-immune too
+      .withColumn("s6", expr("s9 div 1000"))
       .groupBy("qid")
-      .agg(bottom_k_by_key(struct((-col("s9")).as("key"),
+      .agg(bottom_k_by_key(struct((-col("s6")).as("key"),
         col("doc_id").as("id"), col("n_terms").as("payload")), topK)
         .as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.id").as("doc_id"),
         col("col.payload").as("n_terms"),
-        ((-col("col.key")).cast("double") / lit(1e12)).as("score"),
+        ((-col("col.key")).cast("double") / lit(1e9)).as("score"),
         (col("pos") + 1).cast("bigint").as("rk"))
       .orderBy("qid", "rk")
   }

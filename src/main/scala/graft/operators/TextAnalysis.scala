@@ -280,14 +280,21 @@ object TextAnalysis {
       .withColumn("score9", floor(col("tf").cast("double") *
         log(col("n_sources").cast("double") / col("df").cast("double")) *
         lit(1e9) + lit(0.5)).cast("bigint"))
+    // r13 coarsened emission + RANKING (drift-family convention):
+    // score9 ≥ 0 (df ≤ n_sources ⇒ ln ≥ 0), so one integer division
+    // drops the ln-flip-exposed last 3 digits; ranking on the
+    // coarsened score keeps the order itself flip-immune (a near-tie
+    // within 1 raw unit is a hard tie at 1e-6, broken by the term)
+    val coarse = scored.withColumn("score6",
+      expr("score9 div 1000"))
     // window bound: construction-bounded — ≤ capInv rows per source
     // by the pigeonhole filter above
-    scored.withColumn("rk", row_number().over(
+    coarse.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(desc("score9"), col("w"))).cast("bigint"))
+          .orderBy(desc("score6"), col("w"))).cast("bigint"))
       .filter(col("rk") <= k)
       .select(col("source"), col("w"), col("tf"), col("df"),
-        (col("score9").cast("double") / lit(1e9)).as("tfidf"),
+        (col("score6").cast("double") / lit(1e6)).as("tfidf"),
         col("rk"))
       .orderBy("source", "rk")
   }
@@ -317,12 +324,12 @@ object TextAnalysis {
        |      1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score9
        |  FROM cands c JOIN d USING (w) CROSS JOIN s),
        |r AS (
-       |  SELECT source, w, tf, df, score9,
+       |  SELECT source, w, tf, df, score9 // 1000 AS score6,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY score9 DESC, w) AS rk
+       |      ORDER BY score9 // 1000 DESC, w) AS rk
        |  FROM sc)
        |SELECT source, w, tf, df,
-       |  CAST(score9 AS DOUBLE) / 1e9 AS tfidf, rk
+       |  CAST(score6 AS DOUBLE) / 1e6 AS tfidf, rk
        |FROM r WHERE rk <= $k ORDER BY source, rk""".stripMargin
 
   /** Stopword-hit language ID: count stopword matches per candidate

@@ -121,11 +121,14 @@ class QualitySignalsSpec extends AnyFunSuite {
     val out = QualitySignals.scoreAgainstLmStore(dir, delta).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
-    // base totals: alpha 2, beta 2, total 4
-    def g(p: Double) = math.floor(math.log(p) * 1e9 + 0.5)
-    assert(out(10L) == ((2L, 0L, -(g(0.5) + g(0.5)) / 2 / 1e9)))
+    // base totals: alpha 2, beta 2, total 4; emission at the r13
+    // coarsened resolution: (-sum) div 1000 over the 1e9 grid, /1e6
+    def g(p: Double) = math.floor(math.log(p) * 1e9 + 0.5).toLong
+    def nll(terms: Long*): Double =
+      (-terms.sum / 1000L).toDouble / terms.length / 1e6
+    assert(out(10L) == ((2L, 0L, nll(g(0.5), g(0.5)))))
     // zeta is OOV → ln(1/(4+1))
-    assert(out(11L) == ((2L, 1L, -(g(0.5) + g(1.0 / 5)) / 2 / 1e9)))
+    assert(out(11L) == ((2L, 1L, nll(g(0.5), g(1.0 / 5)))))
     // layout independence
     val again = QualitySignals
       .scoreAgainstLmStore(dir, delta.repartition(4))
@@ -291,7 +294,9 @@ class QualitySignalsSpec extends AnyFunSuite {
       .map { case (k, g) =>
         val n = g.values.map(_._1).sum
         val sum = g.values.map(_._2).sum
-        k -> ((g.size.toLong, n, -(sum.toDouble) / n.toDouble / 1e9)) }
+        // r13 coarsened emission: (-sum) div 1000 over the grid, /1e6
+        k -> ((g.size.toLong, n,
+          (-sum / 1000L).toDouble / n.toDouble / 1e6)) }
     val out = QualitySignals.bigramFluency(df).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
