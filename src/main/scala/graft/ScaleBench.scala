@@ -1346,6 +1346,38 @@ object ScaleBench {
           .toLong)
       println(f"compact: $cs%.2f s, folded $folded dirs; " +
         f"post-fold probe ${probeMin()}%.2f s")
+      // same curve for the LISTING-read discipline (containment store,
+      // whole-root-swap fold) — dir-count amplification there hits the
+      // reader's own file enumeration, not a manifest
+      println("== containment (listing-read) at O(64+) dirs ==")
+      println(f"${"dirs"}%6s${"probe_s"}%9s")
+      val K2 = 65
+      val cstore = "/tmp/graft_ct_compactdirs"
+      fs.delete(new org.apache.hadoop.fs.Path(cstore), true)
+      val delta = docs.filter(pmod(col("doc_id"), lit(17L)) === 0)
+        .localCheckpoint()
+      val base = docs.filter(pmod(col("doc_id"), lit(17L)) =!= 0)
+      graft.operators.Dedup.writeContainmentStore(
+        base.filter(pmod(col("doc_id"), lit(K2.toLong)) === 0), cstore)
+      def cprobe(): Long = graft.operators.Dedup
+        .containmentFromStore(cstore, delta).count()
+      def cprobeMin(): Double = {
+        cprobe(); settle()
+        val (a, _) = time(cprobe()); val (b, _) = time(cprobe())
+        math.min(a, b)
+      }
+      val cmarks = Set(1, 9, 33, 65)
+      println(f"${1}%6d${cprobeMin()}%9.2f")
+      for (i <- 1 until K2) {
+        graft.operators.Dedup.appendToContainmentStore(
+          base.filter(pmod(col("doc_id"), lit(K2.toLong)) === i), cstore)
+        if (cmarks(i + 1)) println(f"${i + 1}%6d${cprobeMin()}%9.2f")
+      }
+      val (ccs, cfolded) = time(
+        graft.operators.Dedup.compactContainmentStore(spark, cstore)
+          .toLong)
+      println(f"compact: $ccs%.2f s, folded $cfolded dirs; " +
+        f"post-fold probe ${cprobeMin()}%.2f s")
     }
 
     section("profilestore") {
