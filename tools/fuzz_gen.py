@@ -688,6 +688,36 @@ class Gen:
                 f"SELECT CAST(COUNT(*) AS BIGINT) AS nb, MAX(n) AS n, "
                 f"{ent} AS ent FROM b CROSS JOIN tot")
 
+    def approx_psi_q(self):
+        """THE r12 failure shape, randomized: add-1 smoothed PSI
+        between two random snapshots of a feature column — fresh
+        per-bin quotients into ln, per-term 1e9 grid, coarsened
+        emission. Every run of this template re-litigates the drift
+        family's cross-engine bet on arbitrary splits."""
+        t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
+        g = self.rng.choice(TABLES[t]["lowstr"])
+        p1 = self.pred(t, None)
+        p2 = self.pred(t, None)
+        p = "CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE)"
+        q = "CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE)"
+        t9 = (f"CAST(floor(({p} - {q}) * ln(({p}) / ({q})) * 1e9 "
+              f"+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        psi = self._coarsen(f"SUM({t9})", 1000000000000)
+        return (f"WITH fb AS ("
+                f"SELECT {g} AS bin, 0 AS is_cur FROM {t} WHERE {p1} "
+                f"UNION ALL SELECT {g}, 1 FROM {t} WHERE {p2}), "
+                f"bins AS (SELECT bin, "
+                f"CAST(SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS c_ref, "
+                f"CAST(SUM(is_cur) AS BIGINT) AS c_cur "
+                f"FROM fb GROUP BY 1), "
+                f"tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref, "
+                f"CAST(SUM(c_cur) AS BIGINT) AS n_cur, "
+                f"COUNT(*) AS n_bins FROM bins) "
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS nb, "
+                f"MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur, "
+                f"{psi} AS psi6 FROM bins CROSS JOIN tot")
+
     def approx_logsum_money_q(self):
         """ln over the money grid: per-group log-sum of the exact
         cent carrier (abs-guarded — acctbal can be negative), the
@@ -804,8 +834,8 @@ class Gen:
             weights += [2, 1, 2]
         if self.approx:
             forms += [self.approx_ln_ratio_q, self.approx_entropy_q,
-                      self.approx_logsum_money_q]
-            weights += [3, 2, 2]
+                      self.approx_logsum_money_q, self.approx_psi_q]
+            weights += [3, 2, 2, 3]
         if self.ext:
             forms += [self.ext_cosine_pairs, self.ext_cosine_agg,
                       self.ext_minhash_law]
