@@ -192,7 +192,10 @@ object ScaleBench {
         // (events_drift ladders with the events section's dirs — the
         // corpus amplifier writes no events.parquet)
         "pipeline_drift_psi", "embeddings_drift", "profile_columns",
-        "text_heavy_hitter_churn", "text_source_signature")
+        "text_heavy_hitter_churn", "text_source_signature",
+        // r13: the all-integer per-bin drift diagnostics (same
+        // hash-agg shape as the scored entries — expected flat)
+        "pipeline_drift_bins", "embeddings_drift_bins")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
