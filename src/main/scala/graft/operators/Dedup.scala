@@ -1167,10 +1167,12 @@ object Dedup {
       chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
       bands: Int = 4, sampleMod: Int = 2): String = {
     val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
     val path = s"/tmp/graft_ctstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${chunkWords}w${stride}s${numHashes}x${bands}" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+      s"${chunkWords}w${stride}s${numHashes}x${bands}" +
       s"m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
@@ -1640,10 +1642,12 @@ object Dedup {
   def ensureSignatureStore(baseDocs: DataFrame, tag: String,
       numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): String = {
     val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
     val path = s"/tmp/graft_sigstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${numHashes}x${bands}m$sampleMod"
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+      s"${numHashes}x${bands}m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
@@ -2878,10 +2882,12 @@ object Dedup {
   def ensureClusterMap(docs: DataFrame, tag: String,
       sampleMod: Int = 2): String = {
     val fp = docs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
     val path = s"/tmp/graft_clustermap_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_m$sampleMod"
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+      s"m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
@@ -2901,10 +2907,12 @@ object Dedup {
   def ensureAppendedClusterMap(docs: DataFrame, tag: String,
       sampleMod: Int = 2): String = {
     val fp = docs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
     val path = s"/tmp/graft_clustermap_app_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_m$sampleMod"
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+      s"m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path)) {

@@ -82,7 +82,8 @@ object IngestLoop {
     // regenerated fixture (the amplifier's alphabet permutation is
     // exactly that shape) must rebuild, not serve stale postings
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("xh"))
+      expr("bit_xor(xxhash64(doc_id, text, source, lang, n_chars))")
+        .as("xh"))
       .collect().head
     // `_ix` marks the generation that also carries the index +
     // profile artifacts — pre-r12-late roots lack them and must

@@ -137,7 +137,7 @@ object Sketches {
     */
   def ensureSketchStore(docs: DataFrame, tag: String): String = {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+        expr("bit_xor(xxhash64(doc_id, text, source))").as("h"))
       .collect().head
     val path = s"/tmp/graft_sketchstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
@@ -212,7 +212,7 @@ object Sketches {
 
   def ensureQuantileStore(docs: DataFrame, tag: String): String = {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, n_chars))").as("h"))
+        expr("bit_xor(xxhash64(doc_id, n_chars, source))").as("h"))
       .collect().head
     val path = s"/tmp/graft_qstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
