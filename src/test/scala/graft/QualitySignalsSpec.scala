@@ -43,6 +43,33 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(math.abs(out("s1") - -math.log(32.0 / 34.0)) < 1e-6)
   }
 
+  test("LM emissions sit on the coarsened factor-1000 grid (r13 convention)") {
+    // avg_nll_token = (coarsened sum)/n/1e6 ⇒ value·n·1e6 is an exact
+    // integer (< 2^53); same for per-doc min/max and store scoring —
+    // reverting the coarsening fails HERE, not at the driver
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, s"alpha beta w$i gamma ${"x" * (i % 3 + 1)}",
+        Seq("en", "de")(i % 2), s"s${i % 3}", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def onGrid(v: Double, n: Long): Unit = {
+      // reconstruct the coarsened integer sum and replay the exact
+      // division chain the operator emitted (sum/n then /1e6) —
+      // bit-equality or bust
+      val k = math.rint(v * n * 1e6).toLong
+      assert(v == k.toDouble / n.toDouble / 1e6,
+        s"off-grid emission: $v ($n)")
+    }
+    QualitySignals.unigramLm(docs).collect().foreach { r =>
+      onGrid(r.getDouble(4), r.getLong(3)) // avg · total_tokens
+    }
+    QualitySignals.bigramFluency(docs).collect().foreach { r =>
+      onGrid(r.getDouble(4), r.getLong(3))
+    }
+    QualitySignals.perplexityBuckets(docs).collect().foreach { r =>
+      onGrid(r.getDouble(2), r.getLong(1)) // nll · n_tok
+    }
+  }
+
   test("piiRedact finds and redacts emails, phones, IPs (augment off)") {
     val d = Seq(
       (1L, "mail me at bob@corp.io or call 555-0199", "en", "s1", 40L),

@@ -30,6 +30,19 @@ class SearchSpec extends AnyFunSuite {
     assert(ids.indexOf(3L) < ids.indexOf(1L))
   }
 
+  test("bm25 scores sit on the coarsened 1e-9 grid (r13 convention)") {
+    // score = (s9 div 1000)/1e9 ⇒ score·1e9 is an exact integer —
+    // reverting the ln-flip coarsening fails HERE, not at the driver
+    (Search.bm25TopK(docs).collect().map(_.getDouble(2)) ++
+      Search.bm25Queries(docs).collect().map(_.getDouble(3)))
+      .foreach { v =>
+        // reconstruct the integer numerator and replay the exact
+        // division the operator emitted — bit-equality or bust
+        val k = math.rint(v * 1e9).toLong
+        assert(v == k.toDouble / 1e9, s"off-grid score: $v")
+      }
+  }
+
   test("bm25 length normalization: same tf, shorter doc scores higher") {
     val d = Seq(
       (0L, "hash join filter"),
