@@ -69,12 +69,10 @@ object Profiling {
     // explode/groupBy side yields zero rows, while the per-column SQL
     // oracle's ungrouped aggregates always yield one row per column —
     // the left join keeps the shapes identical (n=0, null min/max)
-    val spark = df.sparkSession
-    val seed = spark.createDataFrame(
-      spark.sparkContext.parallelize(cols.map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("column_name",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+    val seed = {
+      import df.sparkSession.implicits._
+      cols.toDF("column_name")
+    }
     val counts = seed.join(broadcast(grouped), Seq("column_name"), "left")
       .select(col("column_name"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
@@ -141,24 +139,27 @@ object Profiling {
     * when a bin exists on only one side (the interesting case: a new
     * source appearing, a language vanishing).
     *
-    * Exactness (house convention): p and q are single IEEE divisions
-    * of exact integers — bit-identical in any engine — and each
-    * ln-carrying term snaps to the 1e-9 BIGINT grid before the
-    * order-free sum ([[QualitySignals]] pattern); `max_abs_diff` is
-    * pure exact-input arithmetic and is emitted unrounded.
+    * Exactness (r14 — libm-free by construction): within a feature,
+    * p/q is the EXACT integer ratio
+    * (c_ref+1)·(n_cur+B) : (c_cur+1)·(n_ref+B), and ln(p/q) is
+    * computed on the dictionary-sized bins frame by the fixed-point
+    * integer kernel [[graft.functions.IntegerLn]] — the same BIGINT
+    * recurrence in Spark and the DuckDB oracle, bit-identical at 1e-9
+    * resolution with no dependence on either engine's math library.
+    * (r12/r13 lesson: the driver's DuckDB `ln` differs from the JVM's
+    * by far more than 1 ulp — coarsening a libm output was a losing
+    * arms race; see VERDICT r13.) Each scored term is then ONE IEEE
+    * chain on deterministic inputs — (p−q)·lr9d with p, q single IEEE
+    * divisions of exact integers and lr9d the exact cast of the
+    * integer log — snapped to the 1e-9 BIGINT grid and summed
+    * order-free; `max_abs_diff` is pure exact-input arithmetic and is
+    * emitted unrounded.
     *
-    * Emission resolution (r13): the grid SUM is exact and order-free,
-    * but its ±1-unit tail depends on `ln` being bit-identical across
-    * engines — a ~1-ulp, implementation-defined function whose
-    * cross-build variation flipped six driver hashes in r12 (the args
-    * here are fresh per-bin quotients, not shared small rationals like
-    * the LM entries'). So psi/kl are EMITTED at 1e-6 resolution via
-    * one integer division of the exact sum (`sum div 1000 / 1e6`): a
-    * ±1-unit term flip only changes the output when the whole sum sits
-    * within 1e-9·1000 of a 1000-boundary. Sums are clamped at 0 first
-    * (PSI/KL are ≥ 0 by Gibbs; a negative grid sum is sub-1e-9-per-bin
-    * noise) so integer division never sees the truncate-vs-floor
-    * negative-operand divergence.
+    * Emission stays at the r13 1e-6 resolution (`sum div 1000 / 1e6`,
+    * clamped nonneg first) so downstream consumers and alert
+    * thresholds see unchanged semantics — but the value is now
+    * deterministic at ANY resolution; the coarsening is a formatting
+    * choice, not a cross-engine bet.
     *
     * Shuffles: ONE hash-agg over (feature, bin) partial counts; the
     * rest runs on the dictionary-sized bins frame with a broadcast
@@ -175,17 +176,26 @@ object Profiling {
     val tot = bins.groupBy("feature")
       .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
         count(lit(1)).as("n_bins"))
-    bins.join(broadcast(tot), Seq("feature"))
+    val withRatio = bins.join(broadcast(tot), Seq("feature"))
       .withColumn("p", (col("c_ref") + lit(1L)).cast("double") /
         (col("n_ref") + col("n_bins")).cast("double"))
       .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
         (col("n_cur") + col("n_bins")).cast("double"))
-      .withColumn("lr", log(col("p") / col("q")))
+      // p/q as an exact BIGINT ratio (safe below ~3e9 rows/snapshot)
+      .withColumn("iln_num",
+        (col("c_ref") + lit(1L)) * (col("n_cur") + col("n_bins")))
+      .withColumn("iln_den",
+        (col("c_cur") + lit(1L)) * (col("n_ref") + col("n_bins")))
+    graft.functions.IntegerLn
+      .withLnRatio(withRatio, "iln_num", "iln_den")
+      // lr9 < 4.5e10 so the cast is exact; the products are single
+      // IEEE ops on deterministic operands — portable by construction
       .withColumn("psi9",
-        floor((col("p") - col("q")) * col("lr") * lit(1e9) + lit(0.5))
-          .cast("bigint"))
+        floor((col("p") - col("q")) * col("iln_lr9").cast("double")
+          + lit(0.5)).cast("bigint"))
       .withColumn("kl9",
-        floor(col("p") * col("lr") * lit(1e9) + lit(0.5)).cast("bigint"))
+        floor(col("p") * col("iln_lr9").cast("double") + lit(0.5))
+          .cast("bigint"))
       .groupBy("feature")
       .agg(max("n_bins").as("n_bins"), max("n_ref").as("n_ref"),
         max("n_cur").as("n_cur"),
@@ -245,21 +255,27 @@ object Profiling {
 
   /** The DuckDB mirror of [[driftFromBins]] — ONE copy of the SQL
     * smoothing/grid tail shared by every drift oracle; callers supply
-    * the `(feature, bin, is_cur)` branch union. `ln` (NOT `log`, which
-    * is log10 in DuckDB); psi/kl emitted at the same clamped 1e-6
-    * resolution as the Scala tail (DuckDB `//` on the clamped
-    * nonnegative BIGINT ≡ Spark `div`).
+    * the `(feature, bin, is_cur)` branch union. ln(p/q) comes from the
+    * SAME fixed-point integer kernel as the Scala side
+    * ([[graft.functions.IntegerLn.sqlCtes]], DuckDB dialect — only
+    * `//` vs `div` differs textually), so the scored values are
+    * bit-identical by construction, libm-free. Counts are CAST to
+    * BIGINT up front (DuckDB SUM over INTEGER yields HUGEINT).
     */
-  private def driftTailSql(fbBody: String): String =
+  private def driftTailSql(fbBody: String): String = {
+    val (lnCtes, lastCte) = graft.functions.IntegerLn.sqlCtes(
+      "t", "iln_num", "iln_den")
     s"""WITH fb AS (
        |  $fbBody),
        |bins AS (
        |  SELECT feature, bin,
-       |    SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS c_ref,
-       |    SUM(is_cur) AS c_cur
+       |    CAST(SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_ref,
+       |    CAST(SUM(is_cur) AS BIGINT) AS c_cur
        |  FROM fb GROUP BY 1, 2),
        |tot AS (
-       |  SELECT feature, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
+       |  SELECT feature, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+       |    CAST(SUM(c_cur) AS BIGINT) AS n_cur,
        |    COUNT(*) AS n_bins
        |  FROM bins GROUP BY 1),
        |t AS (
@@ -267,16 +283,18 @@ object Profiling {
        |    CAST(b.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.n_bins AS DOUBLE)
        |      AS p,
        |    CAST(b.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_bins AS DOUBLE)
-       |      AS q
-       |  FROM bins b JOIN tot t USING (feature)),
+       |      AS q,
+       |    (b.c_ref + 1) * (t.n_cur + t.n_bins) AS iln_num,
+       |    (b.c_cur + 1) * (t.n_ref + t.n_bins) AS iln_den
+       |  FROM bins b JOIN tot t USING (feature))$lnCtes,
        |g AS (
        |  SELECT feature, n_bins, n_ref, n_cur,
-       |    CAST(floor((p - q) * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
-       |      AS BIGINT) AS psi9,
-       |    CAST(floor(p * ln(p / q) * 1e9 + CAST(0.5 AS DOUBLE))
-       |      AS BIGINT) AS kl9,
+       |    CAST(floor((p - q) * CAST(iln_lr9 AS DOUBLE)
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi9,
+       |    CAST(floor(p * CAST(iln_lr9 AS DOUBLE)
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS kl9,
        |    abs(p - q) AS ad
-       |  FROM t)
+       |  FROM $lastCte)
        |SELECT feature, MAX(n_bins) AS n_bins, MAX(n_ref) AS n_ref,
        |  MAX(n_cur) AS n_cur,
        |  CAST(greatest(CAST(SUM(psi9) AS BIGINT), 0) // 1000 AS DOUBLE)
@@ -285,6 +303,7 @@ object Profiling {
        |    / 1e6 AS kl,
        |  MAX(ad) AS max_abs_diff
        |FROM g GROUP BY feature ORDER BY feature""".stripMargin
+  }
 
   /** `(feature, bin, is_cur)` branch pairs over one table — the fb
     * body every two-snapshot drift oracle feeds [[driftTailSql]].
@@ -416,9 +435,9 @@ object Profiling {
     driftReport(docs.filter(plantedShiftRefCol),
       docs.filter(plantedShiftCurCol))
 
-  /** DuckDB mirror. `ln` (NOT `log`, which is log10 in DuckDB); the
-    * same add-1 smoothing, 1e9 grid, and unrounded `max_abs_diff`.
-    * Ref and cur are scanned as separate branches, so the mirror is
+  /** DuckDB mirror — the same add-1 smoothing, integer-ln kernel,
+    * 1e9 grid, and unrounded `max_abs_diff` as the Scala tail. Ref
+    * and cur are scanned as separate branches, so the mirror is
     * correct even when the two snapshots OVERLAP (ref = whole corpus,
     * cur = a probe subset — the store-fed monitoring shape).
     */

@@ -361,7 +361,92 @@ object Extensions {
        |  ${graft.operators.Kernels.dsumSql("o_totalprice")} AS total
        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // --- driver ln-divergence probes (r14; VERDICT r13 task 2) ---------
+  // Two rounds of drift-entry red proved the driver's DuckDB `ln`
+  // deviates from the JVM's, with zero observability into HOW FAR.
+  // These entries turn the driver's binary pass/fail into a
+  // measurement: the same fixed literal argument ladder hashed at
+  // three grids — whichever grids go red bound the driver's ln
+  // precision class (1e-6 / 1e-9 / 1e-12 absolute), permanently
+  // document why the r12/r13 coarsening bets failed, and stay as an
+  // environment-drift canary. Arguments enter as INTEGER PAIRS and
+  // become doubles via one IEEE division (deterministic), so any flip
+  // isolates to `ln` itself. The fourth entry runs the SAME ladder
+  // through the fixed-point integer kernel (graft.functions.IntegerLn)
+  // — it must stay green on any engine, proving the production drift
+  // fix is environment-independent.
+  //
+  // Ladder design: exact counts and inverses (|ln| up to ~21), near-1
+  // ratios at 1e-3/1e-6/1e-9 (the drift family's actual argument
+  // shape, where ln's argument-reduction error dominates), classic
+  // irrational-ish ratios, and drift-shaped smoothed-count products.
+  private val lnProbeArgs: Seq[(Long, Long, Long)] = Seq(
+    (1L, 2L, 1L), (2L, 3L, 1L), (3L, 7L, 1L), (4L, 10L, 1L),
+    (5L, 97L, 1L), (6L, 1000L, 1L), (7L, 999983L, 1L),
+    (8L, 123456789L, 1L), (9L, 999999937L, 1L),
+    (10L, 1L, 3L), (11L, 1L, 7L), (12L, 1L, 1000L), (13L, 1L, 999983L),
+    (14L, 1000001L, 1000000L), (15L, 999999L, 1000000L),
+    (16L, 1000003L, 1000000L), (17L, 10000019L, 10000000L),
+    (18L, 1000000007L, 1000000000L), (19L, 999999937L, 1000000000L),
+    (20L, 1000000021L, 1000000000L), (21L, 999999893L, 1000000000L),
+    (22L, 7L, 3L), (23L, 22L, 7L), (24L, 355L, 113L), (25L, 17L, 13L),
+    (26L, 123457L, 65432L), (27L, 65432L, 123457L),
+    (28L, 13567201L, 13590467L), (29L, 45676501L, 30213484L),
+    (30L, 301L * 45067L, 452L * 30067L),
+    (31L, 977L * 60013L, 976L * 60014L),
+    (32L, 35184372088832L, 35184372088831L),
+    (33L, 4611686018427387847L, 4611686018427387903L),
+    (34L, 87178291200L, 479001600L), (35L, 2147483647L, 2147483629L),
+    (36L, 999999999989L, 1000000000003L))
+
+  private def lnProbe(c: Ctx, grid: String): DataFrame = {
+    import c.spark.implicits._
+    lnProbeArgs.toDF("probe_id", "a", "b")
+      .withColumn("ln_scaled", expr(
+        s"CAST(floor(ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * $grid" +
+          " + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .orderBy("probe_id")
+  }
+
+  private val lnProbeValuesSql: String = lnProbeArgs
+    .map { case (i, a, b) => s"($i, $a, $b)" }
+    .mkString("(VALUES ", ", ", ")")
+
+  private def lnProbeSql(grid: String): String =
+    s"""WITH args AS (
+       |  SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |    CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM $lnProbeValuesSql t(probe_id, a, b))
+       |SELECT probe_id, a, b,
+       |  CAST(floor(ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) * $grid
+       |    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ln_scaled
+       |FROM args ORDER BY probe_id""".stripMargin
+
+  private def lnProbeKernel(c: Ctx): DataFrame = {
+    import c.spark.implicits._
+    graft.functions.IntegerLn
+      .withLnRatio(lnProbeArgs.toDF("probe_id", "a", "b"), "a", "b")
+      .select(col("probe_id"), col("a"), col("b"),
+        col("iln_lr9").as("lr9"))
+      .orderBy("probe_id")
+  }
+
+  private val lnProbeKernelSql: String = {
+    val (lnCtes, lastCte) =
+      graft.functions.IntegerLn.sqlCtes("args", "a", "b")
+    s"""WITH args AS (
+       |  SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |    CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |  FROM $lnProbeValuesSql t(probe_id, a, b))$lnCtes
+       |SELECT probe_id, a, b, iln_lr9 AS lr9
+       |FROM $lastCte ORDER BY probe_id""".stripMargin
+  }
+
   val queries: Map[String, Ctx => DataFrame] = Map(
+    "probe_ln_grid6" -> (c => lnProbe(c, "1e6")),
+    "probe_ln_grid9" -> (c => lnProbe(c, "1e9")),
+    "probe_ln_grid12" -> (c => lnProbe(c, "1e12")),
+    "probe_ln_intkernel" -> (lnProbeKernel _),
     // dedup family
     "dedup_exact" -> (c => Dedup.exact(c.documents)),
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
@@ -679,6 +764,10 @@ object Extensions {
       (c => Multimodal.resizeQuery(c.spark, c.documents)))
 
   val oracles: Map[String, String] = Map(
+    "probe_ln_grid6" -> lnProbeSql("1e6"),
+    "probe_ln_grid9" -> lnProbeSql("1e9"),
+    "probe_ln_grid12" -> lnProbeSql("1e12"),
+    "probe_ln_intkernel" -> lnProbeKernelSql,
     "export_manifest" -> graft.sources.TrainingExport.manifestSql(),
     "validate_constraints" -> Validate.constraintReportSql,
     "dedup_exact" -> Dedup.exactSql,
