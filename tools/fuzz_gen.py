@@ -639,10 +639,14 @@ class Gen:
     # integer step, so a ±1-unit cross-engine term flip only surfaces
     # when the whole sum sits within flip-count units of a boundary.
     # The integer step is written portably as
-    # floor(CAST(sum + OFFSET AS DOUBLE) / 1000): the offset keeps the
-    # operand positive (no truncate-vs-floor divergence) and below 2^53
-    # (the cast is exact), so both engines compute the identical IEEE
-    # quotient and floor.
+    # floor(CAST(sum + OFFSET AS DOUBLE) / 1000). The offset is a
+    # BEST-EFFORT positivity shift sized for the sf0.1 fixtures; at
+    # larger SFs a grid sum can exceed it and go negative, and that is
+    # FINE — portability rests on the sign-safe floor form alone
+    # (floor of an IEEE quotient is engine-identical for either sign;
+    # exactness bound is |sum + OFFSET| < 2^53), NOT on the operand
+    # staying positive. Do not swap this form for div/`//`, which
+    # truncate-vs-floor DIVERGE on negative operands.
     def _coarsen(self, sum_expr, offset):
         return (f"CAST(floor(CAST({sum_expr} + {offset} AS DOUBLE) / "
                 f"CAST(1000 AS DOUBLE)) AS BIGINT)")
@@ -737,6 +741,105 @@ class Gen:
         s = self._coarsen(f"SUM({t6})", 10000000000000)
         return (f"SELECT {g} AS g0, count(*) AS cnt, {s} AS logsum "
                 f"FROM {t} WHERE {where} GROUP BY {g}")
+
+    # ---- fixed-point integer-ln kernel template (--approx) ----------
+    # The r14 drift fix (graft.functions.IntegerLn): ln of an exact
+    # integer ratio via a pure-BIGINT recurrence — bitlen range
+    # reduction (length(bin(x)), <</>>) + a 9-term atanh series at 1e9
+    # fixed point. The recurrence must be BIT-EXACT across engines
+    # (that is its entire contract — no grid, no coarsening, no
+    # tolerance), so this template emits the per-bin kernel outputs
+    # raw. Both dialects are generated from the ONE stage list below;
+    # the only textual delta is `div` vs `//` (every dividend is
+    # nonnegative, so truncate-vs-floor cannot diverge). This is an
+    # independent Python transcription of the Scala stage list — the
+    # Scala↔DuckDB pairing of the production kernel is pinned by the
+    # probe_ln_intkernel oracle entry and IntegerLnSpec; this copy only
+    # needs to agree with ITSELF across engines on arbitrary inputs.
+    def _intln_stages(self, num, den, div):
+        s = [
+            ("iln_bn", f"length(bin({num}))"),
+            ("iln_bd", f"length(bin({den}))"),
+            ("iln_sn", "greatest(iln_bn - 30, 0)"),
+            ("iln_sd", "greatest(iln_bd - 30, 0)"),
+            ("iln_n1", f"(({num}) >> iln_sn)"),
+            ("iln_d1", f"(({den}) >> iln_sd)"),
+            ("iln_k0", "length(bin(iln_n1)) - length(bin(iln_d1))"),
+            ("iln_n2", "CASE WHEN iln_k0 < 0 THEN (iln_n1 << (0 - iln_k0)) "
+                       "ELSE iln_n1 END"),
+            ("iln_d2", "CASE WHEN iln_k0 > 0 THEN (iln_d1 << iln_k0) "
+                       "ELSE iln_d1 END"),
+            ("iln_m", "CASE WHEN iln_n2 >= iln_d2 THEN iln_n2 "
+                      "ELSE iln_n2 * 2 END"),
+            ("iln_kk", "(iln_sn - iln_sd + iln_k0) - "
+                       "(CASE WHEN iln_n2 >= iln_d2 THEN 0 ELSE 1 END)"),
+            ("iln_z", div("(iln_m - iln_d2) * 1000000000",
+                          "iln_m + iln_d2")),
+            ("iln_z2", div("iln_z * iln_z", "1000000000")),
+            ("iln_u3", div("iln_z * iln_z2", "1000000000")),
+        ]
+        for n in range(5, 19, 2):
+            s.append((f"iln_u{n}",
+                      div(f"iln_u{n - 2} * iln_z2", "1000000000")))
+        terms = " + ".join(div(f"iln_u{n}", str(n))
+                           for n in range(3, 19, 2))
+        s.append(("iln_lr9",
+                  f"CAST(iln_kk AS BIGINT) * 693147181 + "
+                  f"2 * (iln_z + {terms})"))
+        return s
+
+    def approx_intln_q(self):
+        """Randomized drift-shaped smoothed-count ratios through the
+        integer-ln kernel, per-bin outputs emitted RAW (exact BIGINTs).
+        k1/k2 scale num/den by up to 1000 each to push operands past
+        30 bits and exercise the pre-reduction shift path (still
+        < 2^56 at sf1); psi9 fuzzes the production emission shape —
+        one IEEE chain on the deterministic (p, q, lr9) triple. The
+        scaled lr9/psi9 are not semantically psi (k1 != k2 shifts the
+        log); the template checks determinism, not drift semantics."""
+        t = self.rng.choice([x for x in TABLES if TABLES[x]["lowstr"]])
+        g = self.rng.choice(TABLES[t]["lowstr"])
+        p1 = self.pred(t, None)
+        p2 = self.pred(t, None)
+        k1 = self.rng.choice([1, 7, 333, 1000])
+        k2 = self.rng.choice([1, 7, 333, 1000])
+
+        def body(div):
+            sql = (
+                f"WITH fb AS (SELECT {g} AS bin, 0 AS is_cur FROM {t} "
+                f"WHERE {p1} UNION ALL SELECT {g}, 1 FROM {t} "
+                f"WHERE {p2}), "
+                f"bins AS (SELECT bin, "
+                f"CAST(SUM(CASE WHEN is_cur = 0 THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS c_ref, "
+                f"CAST(SUM(is_cur) AS BIGINT) AS c_cur "
+                f"FROM fb GROUP BY 1), "
+                f"tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref, "
+                f"CAST(SUM(c_cur) AS BIGINT) AS n_cur, "
+                f"COUNT(*) AS n_bins FROM bins), "
+                f"t0 AS (SELECT b.bin, b.c_ref, b.c_cur, "
+                f"CAST(b.c_ref + 1 AS DOUBLE) / "
+                f"CAST(t.n_ref + t.n_bins AS DOUBLE) AS p, "
+                f"CAST(b.c_cur + 1 AS DOUBLE) / "
+                f"CAST(t.n_cur + t.n_bins AS DOUBLE) AS q, "
+                f"(b.c_ref + 1) * (t.n_cur + t.n_bins) * {k1} "
+                f"AS iln_num, "
+                f"(b.c_cur + 1) * (t.n_ref + t.n_bins) * {k2} "
+                f"AS iln_den FROM bins b CROSS JOIN tot t)")
+            prev = "t0"
+            for i, (name, ex) in enumerate(
+                    self._intln_stages("iln_num", "iln_den", div)):
+                sql += f", l{i} AS (SELECT *, {ex} AS {name} FROM {prev})"
+                prev = f"l{i}"
+            return (sql + f" SELECT bin, c_ref, c_cur, iln_num, "
+                    f"iln_den, iln_lr9, "
+                    f"CAST(floor((p - q) * CAST(iln_lr9 AS DOUBLE) "
+                    f"+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi9 "
+                    f"FROM {prev} ORDER BY bin")
+
+        spark = body(lambda a, b: f"(({a}) div ({b}))")
+        duck = body(lambda a, b: f"(({a}) // ({b}))")
+        return spark, duck
 
     # ---- extension-SQL templates (--ext mode only) ------------------
     # The registered Graft SQL functions (GraftExtensions): cosine_sim
@@ -834,8 +937,9 @@ class Gen:
             weights += [2, 1, 2]
         if self.approx:
             forms += [self.approx_ln_ratio_q, self.approx_entropy_q,
-                      self.approx_logsum_money_q, self.approx_psi_q]
-            weights += [3, 2, 2, 3]
+                      self.approx_logsum_money_q, self.approx_psi_q,
+                      self.approx_intln_q]
+            weights += [3, 2, 2, 3, 3]
         if self.ext:
             forms += [self.ext_cosine_pairs, self.ext_cosine_agg,
                       self.ext_minhash_law]
