@@ -301,10 +301,12 @@ object SearchIndex {
       // without this, every later call early-returns here and the
       // orphans (invisible to readers, correctness intact) leak
       // forever under crash-retry cycles. One cheap listing.
-      // Guard: an EMPTY manifest (not constructible today — writes
-      // always publish >=1 tag) must never reach the sweep, where the
-      // empty visible set would bulk-delete every batch dir on disk,
-      // including a crashed append's not-yet-published dir.
+      // Guard: an EMPTY manifest (constructible — writeIndexStore
+      // over an empty frame publishes zero tags) must never reach the
+      // sweep, where the empty visible set would bulk-delete every
+      // batch dir on disk, including a crashed append's
+      // not-yet-published dir (spec: "compaction on an EMPTY
+      // manifest never sweeps").
       if (tags.nonEmpty) sweepUnmanifested(fs, path, tags.toSet)
       return 0
     }

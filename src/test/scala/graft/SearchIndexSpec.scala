@@ -217,4 +217,41 @@ class SearchIndexSpec extends AnyFunSuite {
       SearchIndex.appendToIndexStore(tmp.resolve("nope").toString, docs)
     }
   }
+
+  test("compaction on an EMPTY manifest never sweeps a crashed append's dirs") {
+    // the empty-manifest state IS constructible: writeIndexStore over
+    // an empty frame publishes zero tags — if a later append crashes
+    // after landing its batch dirs but before its meta publish, a
+    // maintenance compaction must not bulk-delete the unpublished dirs
+    // (the empty visible set would otherwise sweep EVERYTHING)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_esweep")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs.limit(0), tmp)
+    val tok = SearchIndex.tokAgg(docs)
+    tok.write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$tmp/postings/batch=bcrashed")
+    tok.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$tmp/doclens/batch=bcrashed")
+    assert(SearchIndex.compactIndexStore(spark, tmp) == 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/postings/batch=bcrashed")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/doclens/batch=bcrashed")))
+    // and with one visible tag the sweep still reclaims true orphans
+    // while the published generation stays intact
+    val single = java.nio.file.Files
+      .createTempDirectory("graft_sidx_esweep2").resolve("store").toString
+    SearchIndex.writeIndexStore(docs, single)
+    tok.limit(1).write.mode("overwrite").partitionBy("wb")
+      .parquet(s"$single/postings/batch=borphan")
+    val before = SearchIndex.bm25FromStore(spark, single).collect()
+      .map(_.toString)
+    assert(SearchIndex.compactIndexStore(spark, single) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$single/postings/batch=borphan")))
+    assert(SearchIndex.bm25FromStore(spark, single).collect()
+      .map(_.toString).sameElements(before))
+  }
 }
