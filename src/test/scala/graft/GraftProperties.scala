@@ -270,4 +270,35 @@ object GraftProperties extends Properties("graft") {
           math.abs(b.getDouble(4) - 4.0 * a.getDouble(4)) < 1e-5
       }
     }
+
+  // pure-JVM (no Spark job), so the 8-case Spark budget doesn't
+  // apply: a seeded 20k-pair sweep of the integer-ln recurrence vs
+  // Math.log over the FULL operand range, plus log-additivity within
+  // summed truncation error
+  property("integer ln: <=1e-7 of Math.log, 20k pairs, full range") = {
+    import graft.functions.IntegerLn.lnRatio9Ref
+    val rng = new scala.util.Random(14L)
+    def operand(): Long = rng.nextInt(3) match {
+      case 0 => 1L + rng.nextInt(1000)
+      case 1 => 1L + rng.nextLong(1000000000L)
+      case _ => 1L + rng.nextLong((1L << 62) - 1)
+    }
+    (0 until 20000).forall { _ =>
+      val (n, d) = (operand(), operand())
+      math.abs(lnRatio9Ref(n, d) / 1e9 -
+        math.log(n.toDouble / d.toDouble)) <= 1e-7
+    }
+  }
+  property("integer ln: log-additivity ln(a/b)+ln(b/c) ~ ln(a/c)") = {
+    import graft.functions.IntegerLn.lnRatio9Ref
+    val rng = new scala.util.Random(15L)
+    (0 until 20000).forall { _ =>
+      val a = 1L + rng.nextLong(1000000000L)
+      val b = 1L + rng.nextLong(1000000000L)
+      val c = 1L + rng.nextLong(1000000000L)
+      // each call truncates independently (bound ~40 units each)
+      math.abs(lnRatio9Ref(a, b) + lnRatio9Ref(b, c) -
+        lnRatio9Ref(a, c)) <= 120L
+    }
+  }
 }
