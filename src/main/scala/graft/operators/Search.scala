@@ -58,16 +58,22 @@ object Search {
       sum(when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L))).as(s"df$i"))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       (sum("dl").as("sum_dl") +: dfCols): _*)
-    // row-local scoring: idf on the 1e9 grid, per-term contribution on
-    // the 1e12 grid; idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    def idf9(i: Int): Column =
-      floor(log(lit(1.0) +
-        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
-          (col(s"df$i").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
-        .cast("bigint")
+    // r14: idf via the IntegerLn kernel on the 1-ROW stats frame —
+    // ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)), an exact
+    // integer ratio, so idf9 is bit-identical cross-engine by
+    // construction (no libm in any hashed value)
+    val statsIdf = terms.indices.foldLeft(stats)((d, i) =>
+      graft.functions.IntegerLn.withLnRatio(d,
+        "(2 * n_docs + 2)", s"(2 * df$i + 1)", prefix = s"iln${i}_"))
+      .select((col("n_docs") +: col("sum_dl") +:
+        terms.indices.map(i => col(s"iln${i}_lr9").as(s"idf9_$i"))): _*)
+    // row-local scoring: per-term contribution on the 1e12 grid;
+    // idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — the IEEE
+    // chain runs on exact integers and literals only (single ops,
+    // identical in DuckDB)
     def term9(i: Int): Column =
       when(col(s"tf$i") > 0,
-        floor(idf9(i).cast("double") / lit(1e9) *
+        floor(col(s"idf9_$i").cast("double") / lit(1e9) *
           (col(s"tf$i").cast("double") * lit(k1 + 1.0) /
             (col(s"tf$i").cast("double") + lit(k1) * (lit(1.0 - b) +
               lit(b) * (col("dl").cast("double") /
@@ -78,10 +84,10 @@ object Search {
     val nTerms = terms.indices
       .map(i => when(col(s"tf$i") > 0, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
-      // r13 coarsened emission + ordering (drift-family convention):
-      // the nonnegative 1e-12-grid sum drops its last 3 digits before
-      // both the emitted score and the top-k sort key
+    perDoc.crossJoin(broadcast(statsIdf))
+      // emission keeps the r13 1e-9 resolution (s9 div 1000) for
+      // interface stability; the value is deterministic at ANY
+      // resolution now — the division is formatting, not a bet
       .withColumn("s9w", s9)
       .select(col("doc_id"), nTerms.as("n_terms"),
         (expr("s9w div 1000").cast("double") / lit(1e9)).as("score"))
@@ -102,14 +108,20 @@ object Search {
     val dfDefs = terms.indices.map(i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
       .mkString(",\n    ")
-    def idf9(i: Int): String =
-      s"""CAST(floor(ln(CAST(1.0 AS DOUBLE) +
-         |        (CAST(n_docs - df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-         |        (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))) * 1e9
-         |      + CAST(0.5 AS DOUBLE)) AS BIGINT)""".stripMargin
+    // r14: idf via the IntegerLn kernel CTEs chained over the 1-row
+    // stats CTE — same integer recurrence as the Spark side
+    val (idfCtes, idfLast) = terms.indices
+      .foldLeft(("", "stats")) { case ((acc, from), i) =>
+        val (c, l) = graft.functions.IntegerLn.sqlCtes(from,
+          "(2 * n_docs + 2)", s"(2 * df$i + 1)",
+          prefix = s"iln${i}_", ctePrefix = s"iln${i}_l")
+        (acc + c, l)
+      }
+    val idfSel = terms.indices
+      .map(i => s"iln${i}_lr9 AS idf9_$i").mkString(", ")
     def term9(i: Int): String =
       s"""CASE WHEN tf$i > 0 THEN
-         |      CAST(floor(CAST(${idf9(i)} AS DOUBLE) / 1e9 *
+         |      CAST(floor(CAST(idf9_$i AS DOUBLE) / 1e9 *
          |          (CAST(tf$i AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE) /
          |            (CAST(tf$i AS DOUBLE) + CAST($k1 AS DOUBLE) *
          |              (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) *
@@ -133,12 +145,13 @@ object Search {
        |stats AS (
        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
        |    $dfDefs
-       |  FROM perdoc),
+       |  FROM perdoc)$idfCtes,
+       |statsx AS (SELECT n_docs, sum_dl, $idfSel FROM $idfLast),
        |scored AS (
        |  SELECT doc_id,
        |    $nTerms AS n_terms,
        |    $s9 AS s9
-       |  FROM perdoc, stats)
+       |  FROM perdoc, statsx)
        |SELECT doc_id, n_terms,
        |  CAST(s9 // 1000 AS DOUBLE) / 1e9 AS score
        |FROM scored WHERE n_terms > 0
@@ -196,11 +209,14 @@ object Search {
     val dfs = postings.groupBy("w").agg(count(lit(1)).as("df"))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("sum_dl"))
-    val idf9 = floor(log(lit(1.0) +
-      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
-      .cast("bigint")
-    val c9 = floor(idf9.cast("double") / lit(1e9) *
+    // r14: idf via the IntegerLn kernel on the dictionary-sized
+    // (query-term) dfs frame — ln((2N+2)/(2df+1)) as an exact integer
+    // ratio, bit-identical cross-engine by construction
+    val dfsIdf = graft.functions.IntegerLn.withLnRatio(
+        dfs.crossJoin(broadcast(stats)),
+        "(2 * n_docs + 2)", "(2 * df + 1)")
+      .select(col("w"), col("iln_lr9").as("idf9"))
+    val c9 = floor(col("idf9").cast("double") / lit(1e9) *
         (col("tf").cast("double") * lit(k1 + 1.0) /
           (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
             lit(b) * (col("dl").cast("double") /
@@ -208,7 +224,7 @@ object Search {
         lit(1e12) + lit(0.5)).cast("bigint")
     postings
       .join(broadcast(qterms), "w")
-      .join(broadcast(dfs), "w")
+      .join(broadcast(dfsIdf), "w")
       .join(perDoc.hint("shuffle_hash"), "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc_id"), c9.as("c9"))
@@ -241,6 +257,8 @@ object Search {
     val values = queryTable
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
+    val (idfCtes, idfLast) = graft.functions.IntegerLn.sqlCtes(
+      "idfsrc", "(2 * n_docs + 2)", "(2 * df + 1)")
     s"""WITH q AS (SELECT * FROM (VALUES $values) AS t(qid, qtext)),
        |qterms AS (
        |  SELECT DISTINCT qid, w FROM (
@@ -261,12 +279,11 @@ object Search {
        |stats AS (
        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
        |  FROM perdoc),
+       |idfsrc AS (SELECT w, df, n_docs FROM dfs, stats)$idfCtes,
+       |idfs AS (SELECT w, iln_lr9 AS idf9 FROM $idfLast),
        |contrib AS (
        |  SELECT qt.qid, p.doc_id,
-       |    CAST(floor(CAST(CAST(floor(ln(CAST(1.0 AS DOUBLE) +
-       |          (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-       |          (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) * 1e9
-       |        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e9 *
+       |    CAST(floor(CAST(idf9 AS DOUBLE) / 1e9 *
        |        (CAST(tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE) /
        |          (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
        |            (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) *
@@ -275,7 +292,7 @@ object Search {
        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c9
        |  FROM postings p
        |  JOIN qterms qt USING (w)
-       |  JOIN dfs USING (w)
+       |  JOIN idfs USING (w)
        |  JOIN perdoc USING (doc_id), stats),
        |scored AS (
        |  SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,

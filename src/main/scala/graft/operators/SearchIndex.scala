@@ -393,11 +393,12 @@ object SearchIndex {
       .localCheckpoint(eager = false)
     val dfs = postings.groupBy("w").agg(count(lit(1)).as("df"))
     val doclens = readBatched(spark, path, "doclens", tags, None)
-    val idf9 = floor(log(lit(1.0) +
-      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))) * lit(1e9) + lit(0.5))
-      .cast("bigint")
-    val c9 = floor(idf9.cast("double") / lit(1e9) *
+    // r14: idf via the IntegerLn kernel, mirroring Search.bm25Queries
+    // EXACTLY (same integer ratio (2N+2)/(2df+1), N/sum_dl from meta)
+    val dfsIdf = graft.functions.IntegerLn.withLnRatio(
+        dfs, s"CAST(${2 * nDocs + 2} AS BIGINT)", "(2 * df + 1)")
+      .select(col("w"), col("iln_lr9").as("idf9"))
+    val c9 = floor(col("idf9").cast("double") / lit(1e9) *
         (col("tf").cast("double") * lit(k1 + 1.0) /
           (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
             lit(b) * (col("dl").cast("double") /
@@ -405,7 +406,7 @@ object SearchIndex {
         lit(1e12) + lit(0.5)).cast("bigint")
     postings
       .join(broadcast(qterms), "w")
-      .join(broadcast(dfs), "w")
+      .join(broadcast(dfsIdf), "w")
       .join(doclens.hint("shuffle_hash"), "doc_id")
       .select(col("qid"), col("doc_id"), c9.as("c9"))
       .groupBy("qid", "doc_id")

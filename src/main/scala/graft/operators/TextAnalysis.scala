@@ -259,9 +259,13 @@ object TextAnalysis {
     * corpus size — that cap is what makes the per-source ranking
     * window safe (and the df/broadcast frames dictionary-sized:
     * ≤ sources · capInv rows). df counts the sources where the term
-    * is a candidate; score = tf · ln(S/df), snapped to the 1e9 BIGINT
-    * grid (one IEEE chain of exact integers — identical in DuckDB)
-    * with term-asc tie-break.
+    * is a candidate; score = tf · lnRatio9(S, df) — the ln comes from
+    * the [[graft.functions.IntegerLn]] fixed-point kernel (r14: no
+    * libm in any hashed value), so the score is an exact BIGINT
+    * product, bit-identical cross-engine by construction, with
+    * term-asc tie-break. Overflow headroom: tf · lr9 < 2⁶³ holds to
+    * ~4e8 occurrences of one term in one source at 1e6 sources —
+    * pre-scale tf past that (same class of bound as the LM carriers).
     */
   def sourceSignatureTerms(docs: DataFrame, k: Int = 5,
       capInv: Int = 1000): DataFrame = {
@@ -274,17 +278,15 @@ object TextAnalysis {
       .filter(col("tf") * capInv > col("n"))
     val dfs = cands.groupBy("w").agg(count(lit(1)).as("df"))
     val sources = docs.select(countDistinct("source").as("n_sources"))
-    val scored = cands
-      .join(broadcast(dfs), "w")
-      .crossJoin(broadcast(sources))
-      .withColumn("score9", floor(col("tf").cast("double") *
-        log(col("n_sources").cast("double") / col("df").cast("double")) *
-        lit(1e9) + lit(0.5)).cast("bigint"))
-    // r13 coarsened emission + RANKING (drift-family convention):
-    // score9 ≥ 0 (df ≤ n_sources ⇒ ln ≥ 0), so one integer division
-    // drops the ln-flip-exposed last 3 digits; ranking on the
-    // coarsened score keeps the order itself flip-immune (a near-tie
-    // within 1 raw unit is a hard tie at 1e-6, broken by the term)
+    val scored = graft.functions.IntegerLn.withLnRatio(
+        cands.join(broadcast(dfs), "w").crossJoin(broadcast(sources)),
+        "n_sources", "df")
+      .withColumn("score9", col("tf") * col("iln_lr9"))
+    // emission keeps the r13 1e-6 resolution (score9 div 1000) for
+    // interface stability; with the integer kernel the full-resolution
+    // value is already deterministic, so the division is a formatting
+    // choice, not a cross-engine bet. score9 ≥ 0 (df ≤ n_sources ⇒
+    // lr9 ≥ 0), so Spark div ≡ DuckDB //
     val coarse = scored.withColumn("score6",
       expr("score9 div 1000"))
     // window bound: construction-bounded — ≤ capInv rows per source
@@ -303,7 +305,9 @@ object TextAnalysis {
     * definition (pigeonhole candidate cap, candidate-df, grid score,
     * per-source ROW_NUMBER).
     */
-  def sourceSignatureTermsSql(k: Int = 5, capInv: Int = 1000): String =
+  def sourceSignatureTermsSql(k: Int = 5, capInv: Int = 1000): String = {
+    val (lnCtes, lastCte) =
+      graft.functions.IntegerLn.sqlCtes("sc0", "n_sources", "df")
     s"""WITH tw AS (
        |  SELECT source, w FROM (
        |    SELECT source,
@@ -317,12 +321,12 @@ object TextAnalysis {
        |  FROM tf f JOIN n USING (source) WHERE f.tf * $capInv > n.n),
        |s AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
        |d AS (SELECT w, COUNT(*) AS df FROM cands GROUP BY 1),
+       |sc0 AS (
+       |  SELECT c.source, c.w, c.tf, d.df, s.n_sources
+       |  FROM cands c JOIN d USING (w) CROSS JOIN s)$lnCtes,
        |sc AS (
-       |  SELECT c.source, c.w, c.tf, d.df,
-       |    CAST(floor(CAST(c.tf AS DOUBLE) *
-       |      ln(CAST(s.n_sources AS DOUBLE) / CAST(d.df AS DOUBLE)) *
-       |      1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS score9
-       |  FROM cands c JOIN d USING (w) CROSS JOIN s),
+       |  SELECT source, w, tf, df, tf * iln_lr9 AS score9
+       |  FROM $lastCte),
        |r AS (
        |  SELECT source, w, tf, df, score9 // 1000 AS score6,
        |    ROW_NUMBER() OVER (PARTITION BY source
@@ -331,6 +335,7 @@ object TextAnalysis {
        |SELECT source, w, tf, df,
        |  CAST(score6 AS DOUBLE) / 1e6 AS tfidf, rk
        |FROM r WHERE rk <= $k ORDER BY source, rk""".stripMargin
+  }
 
   /** Stopword-hit language ID: count stopword matches per candidate
     * language, predict the argmax (ties → lexicographically first;
