@@ -732,14 +732,16 @@ object CorpusPipeline {
       count(lit(1)).as("cq"),
       count(when(col("lang") === targetLang, lit(1))).as("ct"))
     val tot = cnt.agg(sum("ct").as("t_tot"), sum("cq").as("q_tot"))
-    val lw = cnt.crossJoin(broadcast(tot))
-      .withColumn("lw9",
-        floor((log((col("ct") + lit(1)).cast("double") /
-            (col("t_tot") + lit(buckets)).cast("double")) -
-          log((col("cq") + lit(1)).cast("double") /
-            (col("q_tot") + lit(buckets)).cast("double"))) * lit(1e9) +
-          lit(0.5)).cast("bigint"))
-      .select("b", "lw9")
+    // r14: the smoothed log-ratio difference is ln of ONE exact
+    // integer ratio — ((ct+1)(q_tot+B)) : ((cq+1)(t_tot+B)) — through
+    // the IntegerLn kernel on the B-row buckets frame (the drift
+    // psi/kl shape exactly; no libm in any hashed value; BIGINT-exact
+    // to ~3e9 grams per corpus, pre-scale past that)
+    val lw = graft.functions.IntegerLn
+      .withLnRatio(cnt.crossJoin(broadcast(tot)),
+        s"((ct + 1) * (q_tot + $buckets))",
+        s"((cq + 1) * (t_tot + $buckets))")
+      .select(col("b"), col("iln_lr9").as("lw9"))
     g.join(broadcast(lw), "b")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_grams"), sum("lw9").as("s9"))
@@ -763,7 +765,10 @@ object CorpusPipeline {
     * bucket hash, same 1e9 log-ratio grid.
     */
   def dsirSelectSql(buckets: Int = 256, targetLang: String = "en",
-      topK: Int = 100): String =
+      topK: Int = 100): String = {
+    val (lwCtes, lwLast) = graft.functions.IntegerLn.sqlCtes(
+      "lw0", s"((ct + 1) * (q_tot + $buckets))",
+      s"((cq + 1) * (t_tot + $buckets))")
     s"""WITH t AS (
        |  SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -785,14 +790,8 @@ object CorpusPipeline {
        |  SELECT CAST(SUM(ct) AS BIGINT) AS t_tot,
        |    CAST(SUM(cq) AS BIGINT) AS q_tot
        |  FROM cnt),
-       |lw AS (
-       |  SELECT b,
-       |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) /
-       |          CAST(t_tot + $buckets AS DOUBLE)) -
-       |        ln(CAST(cq + 1 AS DOUBLE) /
-       |          CAST(q_tot + $buckets AS DOUBLE))) * 1e9
-       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lw9
-       |  FROM cnt, tot)
+       |lw0 AS (SELECT b, ct, cq, t_tot, q_tot FROM cnt, tot)$lwCtes,
+       |lw AS (SELECT b, iln_lr9 AS lw9 FROM $lwLast)
        |SELECT doc_id, lang, COUNT(*) AS n_grams,
        |  CAST(CAST(floor(CAST(SUM(lw9) AS DOUBLE) /
        |      CAST(1000 AS DOUBLE)) AS BIGINT) AS DOUBLE)
@@ -800,6 +799,7 @@ object CorpusPipeline {
        |FROM g JOIN lw USING (b)
        |GROUP BY 1, 2
        |ORDER BY avg_logratio DESC, doc_id LIMIT $topK""".stripMargin
+  }
 
   // --- WordPiece-style greedy subword tokenizer -----------------------
   // completes the tokenizer family next to BPE: a frequency-selected

@@ -131,19 +131,47 @@ object QualitySignals {
   // Unigram LM scoring (broadcast vocabulary)
   // ---------------------------------------------------------------
 
+  /** Corpus unigram log-prob table (w, lps): lps = lnRatio9(c, total)
+    * via the [[graft.functions.IntegerLn]] kernel on the vocab frame
+    * (r14: no libm in any hashed value — ln(c/total) comes from the
+    * exact integer pair; the kernel handles num < den natively, so
+    * lps ≤ 0 as before). Shared by [[unigramLm]] and
+    * [[perplexityBuckets]], with [[lpSqlCtes]] the one SQL copy.
+    */
+  private def lpTable(w: DataFrame): DataFrame = {
+    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("total"))
+    graft.functions.IntegerLn
+      .withLnRatio(vocab.crossJoin(broadcast(tot)), "c", "total")
+      .select(col("w"), col("iln_lr9").as("lps"))
+  }
+
+  /** DuckDB mirror of [[lpTable]] as CTE text (expects `fromW`, a CTE
+    * with a `w` column; exposes `vocab(w, c)`, `tot(total)` and
+    * `lp(w, lps)`).
+    */
+  private def lpSqlCtesFrom(fromW: String): String = {
+    val (ctes, last) =
+      graft.functions.IntegerLn.sqlCtes("lp0", "c", "total")
+    s"""vocab AS (SELECT w, COUNT(*) AS c FROM $fromW GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+       |lp0 AS (SELECT w, c, total FROM vocab, tot)$ctes,
+       |lp AS (SELECT w, iln_lr9 AS lps FROM $last)""".stripMargin
+  }
+  private val lpSqlCtes: String = lpSqlCtesFrom("w")
+
   /** Unigram language-model scoring: build corpus unigram frequencies,
     * broadcast them, and score each document by its average per-token
     * negative log-likelihood (the cheap perplexity proxy used as a
     * fluency gate). Reported per (lang, source): token-weighted
     * average NLL plus the best/worst per-document NLL.
     *
-    * Exactness: each log-probability is snapped to a 1e-9 grid and
-    * carried as a BIGINT (`floor(ln(p)·1e9 + 0.5)`), so all sums are
-    * exact integer sums regardless of partitioning; emission drops the
-    * sum's last 3 digits through one integer division before the final
-    * IEEE division (r13 drift-family convention — a cross-engine
-    * ±1-unit `ln` flip in any term can no longer move the hashed
-    * output unless the whole sum sits at a 1000-boundary). The 1e9 grid bounds group
+    * Exactness: each log-probability is a 1e-9-grid BIGINT from the
+    * [[graft.functions.IntegerLn]] kernel (r14: `lnRatio9(c, total)`
+    * — no libm anywhere, bit-identical cross-engine by construction),
+    * so all sums are exact integer sums regardless of partitioning;
+    * emission keeps the r13 1e-6 resolution (one integer division) for
+    * interface stability. The 1e9 grid bounds group
     * token counts at ~1e8 per group before BIGINT overflow — per-group
     * (not corpus-wide) at 100 TB. The bound is ENFORCED, not just
     * documented: a DECIMAL(38,0) carrier of Σ|lps| rides alongside
@@ -157,13 +185,7 @@ object QualitySignals {
     val w = docs.select(col("doc_id"), col("lang"), col("source"),
         explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
-    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = vocab.agg(sum("c").as("total"))
-    val lp = vocab.crossJoin(broadcast(tot))
-      .withColumn("lps",
-        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
-          lit(0.5)).cast("bigint"))
-      .select("w", "lps")
+    val lp = lpTable(w)
     val perDoc = w.join(broadcast(lp), "w")
       .groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("n"), sum("lps").as("s"),
@@ -238,18 +260,36 @@ object QualitySignals {
       .groupBy("p", "w").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
     val ctx = big.groupBy("p").agg(sum("cb").as("cp"))
-    val term = when(col("p").isNull,
-        log(col("cu").cast("double") / col("t")))
-      .otherwise(log(
-        lit(lambda) * (col("cb").cast("double") / col("cp")) +
-          lit(1.0 - lambda) * (col("cu").cast("double") / col("t"))))
+    // r14: λ rationalized to L/D (λ := round(λ·1e6)/1e6, reduced) so
+    // the interpolated probability is the EXACT integer ratio
+    //   λ·cb/cp + (1−λ)·cu/t = (L·cb·t + (D−L)·cu·cp) / (D·cp·t)
+    // and both branches run through the IntegerLn kernel on the
+    // TYPE-sized frames (uni / big⋈ctx⋈uni), never per stream row —
+    // no libm in any hashed value, and the corpus-sized join fetches
+    // a precomputed lp9. Overflow headroom: D·t² < 2⁶³ — for the
+    // default λ=0.7 (7/10) that is t ≤ ~9.6e8 corpus tokens;
+    // pre-scale counts past that (LM-carrier bound class).
+    val (lNum, lDen) = {
+      val l = math.round(lambda * 1000000L)
+      val g = java.math.BigInteger.valueOf(l)
+        .gcd(java.math.BigInteger.valueOf(1000000L)).longValue()
+      (l / g, 1000000L / g)
+    }
+    val uniLp = graft.functions.IntegerLn
+      .withLnRatio(uni.crossJoin(broadcast(tot)), "cu", "t")
+      .select(col("w"), col("iln_lr9").as("ulp9"))
+    val bigLp = graft.functions.IntegerLn
+      .withLnRatio(
+        big.join(ctx.hint("shuffle_hash"), "p")
+          .join(uni.hint("shuffle_hash"), "w")
+          .crossJoin(broadcast(tot)),
+        s"($lNum * cb * t + ${lDen - lNum} * cu * cp)",
+        s"($lDen * cp * t)")
+      .select(col("p"), col("w"), col("iln_lr9").as("blp9"))
     stream
-      .join(uni.hint("shuffle_hash"), Seq("w"))
-      .join(big.hint("shuffle_hash"), Seq("p", "w"), "left")
-      .join(ctx.hint("shuffle_hash"), Seq("p"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp9",
-        floor(term * lit(1e9) + lit(0.5)).cast("bigint"))
+      .join(uniLp.hint("shuffle_hash"), Seq("w"))
+      .join(bigLp.hint("shuffle_hash"), Seq("p", "w"), "left")
+      .withColumn("lp9", coalesce(col("blp9"), col("ulp9")))
       .groupBy("doc_id", "lang", "source")
       .agg(count(lit(1)).as("n"), sum("lp9").as("s"),
         sum(abs(col("lp9")).cast("decimal(38,0)")).as("sabs"))
@@ -271,10 +311,22 @@ object QualitySignals {
       .orderBy("lang", "source")
   }
 
-  /** DuckDB oracle for [[bigramFluency]]. */
+  /** DuckDB oracle for [[bigramFluency]] — the same λ
+    * rationalization and IntegerLn kernel CTEs over the type-sized
+    * frames.
+    */
   def bigramFluencySql(lambda: Double = 0.7): String = {
-    val lam = lambda
-    val oneMinus = 1.0 - lambda
+    val (lNum, lDen) = {
+      val l = math.round(lambda * 1000000L)
+      val g = java.math.BigInteger.valueOf(l)
+        .gcd(java.math.BigInteger.valueOf(1000000L)).longValue()
+      (l / g, 1000000L / g)
+    }
+    val (uCtes, uLast) = graft.functions.IntegerLn.sqlCtes(
+      "ulp0", "cu", "t", prefix = "u_", ctePrefix = "u_l")
+    val (bCtes, bLast) = graft.functions.IntegerLn.sqlCtes(
+      "blp0", s"($lNum * cb * t + ${lDen - lNum} * cu * cp)",
+      s"($lDen * cp * t)", prefix = "b_", ctePrefix = "b_l")
     s"""WITH toks AS (
        |  SELECT doc_id, lang, source,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -290,18 +342,19 @@ object QualitySignals {
        |        WHERE p IS NOT NULL GROUP BY 1, 2),
        |ctx AS (SELECT p, CAST(SUM(cb) AS BIGINT) AS cp
        |        FROM big GROUP BY 1),
+       |ulp0 AS (SELECT w, cu, t FROM uni, tot)$uCtes,
+       |ulp AS (SELECT w, u_lr9 AS ulp9 FROM $uLast),
+       |blp0 AS (
+       |  SELECT b.p, b.w, b.cb, c.cp, u.cu, t.t
+       |  FROM big b JOIN ctx c USING (p) JOIN uni u USING (w),
+       |    tot t)$bCtes,
+       |blp AS (SELECT p, w, b_lr9 AS blp9 FROM $bLast),
        |terms AS (
        |  SELECT s.doc_id, s.lang, s.source,
-       |    CAST(floor(
-       |      CASE WHEN s.p IS NULL
-       |        THEN ln(CAST(u.cu AS DOUBLE) / t.t)
-       |        ELSE ln(CAST($lam AS DOUBLE) * (CAST(b.cb AS DOUBLE) / c.cp)
-       |             + CAST($oneMinus AS DOUBLE) * (CAST(u.cu AS DOUBLE) / t.t))
-       |      END * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lp9
+       |    COALESCE(b.blp9, u.ulp9) AS lp9
        |  FROM stream s
-       |  JOIN uni u USING (w)
-       |  LEFT JOIN big b ON s.p = b.p AND s.w = b.w
-       |  LEFT JOIN ctx c ON s.p = c.p, tot t),
+       |  JOIN ulp u USING (w)
+       |  LEFT JOIN blp b ON s.p = b.p AND s.w = b.w),
        |perdoc AS (
        |  SELECT doc_id, lang, source, COUNT(*) AS n,
        |    CAST(SUM(lp9) AS BIGINT) AS s
@@ -316,19 +369,13 @@ object QualitySignals {
   }
 
   val unigramLmSql: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id, lang, source, w FROM (
       |    SELECT doc_id, lang, source,
-      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
       |    FROM documents)
       |  WHERE w <> ''),
-      |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
-      |lp AS (
-      |  SELECT w,
-      |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
-      |      AS lps
-      |  FROM vocab, tot),
+      |$lpSqlCtes,
       |perdoc AS (
       |  SELECT doc_id, lang, source, COUNT(*) AS n,
       |    CAST(SUM(lps) AS BIGINT) AS s
@@ -693,11 +740,12 @@ object QualitySignals {
     // materialized before the publish swap below touches it
     val vocab = vocabCounts.localCheckpoint()
     val tot = vocab.agg(sum("c").as("total"))
-    vocab.crossJoin(broadcast(tot))
-      .withColumn("lps",
-        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
-          lit(0.5)).cast("bigint"))
-      .select("w", "c", "lps")
+    // r14: lps via the IntegerLn kernel (no libm in stored values —
+    // the ensure* path carries the `iln` layout discriminator so a
+    // pre-r14 store can never be served against the kernel oracle)
+    graft.functions.IntegerLn
+      .withLnRatio(vocab.crossJoin(broadcast(tot)), "c", "total")
+      .select(col("w"), col("c"), col("iln_lr9").as("lps"))
       .write.parquet(tmp.toString + "/vocab")
     tot.write.parquet(tmp.toString + "/meta")
     StoreSwap.swapIn(fs, tmp, dst)
@@ -738,7 +786,9 @@ object QualitySignals {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
-    val path = s"/tmp/graft_lmstore_${tag}_${fp.getLong(0)}_" +
+    // `iln`: the r14 integer-ln vocab layout — keeps a pre-r14 store
+    // (libm lps at the same content fingerprint) from being reused
+    val path = s"/tmp/graft_lmstore_iln_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
@@ -760,10 +810,11 @@ object QualitySignals {
   def scoreAgainstLmStore(storePath: String, docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val lm = spark.read.parquet(s"$storePath/vocab")
-    val meta = spark.read.parquet(s"$storePath/meta")
-      .withColumn("oov_lps",
-        floor(log(lit(1.0) / (col("total").cast("double") + 1)) * lit(1e9) +
-          lit(0.5)).cast("bigint"))
+    // r14: OOV mass ln(1/(total+1)) = lnRatio9(1, total+1) — kernel
+    val meta = graft.functions.IntegerLn
+      .withLnRatio(spark.read.parquet(s"$storePath/meta"),
+        "CAST(1 AS BIGINT)", "(total + 1)")
+      .withColumn("oov_lps", col("iln_lr9"))
     val w = docs
       .select(col("doc_id"),
         explode(TextFunctions.words(col("text"))).as("w"))
@@ -789,28 +840,23 @@ object QualitySignals {
     * split both engines derive identically), the remaining 1/5 scored
     * with the same OOV rule.
     */
-  def lmStoreScoreSql: String =
-    """WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+  def lmStoreScoreSql: String = {
+    val (oovCtes, oovLast) = graft.functions.IntegerLn.sqlCtes(
+      "tot", "CAST(1 AS BIGINT)", "(total + 1)",
+      prefix = "oov_", ctePrefix = "oov_l")
+    s"""WITH thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
       |bw AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id,
-      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
       |    FROM documents, thr WHERE doc_id < t)
       |  WHERE w <> ''),
-      |vocab AS (SELECT w, COUNT(*) AS c FROM bw GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
-      |lp AS (
-      |  SELECT w,
-      |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
-      |      AS lps
-      |  FROM vocab, tot),
-      |oov AS (
-      |  SELECT CAST(floor(ln(1.0 / (CAST(total AS DOUBLE) + 1)) * 1e9
-      |    + 0.5) AS BIGINT) AS oov_lps FROM tot),
+      |${lpSqlCtesFrom("bw")}$oovCtes,
+      |oov AS (SELECT oov_lr9 AS oov_lps FROM $oovLast),
       |dw AS (
       |  SELECT doc_id, w FROM (
       |    SELECT doc_id,
-      |      UNNEST(regexp_split_to_array(trim(text), '\s+')) AS w
+      |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
       |    FROM documents, thr WHERE doc_id >= t)
       |  WHERE w <> ''),
       |scored AS (
@@ -823,6 +869,7 @@ object QualitySignals {
       |  CAST((-CAST(SUM(t) AS BIGINT)) // 1000 AS DOUBLE)
       |    / COUNT(*) / 1e6 AS nll
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // CCNet perplexity bucketing (head / middle / tail)
@@ -855,13 +902,7 @@ object QualitySignals {
       .select(col("doc_id"),
         explode(TextFunctions.words(col("text"))).as("w"))
       .where(col("w") =!= "")
-    val vocab = w.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = vocab.agg(sum("c").as("total"))
-    val lp = vocab.crossJoin(broadcast(tot))
-      .withColumn("lps",
-        floor(log(col("c").cast("double") / col("total")) * lit(1e9) +
-          lit(0.5)).cast("bigint"))
-      .select("w", "lps")
+    val lp = lpTable(w)
     val scored = w.join(broadcast(lp), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("lps").as("s"),
@@ -894,13 +935,7 @@ object QualitySignals {
        |      UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents)
        |  WHERE w <> ''),
-       |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
-       |lp AS (
-       |  SELECT w,
-       |    CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e9 + 0.5) AS BIGINT)
-       |      AS lps
-       |  FROM vocab, tot),
+       |$lpSqlCtes,
        |perdoc AS (
        |  SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(lps) AS BIGINT) AS s
        |  FROM w JOIN lp USING (w) GROUP BY 1),
