@@ -110,15 +110,36 @@ object IntegerLn {
   }
 
   /** Append the kernel to a DataFrame: expects nonnegative BIGINT
-    * columns `numCol` and `denCol` (≥ 1), adds the stage columns and
-    * the result `<prefix>lr9`. All stages are built-in expressions —
-    * the whole chain stays inside whole-stage codegen.
+    * expressions `numCol` and `denCol` (≥ 1), adds the stage columns
+    * and the result `<prefix>lr9`. All stages are built-in
+    * expressions — whole-stage codegen fuses the 24 projections into
+    * one pass (~60 integer ops/row).
+    *
+    * The input goes through a LAZY plan barrier first: each
+    * `withColumn` re-analyzes its whole child plan, so folding 24
+    * stages directly onto a corpus-lineage frame costs O(stages ×
+    * upstream-plan-size) in the ANALYZER (measured ~0.3 s per kernel
+    * application over a corpus aggregate at sf0.1 — pure planning,
+    * not execution). The barrier truncates the logical plan to one
+    * node; eager = false keeps entry construction job-free (r7
+    * convention). Callers always invoke the kernel on 1-row /
+    * dictionary-sized frames, so the materialization itself is nil.
     */
   def withLnRatio(df: DataFrame, numCol: String, denCol: String,
       prefix: String = "iln_"): DataFrame =
-    stages(numCol, denCol, sparkDiv, prefix).foldLeft(df) {
-      case (d, (name, ex)) => d.withColumn(name, expr(ex))
-    }
+    withLnRatios(df, Seq((numCol, denCol, prefix)))
+
+  /** Multi-ratio form: one plan barrier + one fold for SEVERAL
+    * (num, den, prefix) applications — a per-term caller (BM25's
+    * per-term idf over one stats row) pays one checkpoint job instead
+    * of |terms|.
+    */
+  def withLnRatios(df: DataFrame,
+      ratios: Seq[(String, String, String)]): DataFrame =
+    ratios.flatMap { case (n, d, p) => stages(n, d, sparkDiv, p) }
+      .foldLeft(df.localCheckpoint(eager = false)) {
+        case (d, (name, ex)) => d.withColumn(name, expr(ex))
+      }
 
   /** The DuckDB mirror as chained CTE text: returns the `, lN AS
     * (...)` chain (to splice after an existing CTE list) and the name

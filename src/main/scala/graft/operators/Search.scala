@@ -62,9 +62,9 @@ object Search {
     // ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)), an exact
     // integer ratio, so idf9 is bit-identical cross-engine by
     // construction (no libm in any hashed value)
-    val statsIdf = terms.indices.foldLeft(stats)((d, i) =>
-      graft.functions.IntegerLn.withLnRatio(d,
-        "(2 * n_docs + 2)", s"(2 * df$i + 1)", prefix = s"iln${i}_"))
+    val statsIdf = graft.functions.IntegerLn.withLnRatios(stats,
+        terms.indices.map(i =>
+          ("(2 * n_docs + 2)", s"(2 * df$i + 1)", s"iln${i}_")))
       .select((col("n_docs") +: col("sum_dl") +:
         terms.indices.map(i => col(s"iln${i}_lr9").as(s"idf9_$i"))): _*)
     // row-local scoring: per-term contribution on the 1e12 grid;
