@@ -109,6 +109,48 @@ object IntegerLn {
       s"CAST(${p}kk AS BIGINT) * $Ln2Grid9 + 2 * (${p}z + $terms)")
   }
 
+  /** PRE-SCALED product form: stages computing
+    * `<prefix>lr9` ≈ ln((aNum·bNum)/(aDen·bDen))·1e9 where each of the
+    * four operands is a nonnegative BIGINT expression ≥ 1 that may be
+    * as large as 2⁶³−1 — the products are never formed raw. Each
+    * factor is first right-shifted to ≤ 31 bits
+    * (`f >> greatest(bitlen(f) − 31, 0)`), making both products ≤ 2⁶²
+    * by construction; the net shift `(sa+sb) − (sc+sd)` is then folded
+    * back as an exact `·ln2` correction (the same bookkeeping the core
+    * kernel already does for its own range reduction).
+    *
+    * Below 2³¹ per factor every shift is 0, the products and every
+    * downstream stage are IDENTICAL to the unscaled form, and the
+    * correction is exactly 0 — so results (and driver hashes) are
+    * bit-for-bit unchanged in the regime where the old form was safe.
+    * When a shift engages, each clamp truncates at ≥ 31 retained bits
+    * (relative error ≤ 2⁻³⁰ per factor, ≤ 4·2⁻³⁰ ≈ 3.7e-9 in the log
+    * — below the kernel's own 2·2⁻²⁹ range-reduction truncation), and
+    * asymmetric operands are handled exactly: a count of 1 next to a
+    * 2⁶²-scale count shifts by 0 and stays exact (the drift family's
+    * empty-bin case). Determinism is preserved at ANY scale: both
+    * engines run the same shifts (spelled once, here).
+    */
+  def prodStages(aNum: String, bNum: String, aDen: String, bDen: String,
+      intDiv: (String, String) => String,
+      prefix: String = "iln_"): Seq[(String, String)] = {
+    val p = prefix
+    def clampShift(f: String): String =
+      s"greatest(length(bin($f)) - 31, 0)"
+    val pre = Seq(
+      s"${p}psa" -> clampShift(aNum),
+      s"${p}psb" -> clampShift(bNum),
+      s"${p}psc" -> clampShift(aDen),
+      s"${p}psd" -> clampShift(bDen),
+      s"${p}pnum" -> s"((($aNum) >> ${p}psa) * (($bNum) >> ${p}psb))",
+      s"${p}pden" -> s"((($aDen) >> ${p}psc) * (($bDen) >> ${p}psd))")
+    // CAST(... AS BIGINT): the shift sums are INT (length arithmetic)
+    // and the ·Ln2Grid9 product overflows INT under ANSI
+    pre ++ stages(s"${p}pnum", s"${p}pden", intDiv, s"${p}r") :+
+      (s"${p}lr9" -> (s"${p}rlr9 + CAST(${p}psa + ${p}psb - " +
+        s"${p}psc - ${p}psd AS BIGINT) * $Ln2Grid9"))
+  }
+
   /** Append the kernel to a DataFrame: expects nonnegative BIGINT
     * expressions `numCol` and `denCol` (≥ 1), adds the stage columns
     * and the result `<prefix>lr9`. All stages are built-in
@@ -122,24 +164,47 @@ object IntegerLn {
     * application over a corpus aggregate at sf0.1 — pure planning,
     * not execution). The barrier truncates the logical plan to one
     * node; eager = false keeps entry construction job-free (r7
-    * convention). Callers always invoke the kernel on 1-row /
+    * convention), so the saving is one plan barrier (materialized at
+    * first action) instead of |stages| full re-analyses — no job runs
+    * at call time. Callers always invoke the kernel on 1-row /
     * dictionary-sized frames, so the materialization itself is nil.
+    * Pass `barrier = false` when the input plan is ALREADY tiny (e.g.
+    * one aggregate over a checkpointed frame): the fold then re-analyzes
+    * a few-node plan per stage — cheaper than the extra barrier job
+    * (the r14 `text_bm25_topk` regression was exactly that fixed cost).
     */
   def withLnRatio(df: DataFrame, numCol: String, denCol: String,
-      prefix: String = "iln_"): DataFrame =
-    withLnRatios(df, Seq((numCol, denCol, prefix)))
+      prefix: String = "iln_", barrier: Boolean = true): DataFrame =
+    withLnRatios(df, Seq((numCol, denCol, prefix)), barrier)
 
   /** Multi-ratio form: one plan barrier + one fold for SEVERAL
     * (num, den, prefix) applications — a per-term caller (BM25's
-    * per-term idf over one stats row) pays one checkpoint job instead
+    * per-term idf over one stats row) pays one plan barrier instead
     * of |terms|.
     */
   def withLnRatios(df: DataFrame,
-      ratios: Seq[(String, String, String)]): DataFrame =
-    ratios.flatMap { case (n, d, p) => stages(n, d, sparkDiv, p) }
-      .foldLeft(df.localCheckpoint(eager = false)) {
-        case (d, (name, ex)) => d.withColumn(name, expr(ex))
-      }
+      ratios: Seq[(String, String, String)],
+      barrier: Boolean = true): DataFrame =
+    foldStages(df,
+      ratios.flatMap { case (n, d, p) => stages(n, d, sparkDiv, p) },
+      barrier)
+
+  /** Pre-scaled product form of [[withLnRatio]] — see [[prodStages]].
+    * Use whenever num/den are PRODUCTS of counts that could each
+    * approach 2⁶³ at the 100 TB design point (drift's
+    * (c+1)·(n+B) smoothing ratios, DSIR's bucket-weight ratio).
+    */
+  def withLnRatioProd2(df: DataFrame, aNum: String, bNum: String,
+      aDen: String, bDen: String, prefix: String = "iln_",
+      barrier: Boolean = true): DataFrame =
+    foldStages(df, prodStages(aNum, bNum, aDen, bDen, sparkDiv, prefix),
+      barrier)
+
+  private def foldStages(df: DataFrame, st: Seq[(String, String)],
+      barrier: Boolean): DataFrame =
+    st.foldLeft(if (barrier) df.localCheckpoint(eager = false) else df) {
+      case (d, (name, ex)) => d.withColumn(name, expr(ex))
+    }
 
   /** The DuckDB mirror as chained CTE text: returns the `, lN AS
     * (...)` chain (to splice after an existing CTE list) and the name
@@ -148,8 +213,20 @@ object IntegerLn {
     */
   def sqlCtes(fromCte: String, num: String, den: String,
       prefix: String = "iln_",
-      ctePrefix: String = "iln_l"): (String, String) = {
-    val st = stages(num, den, duckDiv, prefix)
+      ctePrefix: String = "iln_l"): (String, String) =
+    cteChain(fromCte, stages(num, den, duckDiv, prefix), ctePrefix)
+
+  /** DuckDB mirror of [[withLnRatioProd2]] — the pre-scaled product
+    * stages as chained CTEs.
+    */
+  def sqlCtesProd2(fromCte: String, aNum: String, bNum: String,
+      aDen: String, bDen: String, prefix: String = "iln_",
+      ctePrefix: String = "iln_l"): (String, String) =
+    cteChain(fromCte,
+      prodStages(aNum, bNum, aDen, bDen, duckDiv, prefix), ctePrefix)
+
+  private def cteChain(fromCte: String, st: Seq[(String, String)],
+      ctePrefix: String): (String, String) = {
     val parts = st.zipWithIndex.map { case ((name, ex), i) =>
       val src = if (i == 0) fromCte else s"$ctePrefix${i - 1}"
       s"$ctePrefix$i AS (SELECT *, $ex AS $name FROM $src)"
@@ -185,5 +262,21 @@ object IntegerLn {
       n += 2
     }
     kk.toLong * Ln2Grid9 + 2 * acc
+  }
+
+  /** Pure-Scala mirror of [[prodStages]] — the spec oracle for the
+    * pre-scaled product form. Exactly [[lnRatio9Ref]] on the raw
+    * products whenever every factor < 2³¹ (all shifts 0), and
+    * overflow-free with bounded error for factors up to 2⁶³−1.
+    */
+  def lnRatio9Prod2Ref(aNum: Long, bNum: Long, aDen: Long,
+      bDen: Long): Long = {
+    require(aNum >= 1 && bNum >= 1 && aDen >= 1 && bDen >= 1,
+      "lnRatio9Prod2Ref: need all factors >= 1")
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    def sh(x: Long): Int = math.max(bitlen(x) - 31, 0)
+    val (sa, sb, sc, sd) = (sh(aNum), sh(bNum), sh(aDen), sh(bDen))
+    lnRatio9Ref((aNum >> sa) * (bNum >> sb), (aDen >> sc) * (bDen >> sd)) +
+      (sa + sb - sc - sd).toLong * Ln2Grid9
   }
 }

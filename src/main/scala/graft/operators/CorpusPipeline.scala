@@ -735,12 +735,15 @@ object CorpusPipeline {
     // r14: the smoothed log-ratio difference is ln of ONE exact
     // integer ratio — ((ct+1)(q_tot+B)) : ((cq+1)(t_tot+B)) — through
     // the IntegerLn kernel on the B-row buckets frame (the drift
-    // psi/kl shape exactly; no libm in any hashed value; BIGINT-exact
-    // to ~3e9 grams per corpus, pre-scale past that)
+    // psi/kl shape exactly; no libm in any hashed value). r15: the
+    // PRE-SCALED product form auto-clamps each factor to ≤31 bits, so
+    // the old ~3e9-grams BIGINT-product cliff is gone — gram counts up
+    // to 2⁶³ are safe, and below 2³¹ the stages are bit-identical to
+    // the raw products (hashes unchanged)
     val lw = graft.functions.IntegerLn
-      .withLnRatio(cnt.crossJoin(broadcast(tot)),
-        s"((ct + 1) * (q_tot + $buckets))",
-        s"((cq + 1) * (t_tot + $buckets))")
+      .withLnRatioProd2(cnt.crossJoin(broadcast(tot)),
+        "(ct + 1)", s"(q_tot + $buckets)",
+        "(cq + 1)", s"(t_tot + $buckets)")
       .select(col("b"), col("iln_lr9").as("lw9"))
     g.join(broadcast(lw), "b")
       .groupBy("doc_id", "lang")
@@ -766,9 +769,9 @@ object CorpusPipeline {
     */
   def dsirSelectSql(buckets: Int = 256, targetLang: String = "en",
       topK: Int = 100): String = {
-    val (lwCtes, lwLast) = graft.functions.IntegerLn.sqlCtes(
-      "lw0", s"((ct + 1) * (q_tot + $buckets))",
-      s"((cq + 1) * (t_tot + $buckets))")
+    val (lwCtes, lwLast) = graft.functions.IntegerLn.sqlCtesProd2(
+      "lw0", "(ct + 1)", s"(q_tot + $buckets)",
+      "(cq + 1)", s"(t_tot + $buckets)")
     s"""WITH t AS (
        |  SELECT doc_id, lang,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'),

@@ -181,13 +181,15 @@ object Profiling {
         (col("n_ref") + col("n_bins")).cast("double"))
       .withColumn("q", (col("c_cur") + lit(1L)).cast("double") /
         (col("n_cur") + col("n_bins")).cast("double"))
-      // p/q as an exact BIGINT ratio (safe below ~3e9 rows/snapshot)
-      .withColumn("iln_num",
-        (col("c_ref") + lit(1L)) * (col("n_cur") + col("n_bins")))
-      .withColumn("iln_den",
-        (col("c_cur") + lit(1L)) * (col("n_ref") + col("n_bins")))
+    // p/q as the exact BIGINT ratio (c_ref+1)·(n_cur+B) :
+    // (c_cur+1)·(n_ref+B) through the PRE-SCALED product form (r15):
+    // each factor auto-clamps to ≤31 bits before the product, so the
+    // old ~3e9-rows/snapshot BIGINT-product cliff is gone — counts up
+    // to 2⁶³ per snapshot are safe, and below 2³¹ the stages are
+    // bit-identical to the raw products (hashes unchanged)
     graft.functions.IntegerLn
-      .withLnRatio(withRatio, "iln_num", "iln_den")
+      .withLnRatioProd2(withRatio, "(c_ref + 1)", "(n_cur + n_bins)",
+        "(c_cur + 1)", "(n_ref + n_bins)")
       // lr9 < 4.5e10 so the cast is exact; the products are single
       // IEEE ops on deterministic operands — portable by construction
       .withColumn("psi9",
@@ -263,8 +265,9 @@ object Profiling {
     * BIGINT up front (DuckDB SUM over INTEGER yields HUGEINT).
     */
   private def driftTailSql(fbBody: String): String = {
-    val (lnCtes, lastCte) = graft.functions.IntegerLn.sqlCtes(
-      "t", "iln_num", "iln_den")
+    val (lnCtes, lastCte) = graft.functions.IntegerLn.sqlCtesProd2(
+      "t", "(c_ref + 1)", "(n_cur + n_bins)",
+      "(c_cur + 1)", "(n_ref + n_bins)")
     s"""WITH fb AS (
        |  $fbBody),
        |bins AS (
@@ -280,12 +283,11 @@ object Profiling {
        |  FROM bins GROUP BY 1),
        |t AS (
        |  SELECT b.feature, t.n_bins, t.n_ref, t.n_cur,
+       |    b.c_ref, b.c_cur,
        |    CAST(b.c_ref + 1 AS DOUBLE) / CAST(t.n_ref + t.n_bins AS DOUBLE)
        |      AS p,
        |    CAST(b.c_cur + 1 AS DOUBLE) / CAST(t.n_cur + t.n_bins AS DOUBLE)
-       |      AS q,
-       |    (b.c_ref + 1) * (t.n_cur + t.n_bins) AS iln_num,
-       |    (b.c_cur + 1) * (t.n_ref + t.n_bins) AS iln_den
+       |      AS q
        |  FROM bins b JOIN tot t USING (feature))$lnCtes,
        |g AS (
        |  SELECT feature, n_bins, n_ref, n_cur,

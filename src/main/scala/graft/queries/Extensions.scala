@@ -442,11 +442,73 @@ object Extensions {
        |FROM $lastCte ORDER BY probe_id""".stripMargin
   }
 
+  /** Fixed (a, b, c, d) factor ladder for the PRE-SCALED product form
+    * ([[graft.functions.IntegerLn.prodStages]], r15): rows 0–7 keep
+    * every factor < 2³¹ (all clamps are no-ops — pins bit-identity
+    * with the raw-product path), rows 8–19 plant factors up to near
+    * 2⁶²–2⁶³ so the clamp shifts and the ·ln2 correction ENGAGE in
+    * both engines — the raw products would overflow BIGINT by up to
+    * 60 bits. Asymmetric rows (a tiny count against a 2⁶²-scale
+    * total) mirror the drift family's empty-bin case. Like
+    * `probe_ln_intkernel`, this entry is deterministic by
+    * construction and must stay green on ANY engine pair.
+    */
+  private val lnPrescaleArgs: Seq[(Long, Long, Long, Long, Long)] = Seq(
+    (0L, 1L, 1L, 1L, 1L),
+    (1L, 2L, 3L, 5L, 7L),
+    (2L, 500L, 60175L, 3L, 60175L),
+    (3L, 1L, 60178L, 12L, 60175L),
+    (4L, 123457L, 1000003L, 999983L, 123449L),
+    (5L, 2147483647L, 2L, 3L, 2147483629L),
+    (6L, 2147483647L, 2147483647L, 2147483629L, 2147483629L),
+    (7L, 1073741824L, 1073741824L, 1073741823L, 1073741825L),
+    (8L, 4294967311L, 3L, 5L, 4294967291L),
+    (9L, 1L, 4611686018427387847L, 257L, 4611686018427387903L),
+    (10L, 4611686018427387847L, 4611686018427387903L, 1L, 1L),
+    (11L, 1L, 1L, 4611686018427387847L, 4611686018427387903L),
+    (12L, 9223372036854775783L, 9223372036854775783L, 3L, 7L),
+    (13L, 3L, 7L, 9223372036854775783L, 9223372036854775783L),
+    (14L, 1000000007L, 4611686018427387847L,
+      4294967311L, 999999999989L),
+    (15L, 281474976710677L, 281474976710597L,
+      281474976710591L, 281474976710729L),
+    (16L, 1L, 9223372036854775783L, 9223372036854775783L, 1L),
+    (17L, 60175L, 4611686018427387847L, 60174L, 4611686018427387903L),
+    (18L, 35184372088832L, 35184372088831L,
+      35184372088833L, 35184372088830L),
+    (19L, 6074000999L, 8589934583L, 6074001000L, 8589934597L))
+
+  private def lnProbePrescale(c: Ctx): DataFrame = {
+    import c.spark.implicits._
+    graft.functions.IntegerLn
+      .withLnRatioProd2(lnPrescaleArgs.toDF("probe_id", "a", "b", "cc", "dd"),
+        "a", "b", "cc", "dd")
+      .select(col("probe_id"), col("a"), col("b"), col("cc"), col("dd"),
+        col("iln_lr9").as("lr9"))
+      .orderBy("probe_id")
+  }
+
+  private val lnProbePrescaleSql: String = {
+    val values = lnPrescaleArgs
+      .map { case (i, a, b, cc, dd) => s"($i, $a, $b, $cc, $dd)" }
+      .mkString("(VALUES ", ", ", ")")
+    val (lnCtes, lastCte) = graft.functions.IntegerLn.sqlCtesProd2(
+      "args", "a", "b", "cc", "dd")
+    s"""WITH args AS (
+       |  SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |    CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |    CAST(cc AS BIGINT) AS cc, CAST(dd AS BIGINT) AS dd
+       |  FROM $values t(probe_id, a, b, cc, dd))$lnCtes
+       |SELECT probe_id, a, b, cc, dd, iln_lr9 AS lr9
+       |FROM $lastCte ORDER BY probe_id""".stripMargin
+  }
+
   val queries: Map[String, Ctx => DataFrame] = Map(
     "probe_ln_grid6" -> (c => lnProbe(c, "1e6")),
     "probe_ln_grid9" -> (c => lnProbe(c, "1e9")),
     "probe_ln_grid12" -> (c => lnProbe(c, "1e12")),
     "probe_ln_intkernel" -> (lnProbeKernel _),
+    "probe_ln_prescale" -> (lnProbePrescale _),
     // dedup family
     "dedup_exact" -> (c => Dedup.exact(c.documents)),
     "dedup_fingerprint" -> (c => Dedup.fingerprint(c.documents)),
@@ -768,6 +830,7 @@ object Extensions {
     "probe_ln_grid9" -> lnProbeSql("1e9"),
     "probe_ln_grid12" -> lnProbeSql("1e12"),
     "probe_ln_intkernel" -> lnProbeKernelSql,
+    "probe_ln_prescale" -> lnProbePrescaleSql,
     "export_manifest" -> graft.sources.TrainingExport.manifestSql(),
     "validate_constraints" -> Validate.constraintReportSql,
     "dedup_exact" -> Dedup.exactSql,

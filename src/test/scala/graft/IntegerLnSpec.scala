@@ -90,4 +90,96 @@ class IntegerLnSpec extends AnyFunSuite {
     assert(sparkText.contains(" div ") && duckText.contains(" // "))
     assert(!sparkText.contains(" // ") && !duckText.contains(" div "))
   }
+
+  // --- r15: pre-scaled product form (prodStages) --------------------
+
+  /** Factor quads: small (all shifts 0), planted 2⁶²-scale (shifts
+    * engage; raw products would overflow by up to ~60 bits), and
+    * drift-shaped asymmetric extremes (count 1 against a 2⁶²-scale
+    * total — the empty-bin case).
+    */
+  private def quads: Seq[(Long, Long, Long, Long)] = {
+    val rng = new scala.util.Random(20260815L)
+    val lim62 = (1L << 62) - 1
+    def r62() = 1L + math.abs(rng.nextLong()) % lim62
+    def r31() = 1L + rng.nextInt(Int.MaxValue).toLong
+    val fixed = Seq[(Long, Long, Long, Long)](
+      (1L, 1L, 1L, 1L),
+      (2L, 3L, 5L, 7L),
+      (1L, lim62, 257L, lim62 - 56L),
+      (lim62, lim62, 1L, 1L), (1L, 1L, lim62, lim62),
+      (9223372036854775783L, 9223372036854775783L, 3L, 7L),
+      (1L, 9223372036854775783L, 9223372036854775783L, 1L),
+      ((1L << 31), (1L << 31), (1L << 31) - 1, (1L << 31) + 1))
+    val small = Seq.fill(120)((r31(), r31(), r31(), r31()))
+    val big = Seq.fill(120)((r62(), r62(), r62(), r62()))
+    val mixed = Seq.fill(120)((1L + rng.nextInt(100).toLong, r62(),
+      1L + rng.nextInt(100).toLong, r62()))
+    fixed ++ small ++ big ++ mixed
+  }
+
+  test("prod2: Spark stage text == pure-Scala mirror, bit-exact") {
+    val df = quads.toDF("a", "b", "cc", "dd")
+    val got = IntegerLn.withLnRatioProd2(df, "a", "b", "cc", "dd")
+      .select("a", "b", "cc", "dd", "iln_lr9").collect()
+    got.foreach { r =>
+      val (a, b, c, d) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getLong(4) == IntegerLn.lnRatio9Prod2Ref(a, b, c, d),
+        s"prod2 stage-text mismatch at ($a, $b, $c, $d)")
+    }
+    assert(got.length == quads.size)
+  }
+
+  test("prod2 == raw-product kernel EXACTLY when every factor < 2^31") {
+    // the hashes-unchanged law: below 2^31 per factor all clamps are
+    // no-ops, so the pre-scaled form IS the r14 raw-product form
+    val rng = new scala.util.Random(42L)
+    val qs = Seq((1L, 1L, 1L, 1L),
+        (2147483647L, 2147483647L, 2147483647L, 2147483647L)) ++
+      Seq.fill(4000)((1L + rng.nextInt(Int.MaxValue).toLong,
+        1L + rng.nextInt(Int.MaxValue).toLong,
+        1L + rng.nextInt(Int.MaxValue).toLong,
+        1L + rng.nextInt(Int.MaxValue).toLong))
+    qs.foreach { case (a, b, c, d) =>
+      assert(IntegerLn.lnRatio9Prod2Ref(a, b, c, d) ==
+        IntegerLn.lnRatio9Ref(a * b, c * d),
+        s"prod2 deviates in the no-shift regime at ($a, $b, $c, $d)")
+    }
+  }
+
+  test("prod2 accuracy <= 1.5e-7 vs Math.log at 2^62-scale factors") {
+    // kernel bound 1e-7 + four clamp truncations (<= 4*2^-30 ~ 3.7e-9)
+    var worst = 0.0
+    quads.foreach { case (a, b, c, d) =>
+      val want = math.log(a.toDouble) + math.log(b.toDouble) -
+        math.log(c.toDouble) - math.log(d.toDouble)
+      val err =
+        math.abs(IntegerLn.lnRatio9Prod2Ref(a, b, c, d) / 1e9 - want)
+      worst = math.max(worst, err)
+      assert(err <= 1.5e-7, s"prod2 accuracy miss at ($a, $b, $c, $d): $err")
+    }
+    info(f"worst abs error: $worst%.3g")
+  }
+
+  test("prod2 DuckDB-dialect text differs from Spark only by // vs div") {
+    val sparkText = IntegerLn
+      .prodStages("a", "b", "c", "d", IntegerLn.sparkDiv)
+      .map(_._2).mkString("\n")
+    val duckText = IntegerLn
+      .prodStages("a", "b", "c", "d", IntegerLn.duckDiv)
+      .map(_._2).mkString("\n")
+    assert(duckText.replace(" // ", " div ") == sparkText)
+    assert(sparkText.contains(" div ") && duckText.contains(" // "))
+    assert(!sparkText.contains(" // ") && !duckText.contains(" div "))
+  }
+
+  test("barrier = false returns the same values as the default path") {
+    val df = pairs.take(40).toDF("n", "d")
+    val withB = IntegerLn.withLnRatio(df, "n", "d")
+      .select("n", "d", "iln_lr9").collect().toSeq.map(_.toSeq)
+    val noB = IntegerLn.withLnRatio(df, "n", "d", barrier = false)
+      .select("n", "d", "iln_lr9").collect().toSeq.map(_.toSeq)
+    assert(withB.sortBy(_.toString) == noB.sortBy(_.toString))
+  }
 }
