@@ -61,10 +61,16 @@ object Search {
     // r14: idf via the IntegerLn kernel on the 1-ROW stats frame —
     // ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)), an exact
     // integer ratio, so idf9 is bit-identical cross-engine by
-    // construction (no libm in any hashed value)
+    // construction (no libm in any hashed value). Overflow headroom:
+    // 2N+2 wraps only past ~4.6e18 DOCUMENTS (< 22 bytes/doc at
+    // 100 TB) — unreachable, no pre-scaling needed. barrier = false
+    // (r15): stats is ONE aggregate over the perDoc checkpoint, so the
+    // plan is already tiny — the extra barrier job was the r14
+    // text_bm25_topk ×1.51 fixed-cost regression.
     val statsIdf = graft.functions.IntegerLn.withLnRatios(stats,
         terms.indices.map(i =>
-          ("(2 * n_docs + 2)", s"(2 * df$i + 1)", s"iln${i}_")))
+          ("(2 * n_docs + 2)", s"(2 * df$i + 1)", s"iln${i}_")),
+        barrier = false)
       .select((col("n_docs") +: col("sum_dl") +:
         terms.indices.map(i => col(s"iln${i}_lr9").as(s"idf9_$i"))): _*)
     // row-local scoring: per-term contribution on the 1e12 grid;
