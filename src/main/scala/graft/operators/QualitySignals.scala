@@ -240,6 +240,36 @@ object QualitySignals {
     * per-doc and per-group sums are plain partial-aggregatable
     * BIGINT aggregates with the [[unigramLm] ]overflow guard.
     */
+  /** λ as the reduced rational L/D on the /1000 grid — ONE copy shared
+    * by [[bigramFluency]] and [[bigramFluencySql]] so the two engines
+    * cannot disagree on the snapped λ. Grid 1000 caps D ≤ 1000 for any
+    * λ (r15, ADVICE r14 — the old 1e6 grid let λ=0.123457 blow D to
+    * ~1e6 and shrink the D·t² headroom to ~3e6 tokens); λ=0.7 reduces
+    * to 7/10 exactly as before.
+    */
+  private[graft] def rationalizeLambda(lambda: Double): (Long, Long) = {
+    val l = math.round(lambda * 1000L)
+    require(l >= 0 && l <= 1000, s"bigramFluency: lambda not in [0,1]: $lambda")
+    val g = java.math.BigInteger.valueOf(l)
+      .gcd(java.math.BigInteger.valueOf(1000L)).longValue()
+    (l / g, 1000L / g)
+  }
+
+  /** The D·t² headroom guard on the 1-row token total — factored out
+    * so the spec can fire it with a planted bound (the real bound,
+    * ≥ ~9.6e7 tokens even at the D=1000 cap, is unreachable by a test
+    * corpus).
+    */
+  private[graft] def guardedTokenTotal(tot: DataFrame,
+      tBound: Long): DataFrame =
+    tot.select(when(col("t") > lit(tBound),
+      raise_error(concat(
+        lit("bigramFluency: D*t^2 BIGINT headroom exceeded (t="),
+        col("t").cast("string"),
+        lit(s", bound=$tBound) — pre-scale counts or shard the corpus")
+      )).cast("bigint"))
+      .otherwise(col("t")).as("t"))
+
   def bigramFluency(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
     val stream = docs
       .select(col("doc_id"), col("lang"), col("source"),
@@ -255,26 +285,34 @@ object QualitySignals {
         col("t.p").as("p"), col("t.w").as("w"))
       .localCheckpoint(eager = false)
     val uni = stream.groupBy("w").agg(count(lit(1)).as("cu"))
-    val tot = uni.agg(sum("cu").as("t"))
+    // ENFORCED interpolation headroom (r15): every product in the
+    // rationalized-λ ratio is bounded by D·t² (cb ≤ cp ≤ t, cu ≤ t,
+    // L ≤ D), so t ≤ floor(sqrt((2⁶³−1)/D)) makes the whole BIGINT
+    // chain overflow-free; past it the 1-row tot raises loudly
+    // (QualitySignals guard convention) instead of wrapping. At D=10
+    // (default λ=0.7) the bound is ~9.6e8 corpus tokens — pre-scale
+    // counts past that.
+    val tot = guardedTokenTotal(uni.agg(sum("cu").as("t")),
+      math.sqrt(Long.MaxValue.toDouble / rationalizeLambda(lambda)._2)
+        .toLong - 1)
     val big = stream.filter(col("p").isNotNull)
       .groupBy("p", "w").agg(count(lit(1)).as("cb"))
       .localCheckpoint(eager = false)
     val ctx = big.groupBy("p").agg(sum("cb").as("cp"))
-    // r14: λ rationalized to L/D (λ := round(λ·1e6)/1e6, reduced) so
-    // the interpolated probability is the EXACT integer ratio
+    // r14: λ rationalized to L/D so the interpolated probability is
+    // the EXACT integer ratio
     //   λ·cb/cp + (1−λ)·cu/t = (L·cb·t + (D−L)·cu·cp) / (D·cp·t)
     // and both branches run through the IntegerLn kernel on the
     // TYPE-sized frames (uni / big⋈ctx⋈uni), never per stream row —
     // no libm in any hashed value, and the corpus-sized join fetches
-    // a precomputed lp9. Overflow headroom: D·t² < 2⁶³ — for the
-    // default λ=0.7 (7/10) that is t ≤ ~9.6e8 corpus tokens;
-    // pre-scale counts past that (LM-carrier bound class).
-    val (lNum, lDen) = {
-      val l = math.round(lambda * 1000000L)
-      val g = java.math.BigInteger.valueOf(l)
-        .gcd(java.math.BigInteger.valueOf(1000000L)).longValue()
-      (l / g, 1000000L / g)
-    }
+    // a precomputed lp9. r15: λ snaps to the /1000 grid (ADVICE r14),
+    // capping D ≤ 1000 for ANY λ — the old 1e6 grid let an arbitrary
+    // λ shrink the safe corpus to ~3e6 tokens; λ=0.7 still reduces to
+    // 7/10, so default values are unchanged. The D·t² < 2⁶³ headroom
+    // (t ≤ ~9.6e8 tokens at D=10) is now ENFORCED below, not just
+    // documented: an over-budget corpus raises loudly instead of
+    // relying on ANSI to catch the wrap.
+    val (lNum, lDen) = rationalizeLambda(lambda)
     val uniLp = graft.functions.IntegerLn
       .withLnRatio(uni.crossJoin(broadcast(tot)), "cu", "t")
       .select(col("w"), col("iln_lr9").as("ulp9"))
@@ -316,12 +354,7 @@ object QualitySignals {
     * frames.
     */
   def bigramFluencySql(lambda: Double = 0.7): String = {
-    val (lNum, lDen) = {
-      val l = math.round(lambda * 1000000L)
-      val g = java.math.BigInteger.valueOf(l)
-        .gcd(java.math.BigInteger.valueOf(1000000L)).longValue()
-      (l / g, 1000000L / g)
-    }
+    val (lNum, lDen) = rationalizeLambda(lambda)
     val (uCtes, uLast) = graft.functions.IntegerLn.sqlCtes(
       "ulp0", "cu", "t", prefix = "u_", ctePrefix = "u_l")
     val (bCtes, bLast) = graft.functions.IntegerLn.sqlCtes(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.Kernels.{davgSql, dsumSql}
@@ -264,9 +264,26 @@ object TextAnalysis {
     * libm in any hashed value), so the score is an exact BIGINT
     * product, bit-identical cross-engine by construction, with
     * term-asc tie-break. Overflow headroom: tf · lr9 < 2⁶³ holds to
-    * ~4e8 occurrences of one term in one source at 1e6 sources —
-    * pre-scale tf past that (same class of bound as the LM carriers).
+    * ~4e8 occurrences of one term in one source at 1e6 sources. r15:
+    * the bound is ENFORCED — a per-row guard on the dictionary-sized
+    * cands frame raises loudly past it (QualitySignals guard
+    * convention) instead of relying on ANSI to catch the wrap;
+    * pre-scale tf to go further.
     */
+  /** tf·lr9 with the overflow guard BEFORE multiplying: tf ≤ cap div
+    * lr9 ⟺ tf·lr9 ≤ cap; greatest(…, 1) keeps the division defined
+    * when lr9 = 0 (df = n_sources ⇒ score 0, can't overflow). The
+    * `cap` parameter exists so the spec can fire the guard with a
+    * planted bound (the real one needs ~4e8 occurrences of one term).
+    */
+  private[graft] def guardedScore9(
+      cap: Long = Long.MaxValue): Column =
+    when(col("tf") > expr(s"${cap}L div greatest(iln_lr9, 1L)"),
+      raise_error(concat(
+        lit("sourceSignatureTerms: tf*idf BIGINT overflow for term "),
+        col("w"), lit(" — pre-scale tf"))).cast("bigint"))
+      .otherwise(col("tf") * col("iln_lr9"))
+
   def sourceSignatureTerms(docs: DataFrame, k: Int = 5,
       capInv: Int = 1000): DataFrame = {
     val terms = docs.select(col("source"),
@@ -281,7 +298,7 @@ object TextAnalysis {
     val scored = graft.functions.IntegerLn.withLnRatio(
         cands.join(broadcast(dfs), "w").crossJoin(broadcast(sources)),
         "n_sources", "df")
-      .withColumn("score9", col("tf") * col("iln_lr9"))
+      .withColumn("score9", guardedScore9())
     // emission keeps the r13 1e-6 resolution (score9 div 1000) for
     // interface stability; with the integer kernel the full-resolution
     // value is already deterministic, so the division is a formatting

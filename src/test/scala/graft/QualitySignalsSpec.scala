@@ -337,4 +337,25 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(again.sameElements(
       QualitySignals.bigramFluency(df).collect().map(_.toString)))
   }
+
+  test("bigram guards: lambda /1000 cap and the D*t^2 headroom fire") {
+    // the /1000 grid caps D at 1000 for ANY lambda (ADVICE r14) and
+    // keeps the default exactly 7/10
+    assert(QualitySignals.rationalizeLambda(0.7) == ((7L, 10L)))
+    assert(QualitySignals.rationalizeLambda(0.123457) == ((123L, 1000L)))
+    assert(QualitySignals.rationalizeLambda(0.0) == ((0L, 1L)))
+    assert(QualitySignals.rationalizeLambda(1.0) == ((1L, 1L)))
+    assert(QualitySignals.rationalizeLambda(0.5) == ((1L, 2L)))
+    // the headroom guard is the PRODUCTION expression (bigramFluency
+    // routes its 1-row tot through it); planted bound makes it fire
+    val ok = QualitySignals
+      .guardedTokenTotal(Seq(100L).toDF("t"), tBound = 1000L)
+      .collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(100L))
+    val boom = intercept[Exception] {
+      QualitySignals.guardedTokenTotal(Seq(100L).toDF("t"), tBound = 10L)
+        .collect()
+    }
+    assert(boom.getMessage.contains("headroom exceeded"))
+  }
 }

@@ -203,4 +203,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.sameElements(
       TextAnalysis.vocabGrowth(d).collect().map(_.toString)))
   }
+
+  test("sourceSignatureTerms tf*idf overflow guard fires (planted cap)") {
+    // guardedScore9 IS the production score expression; a planted cap
+    // stands in for Long.MaxValue (the real bound needs ~4e8
+    // occurrences of one term)
+    val df = Seq((4L, 100L, "hot"), (2L, 100L, "cold"), (9L, 0L, "zero"))
+      .toDF("tf", "iln_lr9", "w")
+    val ok = df.withColumn("score9", TextAnalysis.guardedScore9(cap = 400L))
+      .orderBy("w").select("score9").collect().map(_.getLong(0)).toSeq
+    assert(ok == Seq(200L, 400L, 0L)) // cold, hot(=cap, passes), zero
+    val boom = intercept[Exception] {
+      df.withColumn("score9", TextAnalysis.guardedScore9(cap = 399L))
+        .collect()
+    }
+    assert(boom.getMessage.contains("tf*idf BIGINT overflow"))
+  }
 }
