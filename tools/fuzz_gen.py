@@ -639,17 +639,30 @@ class Gen:
     # integer step, so a ±1-unit cross-engine term flip only surfaces
     # when the whole sum sits within flip-count units of a boundary.
     # The integer step is written portably as
-    # floor(CAST(sum + OFFSET AS DOUBLE) / 1000). The offset is a
-    # BEST-EFFORT positivity shift sized for the sf0.1 fixtures; at
-    # larger SFs a grid sum can exceed it and go negative, and that is
-    # FINE — portability rests on the sign-safe floor form alone
-    # (floor of an IEEE quotient is engine-identical for either sign;
-    # exactness bound is |sum + OFFSET| < 2^53), NOT on the operand
-    # staying positive. Do not swap this form for div/`//`, which
-    # truncate-vs-floor DIVERGE on negative operands.
-    def _coarsen(self, sum_expr, offset):
-        return (f"CAST(floor(CAST({sum_expr} + {offset} AS DOUBLE) / "
+    # floor(CAST(sum + OFFSET AS DOUBLE) / 1000). Portability rests on
+    # the sign-safe floor form alone (floor of an IEEE quotient is
+    # engine-identical for either sign; exactness bound is
+    # |sum + OFFSET| < 2^53), NOT on the operand staying positive — do
+    # not swap this form for div/`//`, which truncate-vs-floor DIVERGE
+    # on negative operands. r15 (VERDICT r14 task 4): the offset is
+    # DERIVED FROM DATA as an engine-identical scalar subquery —
+    # per-row-term templates use count(rows) x the per-term grid cap
+    # (1e6 x ln(2^63) < 4.4e7), distribution templates use the
+    # information-theoretic total bound (<= ~2*43 nats on the 1e9
+    # grid) + one half-unit of rounding per bin (<= count(*)) — so the
+    # 2^53 exactness bound self-documents: rows*cap < 2^52, i.e. the
+    # templates stay exact to ~1e8 rows per table at ANY amplified SF
+    # instead of relying on constants sized for sf0.1.
+    def _coarsen(self, sum_expr, offset_expr):
+        return (f"CAST(floor(CAST({sum_expr} + {offset_expr} AS DOUBLE) / "
                 f"CAST(1000 AS DOUBLE)) AS BIGINT)")
+
+    @staticmethod
+    def _rowcap_offset(t, cap):
+        """count(rows) x per-term cap, as SQL both engines evaluate
+        identically on the same fixture."""
+        return f"(SELECT COUNT(*) * {cap} FROM {t})"
+
 
     def approx_ln_ratio_q(self):
         """Fresh per-row ln quotients (the exact r12 hazard shape:
@@ -670,7 +683,7 @@ class Gen:
                 f"CAST({b} + 1 AS DOUBLE))")
         t6 = (f"CAST(floor({term} * 1e6 + CAST(0.5 AS DOUBLE)) "
               f"AS BIGINT)")
-        s = self._coarsen(f"SUM({t6})", 10000000000000)
+        s = self._coarsen(f"SUM({t6})", self._rowcap_offset(t, 44000000))
         return (f"SELECT {g} AS g0, count(*) AS cnt, {s} AS lns "
                 f"FROM {t} WHERE {where} GROUP BY {g}")
 
@@ -685,7 +698,8 @@ class Gen:
         p = "CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
         t9 = (f"CAST(floor(({p}) * ln({p}) * 1e9 "
               f"+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
-        ent = self._coarsen(f"SUM({t9})", 100000000000)
+        ent = self._coarsen(f"SUM({t9})",
+            f"(43000000000 + (SELECT COUNT(*) FROM {t}))")
         return (f"WITH b AS (SELECT {g} AS g0, count(*) AS c "
                 f"FROM {t} WHERE {where} GROUP BY {g}), "
                 f"tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b) "
@@ -706,7 +720,8 @@ class Gen:
         q = "CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE)"
         t9 = (f"CAST(floor(({p} - {q}) * ln(({p}) / ({q})) * 1e9 "
               f"+ CAST(0.5 AS DOUBLE)) AS BIGINT)")
-        psi = self._coarsen(f"SUM({t9})", 1000000000000)
+        psi = self._coarsen(f"SUM({t9})",
+            f"(86000000000 + (SELECT COUNT(*) FROM {t}))")
         return (f"WITH fb AS ("
                 f"SELECT {g} AS bin, 0 AS is_cur FROM {t} WHERE {p1} "
                 f"UNION ALL SELECT {g}, 1 FROM {t} WHERE {p2}), "
@@ -738,7 +753,7 @@ class Gen:
         term = f"ln(CAST(abs({cents}) + 1 AS DOUBLE))"
         t6 = (f"CAST(floor({term} * 1e6 + CAST(0.5 AS DOUBLE)) "
               f"AS BIGINT)")
-        s = self._coarsen(f"SUM({t6})", 10000000000000)
+        s = self._coarsen(f"SUM({t6})", self._rowcap_offset(t, 44000000))
         return (f"SELECT {g} AS g0, count(*) AS cnt, {s} AS logsum "
                 f"FROM {t} WHERE {where} GROUP BY {g}")
 
