@@ -195,7 +195,9 @@ object ScaleBench {
         "text_heavy_hitter_churn", "text_source_signature",
         // r13: the all-integer per-bin drift diagnostics (same
         // hash-agg shape as the scored entries — expected flat)
-        "pipeline_drift_bins", "embeddings_drift_bins")
+        "pipeline_drift_bins", "embeddings_drift_bins",
+        // r15: suffix-ranking exact-substring dedup (packed doubling)
+        "dedup_exact_substring")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {

@@ -3203,6 +3203,244 @@ object Dedup {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** Returns `df` with an order- and equality-preserving BIGINT rank
+    * of its `keys` tuple, plus the distinct-key count (the rank upper
+    * bound). The DISTINCT key tuples get a unique rank from
+    * [[Kernels.globalRank]] (range-shard + ledger — no unpartitioned
+    * window), joined back onto every row; the bound is read off
+    * globalRank's `n_total` on the already-eager ranked frame — a
+    * 1-row collect of the fingerprint class — which is what lets
+    * [[exactSubstringDedup]] decide per round whether the next
+    * doubling can pack map-side. Only rank EQUALITY is consumed
+    * downstream, so the (Spark-internal) collation of the total order
+    * never reaches the oracle. Construction-EAGER via globalRank's
+    * checkpointed shard tagging (documented per the r9 convention);
+    * the eager job runs over the distinct-key frame only, never the
+    * corpus-sized input.
+    */
+  private def rankByKeysCounted(df: DataFrame, keys: Seq[String],
+      out: String): (DataFrame, Long) = {
+    val distinctKeys = df.select(keys.map(col): _*).distinct()
+    val ranked = Kernels.globalRank(distinctKeys, keys.map(col), out)
+    val d = ranked.select(col("n_total")).limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    (df.join(ranked.drop("n_total").hint("shuffle_hash"), keys), d)
+  }
+
+  /** EXACT-substring dedup via distributed suffix ranking — the true
+    * Lee et al. algorithm ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, §4.1: suffix-array duplicate
+    * detection at a byte threshold), complementing [[spanDedup]]'s
+    * fixed-width-8 TOKEN window approximation with CHARACTER-level
+    * granularity at an arbitrary threshold `minLen`.
+    *
+    * Semantics: a character is removed iff it lies inside some
+    * substring of length ≥ `minLen` that occurs ≥ 2 times in the
+    * corpus (any second occurrence counts — cross-doc, within-doc, or
+    * self-overlapping, the paper's criterion; contrast [[spanDedup]]
+    * which requires ≥ 2 DISTINCT documents). That removal set equals
+    * "characters covered by a duplicated length-`minLen` window":
+    * a duplicated run of length M ≥ minLen duplicates each of its
+    * length-`minLen` sub-windows, and conversely a duplicated window
+    * IS such a run — which is what makes the operator oracle-checkable
+    * by an INDEPENDENT algorithm (the DuckDB side extracts literal
+    * substrings; a hash match proves the suffix-ranking path computes
+    * the same classes, not just a translation of itself).
+    *
+    * Algorithm (prefix doubling, the distributed suffix-array
+    * construction of Flick & Aluru, "Parallel distributed memory
+    * construction of suffix and LCP arrays", SC'15 — reformulated on
+    * DataFrames): positions carry a rank equal to the equivalence
+    * class of their length-k prefix; each round pairs rank[p] with
+    * rank[p+k] (per-doc `lead`, sentinel 0 past the end) and re-ranks
+    * the pairs, doubling k. After reaching K = 2^⌊log2 minLen⌋, the
+    * length-`minLen` window class is the pair
+    * (rank_K[p], rank_K[p + minLen − K]) — two overlapping length-K
+    * windows covering [p, p+minLen) exactly, both unclipped whenever
+    * p has ≥ minLen characters remaining. Duplicated starts are class
+    * members with corpus-wide multiplicity ≥ 2; covered characters are
+    * stripped and the survivors reassemble in order (md5-proved, the
+    * [[spanDedup]] convention), plus merged-span statistics from the
+    * start set (the suffix-array granularity [[spanDedup]] cannot
+    * express).
+    *
+    * Scale shape: the corpus explodes ONCE into (doc_id, pos, seed)
+    * rows where the seed is the length-`min(8, K)` prefix (the
+    * Manber–Myers packed-word seeding — a fixed 8-char string is the
+    * width of the two BIGINT ranks it replaces, and it cuts the round
+    * count in half versus single-character seeds without changing the
+    * doubling invariant: clipped prefixes compare equal iff the
+    * strings do). Every later frame is three 8-byte columns — ranks,
+    * never text. A doubling round is MAP-SIDE (an injective BIGINT
+    * pack of the rank pair — see the loop comment) while the rank
+    * bound fits 31 bits; consecutive packed rounds stack their `lead`
+    * windows over ONE doc_id exchange and sort. Only a bound overflow
+    * pays the classical re-rank round: one per-doc window sort, one
+    * distinct aggregation, one join-back — all narrow rows — plus
+    * [[Kernels.globalRank]] on the distinct-class frame. The round
+    * count is fixed by `minLen` (⌈log2(K/seed)⌉+1, at most every
+    * other one a re-rank below ~2e9 classes), NOT by corpus size:
+    * n·log(minLen) narrow-row shuffle bytes total, vs the n·minLen
+    * gram bytes a direct length-40 gram explode would hash map-side —
+    * the published reason suffix ranking wins at scale.
+    * Lazy localCheckpoint barriers sit exactly on the twice-consumed
+    * frames (r7 iterative convention; see the loop comment).
+    * Construction is EAGER (each re-rank's globalRank checkpoints its
+    * distinct-class shard tagging; documented per the r9 convention).
+    * Reassembly is a map-side array HOF bounded by the document
+    * itself, as in [[spanDedup]].
+    *
+    * Output per doc: `n_chars`, `n_dup_starts` (duplicated window
+    * starts), `n_removed` (characters stripped), `n_spans` (maximal
+    * merged duplicated intervals), `clean_md5` (md5 of the stripped
+    * reassembly).
+    */
+  def exactSubstringDedup(docs: DataFrame, minLen: Int = 40): DataFrame =
+    exactSubstringDedup(docs, minLen, (1L << 31) - 1)
+
+  /** [[exactSubstringDedup]] with the pack/re-rank decision threshold
+    * exposed (clamped to the 2^31−1 overflow-safety ceiling — packs
+    * must keep (bound+1)² < 2^63). A spec seam: `packCap = 0` forces
+    * the classical re-rank on every doubling, proving both loop
+    * branches compute identical classes on the same corpus.
+    */
+  private[graft] def exactSubstringDedup(docs: DataFrame, minLen: Int,
+      packCapRequested: Long): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val K = Integer.highestOneBit(minLen)
+    import org.apache.spark.sql.expressions.Window
+    // window bound: per-document (inherent shape — bounded by the
+    // longest single document, the sessionize/per-doc class; residual
+    // skew = one pathologically long document, which would already
+    // bound the reassembly HOFs below)
+    val perDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val seedLen = math.min(8, K)
+    val seeds = docs
+      .select(col("doc_id"), col("text"), explode(expr(
+        "CASE WHEN length(text) < 1 THEN array() " +
+          "ELSE sequence(1, length(text)) END")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        // naturally clipped at the end — prefix of min(seedLen, rem),
+        // exactly the doubling invariant's class at k = seedLen
+        expr(s"substring(text, pos, $seedLen)").as("g"))
+    // lazy barriers go on the frames consumed TWICE (rankByKeysCounted
+    // reads its input for the distinct pass and the join-back; `fin`
+    // feeds both the tally and the tally join) — pack rounds have one
+    // consumer and stay barrier-free, so consecutive packs stack their
+    // lead windows over a SINGLE doc_id exchange and sort
+    val (seedRanked, seedCount) =
+      rankByKeysCounted(seeds.localCheckpoint(false), Seq("g"), "r")
+    var cur = seedRanked.select(col("doc_id"), col("pos"), col("r"))
+    // Packed doubling with adaptive compression: while the rank upper
+    // bound fits 31 bits, a doubling round is the MAP-SIDE injective
+    // pack r·(bound+1) + lead(r, k) (sentinel 0 past the end; ranks
+    // are ≥ 1 so the sentinel cannot collide) — no ranking shuffle at
+    // all, product < 2^62. Only when the bound overflows does a round
+    // pay the classical two-column re-rank, which also resets the
+    // bound to the (exact) class count. Downstream consumes rank
+    // EQUALITY only, so any injective encoding is a valid rank. At
+    // ≤ ~2e9 distinct classes this re-ranks at most every other
+    // round; past it the loop degrades gracefully to the standard
+    // re-rank-per-round algorithm.
+    val packCap = math.min(packCapRequested, (1L << 31) - 1)
+    var bound = seedCount
+    var k = seedLen
+    while (k < K) {
+      if (bound <= packCap) {
+        cur = cur.withColumn("r",
+          col("r") * (bound + 1) +
+            coalesce(lead(col("r"), k).over(perDoc), lit(0L)))
+        bound = (bound + 1) * (bound + 1) - 1
+      } else {
+        val paired = cur.withColumn("r2",
+            coalesce(lead(col("r"), k).over(perDoc), lit(0L)))
+          .localCheckpoint(false)
+        val (reranked, d) = rankByKeysCounted(paired, Seq("r", "r2"), "rn")
+        cur = reranked.select(col("doc_id"), col("pos"),
+          col("rn").as("r"))
+        bound = d
+      }
+      k <<= 1
+    }
+    val rb = if (minLen == K) col("r")
+      else lead(col("r"), minLen - K).over(perDoc)
+    val fin = cur
+      .withColumn("rb", rb)
+      // eligible start: >= minLen characters remain in the document
+      .withColumn("rl", lead(col("r"), minLen - 1).over(perDoc))
+      .filter(col("rl").isNotNull)
+      .select(col("doc_id"), col("pos"), col("r"), col("rb"))
+      .localCheckpoint(false)
+    val tally = fin.groupBy("r", "rb").agg(count(lit(1)).as("cnt"))
+    val dupStarts = fin.join(tally.hint("shuffle_hash"), Seq("r", "rb"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    val L = minLen
+    docs.join(dupStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("ss",
+        coalesce(col("ss"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        s"""concat_ws('', transform(
+           |  filter(CASE WHEN length(text) < 1 THEN array()
+           |         ELSE sequence(1, length(text)) END,
+           |    p -> NOT exists(ss, s -> p >= s AND p <= s + ${L - 1})),
+           |  p -> substring(text, p, 1)))""".stripMargin))
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(col("ss")).cast("bigint").as("n_dup_starts"),
+        (length(col("text")) - length(col("kept"))).cast("bigint")
+          .as("n_removed"),
+        // merged-interval heads: no earlier start within L of s keeps
+        // the coverage contiguous (intervals [s, s+L-1] overlap or
+        // abut exactly when the gap is <= L)
+        expr(s"""size(filter(ss,
+           |  s -> size(filter(ss, p -> p < s AND s - p <= $L)) = 0))"""
+          .stripMargin).cast("bigint").as("n_spans"),
+        md5(col("kept")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[exactSubstringDedup]] — deliberately the
+    * OTHER algorithm: literal length-`minLen` substring extraction and
+    * corpus-wide multiplicity, no suffix ranks anywhere. A hash match
+    * therefore certifies the prefix-doubling equivalence classes
+    * against ground truth rather than mirroring the implementation.
+    */
+  def exactSubstringDedupSql(minLen: Int = 40): String = {
+    val L = minLen
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, i, substring(text, CAST(i AS INT), $L) AS s
+       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)),
+       |c AS (SELECT s, count(*) AS cnt FROM g GROUP BY 1),
+       |st AS (
+       |  SELECT doc_id, list_sort(LIST(i)) AS ss
+       |  FROM g JOIN c USING (s) WHERE cnt >= 2 GROUP BY doc_id),
+       |r AS (
+       |  SELECT d.doc_id, d.text, d.n, COALESCE(st.ss, []) AS ss
+       |  FROM d LEFT JOIN st USING (doc_id)),
+       |k AS (
+       |  SELECT doc_id, n, ss,
+       |    COALESCE(array_to_string(list_transform(
+       |      list_filter(range(1, n + 1),
+       |        p -> len(list_filter(ss,
+       |               s -> p >= s AND p <= s + $L - 1)) = 0),
+       |      p -> substring(text, CAST(p AS INT), 1)), ''), '') AS kept
+       |  FROM r)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_chars,
+       |  CAST(len(ss) AS BIGINT) AS n_dup_starts,
+       |  CAST(n - length(kept) AS BIGINT) AS n_removed,
+       |  CAST(len(list_filter(ss,
+       |    s -> len(list_filter(ss,
+       |           p -> p < s AND s - p <= $L)) = 0)) AS BIGINT)
+       |    AS n_spans,
+       |  md5(kept) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** (doc_id, pos, passage, keep) with corpus-wide occurrence flags —
     * the shared front end of [[passageDedup]]/[[passageClean]].
     */

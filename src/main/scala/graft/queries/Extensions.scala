@@ -581,6 +581,11 @@ object Extensions {
     "dedup_incremental_bloom" -> (c => Dedup.incrementalExactBloom(c.documents)),
     "dedup_passages" -> (c => Dedup.passageDedup(c.documents)),
     "dedup_spans" -> (c => Dedup.spanDedup(c.documents)),
+    // true Lee et al. exact-substring dedup: distributed suffix
+    // ranking (prefix doubling over globalRank), char-level threshold;
+    // the oracle runs the INDEPENDENT gram algorithm
+    "dedup_exact_substring" ->
+      (c => Dedup.exactSubstringDedup(c.documents)),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
     // resolution over a PERSISTED cluster map (written once per
     // fixture, reused) — proves store-fed keep-best ≡ the one-shot
@@ -864,6 +869,10 @@ object Extensions {
     "dedup_incremental_bloom" -> Dedup.incrementalExactBloomSql(),
     "dedup_passages" -> Dedup.passageDedupSql(),
     "dedup_spans" -> Dedup.spanDedupSql(),
+    // independent-algorithm oracle: literal substring multiplicity
+    // (no suffix ranks) — a hash match certifies the prefix-doubling
+    // equivalence classes against ground truth
+    "dedup_exact_substring" -> Dedup.exactSubstringDedupSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_keep_best_store" -> Dedup.keepBestSql(),
     // the append path must be INVISIBLE in the resolved output — same

@@ -1194,4 +1194,117 @@ class DedupSpec extends AnyFunSuite {
         tmp.resolve("nope").toString, sampleMod = 1)
     }
   }
+
+  // ---- exactSubstringDedup (distributed suffix ranking) ----
+
+  /** Independent literal-gram reference with the same output shape —
+    * no suffix ranks anywhere, so agreement certifies the
+    * prefix-doubling equivalence classes (the Spark-local mirror of
+    * the cross-engine DuckDB oracle).
+    */
+  private def gramReference(d: org.apache.spark.sql.DataFrame,
+      L: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = d.select(col("doc_id"), col("text"), explode(expr(
+        s"CASE WHEN length(text) < $L THEN array() " +
+          s"ELSE sequence(1, length(text) - ${L - 1}) END")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $L)").as("s"))
+    val c = g.groupBy("s").agg(count(lit(1)).as("cnt"))
+    val st = g.join(c, "s").filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ss"))
+    d.join(st, Seq("doc_id"), "left")
+      .withColumn("ss",
+        coalesce(col("ss"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        s"""concat_ws('', transform(
+           |  filter(CASE WHEN length(text) < 1 THEN array()
+           |         ELSE sequence(1, length(text)) END,
+           |    p -> NOT exists(ss, s -> p >= s AND p <= s + ${L - 1})),
+           |  p -> substring(text, p, 1)))""".stripMargin))
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(col("ss")).cast("bigint").as("n_dup_starts"),
+        (length(col("text")) - length(col("kept"))).cast("bigint")
+          .as("n_removed"),
+        expr(s"""size(filter(ss,
+           |  s -> size(filter(ss, p -> p < s AND s - p <= $L)) = 0))"""
+          .stripMargin).cast("bigint").as("n_spans"),
+        md5(col("kept")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def substringCorpus = {
+    val block = Seq.tabulate(16)(i => s"shared$i").mkString(" ") // 133 ch
+    Seq(
+      (0L, s"left context alpha $block right context omega"),
+      (1L, s"totally different opening $block and a different close"),
+      (2L, "a unique document with no long repeats anywhere inside it"),
+      (3L, "short doc"), // below any tested threshold
+      (4L, "ab" * 40), // self-overlapping internal repeat, unique doc
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactSubstringDedup matches the literal-gram reference " +
+    "(pow2, non-pow2, and small thresholds)") {
+    for (l <- Seq(6, 32, 40)) {
+      val out = Dedup.exactSubstringDedup(substringCorpus, minLen = l)
+        .collect().map(_.toString)
+      val ref = gramReference(substringCorpus, l)
+        .collect().map(_.toString)
+      assert(out.sameElements(ref), s"minLen=$l")
+    }
+  }
+
+  test("exactSubstringDedup strips exactly the planted shared block") {
+    val out = Dedup.exactSubstringDedup(substringCorpus, minLen = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // docs 0 and 1 share " block " (133 chars + both flanking spaces
+    // = 135) in otherwise-different contexts: one merged span each,
+    // exactly the maximal shared run removed from each
+    assert(out(0L)._3 == 135L && out(0L)._4 == 1L)
+    assert(out(1L)._3 == 135L && out(1L)._4 == 1L)
+    // the unique and short docs pass through untouched
+    assert(out(2L)._3 == 0L && out(2L)._4 == 0L)
+    assert(out(3L) == ((9L, 0L, 0L, 0L)))
+    // the self-overlapping run duplicates every window WITHIN one doc
+    // (the paper's criterion, unlike spanDedup's >=2-distinct-docs):
+    // the whole doc is covered by one merged span
+    assert(out(4L) == ((80L, 41L, 80L, 1L)))
+    // empty text survives the whole pipeline
+    assert(out(5L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("exactSubstringDedup: forced re-rank path (packCap = 0) equals " +
+    "the packed path and the gram reference") {
+    for (l <- Seq(6, 40)) {
+      val packed = Dedup.exactSubstringDedup(substringCorpus, l)
+        .collect().map(_.toString)
+      val reranked = Dedup.exactSubstringDedup(substringCorpus, l, 0L)
+        .collect().map(_.toString)
+      assert(reranked.sameElements(packed), s"minLen=$l")
+    }
+  }
+
+  test("exactSubstringDedup: fresh-alphabet append leaves prior rows " +
+    "unchanged and is layout-independent") {
+    val before = Dedup.exactSubstringDedup(substringCorpus, minLen = 40)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    val appended = substringCorpus.union(Seq(
+      (6L, Seq.tabulate(30)(i => s"novel$i").mkString(" "))
+    ).toDF("doc_id", "text"))
+    val after = Dedup.exactSubstringDedup(appended, minLen = 40)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(after.size == before.size + 1)
+    before.foreach { case (id, row) => assert(after(id) == row, s"doc $id") }
+    val re = Dedup.exactSubstringDedup(appended.repartition(7),
+      minLen = 40).collect().map(_.toString)
+    assert(re.sameElements(
+      Dedup.exactSubstringDedup(appended, minLen = 40)
+        .collect().map(_.toString)))
+  }
 }
