@@ -3377,26 +3377,40 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     val L = minLen
+    // Reassembly tests each position against the MERGED spans (a few
+    // per doc), not the raw start list (dozens per doc on a dup-heavy
+    // corpus) — same removal set by construction (within a merged run
+    // consecutive start gaps are <= L, so the union of [s, s+L-1] is
+    // exactly [head, last_start + L - 1]), ~an order of magnitude less
+    // per-position lambda work on the CPU-bound final stage.
     docs.join(dupStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("ss",
         coalesce(col("ss"), expr("CAST(array() AS array<int>)")))
+      // merged-interval heads: no earlier start within L of s keeps
+      // the coverage contiguous (intervals [s, s+L-1] overlap or abut
+      // exactly when the gap is <= L)
+      .withColumn("hs", expr(
+        s"filter(ss, s -> size(filter(ss, p -> p < s AND s - p <= $L)) = 0)"))
+      // per-head span end: largest member start before the next head,
+      // + L-1 (the size guard keeps element_at in bounds under ANSI)
+      .withColumn("he", expr(
+        s"""transform(hs, (h, i) -> aggregate(
+           |  filter(ss, s2 -> s2 >= h AND
+           |    (i + 2 > size(hs) OR s2 < element_at(hs, i + 2))),
+           |  h, (m, x) -> greatest(m, x)) + ${L - 1})""".stripMargin))
       .withColumn("kept", expr(
         s"""concat_ws('', transform(
            |  filter(CASE WHEN length(text) < 1 THEN array()
            |         ELSE sequence(1, length(text)) END,
-           |    p -> NOT exists(ss, s -> p >= s AND p <= s + ${L - 1})),
+           |    p -> size(filter(hs,
+           |      (h, i) -> p >= h AND p <= element_at(he, i + 1))) = 0),
            |  p -> substring(text, p, 1)))""".stripMargin))
       .select(col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars"),
         size(col("ss")).cast("bigint").as("n_dup_starts"),
         (length(col("text")) - length(col("kept"))).cast("bigint")
           .as("n_removed"),
-        // merged-interval heads: no earlier start within L of s keeps
-        // the coverage contiguous (intervals [s, s+L-1] overlap or
-        // abut exactly when the gap is <= L)
-        expr(s"""size(filter(ss,
-           |  s -> size(filter(ss, p -> p < s AND s - p <= $L)) = 0))"""
-          .stripMargin).cast("bigint").as("n_spans"),
+        size(col("hs")).cast("bigint").as("n_spans"),
         md5(col("kept")).as("clean_md5"))
       .orderBy("doc_id")
   }
