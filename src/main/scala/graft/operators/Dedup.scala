@@ -3294,6 +3294,13 @@ object Dedup {
     * starts), `n_removed` (characters stripped), `n_spans` (maximal
     * merged duplicated intervals), `clean_md5` (md5 of the stripped
     * reassembly).
+    *
+    * Character semantics: positions/lengths count Spark string
+    * characters (`length`/`substring`), which the DuckDB oracle
+    * matches on the ASCII fixtures; a non-ASCII corpus should confirm
+    * the oracle engine's substring/length units align before trusting
+    * the cross-engine hash (the Spark-side spec laws are
+    * unit-agnostic — both sides use the same functions).
     */
   def exactSubstringDedup(docs: DataFrame, minLen: Int = 40): DataFrame =
     exactSubstringDedup(docs, minLen, (1L << 31) - 1)

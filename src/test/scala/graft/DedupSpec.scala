@@ -1249,7 +1249,12 @@ class DedupSpec extends AnyFunSuite {
 
   test("exactSubstringDedup matches the literal-gram reference " +
     "(pow2, non-pow2, and small thresholds)") {
-    for (l <- Seq(6, 32, 40)) {
+    // 6: K=4 < 8 so the seed itself is length 4, no doubling;
+    // 8: seed == K == minLen (both final reads degenerate);
+    // 9: K=8=seed, no doubling, rb = lead(r, 1);
+    // 16: exactly one doubling; 32: pow2 with doublings;
+    // 40: non-pow2 with doublings (the two-window composition)
+    for (l <- Seq(6, 8, 9, 16, 32, 40)) {
       val out = Dedup.exactSubstringDedup(substringCorpus, minLen = l)
         .collect().map(_.toString)
       val ref = gramReference(substringCorpus, l)
