@@ -197,7 +197,8 @@ object ScaleBench {
         // hash-agg shape as the scored entries — expected flat)
         "pipeline_drift_bins", "embeddings_drift_bins",
         // r15: suffix-ranking exact-substring dedup (packed doubling)
-        "dedup_exact_substring")
+        // + its gram-count-store ingest path (probe cost ∝ delta)
+        "dedup_exact_substring", "dedup_exact_substring_store")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {

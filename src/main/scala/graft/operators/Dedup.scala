@@ -3383,13 +3383,23 @@ object Dedup {
       .filter(col("cnt") >= 2)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    assembleSubstringReport(docs, dupStarts, minLen)
+  }
+
+  /** The shared reassembly tail of [[exactSubstringDedup]] and
+    * [[exactSubstringDedupIncremental]]: given per-doc duplicated
+    * window starts, strip covered characters and emit the per-doc
+    * report. Tests each position against the MERGED spans (a few per
+    * doc), not the raw start list (dozens per doc on a dup-heavy
+    * corpus) — same removal set by construction (within a merged run
+    * consecutive start gaps are <= L, so the union of [s, s+L-1] is
+    * exactly [head, last_start + L - 1]), ~an order of magnitude less
+    * per-position lambda work on the CPU-bound final stage. Per-doc
+    * array state bounded by the document itself.
+    */
+  private def assembleSubstringReport(docs: DataFrame,
+      dupStarts: DataFrame, minLen: Int): DataFrame = {
     val L = minLen
-    // Reassembly tests each position against the MERGED spans (a few
-    // per doc), not the raw start list (dozens per doc on a dup-heavy
-    // corpus) — same removal set by construction (within a merged run
-    // consecutive start gaps are <= L, so the union of [s, s+L-1] is
-    // exactly [head, last_start + L - 1]), ~an order of magnitude less
-    // per-position lambda work on the CPU-bound final stage.
     docs.join(dupStarts.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("ss",
         coalesce(col("ss"), expr("CAST(array() AS array<int>)")))
@@ -3442,6 +3452,304 @@ object Dedup {
        |r AS (
        |  SELECT d.doc_id, d.text, d.n, COALESCE(st.ss, []) AS ss
        |  FROM d LEFT JOIN st USING (doc_id)),
+       |k AS (
+       |  SELECT doc_id, n, ss,
+       |    COALESCE(array_to_string(list_transform(
+       |      list_filter(range(1, n + 1),
+       |        p -> len(list_filter(ss,
+       |               s -> p >= s AND p <= s + $L - 1)) = 0),
+       |      p -> substring(text, CAST(p AS INT), 1)), ''), '') AS kept
+       |  FROM r)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_chars,
+       |  CAST(len(ss) AS BIGINT) AS n_dup_starts,
+       |  CAST(n - length(kept) AS BIGINT) AS n_removed,
+       |  CAST(len(list_filter(ss,
+       |    s -> len(list_filter(ss,
+       |           p -> p < s AND s - p <= $L)) = 0)) AS BIGINT)
+       |    AS n_spans,
+       |  md5(kept) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted substring gram-count store + incremental exact-substring
+  // dedup (the ingest-batch path: base corpus never re-ranked)
+  // -------------------------------------------------------------------
+
+  /** Eligible window starts with their 60-bit md5 gram keys —
+    * (doc_id, pos, gh) for every position with >= `minLen` characters
+    * remaining. The probe-side front end of the incremental path and
+    * the store's content unit. 60-bit keys are the portable house
+    * convention (fixture-safe; oracle-independent since the oracle
+    * groups LITERAL substrings); at a true 100 TB corpus (~1e14
+    * grams) widen to the full 128-bit md5 as two BIGINT columns —
+    * birthday collisions at 60 bits start merging distinct grams
+    * around 2^30 of them, which only ever INFLATES counts (extra
+    * removal, never missed duplicates), but the exact contract is
+    * worth the one extra column there.
+    */
+  private def substringGrams(docs: DataFrame, minLen: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"""CASE WHEN length(text) < $minLen THEN array()
+           |ELSE sequence(1, length(text) - ${minLen - 1}) END"""
+          .stripMargin)).as("pos"))
+      .select(col("doc_id"), col("pos"), expr(
+        s"""cast(conv(substring(md5(substring(text, pos, $minLen)),
+           |1, 15), 16, 10) as bigint)""".stripMargin).as("gh"))
+
+  private def substringMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_meta_minlen")
+
+  private def readSubstringMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Int = {
+    val in = fs.open(substringMetaPath(path))
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Persist the base corpus's substring gram-count store: one
+    * (gh, cnt) row per distinct length-`minLen` window — the durable
+    * artifact that lets every later ingest batch run exact-substring
+    * dedup WITHOUT re-touching (or re-ranking) the base corpus.
+    * Layout: `base/` parquet + overlay `batch=` dirs (appends) + the
+    * `_applied/<tag>` replay ledger + a `_meta_minlen` discriminator
+    * (a store is only valid for the threshold it was built at — the
+    * LM store's `iln` path-discriminator lesson, r14). Atomic
+    * temp+rename publish; counts are ADDITIVE, so append ≡ fresh
+    * EXACTLY and compaction is a pure re-layout.
+    */
+  def writeSubstringStore(docs: DataFrame, path: String,
+      minLen: Int = 40): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    substringGrams(docs, minLen).groupBy("gh")
+      .agg(count(lit(1)).as("cnt"))
+      .write.parquet(new org.apache.hadoop.fs.Path(tmp, "base").toString)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_meta_minlen"),
+      minLen.toString.getBytes("UTF-8"))
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+      Array.emptyByteArray)
+    StoreSwap.swapIn(fs, tmp, dst)
+  }
+
+  /** Base ∪ overlay gram-count rows, UN-aggregated (a gram present in
+    * k dirs carries k rows whose counts sum to its true multiplicity).
+    * Callers that need exact totals aggregate AFTER any pruning join,
+    * so a delta-sized probe never pays a store-sized shuffle.
+    */
+  private def readSubstringRaw(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    StoreSwap.recover(fs, new org.apache.hadoop.fs.Path(path),
+      p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    val base = spark.read.parquet(s"$path/base").select("gh", "cnt")
+    clusterMapBatches(fs, path).map { case (_, p) =>
+      spark.read.parquet(p.toString).select("gh", "cnt")
+    }.foldLeft(base)(_ unionAll _)
+  }
+
+  /** Fold an ingest batch's gram counts INTO the store so the NEXT
+    * batch dedups against it too: one overlay `batch=<seq>_<tag>`
+    * directory holding only the delta's counts (additive — never a
+    * base rewrite), published temp+rename with the `_applied/<tag>`
+    * marker written LAST. A replayed batch (marker present) is a
+    * no-op; a crashed append re-runs cleanly (same-tag dir replaced).
+    */
+  /** Content tag for a substring-store batch: unlike
+    * [[containmentBatchTag]] this folds `text` as well as `doc_id` —
+    * the stored gram counts DERIVE from text (the r13 ensure-
+    * fingerprint rule), so a same-ids/different-text replay must land
+    * as a new batch, not silently no-op against the old marker.
+    */
+  private def substringBatchTag(docs: DataFrame): Option[String] = {
+    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("xh")).collect().head
+    if (fp.getLong(0) == 0L) None
+    else Some(s"b${fp.getLong(0)}_${fp.getLong(1)}_" +
+      java.lang.Long.toHexString(fp.getLong(2)))
+  }
+
+  def appendToSubstringStore(delta: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(fs, path),
+      s"appendToSubstringStore: $path is not a complete store")
+    val minLen = readSubstringMeta(fs, path)
+    val tagOpt = substringBatchTag(delta)
+    if (tagOpt.isEmpty) return // empty delta
+    val tag = tagOpt.get
+    val marker = new org.apache.hadoop.fs.Path(path, s"_applied/$tag")
+    if (fs.exists(marker)) return // replayed batch
+    val seq = (clusterMapBatches(fs, path).map(_._1) :+ 0L).max + 1
+    val dstDir = new org.apache.hadoop.fs.Path(path, s"batch=${seq}_$tag")
+    // a crashed attempt of THIS batch may have left a same-tag dir at
+    // an earlier seq — remove it before republishing
+    for ((_, p) <- clusterMapBatches(fs, path)
+        if p.getName.endsWith(s"_$tag")) fs.delete(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path, s".appendtmp_$tag")
+    fs.delete(tmp, true)
+    substringGrams(delta, minLen).groupBy("gh")
+      .agg(count(lit(1)).as("cnt"))
+      .write.parquet(tmp.toString)
+    require(fs.rename(tmp, dstDir), s"substring batch move failed: $tmp")
+    writeSmallFile(fs, marker, Array.emptyByteArray)
+  }
+
+  /** Fold overlay batches back into one `base/` frame (read
+    * amplification maintenance, the cluster-map discipline): additive
+    * counts make the fold a pure re-layout. The `_applied` ledger
+    * OUTLIVES the fold (r12 invariant — replay checks consult the
+    * ledger, reads consult visibility). Returns batches folded.
+    */
+  def compactSubstringStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val nBatches = clusterMapBatches(fs, path).size
+    if (nBatches == 0) return 0
+    val minLen = readSubstringMeta(fs, path)
+    // read-before-replace: eager checkpoint before the swap deletes
+    // the inputs (the r9 store-append convention)
+    val merged = readSubstringRaw(spark, path)
+      .groupBy("gh").agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
+    fs.delete(tmp, true)
+    merged.write.parquet(new org.apache.hadoop.fs.Path(tmp, "base").toString)
+    val ledger = new org.apache.hadoop.fs.Path(path, "_applied")
+    if (fs.exists(ledger))
+      for (m <- fs.listStatus(ledger))
+        writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+          s"_applied/${m.getPath.getName}"), Array.emptyByteArray)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_meta_minlen"),
+      minLen.toString.getBytes("UTF-8"))
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+      Array.emptyByteArray)
+    StoreSwap.swapIn(fs, tmp, dst)
+    nBatches
+  }
+
+  /** Exact-substring dedup of an ingest BATCH against the persisted
+    * gram-count store — per-batch cost proportional to the delta, the
+    * base corpus never re-read beyond a store probe. A delta window is
+    * duplicated iff its corpus-wide multiplicity
+    * (store count + within-delta count) is >= 2 — bit-identical to
+    * [[exactSubstringDedup]] over base ∪ delta restricted to the delta
+    * docs (spec law), so the batch path's oracle doubles for this one.
+    *
+    * Scale shape: the delta explodes once into (doc_id, pos, gh); the
+    * store side is pruned BEFORE any aggregation by broadcasting the
+    * delta's distinct gram keys into the store scan (the store NEVER
+    * shuffles — the [[incrementalLshStore]] property), so the exact
+    * total per probed gram is a delta-sized aggregate even when
+    * overlay batches overlap. No windows anywhere; reassembly is the
+    * shared per-doc span tail.
+    */
+  def exactSubstringDedupIncremental(delta: DataFrame,
+      storePath: String): DataFrame = {
+    val spark = delta.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(fs, storePath),
+      s"exactSubstringDedupIncremental: $storePath is not a complete store")
+    val minLen = readSubstringMeta(fs, storePath)
+    val grams = substringGrams(delta, minLen).localCheckpoint(false)
+    val deltaCnt = grams.groupBy("gh").agg(count(lit(1)).as("dcnt"))
+      .localCheckpoint(false)
+    val baseCnt = readSubstringRaw(spark, storePath)
+      .join(broadcast(deltaCnt.select("gh")), Seq("gh"))
+      .groupBy("gh").agg(sum("cnt").as("bcnt"))
+    val dupGh = deltaCnt.join(baseCnt.hint("shuffle_hash"), Seq("gh"),
+        "left")
+      .filter(col("dcnt") + coalesce(col("bcnt"), lit(0L)) >= 2)
+      .select("gh")
+    val dupStarts = grams.join(dupGh.hint("shuffle_hash"), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    assembleSubstringReport(delta, dupStarts, minLen)
+  }
+
+  /** Build-once helper for the driver entries ([[ensureSignatureStore]]
+    * pattern): content fingerprint folds every column the store
+    * derives from — (count, max doc_id, xxhash64(doc_id, text)) — plus
+    * `minLen`, so a regenerated fixture or a different threshold
+    * rebuilds rather than serving stale counts.
+    */
+  def ensureSubstringStore(baseDocs: DataFrame, tag: String,
+      minLen: Int = 40): String = {
+    val fp = baseDocs
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
+      .collect().head
+    val path = s"/tmp/graft_substrstore_${tag}_${fp.getLong(0)}_" +
+      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+      s"L$minLen"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      baseDocs.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSignatureStore(fs, path))
+      writeSubstringStore(baseDocs, path, minLen)
+    path
+  }
+
+  /** Build-once helper for the APPEND-path driver entry: store built
+    * from `base`, one batch folded in via [[appendToSubstringStore]].
+    * The path folds BOTH frames' content fingerprints — a regenerated
+    * batch under an unchanged base must re-derive the whole store, not
+    * stack a second overlay beside the stale one (the marker replay
+    * guard alone can only make IDENTICAL batches idempotent).
+    * Repeated construction over unchanged fixtures is cheap: the build
+    * is path-cached and the append replays as a marker no-op.
+    */
+  def ensureAppendedSubstringStore(base: DataFrame, batch: DataFrame,
+      tag: String, minLen: Int = 40): String = {
+    def fp(df: DataFrame): String = {
+      val r = df.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("h")).collect().head
+      s"${r.getLong(0)}_${r.getLong(1)}_" +
+        java.lang.Long.toHexString(r.getLong(2))
+    }
+    val path = s"/tmp/graft_substrstore_${tag}_${fp(base)}__${fp(batch)}" +
+      s"_L$minLen"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      base.sparkSession.sparkContext.hadoopConfiguration)
+    if (!isCompleteSignatureStore(fs, path))
+      writeSubstringStore(base, path, minLen)
+    appendToSubstringStore(batch, path)
+    path
+  }
+
+  /** DuckDB oracle for [[exactSubstringDedupIncremental]] over the
+    * base/delta split `doc_id % deltaMod == deltaRem` — the FRESH
+    * full-corpus literal-gram computation restricted to the delta
+    * docs, which is what the store path must equal exactly: counts
+    * over base ∪ delta, output for delta only. The same SQL covers
+    * the build-then-append store (additive counts make grow-by-append
+    * ≡ build-fresh), so a green hash proves the whole store round
+    * trip — publish, overlay append, replay guard — changes nothing.
+    */
+  def exactSubstringDedupIncrementalSql(minLen: Int = 40,
+      deltaMod: Int = 5, deltaRem: Int = 0): String = {
+    val L = minLen
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id, i, substring(text, CAST(i AS INT), $L) AS s
+       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)),
+       |c AS (SELECT s, count(*) AS cnt FROM g GROUP BY 1),
+       |st AS (
+       |  SELECT doc_id, list_sort(LIST(i)) AS ss
+       |  FROM g JOIN c USING (s) WHERE cnt >= 2 GROUP BY doc_id),
+       |r AS (
+       |  SELECT d.doc_id, d.text, d.n, COALESCE(st.ss, []) AS ss
+       |  FROM d LEFT JOIN st USING (doc_id)
+       |  WHERE d.doc_id % $deltaMod = $deltaRem),
        |k AS (
        |  SELECT doc_id, n, ss,
        |    COALESCE(array_to_string(list_transform(

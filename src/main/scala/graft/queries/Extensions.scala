@@ -586,6 +586,27 @@ object Extensions {
     // the oracle runs the INDEPENDENT gram algorithm
     "dedup_exact_substring" ->
       (c => Dedup.exactSubstringDedup(c.documents)),
+    // ingest-batch path vs the PERSISTED gram-count store (base 4/5 of
+    // doc_ids computed once, ever; delta 1/5 probed against it) — the
+    // fresh-restricted oracle proves the store round trip is invisible
+    "dedup_exact_substring_store" -> (c => {
+      val base = c.documents.filter(expr("pmod(doc_id, 5) != 0"))
+      val delta = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
+      val store = Dedup.ensureSubstringStore(base,
+        new java.io.File(c.dir).getName + "_substr")
+      Dedup.exactSubstringDedupIncremental(delta, store)
+    }),
+    // grow-by-append store (base 3/5, one appended 1/5 batch) probed
+    // by the same delta — additive counts make append ≡ fresh exactly,
+    // so the SAME oracle covers it end-to-end (replay guard included)
+    "dedup_exact_substring_append" -> (c => {
+      val b1 = c.documents.filter(expr("pmod(doc_id, 5) IN (1, 2, 3)"))
+      val b2 = c.documents.filter(expr("pmod(doc_id, 5) = 4"))
+      val delta = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
+      val store = Dedup.ensureAppendedSubstringStore(b1, b2,
+        new java.io.File(c.dir).getName + "_substrapp")
+      Dedup.exactSubstringDedupIncremental(delta, store)
+    }),
     "dedup_keep_best" -> (c => Dedup.keepBest(c.documents)),
     // resolution over a PERSISTED cluster map (written once per
     // fixture, reused) — proves store-fed keep-best ≡ the one-shot
@@ -873,6 +894,12 @@ object Extensions {
     // (no suffix ranks) — a hash match certifies the prefix-doubling
     // equivalence classes against ground truth
     "dedup_exact_substring" -> Dedup.exactSubstringDedupSql(),
+    // fresh full-corpus computation restricted to the delta docs —
+    // what both store paths (one-shot and grow-by-append) must equal
+    "dedup_exact_substring_store" ->
+      Dedup.exactSubstringDedupIncrementalSql(),
+    "dedup_exact_substring_append" ->
+      Dedup.exactSubstringDedupIncrementalSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_keep_best_store" -> Dedup.keepBestSql(),
     // the append path must be INVISIBLE in the resolved output — same

@@ -1295,6 +1295,77 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring store: incremental ≡ fresh restricted to the delta") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val all = substringCorpus
+    val base = all.filter(expr("pmod(doc_id, 2) = 1"))
+    val delta = all.filter(expr("pmod(doc_id, 2) = 0"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr_store")
+    val path = tmp.resolve("store").toString
+    Dedup.writeSubstringStore(base, path, minLen = 40)
+    val inc = Dedup.exactSubstringDedupIncremental(delta, path)
+      .collect().map(_.toString)
+    // the batch path uses suffix ranks, the store path md5 grams —
+    // agreement is another cross-algorithm law
+    val fresh = Dedup.exactSubstringDedup(all, minLen = 40)
+      .filter(expr("pmod(doc_id, 2) = 0"))
+      .collect().map(_.toString)
+    assert(inc.sameElements(fresh))
+    // cross-split duplication is really consulted: doc 0 and 1 share
+    // the planted block across the base/delta boundary
+    val byId = Dedup.exactSubstringDedupIncremental(delta, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(0L) > 0L)
+  }
+
+  test("substring store: append ≡ fresh, replay is a no-op, " +
+    "compaction is invisible") {
+    import org.apache.spark.sql.functions.expr
+    val all = substringCorpus
+    val b1 = all.filter(expr("doc_id IN (1, 3)"))
+    val b2 = all.filter(expr("doc_id IN (4, 5)"))
+    val delta = all.filter(expr("doc_id IN (0, 2)"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr_app")
+    val grown = tmp.resolve("grown").toString
+    val fresh = tmp.resolve("fresh").toString
+    Dedup.writeSubstringStore(b1, grown, minLen = 40)
+    Dedup.appendToSubstringStore(b2, grown)
+    Dedup.writeSubstringStore(b1.union(b2), fresh, minLen = 40)
+    val viaGrown = Dedup.exactSubstringDedupIncremental(delta, grown)
+      .collect().map(_.toString)
+    val viaFresh = Dedup.exactSubstringDedupIncremental(delta, fresh)
+      .collect().map(_.toString)
+    assert(viaGrown.sameElements(viaFresh))
+    // replayed batch: marker present -> no new overlay, output stable
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def batchDirs(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.startsWith("batch="))
+    val before = batchDirs(grown)
+    Dedup.appendToSubstringStore(b2, grown)
+    assert(batchDirs(grown) == before)
+    assert(Dedup.exactSubstringDedupIncremental(delta, grown)
+      .collect().map(_.toString).sameElements(viaGrown))
+    // compaction folds the overlay away without changing any probe
+    assert(Dedup.compactSubstringStore(spark, grown) == before)
+    assert(batchDirs(grown) == 0)
+    assert(Dedup.exactSubstringDedupIncremental(delta, grown)
+      .collect().map(_.toString).sameElements(viaGrown))
+    // the applied ledger OUTLIVES the fold: a post-compaction replay
+    // of the folded batch must still be a no-op
+    Dedup.appendToSubstringStore(b2, grown)
+    assert(batchDirs(grown) == 0)
+  }
+
+  test("substring store: append to a missing store is refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("substr_refuse")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSubstringStore(substringCorpus,
+        tmp.resolve("nope").toString)
+    }
+  }
+
   test("exactSubstringDedup: fresh-alphabet append leaves prior rows " +
     "unchanged and is layout-independent") {
     val before = Dedup.exactSubstringDedup(substringCorpus, minLen = 40)
