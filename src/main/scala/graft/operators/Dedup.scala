@@ -3607,6 +3607,18 @@ object Dedup {
     * OUTLIVES the fold (r12 invariant — replay checks consult the
     * ledger, reads consult visibility). Returns batches folded.
     */
+  /** Compaction POLICY (the [[maintainClusterMap]] shape): fold once
+    * the overlay count reaches `maxBatches`. Returns batches folded.
+    */
+  def maintainSubstringStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBatches: Int = 16): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (clusterMapBatches(fs, path).size >= maxBatches)
+      compactSubstringStore(spark, path)
+    else 0
+  }
+
   def compactSubstringStore(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -3674,6 +3686,52 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     assembleSubstringReport(delta, dupStarts, minLen)
+  }
+
+  /** Oracle-checkable CENSUS of a substring store's content: exact
+    * gram totals bucketed by `gh % 16`, with a portable 60-bit-md5
+    * xor content hash over the (gh, cnt) pairs (the export-manifest
+    * convention). Both sides are recomputable by DuckDB from the raw
+    * `documents` table ([[ingestSubstringSql]]), so bit-equality
+    * proves a store grown through any sequence of appends (e.g. the
+    * composed ingest loop) holds EXACTLY the fresh gram counts. One
+    * store-sized aggregate; 16-row output.
+    */
+  def substringStoreReport(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val counts = readSubstringRaw(spark, path)
+      .groupBy("gh").agg(sum("cnt").as("cnt"))
+    counts
+      .groupBy(pmod(col("gh"), lit(16L)).as("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("cnt")).as("n_windows"),
+        expr("""bit_xor(cast(conv(substring(md5(concat(
+          cast(gh as string), ':', cast(cnt as string))), 1, 15),
+          16, 10) as bigint))""").as("xor_hash"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[substringStoreReport]] over a store holding
+    * the WHOLE `documents` table (base build + loop-appended batches):
+    * recompute every length-`minLen` window's 60-bit md5 key and its
+    * exact multiplicity from the raw table, then the same census.
+    */
+  def ingestSubstringSql(minLen: Int = 40): String = {
+    val L = minLen
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |g AS (
+       |  SELECT CAST('0x' || substring(md5(
+       |      substring(text, CAST(i AS INT), $L)), 1, 15) AS BIGINT)
+       |    AS gh
+       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)),
+       |c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY 1)
+       |SELECT gh % 16 AS bucket,
+       |  count(*) AS n_grams,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_windows,
+       |  bit_xor(CAST('0x' || substring(md5(CAST(gh AS VARCHAR) || ':'
+       |    || CAST(cnt AS VARCHAR)), 1, 15) AS BIGINT)) AS xor_hash
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Build-once helper for the driver entries ([[ensureSignatureStore]]

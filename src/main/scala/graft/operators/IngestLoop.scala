@@ -45,12 +45,18 @@ object IngestLoop {
     *  - `profilePath`: absorb the batch's bin counts into the
     *    reference profile ([[Profiling.appendBatchToProfileStore]] —
     *    watermark; the drift ALERT against the pre-absorb profile is
-    *    the stream wrapper's concern, not the batch fold's).
+    *    the stream wrapper's concern, not the batch fold's);
+    *  - `substringPath` (r15): fold the batch's exact-substring gram
+    *    counts into the persisted store
+    *    ([[Dedup.appendToSubstringStore]] — content-tagged overlay +
+    *    `_applied` ledger), so the NEXT batch's
+    *    [[Dedup.exactSubstringDedupIncremental]] gate sees it as base.
     */
   def runBatch(mapPath: String, sigStorePath: String, exportPath: String,
       delta: DataFrame, batchId: Long, sampleMod: Int = 2,
       indexPath: Option[String] = None,
-      profilePath: Option[String] = None): Boolean = {
+      profilePath: Option[String] = None,
+      substringPath: Option[String] = None): Boolean = {
     // order matters: the cluster-map append probes the signature
     // store WITHOUT the delta (its scaladoc'd contract), so it goes
     // first; the signature fold makes the delta visible to the NEXT
@@ -63,6 +69,11 @@ object IngestLoop {
       SearchIndex.appendBatchToIndexStore(p, delta, batchId))
     profilePath.foreach(p =>
       Profiling.appendBatchToProfileStore(p, delta, batchId))
+    // r15: the exact-substring gram-count store rides too — additive
+    // counts under a content-tagged overlay, replay-guarded by its
+    // own _applied ledger
+    substringPath.foreach(p =>
+      Dedup.appendToSubstringStore(delta.select("doc_id", "text"), p))
     TrainingExport.appendBatchToExport(exportPath, delta, batchId)
   }
 
@@ -88,10 +99,12 @@ object IngestLoop {
     // `_ix` marks the generation that also carries the index +
     // profile artifacts — pre-r12-late roots lack them and must
     // rebuild by PATH, not pass the completeness gate
+    // `_ixs` marks the generation that also carries the substring
+    // gram-count store (r15) — older roots rebuild by PATH
     val root = s"/tmp/graft_ingestloop_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_" +
       java.lang.Long.toHexString(fp.getLong(2)) +
-      s"_m${sampleMod}s${shards}_ix"
+      s"_m${sampleMod}s${shards}_ixs"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!Dedup.isCompleteSignatureStore(fs, root)) {
@@ -109,10 +122,13 @@ object IngestLoop {
         shards = shards, waves = 2)
       SearchIndex.writeIndexStore(base, s"$building/index")
       Profiling.writeProfileStore(base, s"$building/profile")
+      Dedup.writeSubstringStore(base.select("doc_id", "text"),
+        s"$building/substr")
       require(runBatch(s"$building/map", s"$building/sigs",
         s"$building/export", delta, batchId = 0L, sampleMod,
         indexPath = Some(s"$building/index"),
-        profilePath = Some(s"$building/profile")),
+        profilePath = Some(s"$building/profile"),
+        substringPath = Some(s"$building/substr")),
         "ingest-loop batch did not apply")
       val out = fs.create(
         new org.apache.hadoop.fs.Path(bp, "_SUCCESS"), true)

@@ -652,6 +652,15 @@ object Extensions {
       Profiling.driftFromStore(c.spark, s"$root/profile",
         c.documents.filter(pmod(col("doc_id"), lit(2L)) === 0))
     }),
+    // the loop-grown substring gram-count store, censused: exact
+    // bucketed totals + portable xor content hash vs a from-scratch
+    // recomputation — append ≡ fresh for the r15 family THROUGH the
+    // loop (base 4/5 build + one appended delta = the whole corpus)
+    "pipeline_ingest_substring" -> (c => {
+      val root = IngestLoop.ensureIngestLoop(c.documents,
+        new java.io.File(c.dir).getName + "_iloop")
+      Dedup.substringStoreReport(c.spark, s"$root/substr")
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -871,6 +880,7 @@ object Extensions {
     "pipeline_ingest_search" -> Search.bm25QueriesSql(),
     "pipeline_ingest_profile" ->
       Profiling.driftSqlOver("1 = 1", "doc_id % 2 = 0"),
+    "pipeline_ingest_substring" -> Dedup.ingestSubstringSql(),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     // store round-trip must be invisible — same oracle as the one-shot

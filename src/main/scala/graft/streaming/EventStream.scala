@@ -446,14 +446,18 @@ object EventStream {
     * flat appends (the `ingestloop` ScaleBench rung). The r12-late
     * families ride along when their paths are given (search index by
     * manifest tag + watermark, reference profile by watermark) —
-    * still coordinator-free exactly-once, now across five artifacts.
+    * still coordinator-free exactly-once — six artifacts with the r15
+    * substring gram-count store riding via `substringPath`
+    * (`compactSubstringAt` bounds its overlay count in-loop).
     */
   def ingestLoopStream(docs: DataFrame, mapPath: String,
       sigStorePath: String, exportPath: String, checkpointDir: String,
       sampleMod: Int = 2, compactMapAt: Int = 0,
       indexPath: Option[String] = None,
       profilePath: Option[String] = None,
-      compactIndexAt: Int = 0): StreamingQuery = {
+      compactIndexAt: Int = 0,
+      substringPath: Option[String] = None,
+      compactSubstringAt: Int = 0): StreamingQuery = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -461,7 +465,8 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.IngestLoop.runBatch(mapPath, sigStorePath,
           exportPath, batch.toDF(), batchId, sampleMod,
-          indexPath = indexPath, profilePath = profilePath)
+          indexPath = indexPath, profilePath = profilePath,
+          substringPath = substringPath)
         // optional read-amplification bound: fold overlays once their
         // count reaches compactMapAt (0 = never; compaction is
         // idempotent and replay-neutral — it changes no map CONTENT,
@@ -472,6 +477,10 @@ object EventStream {
         if (compactIndexAt > 0)
           indexPath.foreach(p => graft.operators.SearchIndex
             .maintainIndexStore(batch.sparkSession, p, compactIndexAt))
+        if (compactSubstringAt > 0)
+          substringPath.foreach(p => graft.operators.Dedup
+            .maintainSubstringStore(batch.sparkSession, p,
+              compactSubstringAt))
         ()
       }
       .start()

@@ -421,7 +421,7 @@ class StreamingSpec extends AnyFunSuite {
       sampleMod = 1)) == probeBefore, "replayed append changed the store")
   }
 
-  test("streaming ingest loop with index+profile: five artifacts end fresh-equivalent") {
+  test("streaming ingest loop with index+profile+substr: six artifacts end fresh-equivalent") {
     import graft.operators.{Dedup, IngestLoop, Profiling, Search, SearchIndex}
     import graft.sources.TrainingExport
     val docs = Ctx(spark, sfDir).documents
@@ -433,21 +433,24 @@ class StreamingSpec extends AnyFunSuite {
     val export = tmp.resolve("export").toString
     val index = tmp.resolve("index").toString
     val profile = tmp.resolve("profile").toString
+    val substr = tmp.resolve("substr").toString
     val streamDir = tmp.resolve("stream").toString
     Dedup.writeSignatureStore(base, sigs, sampleMod = 1)
     Dedup.writeClusterMap(base, map, sampleMod = 1)
     TrainingExport.exportShards(base, export, shards = 8, waves = 2)
     SearchIndex.writeIndexStore(base, index)
     Profiling.writeProfileStore(base, profile)
+    Dedup.writeSubstringStore(base.select("doc_id", "text"), substr)
     delta.repartition(2).write.parquet(streamDir)
-    // compactIndexAt = 1 folds the index after EVERY micro-batch —
-    // the harshest cadence — so the fresh-equivalence assertion below
-    // also proves in-loop compaction is invisible to retrieval
+    // compactIndexAt/compactSubstringAt = 1 fold after EVERY
+    // micro-batch — the harshest cadence — so the fresh-equivalence
+    // assertions below also prove in-loop compaction is invisible
     val q = EventStream.ingestLoopStream(
       EventStream.readDocuments(spark, streamDir), map, sigs, export,
       tmp.resolve("ckpt").toString, sampleMod = 1,
       indexPath = Some(index), profilePath = Some(profile),
-      compactIndexAt = 1)
+      compactIndexAt = 1,
+      substringPath = Some(substr), compactSubstringAt = 1)
     try {
       // the index was actually folded (one compact dir, c-prefixed)
       val visibleTags = spark.read.parquet(s"$index/meta/tags")
@@ -465,6 +468,20 @@ class StreamingSpec extends AnyFunSuite {
       def bins(p: String) = spark.read.parquet(s"$p/bins")
         .orderBy("feature", "bin").collect().map(_.toString)
       assert(bins(profile).sameElements(bins(freshProfile)))
+      // the riding substring store ended exactly as a fresh build over
+      // the union would, with its overlays folded away in-loop
+      val freshSubstr = tmp.resolve("substr_fresh").toString
+      Dedup.writeSubstringStore(docs.select("doc_id", "text"),
+        freshSubstr)
+      def census(p: String) = Dedup.substringStoreReport(spark, p)
+        .collect().map(_.toString)
+      assert(census(substr).sameElements(census(freshSubstr)) &&
+        census(substr).nonEmpty)
+      val fs2 = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs2.listStatus(new org.apache.hadoop.fs.Path(substr))
+        .count(_.getPath.getName.startsWith("batch=")) == 0,
+        "substring overlays not folded in-loop")
     } finally q.stop()
   }
 
