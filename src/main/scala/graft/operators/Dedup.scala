@@ -3734,6 +3734,85 @@ object Dedup {
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Substring-level DECONTAMINATION against a persisted train-side
+    * gram-count store — the Lee et al. decontamination step at
+    * character granularity: a probe (eval/test) window is contaminated
+    * iff the SAME length-`minLen` window occurs ANYWHERE in the stored
+    * corpus (store presence, count ≥ 1). Within-probe duplication
+    * deliberately does NOT count — the criterion is train∩test
+    * overlap, not test-internal repetition — which is exactly where
+    * this differs from [[exactSubstringDedupIncremental]]'s ≥ 2
+    * corpus-multiplicity rule (spec-contrasted: a probe-only repeated
+    * run survives decontamination untouched). Same scale shape as the
+    * incremental path: probe grams once, distinct keys broadcast into
+    * the store scan (the store never shuffles), shared merged-span
+    * reassembly; output reports the probe docs with contaminated
+    * spans stripped.
+    */
+  def substringDecontaminate(probe: DataFrame,
+      storePath: String): DataFrame = {
+    val spark = probe.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(fs, storePath),
+      s"substringDecontaminate: $storePath is not a complete store")
+    val minLen = readSubstringMeta(fs, storePath)
+    val grams = substringGrams(probe, minLen).localCheckpoint(false)
+    val hit = readSubstringRaw(spark, storePath)
+      .join(broadcast(grams.select("gh").distinct()), Seq("gh"))
+      .select("gh").distinct()
+    val dupStarts = grams.join(hit.hint("shuffle_hash"), Seq("gh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    assembleSubstringReport(probe, dupStarts, minLen)
+  }
+
+  /** DuckDB oracle for [[substringDecontaminate]] over the
+    * base/probe split `doc_id % deltaMod == deltaRem` (probe) vs the
+    * rest (stored): literal windows of the probe docs marked iff the
+    * same substring occurs in the BASE slice — independent of the
+    * md5-gram store mechanics entirely.
+    */
+  def substringDecontaminateSql(minLen: Int = 40,
+      deltaMod: Int = 5, deltaRem: Int = 0): String = {
+    val L = minLen
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |pg AS (
+       |  SELECT doc_id, i, substring(text, CAST(i AS INT), $L) AS s
+       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)
+       |  WHERE doc_id % $deltaMod = $deltaRem),
+       |bg AS (
+       |  SELECT DISTINCT substring(text, CAST(i AS INT), $L) AS s
+       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)
+       |  WHERE doc_id % $deltaMod <> $deltaRem),
+       |st AS (
+       |  SELECT doc_id, list_sort(LIST(i)) AS ss
+       |  FROM pg JOIN bg USING (s) GROUP BY doc_id),
+       |r AS (
+       |  SELECT d.doc_id, d.text, d.n, COALESCE(st.ss, []) AS ss
+       |  FROM d LEFT JOIN st USING (doc_id)
+       |  WHERE d.doc_id % $deltaMod = $deltaRem),
+       |k AS (
+       |  SELECT doc_id, n, ss,
+       |    COALESCE(array_to_string(list_transform(
+       |      list_filter(range(1, n + 1),
+       |        p -> len(list_filter(ss,
+       |               s -> p >= s AND p <= s + $L - 1)) = 0),
+       |      p -> substring(text, CAST(p AS INT), 1)), ''), '') AS kept
+       |  FROM r)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_chars,
+       |  CAST(len(ss) AS BIGINT) AS n_dup_starts,
+       |  CAST(n - length(kept) AS BIGINT) AS n_removed,
+       |  CAST(len(list_filter(ss,
+       |    s -> len(list_filter(ss,
+       |           p -> p < s AND s - p <= $L)) = 0)) AS BIGINT)
+       |    AS n_spans,
+       |  md5(kept) AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** Build-once helper for the driver entries ([[ensureSignatureStore]]
     * pattern): content fingerprint folds every column the store
     * derives from — (count, max doc_id, xxhash64(doc_id, text)) — plus

@@ -596,6 +596,17 @@ object Extensions {
         new java.io.File(c.dir).getName + "_substr")
       Dedup.exactSubstringDedupIncremental(delta, store)
     }),
+    // substring-level decontamination: eval/test windows stripped iff
+    // PRESENT in the stored train corpus (within-probe repetition does
+    // NOT count — contrast the >= 2 multiplicity rule above); reuses
+    // the same ensured train-side store
+    "dedup_substring_decontaminate" -> (c => {
+      val base = c.documents.filter(expr("pmod(doc_id, 5) != 0"))
+      val probe = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
+      val store = Dedup.ensureSubstringStore(base,
+        new java.io.File(c.dir).getName + "_substr")
+      Dedup.substringDecontaminate(probe, store)
+    }),
     // grow-by-append store (base 3/5, one appended 1/5 batch) probed
     // by the same delta — additive counts make append ≡ fresh exactly,
     // so the SAME oracle covers it end-to-end (replay guard included)
@@ -910,6 +921,9 @@ object Extensions {
       Dedup.exactSubstringDedupIncrementalSql(),
     "dedup_exact_substring_append" ->
       Dedup.exactSubstringDedupIncrementalSql(),
+    // literal-substring train∩test overlap, no gram store mechanics
+    "dedup_substring_decontaminate" ->
+      Dedup.substringDecontaminateSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_keep_best_store" -> Dedup.keepBestSql(),
     // the append path must be INVISIBLE in the resolved output — same

@@ -1358,6 +1358,33 @@ class DedupSpec extends AnyFunSuite {
     assert(batchDirs(grown) == 0)
   }
 
+  test("substring decontamination: train-overlap strips, " +
+    "probe-internal repetition does NOT") {
+    import org.apache.spark.sql.functions.expr
+    // store (train side) = docs {1, 2}: doc 1 carries the planted
+    // block; probe = {0, 3, 4}: doc 0 shares the block with TRAIN,
+    // doc 4 is the self-overlapping run occurring ONLY in the probe
+    val train = substringCorpus.filter(expr("doc_id IN (1, 2)"))
+    val probe = substringCorpus.filter(expr("doc_id IN (0, 3, 4)"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr_decon")
+    val path = tmp.resolve("store").toString
+    Dedup.writeSubstringStore(train, path, minLen = 40)
+    val out = Dedup.substringDecontaminate(probe, path)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: the shared 135-char run is train-contaminated -> stripped
+    assert(out(0L)._2 == 135L && out(0L)._3 == 1L)
+    // doc 3: short, untouched
+    assert(out(3L) == ((9L, 0L, 0L)))
+    // doc 4: duplicated WITHIN the probe only — decontamination keeps
+    // it (the exact semantic contrast with the >= 2 multiplicity rule,
+    // under which exactSubstringDedupIncremental strips it fully)
+    assert(out(4L) == ((80L, 0L, 0L)))
+    val inc = Dedup.exactSubstringDedupIncremental(probe, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(inc(4L) == 80L)
+  }
+
   test("substring store: append to a missing store is refused") {
     val tmp = java.nio.file.Files.createTempDirectory("substr_refuse")
     intercept[IllegalArgumentException] {
