@@ -45,12 +45,23 @@ object Bench {
     */
   def calibrationProbe(): Double = {
     val t0 = System.nanoTime()
-    var h = 0x9E3779B97F4A7C15L
-    val n = 1 << 22
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    probeWork(0, rounds = 3, n = 1 << 22, sink)
+    require(sink.get() != 0L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The shared fixed-work kernel of both probes: xorshift-fill + sort
+    * + hash-fold, folding the result into `sink` so the JIT cannot
+    * elide the loop.
+    */
+  private def probeWork(tid: Int, rounds: Int, n: Int,
+      sink: java.util.concurrent.atomic.AtomicLong): Unit = {
+    var h = 0x9E3779B97F4A7C15L ^ tid
     val a = new Array[Long](n)
-    var rounds = 0
-    while (rounds < 3) {
-      var x = 88172645463325252L ^ rounds
+    var round = 0
+    while (round < rounds) {
+      var x = 88172645463325252L ^ (round * 1000003 + tid)
       var i = 0
       while (i < n) {
         x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1
@@ -58,9 +69,32 @@ object Bench {
       java.util.Arrays.sort(a)
       i = 0
       while (i < n) { h ^= a(i) * 0xff51afd7ed558ccdL; i += 1 }
-      rounds += 1
+      round += 1
     }
-    require(h != 0L)
+    sink.addAndGet(h | 1L)
+  }
+
+  /** Fixed-work PARALLEL probe: the same kernel fanned across
+    * `threads` JVM threads at once (2 rounds of 2M longs each), wall
+    * seconds until ALL finish. The single-threaded probe is blind to
+    * co-tenant CPU contention — both r15 sweeps sat in measurably
+    * different multi-core windows while it read clean (VERDICT r15
+    * What's-wrong #1) — because a shared host steals THROUGHPUT
+    * (cores), not single-core latency. Recorded alongside the serial
+    * probe at window start AND end as `"mt_start"`/`"mt_end"`;
+    * attribution rule (docs/BENCH_NOTES.md): entries moved + EITHER
+    * probe moved → host window, re-measure; entries moved + both
+    * probes flat → investigate the plan.
+    */
+  def calibrationProbeParallel(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until threads).map { tid =>
+      val t = new Thread(() => probeWork(tid, rounds = 2, n = 1 << 21, sink))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    require(sink.get() != 0L)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -80,10 +114,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // calibration: one untimed JIT warm-up, then the recorded
-    // window-start probe (see scaladoc — reading a window starts here)
+    // calibration: one untimed JIT warm-up per probe, then the
+    // recorded window-start readings (serial latency + multi-core
+    // throughput — see the probe scaladocs; reading a window starts here)
     calibrationProbe()
+    calibrationProbeParallel(cpus.toInt)
     val calStart = calibrationProbe()
+    val mtStart = calibrationProbeParallel(cpus.toInt)
     val all = SparkEntry.queries
     val names = all.keys.toSeq.sortBy { n =>
       // numeric-aware sort: q1, q2, ..., q22, then extensions
@@ -242,7 +279,9 @@ object Bench {
       try dev.ludovic.netlib.blas.BLAS.getInstance().getClass.getSimpleName
       catch { case _: Throwable => "unavailable" }
     val calEnd = calibrationProbe()
-    val cal = f"""{"start":$calStart%.3f,"end":$calEnd%.3f}"""
+    val mtEnd = calibrationProbeParallel(cpus.toInt)
+    val cal = f"""{"start":$calStart%.3f,"end":$calEnd%.3f,""" +
+      f""""mt_start":$mtStart%.3f,"mt_end":$mtEnd%.3f,"mt_threads":$cpus}"""
     val headline =
       s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","calibration":$cal,"blas":"$blas","sf":"$sfDir"}"""
     val json =

@@ -3299,8 +3299,10 @@ object Dedup {
     * characters (`length`/`substring`), which the DuckDB oracle
     * matches on the ASCII fixtures; a non-ASCII corpus should confirm
     * the oracle engine's substring/length units align before trusting
-    * the cross-engine hash (the Spark-side spec laws are
-    * unit-agnostic — both sides use the same functions).
+    * the cross-engine hash. The Spark-side unit assumption itself is
+    * pinned by a test, not prose: DedupSpec's multi-byte law runs both
+    * rank paths on an é/中/ß corpus against the literal-gram reference
+    * and asserts the planted removal in CHARACTER units.
     */
   def exactSubstringDedup(docs: DataFrame, minLen: Int = 40): DataFrame =
     exactSubstringDedup(docs, minLen, (1L << 31) - 1)
@@ -3313,6 +3315,29 @@ object Dedup {
     */
   private[graft] def exactSubstringDedup(docs: DataFrame, minLen: Int,
       packCapRequested: Long): DataFrame = {
+    // lazy barrier on the twice-consumed rank frame (tally + join);
+    // the pre-barrier shape is plan-audited via [[substringFinFrame]]
+    val fin = substringFinFrame(docs, minLen, packCapRequested)
+      .localCheckpoint(false)
+    val tally = fin.groupBy("r", "rb").agg(count(lit(1)).as("cnt"))
+    val dupStarts = fin.join(tally.hint("shuffle_hash"), Seq("r", "rb"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    assembleSubstringReport(docs, dupStarts, minLen)
+  }
+
+  /** The suffix-ranking front end of [[exactSubstringDedup]],
+    * UN-checkpointed: eligible window starts with their (r, rb) class
+    * pair. Exposed `private[graft]` as the plan-audit seam — the
+    * production path's lazy barrier sits directly on this frame and
+    * hides its window exchanges from entry-level explains, so PlanSpec
+    * asserts the per-doc hash partitioning (and the absence of any
+    * unpartitioned window) HERE, on the pre-checkpoint building block
+    * (the SearchIndexSpec pattern, r12).
+    */
+  private[graft] def substringFinFrame(docs: DataFrame, minLen: Int,
+      packCapRequested: Long = (1L << 31) - 1): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val K = Integer.highestOneBit(minLen)
     import org.apache.spark.sql.expressions.Window
@@ -3371,19 +3396,12 @@ object Dedup {
     }
     val rb = if (minLen == K) col("r")
       else lead(col("r"), minLen - K).over(perDoc)
-    val fin = cur
+    cur
       .withColumn("rb", rb)
       // eligible start: >= minLen characters remain in the document
       .withColumn("rl", lead(col("r"), minLen - 1).over(perDoc))
       .filter(col("rl").isNotNull)
       .select(col("doc_id"), col("pos"), col("r"), col("rb"))
-      .localCheckpoint(false)
-    val tally = fin.groupBy("r", "rb").agg(count(lit(1)).as("cnt"))
-    val dupStarts = fin.join(tally.hint("shuffle_hash"), Seq("r", "rb"))
-      .filter(col("cnt") >= 2)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("ss"))
-    assembleSubstringReport(docs, dupStarts, minLen)
   }
 
   /** The shared reassembly tail of [[exactSubstringDedup]] and
@@ -3477,30 +3495,58 @@ object Dedup {
   // dedup (the ingest-batch path: base corpus never re-ranked)
   // -------------------------------------------------------------------
 
-  /** Eligible window starts with their 60-bit md5 gram keys —
-    * (doc_id, pos, gh) for every position with >= `minLen` characters
+  /** Eligible window starts with their md5 gram keys — (doc_id, pos,
+    * gh[, gh2]) for every position with >= `minLen` characters
     * remaining. The probe-side front end of the incremental path and
-    * the store's content unit. 60-bit keys are the portable house
-    * convention (fixture-safe; oracle-independent since the oracle
-    * groups LITERAL substrings); at a true 100 TB corpus (~1e14
-    * grams) widen to the full 128-bit md5 as two BIGINT columns —
-    * birthday collisions at 60 bits start merging distinct grams
-    * around 2^30 of them, which only ever INFLATES counts (extra
-    * removal, never missed duplicates), but the exact contract is
-    * worth the one extra column there.
+    * the store's content unit.
+    *
+    * Key width is the store's scale knob. Narrow (default) is the
+    * 60-bit house convention (hex digits 1-15 of the md5) — one BIGINT
+    * column, fixture-safe, but birthday collisions start merging
+    * distinct grams around 2^30 of them, which only ever INFLATES
+    * counts (extra removal, never missed duplicates). `wide = true`
+    * keys each gram by 120 of the 128 md5 bits as TWO BIGINT columns
+    * (hex 1-15 and 16-30; 16 hex digits would overflow a signed BIGINT
+    * in both engines — the portable-twin house rule), pushing the
+    * any-collision probability at the 100 TB design point
+    * (~2^46.5 distinct grams) below 2^-28. The md5 is computed once
+    * per window either way; the oracle is key-independent (it groups
+    * LITERAL substrings), so both widths are certified against the
+    * same ground truth.
     */
-  private def substringGrams(docs: DataFrame, minLen: Int): DataFrame =
-    docs
+  private[graft] def substringGrams(docs: DataFrame, minLen: Int,
+      wide: Boolean = false): DataFrame = {
+    val starts = docs
       .select(col("doc_id"), col("text"), explode(expr(
         s"""CASE WHEN length(text) < $minLen THEN array()
            |ELSE sequence(1, length(text) - ${minLen - 1}) END"""
           .stripMargin)).as("pos"))
-      .select(col("doc_id"), col("pos"), expr(
-        s"""cast(conv(substring(md5(substring(text, pos, $minLen)),
-           |1, 15), 16, 10) as bigint)""".stripMargin).as("gh"))
+      .withColumn("h", expr(s"md5(substring(text, pos, $minLen))"))
+    val keyed = starts.select(col("doc_id") +: col("pos") +:
+      (expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)")
+        .as("gh") +:
+        (if (wide)
+          Seq(expr("cast(conv(substring(h, 16, 15), 16, 10) as bigint)")
+            .as("gh2"))
+        else Seq.empty)): _*)
+    keyed
+  }
+
+  /** The store's key columns at a given width — every store consumer
+    * joins/aggregates on exactly this set.
+    */
+  private def substringKeyCols(wide: Boolean): Seq[String] =
+    if (wide) Seq("gh", "gh2") else Seq("gh")
 
   private def substringMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_meta_minlen")
+
+  /** Key-width layout discriminator (the LM store's `iln` lesson: a
+    * change in a STORED value's derivation must be visible in the
+    * store layout). Absent on pre-r16 stores → narrow (60-bit).
+    */
+  private def substringWidePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_meta_keywidth")
 
   private def readSubstringMeta(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Int = {
@@ -3508,6 +3554,14 @@ object Dedup {
     try scala.io.Source.fromInputStream(in).mkString.trim.toInt
     finally in.close()
   }
+
+  private def readSubstringWide(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    fs.exists(substringWidePath(path)) && {
+      val in = fs.open(substringWidePath(path))
+      try scala.io.Source.fromInputStream(in).mkString.trim == "120"
+      finally in.close()
+    }
 
   /** Persist the base corpus's substring gram-count store: one
     * (gh, cnt) row per distinct length-`minLen` window — the durable
@@ -3521,17 +3575,21 @@ object Dedup {
     * EXACTLY and compaction is a pure re-layout.
     */
   def writeSubstringStore(docs: DataFrame, path: String,
-      minLen: Int = 40): Unit = {
+      minLen: Int = 40, wideKeys: Boolean = false): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
     fs.delete(tmp, true)
-    substringGrams(docs, minLen).groupBy("gh")
+    substringGrams(docs, minLen, wideKeys)
+      .groupBy(substringKeyCols(wideKeys).map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .write.parquet(new org.apache.hadoop.fs.Path(tmp, "base").toString)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_meta_minlen"),
       minLen.toString.getBytes("UTF-8"))
+    if (wideKeys)
+      writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+        "_meta_keywidth"), "120".getBytes("UTF-8"))
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
       Array.emptyByteArray)
     StoreSwap.swapIn(fs, tmp, dst)
@@ -3548,19 +3606,13 @@ object Dedup {
       spark.sparkContext.hadoopConfiguration)
     StoreSwap.recover(fs, new org.apache.hadoop.fs.Path(path),
       p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-    val base = spark.read.parquet(s"$path/base").select("gh", "cnt")
+    val cols = substringKeyCols(readSubstringWide(fs, path)) :+ "cnt"
+    val base = spark.read.parquet(s"$path/base").select(cols.map(col): _*)
     clusterMapBatches(fs, path).map { case (_, p) =>
-      spark.read.parquet(p.toString).select("gh", "cnt")
+      spark.read.parquet(p.toString).select(cols.map(col): _*)
     }.foldLeft(base)(_ unionAll _)
   }
 
-  /** Fold an ingest batch's gram counts INTO the store so the NEXT
-    * batch dedups against it too: one overlay `batch=<seq>_<tag>`
-    * directory holding only the delta's counts (additive — never a
-    * base rewrite), published temp+rename with the `_applied/<tag>`
-    * marker written LAST. A replayed batch (marker present) is a
-    * no-op; a crashed append re-runs cleanly (same-tag dir replaced).
-    */
   /** Content tag for a substring-store batch: unlike
     * [[containmentBatchTag]] this folds `text` as well as `doc_id` —
     * the stored gram counts DERIVE from text (the r13 ensure-
@@ -3575,12 +3627,22 @@ object Dedup {
       java.lang.Long.toHexString(fp.getLong(2)))
   }
 
+  /** Fold an ingest batch's gram counts INTO the store so the NEXT
+    * batch dedups against it too: one overlay `batch=<seq>_<tag>`
+    * directory holding only the delta's counts (additive — never a
+    * base rewrite), published temp+rename with the `_applied/<tag>`
+    * marker written LAST. A replayed batch (marker present) is a
+    * no-op; a crashed append re-runs cleanly (same-tag dir replaced).
+    * Key width (and `minLen`) come from the STORE's meta, so appends
+    * to a wide store stay wide with no caller coordination.
+    */
   def appendToSubstringStore(delta: DataFrame, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       delta.sparkSession.sparkContext.hadoopConfiguration)
     require(isCompleteSignatureStore(fs, path),
       s"appendToSubstringStore: $path is not a complete store")
     val minLen = readSubstringMeta(fs, path)
+    val wide = readSubstringWide(fs, path)
     val tagOpt = substringBatchTag(delta)
     if (tagOpt.isEmpty) return // empty delta
     val tag = tagOpt.get
@@ -3594,19 +3656,14 @@ object Dedup {
         if p.getName.endsWith(s"_$tag")) fs.delete(p, true)
     val tmp = new org.apache.hadoop.fs.Path(path, s".appendtmp_$tag")
     fs.delete(tmp, true)
-    substringGrams(delta, minLen).groupBy("gh")
+    substringGrams(delta, minLen, wide)
+      .groupBy(substringKeyCols(wide).map(col): _*)
       .agg(count(lit(1)).as("cnt"))
       .write.parquet(tmp.toString)
     require(fs.rename(tmp, dstDir), s"substring batch move failed: $tmp")
     writeSmallFile(fs, marker, Array.emptyByteArray)
   }
 
-  /** Fold overlay batches back into one `base/` frame (read
-    * amplification maintenance, the cluster-map discipline): additive
-    * counts make the fold a pure re-layout. The `_applied` ledger
-    * OUTLIVES the fold (r12 invariant — replay checks consult the
-    * ledger, reads consult visibility). Returns batches folded.
-    */
   /** Compaction POLICY (the [[maintainClusterMap]] shape): fold once
     * the overlay count reaches `maxBatches`. Returns batches folded.
     */
@@ -3619,6 +3676,13 @@ object Dedup {
     else 0
   }
 
+  /** Fold overlay batches back into one `base/` frame (read
+    * amplification maintenance, the cluster-map discipline): additive
+    * counts make the fold a pure re-layout. The `_applied` ledger
+    * OUTLIVES the fold (r12 invariant — replay checks consult the
+    * ledger, reads consult visibility), and so do both `_meta`
+    * discriminators (minLen, key width). Returns batches folded.
+    */
   def compactSubstringStore(spark: org.apache.spark.sql.SparkSession,
       path: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -3626,10 +3690,12 @@ object Dedup {
     val nBatches = clusterMapBatches(fs, path).size
     if (nBatches == 0) return 0
     val minLen = readSubstringMeta(fs, path)
+    val wide = readSubstringWide(fs, path)
     // read-before-replace: eager checkpoint before the swap deletes
     // the inputs (the r9 store-append convention)
     val merged = readSubstringRaw(spark, path)
-      .groupBy("gh").agg(sum("cnt").as("cnt"))
+      .groupBy(substringKeyCols(wide).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
       .localCheckpoint()
     val dst = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".inprogress")
@@ -3642,6 +3708,9 @@ object Dedup {
           s"_applied/${m.getPath.getName}"), Array.emptyByteArray)
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_meta_minlen"),
       minLen.toString.getBytes("UTF-8"))
+    if (wide)
+      writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp,
+        "_meta_keywidth"), "120".getBytes("UTF-8"))
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
       Array.emptyByteArray)
     StoreSwap.swapIn(fs, tmp, dst)
@@ -3663,26 +3732,46 @@ object Dedup {
     * total per probed gram is a delta-sized aggregate even when
     * overlay batches overlap. No windows anywhere; reassembly is the
     * shared per-doc span tail.
+    *
+    * Broadcast guard: a real ingest batch can carry hundreds of
+    * millions of distinct gram keys — far past driver memory and the
+    * broadcast cap — so the probe counts them first and, above
+    * `maxBroadcastKeys`, prunes the store with a shuffle_hash
+    * left-semi join instead (the store pays one shuffle of its
+    * pruned keys; the job degrades instead of failing). Construction
+    * is therefore EAGER (the key count — one job over the
+    * checkpointed per-key frame, which every downstream branch reuses
+    * anyway; the [[guardedSelfJoinPairs]] documentation convention).
     */
   def exactSubstringDedupIncremental(delta: DataFrame,
-      storePath: String): DataFrame = {
+      storePath: String,
+      maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val spark = delta.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     require(isCompleteSignatureStore(fs, storePath),
       s"exactSubstringDedupIncremental: $storePath is not a complete store")
     val minLen = readSubstringMeta(fs, storePath)
-    val grams = substringGrams(delta, minLen).localCheckpoint(false)
-    val deltaCnt = grams.groupBy("gh").agg(count(lit(1)).as("dcnt"))
+    val wide = readSubstringWide(fs, storePath)
+    val keys = substringKeyCols(wide)
+    val grams = substringGrams(delta, minLen, wide).localCheckpoint(false)
+    val deltaCnt = grams.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dcnt"))
       .localCheckpoint(false)
-    val baseCnt = readSubstringRaw(spark, storePath)
-      .join(broadcast(deltaCnt.select("gh")), Seq("gh"))
-      .groupBy("gh").agg(sum("cnt").as("bcnt"))
-    val dupGh = deltaCnt.join(baseCnt.hint("shuffle_hash"), Seq("gh"),
-        "left")
+    val probeKeys = deltaCnt.select(keys.map(col): _*)
+    val pruned =
+      if (deltaCnt.count() <= maxBroadcastKeys)
+        readSubstringRaw(spark, storePath)
+          .join(broadcast(probeKeys), keys)
+      else
+        readSubstringRaw(spark, storePath)
+          .join(probeKeys.hint("shuffle_hash"), keys, "left_semi")
+    val baseCnt = pruned.groupBy(keys.map(col): _*)
+      .agg(sum("cnt").as("bcnt"))
+    val dupGh = deltaCnt.join(baseCnt.hint("shuffle_hash"), keys, "left")
       .filter(col("dcnt") + coalesce(col("bcnt"), lit(0L)) >= 2)
-      .select("gh")
-    val dupStarts = grams.join(dupGh.hint("shuffle_hash"), Seq("gh"))
+      .select(keys.map(col): _*)
+    val dupStarts = grams.join(dupGh.hint("shuffle_hash"), keys)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     assembleSubstringReport(delta, dupStarts, minLen)
@@ -3699,14 +3788,22 @@ object Dedup {
     */
   def substringStoreReport(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(isCompleteSignatureStore(fs, path),
+      s"substringStoreReport: $path is not a complete store")
+    val wide = readSubstringWide(fs, path)
+    val keys = substringKeyCols(wide)
     val counts = readSubstringRaw(spark, path)
-      .groupBy("gh").agg(sum("cnt").as("cnt"))
+      .groupBy(keys.map(col): _*).agg(sum("cnt").as("cnt"))
+    // content hash folds EVERY key column (wide stores fold gh2 too)
+    val hashed = keys.map(k => s"cast($k as string)").mkString(", ':', ")
     counts
       .groupBy(pmod(col("gh"), lit(16L)).as("bucket"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("cnt")).as("n_windows"),
-        expr("""bit_xor(cast(conv(substring(md5(concat(
-          cast(gh as string), ':', cast(cnt as string))), 1, 15),
+        expr(s"""bit_xor(cast(conv(substring(md5(concat(
+          $hashed, ':', cast(cnt as string))), 1, 15),
           16, 10) as bigint))""").as("xor_hash"))
       .orderBy("bucket")
   }
@@ -3747,21 +3844,34 @@ object Dedup {
     * incremental path: probe grams once, distinct keys broadcast into
     * the store scan (the store never shuffles), shared merged-span
     * reassembly; output reports the probe docs with contaminated
-    * spans stripped.
+    * spans stripped. Same broadcast guard (and the same documented
+    * construction-eager key count) as
+    * [[exactSubstringDedupIncremental]]: an over-`maxBroadcastKeys`
+    * probe falls back to a shuffle_hash left-semi prune.
     */
   def substringDecontaminate(probe: DataFrame,
-      storePath: String): DataFrame = {
+      storePath: String,
+      maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val spark = probe.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     require(isCompleteSignatureStore(fs, storePath),
       s"substringDecontaminate: $storePath is not a complete store")
     val minLen = readSubstringMeta(fs, storePath)
-    val grams = substringGrams(probe, minLen).localCheckpoint(false)
-    val hit = readSubstringRaw(spark, storePath)
-      .join(broadcast(grams.select("gh").distinct()), Seq("gh"))
-      .select("gh").distinct()
-    val dupStarts = grams.join(hit.hint("shuffle_hash"), Seq("gh"))
+    val wide = readSubstringWide(fs, storePath)
+    val keys = substringKeyCols(wide)
+    val grams = substringGrams(probe, minLen, wide).localCheckpoint(false)
+    val probeKeys = grams.select(keys.map(col): _*).distinct()
+      .localCheckpoint(false)
+    val pruned =
+      if (probeKeys.count() <= maxBroadcastKeys)
+        readSubstringRaw(spark, storePath)
+          .join(broadcast(probeKeys), keys)
+      else
+        readSubstringRaw(spark, storePath)
+          .join(probeKeys.hint("shuffle_hash"), keys, "left_semi")
+    val hit = pruned.select(keys.map(col): _*).distinct()
+    val dupStarts = grams.join(hit.hint("shuffle_hash"), keys)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
     assembleSubstringReport(probe, dupStarts, minLen)
@@ -3813,25 +3923,34 @@ object Dedup {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  /** Content fingerprint path component shared by the ensure helpers:
+    * folds (count, max doc_id, xxhash64(doc_id, text)); guards the
+    * EMPTY frame (max is null there — an opaque NPE otherwise).
+    */
+  private def substringEnsureFp(docs: DataFrame): String = {
+    val r = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("h")).collect().head
+    if (r.getLong(0) == 0L) "empty"
+    else s"${r.getLong(0)}_${r.getLong(1)}_" +
+      java.lang.Long.toHexString(r.getLong(2))
+  }
+
   /** Build-once helper for the driver entries ([[ensureSignatureStore]]
     * pattern): content fingerprint folds every column the store
     * derives from — (count, max doc_id, xxhash64(doc_id, text)) — plus
-    * `minLen`, so a regenerated fixture or a different threshold
-    * rebuilds rather than serving stale counts.
+    * `minLen` and the key width, so a regenerated fixture, a different
+    * threshold, or a different key layout rebuilds rather than serving
+    * stale counts.
     */
   def ensureSubstringStore(baseDocs: DataFrame, tag: String,
-      minLen: Int = 40): String = {
-    val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    val path = s"/tmp/graft_substrstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
-      s"L$minLen"
+      minLen: Int = 40, wideKeys: Boolean = false): String = {
+    val path = s"/tmp/graft_substrstore_${tag}_" +
+      s"${substringEnsureFp(baseDocs)}_L$minLen" +
+      (if (wideKeys) "_w120" else "")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
-      writeSubstringStore(baseDocs, path, minLen)
+      writeSubstringStore(baseDocs, path, minLen, wideKeys)
     path
   }
 
@@ -3845,19 +3964,14 @@ object Dedup {
     * is path-cached and the append replays as a marker no-op.
     */
   def ensureAppendedSubstringStore(base: DataFrame, batch: DataFrame,
-      tag: String, minLen: Int = 40): String = {
-    def fp(df: DataFrame): String = {
-      val r = df.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h")).collect().head
-      s"${r.getLong(0)}_${r.getLong(1)}_" +
-        java.lang.Long.toHexString(r.getLong(2))
-    }
-    val path = s"/tmp/graft_substrstore_${tag}_${fp(base)}__${fp(batch)}" +
-      s"_L$minLen"
+      tag: String, minLen: Int = 40, wideKeys: Boolean = false): String = {
+    val path = s"/tmp/graft_substrstore_${tag}_${substringEnsureFp(base)}" +
+      s"__${substringEnsureFp(batch)}_L$minLen" +
+      (if (wideKeys) "_w120" else "")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       base.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
-      writeSubstringStore(base, path, minLen)
+      writeSubstringStore(base, path, minLen, wideKeys)
     appendToSubstringStore(batch, path)
     path
   }

@@ -596,6 +596,18 @@ object Extensions {
         new java.io.File(c.dir).getName + "_substr")
       Dedup.exactSubstringDedupIncremental(delta, store)
     }),
+    // the SAME incremental probe over a WIDE-KEY store (120 md5 bits
+    // as two BIGINT halves — the 100 TB key-width knob; 60-bit keys
+    // merge distinct grams past ~2^30 of them): the unchanged
+    // literal-gram oracle never sees gram hashes, so a green hash
+    // certifies the wide layout against ground truth
+    "dedup_exact_substring_store_wide" -> (c => {
+      val base = c.documents.filter(expr("pmod(doc_id, 5) != 0"))
+      val delta = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
+      val store = Dedup.ensureSubstringStore(base,
+        new java.io.File(c.dir).getName + "_substrw", wideKeys = true)
+      Dedup.exactSubstringDedupIncremental(delta, store)
+    }),
     // substring-level decontamination: eval/test windows stripped iff
     // PRESENT in the stored train corpus (within-probe repetition does
     // NOT count — contrast the >= 2 multiplicity rule above); reuses
@@ -918,6 +930,11 @@ object Extensions {
     // fresh full-corpus computation restricted to the delta docs —
     // what both store paths (one-shot and grow-by-append) must equal
     "dedup_exact_substring_store" ->
+      Dedup.exactSubstringDedupIncrementalSql(),
+    // the wide-key (120-bit) store probed by the SAME key-independent
+    // literal-gram oracle — a green hash certifies the wide layout
+    // against ground truth, not against the narrow implementation
+    "dedup_exact_substring_store_wide" ->
       Dedup.exactSubstringDedupIncrementalSql(),
     "dedup_exact_substring_append" ->
       Dedup.exactSubstringDedupIncrementalSql(),

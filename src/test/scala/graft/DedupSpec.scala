@@ -1393,6 +1393,115 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring store: report on a missing store is refused, not an " +
+    "AnalysisException") {
+    val tmp = java.nio.file.Files.createTempDirectory("substr_rep_refuse")
+    intercept[IllegalArgumentException] {
+      Dedup.substringStoreReport(spark, tmp.resolve("nope").toString)
+    }
+  }
+
+  test("substring store: wide keys ≡ narrow keys; appends and " +
+    "compaction preserve the width") {
+    import org.apache.spark.sql.functions.expr
+    val all = substringCorpus
+    val b1 = all.filter(expr("doc_id IN (1, 3)"))
+    val b2 = all.filter(expr("doc_id IN (4, 5)"))
+    val delta = all.filter(expr("doc_id IN (0, 2)"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr_wide")
+    val narrow = tmp.resolve("narrow").toString
+    val wide = tmp.resolve("wide").toString
+    Dedup.writeSubstringStore(b1.union(b2), narrow, minLen = 40)
+    Dedup.writeSubstringStore(b1, wide, minLen = 40, wideKeys = true)
+    // the store meta, not the caller, decides the key layout: this
+    // append must produce a (gh, gh2, cnt) overlay
+    Dedup.appendToSubstringStore(b2, wide)
+    val viaNarrow = Dedup.exactSubstringDedupIncremental(delta, narrow)
+      .collect().map(_.toString)
+    val viaWide = Dedup.exactSubstringDedupIncremental(delta, wide)
+      .collect().map(_.toString)
+    assert(viaWide.sameElements(viaNarrow))
+    // decontamination over the same two stores agrees too
+    val dNarrow = Dedup.substringDecontaminate(delta, narrow)
+      .collect().map(_.toString)
+    val dWide = Dedup.substringDecontaminate(delta, wide)
+      .collect().map(_.toString)
+    assert(dWide.sameElements(dNarrow))
+    // compaction keeps the _meta_keywidth discriminator: the folded
+    // store still answers identically (a dropped discriminator would
+    // read base as (gh, cnt) and fail or mis-join)
+    assert(Dedup.compactSubstringStore(spark, wide) == 1)
+    assert(Dedup.exactSubstringDedupIncremental(delta, wide)
+      .collect().map(_.toString).sameElements(viaNarrow))
+    // and the wide store's base really carries two key columns
+    assert(spark.read.parquet(s"$wide/base").columns.toSet ==
+      Set("gh", "gh2", "cnt"))
+  }
+
+  test("substring store: over-cap probes fall back to the shuffle-side " +
+    "prune with identical verdicts") {
+    import org.apache.spark.sql.functions.expr
+    val all = substringCorpus
+    val base = all.filter(expr("pmod(doc_id, 2) = 1"))
+    val delta = all.filter(expr("pmod(doc_id, 2) = 0"))
+    val tmp = java.nio.file.Files.createTempDirectory("substr_guard")
+    val path = tmp.resolve("store").toString
+    Dedup.writeSubstringStore(base, path, minLen = 40)
+    // maxBroadcastKeys = 0 forces the left-semi shuffle_hash branch
+    val bc = Dedup.exactSubstringDedupIncremental(delta, path)
+      .collect().map(_.toString)
+    val sh = Dedup.exactSubstringDedupIncremental(delta, path, 0L)
+      .collect().map(_.toString)
+    assert(sh.sameElements(bc))
+    val dbc = Dedup.substringDecontaminate(delta, path)
+      .collect().map(_.toString)
+    val dsh = Dedup.substringDecontaminate(delta, path, 0L)
+      .collect().map(_.toString)
+    assert(dsh.sameElements(dbc))
+  }
+
+  test("substring ensure helpers tolerate an empty frame") {
+    import org.apache.spark.sql.functions.expr
+    val empty = substringCorpus.filter(expr("doc_id < 0"))
+    // previously NPE'd on max(doc_id) = null; must build a usable
+    // (empty) store instead
+    val path = Dedup.ensureSubstringStore(empty, "emptyfp_spec")
+    val delta = substringCorpus.filter(expr("doc_id IN (0, 1)"))
+    val out = Dedup.exactSubstringDedupIncremental(delta, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // empty store: only within-delta multiplicity counts — the two
+    // docs still share the planted block
+    assert(out(0L) == 135L && out(1L) == 135L)
+  }
+
+  test("exactSubstringDedup counts CHARACTERS on multi-byte text " +
+    "(both rank paths match the gram reference)") {
+    // planted 160-char block of 1–3-byte chars, shared across two docs
+    // with fully multi-byte distinct contexts; a byte-unit slip in any
+    // stage would shear every window boundary off the reference
+    val block = "é中ß∆" * 40
+    val corpus = Seq(
+      (0L, s"préfixe unique α $block suffixe ω"),
+      (1L, s"另一个完全不同的开头 $block 和另一个结尾在这里"),
+      (2L, "ünïqüé döc wîth nö löng répéats ïnsïdé ät äll hërë")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(corpus, minLen = 40)
+      .collect().map(_.toString)
+    val ref = gramReference(corpus, 40).collect().map(_.toString)
+    assert(out.sameElements(ref))
+    val reranked = Dedup.exactSubstringDedup(corpus, 40, 0L)
+      .collect().map(_.toString)
+    assert(reranked.sameElements(ref))
+    // and the removal is the shared run in CHARACTER units: the block
+    // plus both flanking spaces
+    val byId = Dedup.exactSubstringDedup(corpus, minLen = 40)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byId(0L) == ((162L, 1L)))
+    assert(byId(1L) == ((162L, 1L)))
+    assert(byId(2L) == ((0L, 0L)))
+  }
+
   test("exactSubstringDedup: fresh-alphabet append leaves prior rows " +
     "unchanged and is layout-independent") {
     val before = Dedup.exactSubstringDedup(substringCorpus, minLen = 40)

@@ -417,6 +417,66 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("substring grams: one pruned scan + generate, no exchange, no join") {
+    // the store's content unit and the probe front end: must stay a
+    // pure map-side explode — any exchange here multiplies by the
+    // n·minLen gram fan-out before the aggregate can reduce it
+    for (wide <- Seq(false, true)) {
+      val p = planOf(graft.operators.Dedup
+        .substringGrams(ctx.documents, 40, wide))
+      assert(!p.contains("Exchange"), p)
+      assert(!p.contains("Join"), p)
+      assert(p.contains("Generate"), p)
+      // column pruning: only (doc_id, text) leave the parquet scan
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    }
+  }
+
+  test("substring rank frame: every window hash-partitions on doc_id " +
+    "(pre-barrier building block)") {
+    // the production path's lazy barrier sits directly on this frame —
+    // the audit must run pre-checkpoint (SearchIndexSpec pattern). The
+    // packed-doubling windows and the final rb/rl reads must all ride
+    // doc_id hash partitioning; the ONLY unpartitioned window allowed
+    // is globalRank's ledger prefix sum over the ≤width-row per-shard
+    // count frame (the perplexity-buckets exemption) — every
+    // corpus-scale frame must show a partitioned exchange
+    val p = planOf(graft.operators.Dedup
+      .substringFinFrame(ctx.documents, 40))
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    // the seed ranking's corpus-side window rides the shard tag
+    assert(p.contains("hashpartitioning(__shard") ||
+      p.contains("hashpartitioning(g"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // consecutive packed rounds stack on ONE doc_id exchange+sort (the
+    // r15 17.3→3.5 s arc): exactly one doc_id-partitioned exchange
+    // feeds the whole window chain
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).length == 1, p)
+  }
+
+  test("substring store probe: store scan pruned by the broadcast " +
+    "delta keys, no windows, no SMJ") {
+    import org.apache.spark.sql.functions.expr
+    val base = ctx.documents.filter(expr("pmod(doc_id, 3) != 0"))
+    val delta = ctx.documents.filter(expr("pmod(doc_id, 3) = 0"))
+    for (wide <- Seq(false, true)) {
+      val store = graft.operators.Dedup.ensureSubstringStore(base,
+        s"plan_spec_substr_$wide", wideKeys = wide)
+      val p = planOf(graft.operators.Dedup
+        .exactSubstringDedupIncremental(delta, store))
+      // the store side is the parquet scan joined against the
+      // broadcast probe keys BEFORE any aggregation — the store never
+      // shuffles; suffix windows don't exist on this path at all
+      assert(p.contains("Scan parquet"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
     // the audit went stale in r11 because nothing failed when a new
     // entry lacked a row — this is the loud failure: add an entry,
