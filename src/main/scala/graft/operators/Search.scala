@@ -259,7 +259,19 @@ object Search {
     * VALUES, identical ratio chains and fixed-point grids.
     */
   def bm25QueriesSql(queryTable: Seq[(Long, String)] = defaultQueryTable,
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String =
+    queriesCtePrefix(queryTable, k1, b) +
+      s"""
+       |SELECT qid, doc_id, n_terms, score, rk FROM ranked
+       |WHERE rk <= $topK ORDER BY qid, rk""".stripMargin
+
+  /** The shared retrieval CTE chain (query table → tokenization →
+    * postings → idf → scored → ranked) used by both [[bm25QueriesSql]]
+    * and [[bm25RerankSql]] — ONE generator, so the rerank oracle's
+    * candidate set is the retrieval oracle by construction.
+    */
+  private def queriesCtePrefix(queryTable: Seq[(Long, String)],
+      k1: Double, b: Double): String = {
     val values = queryTable
       .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }
       .mkString(", ")
@@ -309,8 +321,160 @@ object Search {
        |    CAST(s9 // 1000 AS DOUBLE) / 1e9 AS score,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY s9 // 1000 DESC, doc_id) AS rk
-       |  FROM scored)
-       |SELECT qid, doc_id, n_terms, score, rk FROM ranked
-       |WHERE rk <= $topK ORDER BY qid, rk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  /** Cross-encoder-style RERANK over the BM25 candidates — the third
+    * stage of the standard retrieval pipeline (retrieve → rank →
+    * rerank): the top-`topK` page from [[bm25Queries]] is re-scored
+    * with INTERACTION features that BM25's bag-of-words model cannot
+    * see, then cut to `topR`. (A learned cross-encoder is a model
+    * inference at this exact seam — same candidate plumbing, different
+    * scorer; this lexical scorer keeps the stage deterministic and
+    * oracle-exact.)
+    *
+    * Features, per (query, candidate) pair over the candidate's full
+    * token sequence — all exact integers:
+    *  - `coverage`: distinct query terms present (the dominant field);
+    *  - `n_adj`: adjacent DISTINCT-term pairs (token at p and p+1 both
+    *    query terms, different ones) — the phrase-proximity signal;
+    *  - `tf_q`: total query-term occurrences;
+    *  - `first_pos`: earliest match position (earlier = better).
+    * Packed injectively into one BIGINT
+    * (`coverage·1e13 + min(n_adj,9999)·1e8 + min(tf_q,9999)·1e4 +
+    * (9999 − min(first_pos,9999))` — field maxima 9999 keep the bands
+    * disjoint; max ≈ 5·10¹³ for a 5-term query), so the rerank order
+    * is hash-exact cross-engine with no float anywhere.
+    *
+    * Scale shape: the candidate set is `|queries| · topK` rows —
+    * bounded by the QUERY LOAD, independent of corpus size (the real
+    * cross-encoder deployment economics: rerank touches only the
+    * retrieved page). Candidate ids broadcast into the documents scan
+    * (one pruned re-read; the store-probe shape), tokens explode for
+    * candidate docs only, the adjacency pass is an equi-join on
+    * (qid, doc_id, pos+1) over that bounded frame, and the final cut
+    * is a per-qid window bounded by construction (≤ topK rows per
+    * qid). Construction-lazy; the only corpus-sized work is the
+    * retrieval stage it shares with [[bm25Queries]].
+    */
+  def bm25Rerank(docs: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // candidate page: consumed three times (id pruning, pair
+    // restriction, final join) — barrier per the r7 convention
+    val cands = bm25Queries(docs, queryTable, k1, b, topK)
+      .select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
+      .localCheckpoint(eager = false)
+    val candIds = cands.select("doc_id").distinct()
+    // pruned re-read: only candidate docs are re-tokenized, positions
+    // kept (1-based, matching the oracle's list indexing)
+    val candToks = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val queries = queryTable.toDF("qid", "qtext")
+    val qterms = queries.select(col("qid"),
+        explode(TextFunctions.words(col("qtext"))).as("w"))
+      .where(col("w") =!= "").distinct()
+    // matched positions, restricted to actual CANDIDATE pairs (a doc
+    // retrieved for q0 only must not be scored for q1); consumed three
+    // times (features + both adjacency sides) — barrier
+    val matched = candToks
+      .join(broadcast(qterms), "w")
+      .join(broadcast(cands.select("qid", "doc_id")),
+        Seq("qid", "doc_id"), "left_semi")
+      .select("qid", "doc_id", "w", "pos")
+      .localCheckpoint(eager = false)
+    // rename-the-right-side self-join (unambiguous under the shared
+    // checkpoint's expression ids)
+    val mRight = matched.toDF("qid2", "doc_id2", "w2", "pos2")
+    val adj = matched.withColumn("pnext", col("pos") + 1)
+      .join(broadcast(mRight),
+        col("qid") === col("qid2") && col("doc_id") === col("doc_id2") &&
+          col("pnext") === col("pos2") && col("w") =!= col("w2"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_adj"))
+    val feats = matched.groupBy("qid", "doc_id")
+      .agg(countDistinct(col("w")).as("coverage"),
+        count(lit(1)).as("tf_q"),
+        min(col("pos")).cast("bigint").as("first_pos"))
+    val rerankS = col("coverage") * lit(10000000000000L) +
+      least(col("n_adj"), lit(9999L)) * lit(100000000L) +
+      least(col("tf_q"), lit(9999L)) * lit(10000L) +
+      (lit(9999L) - least(col("first_pos"), lit(9999L)))
+    import org.apache.spark.sql.expressions.Window
+    // window bound: ≤ topK candidate rows per qid by construction
+    // (the bm25Queries bounded heap emits exactly the page) — the
+    // sanctioned schema-bounded window class
+    val byQ = Window.partitionBy("qid")
+      .orderBy(col("rerank_s").desc, col("doc_id"))
+    cands
+      .join(feats.hint("shuffle_hash"), Seq("qid", "doc_id"))
+      .join(adj.hint("shuffle_hash"), Seq("qid", "doc_id"), "left")
+      .withColumn("n_adj", coalesce(col("n_adj"), lit(0L)))
+      .withColumn("rerank_s", rerankS)
+      .withColumn("rrk", row_number().over(byQ).cast("bigint"))
+      .filter(col("rrk") <= topR)
+      .select("qid", "doc_id", "coverage", "n_adj", "tf_q",
+        "first_pos", "rerank_s", "bm25_rk", "rrk")
+      .orderBy("qid", "rrk")
+  }
+
+  /** DuckDB oracle for [[bm25Rerank]] — the SAME retrieval CTE chain
+    * as [[bm25QueriesSql]] (one generator), extended with the
+    * candidate re-tokenization, the adjacency pass, and the packed
+    * integer rerank score.
+    */
+  def bm25RerankSql(queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5): String =
+    queriesCtePrefix(queryTable, k1, b) + s""",
+       |cands AS (
+       |  SELECT qid, doc_id, rk AS bm25_rk FROM ranked WHERE rk <= $topK),
+       |ctoks AS (
+       |  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |        FROM documents
+       |        WHERE doc_id IN (SELECT DISTINCT doc_id FROM cands)) t,
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[CAST(i AS INT)] <> ''),
+       |matched AS (
+       |  SELECT cd.qid, cd.doc_id, t.w, t.pos
+       |  FROM cands cd
+       |  JOIN ctoks t ON t.doc_id = cd.doc_id
+       |  JOIN qterms qt ON qt.qid = cd.qid AND qt.w = t.w),
+       |adj AS (
+       |  SELECT a.qid, a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_adj
+       |  FROM matched a JOIN matched b
+       |    ON b.qid = a.qid AND b.doc_id = a.doc_id
+       |   AND b.pos = a.pos + 1 AND b.w <> a.w
+       |  GROUP BY 1, 2),
+       |feats AS (
+       |  SELECT qid, doc_id,
+       |    CAST(COUNT(DISTINCT w) AS BIGINT) AS coverage,
+       |    CAST(COUNT(*) AS BIGINT) AS tf_q,
+       |    CAST(MIN(pos) AS BIGINT) AS first_pos
+       |  FROM matched GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT c.qid, c.doc_id, f.coverage,
+       |    COALESCE(a.n_adj, 0) AS n_adj, f.tf_q, f.first_pos,
+       |    f.coverage * 10000000000000 +
+       |      least(COALESCE(a.n_adj, 0), 9999) * 100000000 +
+       |      least(f.tf_q, 9999) * 10000 +
+       |      (9999 - least(f.first_pos, 9999)) AS rerank_s,
+       |    c.bm25_rk
+       |  FROM cands c
+       |  JOIN feats f USING (qid, doc_id)
+       |  LEFT JOIN adj a USING (qid, doc_id)),
+       |rr2 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rerank_s DESC, doc_id) AS rrk FROM rr)
+       |SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
+       |  rerank_s, bm25_rk, rrk
+       |FROM rr2 WHERE rrk <= $topR ORDER BY qid, rrk""".stripMargin
 }

@@ -760,6 +760,11 @@ object Extensions {
     "text_repeated_ngrams" -> (c => TextAnalysis.repeatedNgrams(c.documents)),
     "text_bm25_topk" -> (c => Search.bm25TopK(c.documents)),
     "text_bm25_queries" -> (c => Search.bm25Queries(c.documents)),
+    // retrieve → rank → RERANK (r16): the BM25 top-k page re-scored
+    // with exact-integer interaction features (coverage / adjacent
+    // distinct-term pairs / tf / first position) — the cross-encoder
+    // seam, cost bounded by the query load, not the corpus
+    "text_bm25_rerank" -> (c => Search.bm25Rerank(c.documents)),
     // persisted inverted-index store: base build + delta append +
     // retrieval FROM the store; unchanged bm25QueriesSql oracle =
     // append ≡ fresh proven end-to-end through scoring and ranking
@@ -989,6 +994,7 @@ object Extensions {
     "text_repeated_ngrams" -> TextAnalysis.repeatedNgramsSql(),
     "text_bm25_topk" -> Search.bm25TopKSql(),
     "text_bm25_queries" -> Search.bm25QueriesSql(),
+    "text_bm25_rerank" -> Search.bm25RerankSql(),
     "text_bm25_store" -> Search.bm25QueriesSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,

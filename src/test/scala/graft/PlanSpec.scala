@@ -477,6 +477,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 rerank: candidate plumbing is broadcast-only, no SMJ, " +
+    "window confined to the bounded page") {
+    val p = planOf(graft.operators.Search.bm25Rerank(ctx.documents))
+    // the candidate ids/terms/page are query-load-sized: every join on
+    // the rerank side must broadcast or shuffle_hash — a sort-merge
+    // would mean a corpus-sized frame leaked into the rerank stage
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the final cut's window partitions on qid (≤ topK rows per qid by
+    // construction — the schema-bounded window class)
+    assert(p.contains("hashpartitioning(qid"), p)
+  }
+
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
     // the audit went stale in r11 because nothing failed when a new
     // entry lacked a row — this is the loud failure: add an entry,

@@ -98,4 +98,63 @@ class SearchSpec extends AnyFunSuite {
       topK = 2).collect().map(_.toString)
     assert(again.sameElements(out.map(_.toString)))
   }
+
+  test("rerank: output ⊆ candidate page, per-qid ≤ topR, packed score " +
+    "self-consistent") {
+    val cands = Search.bm25Queries(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Search.bm25Rerank(docs, topR = 3).collect()
+    assert(out.nonEmpty)
+    // every reranked row was retrieved for THAT query
+    assert(out.forall(r => cands((r.getLong(0), r.getLong(1)))))
+    // rrk is 1..≤topR per qid
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(8)).toSeq.sorted ==
+        (1L to rs.length).toSeq && rs.length <= 3)
+    }
+    // the packed BIGINT score is exactly its emitted feature fields
+    out.foreach { r =>
+      val (cov, adj, tf, fp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val expected = cov * 10000000000000L + math.min(adj, 9999L) *
+        100000000L + math.min(tf, 9999L) * 10000L +
+        (9999L - math.min(fp, 9999L))
+      assert(r.getLong(6) == expected, r.toString)
+    }
+    // layout independence
+    val again = Search.bm25Rerank(docs.repartition(5), topR = 3)
+      .collect().map(_.toString)
+    assert(again.sameElements(
+      Search.bm25Rerank(docs, topR = 3).collect().map(_.toString)))
+  }
+
+  test("rerank: phrase adjacency flips a BM25 tie") {
+    // identical length / per-term tf ⇒ BM25 ties and ranks doc 0 first
+    // (doc_id tie-break); doc 1 has the terms ADJACENT twice — the
+    // interaction feature BM25's bag-of-words cannot see
+    val d = Seq(
+      (0L, "hash scan join scan hash scan join scan"),
+      (1L, "scan hash join scan hash join scan scan")
+    ).toDF("doc_id", "text")
+    val qt = Seq((0L, "hash join"))
+    val bm25 = Search.bm25Queries(d, queryTable = qt)
+      .collect().map(_.getLong(1)).toSeq
+    assert(bm25 == Seq(0L, 1L)) // the tie really is a tie
+    val rr = Search.bm25Rerank(d, queryTable = qt).collect()
+    assert(rr.map(_.getLong(1)).toSeq == Seq(1L, 0L))
+    val byId = rr.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(byId(1L) == 2L && byId(0L) == 0L) // n_adj counted exactly
+  }
+
+  test("rerank: earlier first match wins at equal coverage/adjacency/tf") {
+    val d = Seq(
+      (0L, "pad pad hash join"),
+      (1L, "hash join pad pad")
+    ).toDF("doc_id", "text")
+    val qt = Seq((0L, "hash join"))
+    val rr = Search.bm25Rerank(d, queryTable = qt).collect()
+    assert(rr.map(_.getLong(1)).toSeq == Seq(1L, 0L))
+    val fp = rr.map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(fp(1L) == 1L && fp(0L) == 3L)
+  }
 }
