@@ -198,7 +198,11 @@ object ScaleBench {
         "pipeline_drift_bins", "embeddings_drift_bins",
         // r15: suffix-ranking exact-substring dedup (packed doubling)
         // + its gram-count-store ingest path (probe cost ∝ delta)
-        "dedup_exact_substring", "dedup_exact_substring_store")
+        "dedup_exact_substring", "dedup_exact_substring_store",
+        // r16: the rerank stage — expected cost = retrieval's slope
+        // (shared corpus scan) + a FLAT rerank term (candidate page is
+        // query-load-sized, independent of corpus scale)
+        "text_bm25_rerank")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {

@@ -349,13 +349,19 @@ object Search {
     * Scale shape: the candidate set is `|queries| · topK` rows —
     * bounded by the QUERY LOAD, independent of corpus size (the real
     * cross-encoder deployment economics: rerank touches only the
-    * retrieved page). Candidate ids broadcast into the documents scan
-    * (one pruned re-read; the store-probe shape), tokens explode for
-    * candidate docs only, the adjacency pass is an equi-join on
-    * (qid, doc_id, pos+1) over that bounded frame, and the final cut
-    * is a per-qid window bounded by construction (≤ topK rows per
-    * qid). Construction-lazy; the only corpus-sized work is the
-    * retrieval stage it shares with [[bm25Queries]].
+    * retrieved page). The candidate ids are PUSHED into the documents
+    * re-read as a parquet `In` filter (row-group stats skip everything
+    * else — a broadcast semi-join would still scan the full corpus;
+    * the ladder showed exactly that growth term before the pushdown),
+    * tokens explode for candidate docs only, the adjacency pass is an
+    * equi-join on (qid, doc_id, pos+1) over that bounded frame, and
+    * the final cut is a per-qid window bounded by construction
+    * (≤ topK rows per qid). Construction-EAGER (the candidate-page
+    * collect — one query-load-sized read off the retrieval
+    * checkpoint, which every downstream branch reuses; documented per
+    * the [[graft.operators.Dedup.guardedSelfJoinPairs]] convention);
+    * the only corpus-sized work is the retrieval stage it shares with
+    * [[bm25Queries]].
     */
   def bm25Rerank(docs: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
@@ -368,11 +374,17 @@ object Search {
     val cands = bm25Queries(docs, queryTable, k1, b, topK)
       .select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
       .localCheckpoint(eager = false)
-    val candIds = cands.select("doc_id").distinct()
-    // pruned re-read: only candidate docs are re-tokenized, positions
-    // kept (1-based, matching the oracle's list indexing)
+    // query-load-sized collect (≤ |queries|·topK ids) — the documented
+    // bounded-collect class; materializes the retrieval checkpoint the
+    // downstream branches reuse
+    val candIdSeq = cands.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // pruned re-read: the id list pushes to the parquet scan
+    // (PushedFilters: In(doc_id, …)), so only candidate row groups are
+    // read; only candidate docs are re-tokenized, positions kept
+    // (1-based, matching the oracle's list indexing)
     val candToks = docs
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isin(candIdSeq: _*))
       .select(col("doc_id"),
         posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
       .where(col("w") =!= "")

@@ -486,9 +486,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // the candidate re-read filters on the COLLECTED id list (INSET),
+    // not a semi-join — a semi-join re-read scans the whole corpus
+    // (the ladder's growth term before the pushdown)
+    assert(p.contains("INSET"), p)
     // the final cut's window partitions on qid (≤ topK rows per qid by
     // construction — the schema-bounded window class)
     assert(p.contains("hashpartitioning(qid"), p)
+    // the parquet scan itself sits behind the matched-positions
+    // barrier; prove the pushdown on the pre-barrier pattern — a
+    // candidate-page-sized isin() over the documents relation reaches
+    // the scan as PushedFilters In(doc_id, …)
+    val pre = planOf(ctx.documents.filter(
+      org.apache.spark.sql.functions.col("doc_id")
+        .isin((0L until 50L): _*)))
+    assert(pre.contains("PushedFilters: [In(doc_id"), pre)
   }
 
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
