@@ -3810,23 +3810,36 @@ object Dedup {
 
   /** DuckDB oracle for [[substringStoreReport]] over a store holding
     * the WHOLE `documents` table (base build + loop-appended batches):
-    * recompute every length-`minLen` window's 60-bit md5 key and its
-    * exact multiplicity from the raw table, then the same census.
+    * recompute every length-`minLen` window's md5 key (60-bit, or the
+    * two 120-bit halves under `wide`) and its exact multiplicity from
+    * the raw table, then the same census with the same key-folding
+    * content hash.
     */
-  def ingestSubstringSql(minLen: Int = 40): String = {
+  def ingestSubstringSql(minLen: Int = 40, wide: Boolean = false): String = {
     val L = minLen
+    val keyDefs =
+      if (wide)
+        """CAST('0x' || substring(h, 1, 15) AS BIGINT) AS gh,
+          |    CAST('0x' || substring(h, 16, 15) AS BIGINT) AS gh2""".stripMargin
+      else "CAST('0x' || substring(h, 1, 15) AS BIGINT) AS gh"
+    val groupKeys = if (wide) "1, 2" else "1"
+    val hashKeys =
+      if (wide) "CAST(gh AS VARCHAR) || ':' || CAST(gh2 AS VARCHAR)"
+      else "CAST(gh AS VARCHAR)"
     s"""WITH d AS (
        |  SELECT doc_id, text, length(text) AS n FROM documents),
        |g AS (
-       |  SELECT CAST('0x' || substring(md5(
-       |      substring(text, CAST(i AS INT), $L)), 1, 15) AS BIGINT)
-       |    AS gh
-       |  FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)),
-       |c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY 1)
+       |  SELECT $keyDefs
+       |  FROM (
+       |    SELECT md5(substring(text, CAST(i AS INT), $L)) AS h
+       |    FROM d, UNNEST(range(1, greatest(n - $L + 1, 0) + 1)) AS u(i)
+       |  ) hh),
+       |c AS (SELECT ${if (wide) "gh, gh2" else "gh"}, count(*) AS cnt
+       |      FROM g GROUP BY $groupKeys)
        |SELECT gh % 16 AS bucket,
        |  count(*) AS n_grams,
        |  CAST(SUM(cnt) AS BIGINT) AS n_windows,
-       |  bit_xor(CAST('0x' || substring(md5(CAST(gh AS VARCHAR) || ':'
+       |  bit_xor(CAST('0x' || substring(md5($hashKeys || ':'
        |    || CAST(cnt AS VARCHAR)), 1, 15) AS BIGINT)) AS xor_hash
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   }

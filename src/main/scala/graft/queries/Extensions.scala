@@ -684,6 +684,16 @@ object Extensions {
         new java.io.File(c.dir).getName + "_iloop")
       Dedup.substringStoreReport(c.spark, s"$root/substr")
     }),
+    // the WIDE-key store censused directly: exact bucketed totals +
+    // the two-key-folding xor content hash vs a from-scratch DuckDB
+    // recomputation of both 60-bit md5 halves — the 120-bit layout's
+    // own content certification (the probe entries certify its
+    // VERDICTS; this certifies the stored counts themselves)
+    "dedup_substring_census_wide" -> (c => {
+      val store = Dedup.ensureSubstringStore(c.documents,
+        new java.io.File(c.dir).getName + "_substrcw", wideKeys = true)
+      Dedup.substringStoreReport(c.spark, store)
+    }),
     "dedup_within_doc" -> (c => Dedup.withinDocDedup(c.documents)),
     "pipeline_corpus_stats" -> (c => CorpusPipeline.corpusStats(c.documents)),
     "pipeline_decontaminate" -> (c => CorpusPipeline.decontaminate(c.documents)),
@@ -909,6 +919,8 @@ object Extensions {
     "pipeline_ingest_profile" ->
       Profiling.driftSqlOver("1 = 1", "doc_id % 2 = 0"),
     "pipeline_ingest_substring" -> Dedup.ingestSubstringSql(),
+    "dedup_substring_census_wide" ->
+      Dedup.ingestSubstringSql(wide = true),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
     "dedup_split_leakage" -> Dedup.splitLeakageSql(),
     // store round-trip must be invisible — same oracle as the one-shot
