@@ -1170,6 +1170,7 @@ object Dedup {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureContainmentStore")
     val path = s"/tmp/graft_ctstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
       s"${chunkWords}w${stride}s${numHashes}x${bands}" +
@@ -1645,6 +1646,7 @@ object Dedup {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureSignatureStore")
     val path = s"/tmp/graft_sigstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
       s"${numHashes}x${bands}m$sampleMod"
@@ -2885,6 +2887,7 @@ object Dedup {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureClusterMap")
     val path = s"/tmp/graft_clustermap_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
       s"m$sampleMod"
@@ -2910,6 +2913,7 @@ object Dedup {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureAppendedClusterMap")
     val path = s"/tmp/graft_clustermap_app_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
       s"m$sampleMod"

@@ -100,6 +100,7 @@ object IngestLoop {
       expr("bit_xor(xxhash64(doc_id, text, source, lang, n_chars))")
         .as("xh"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureIngestLoop")
     // `_ix` marks the generation that also carries the index +
     // profile artifacts — pre-r12-late roots lack them and must
     // rebuild by PATH, not pass the completeness gate

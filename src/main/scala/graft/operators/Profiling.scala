@@ -555,6 +555,7 @@ object Profiling {
     val fp = ref.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, source, lang, n_chars))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureProfileStore")
     val path = s"/tmp/graft_profilestore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -668,6 +669,7 @@ object Profiling {
         expr("bit_xor(xxhash64(event_id, event_type, value, ts))")
           .as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureEventProfileStore")
     val path = s"/tmp/graft_evprofile_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(

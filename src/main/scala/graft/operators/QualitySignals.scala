@@ -819,6 +819,7 @@ object QualitySignals {
       .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureLmStore")
     // `iln`: the r14 integer-ln vocab layout — keeps a pre-r14 store
     // (libm lps at the same content fingerprint) from being reused
     val path = s"/tmp/graft_lmstore_iln_${tag}_${fp.getLong(0)}_" +

@@ -438,6 +438,7 @@ object SearchIndex {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureAppendedIndexStore")
     val path = s"/tmp/graft_searchindex_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = fsOf(docs)

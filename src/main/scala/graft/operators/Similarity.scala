@@ -1055,6 +1055,7 @@ object Similarity {
     val fp = base.agg(count(lit(1)).as("n"), max(col("vec_id")).as("mx"),
       expr("bit_xor(xxhash64(vec_id, cast(embedding as string)))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureSemanticStore")
     val path = s"/tmp/graft_semstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
       s"c${cells}i${iters}p"

@@ -139,6 +139,7 @@ object Sketches {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, text, source))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureSketchStore")
     val path = s"/tmp/graft_sketchstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -214,6 +215,7 @@ object Sketches {
     val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
         expr("bit_xor(xxhash64(doc_id, n_chars, source))").as("h"))
       .collect().head
+    StoreSwap.requireNonEmptyFp(fp, "ensureQuantileStore")
     val path = s"/tmp/graft_qstore_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     val fs = org.apache.hadoop.fs.FileSystem.get(

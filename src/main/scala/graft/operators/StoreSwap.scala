@@ -23,6 +23,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object StoreSwap {
 
+  /** Null-safe gate for ensure-path content fingerprints: every
+    * ensure* helper fingerprints its input as
+    * (count, max(id), bit_xor(hash)) and interpolates the row into a
+    * /tmp path — but max()/bit_xor() are NULL on an EMPTY frame, so a
+    * bare getLong surfaces as an opaque NullPointerException (the r15
+    * ADVICE defect class on the substring helpers, audited repo-wide
+    * in r16). Helpers whose empty-input semantics are spec-defined
+    * (the substring store) handle the case themselves; every other
+    * ensure* routes its fingerprint row through this gate and fails
+    * LOUDLY, naming the helper and the cause.
+    */
+  def requireNonEmptyFp(r: org.apache.spark.sql.Row,
+      who: String): org.apache.spark.sql.Row = {
+    require(r.getLong(0) > 0L,
+      s"$who: empty input frame — content fingerprint undefined " +
+        "(max/bit_xor aggregate NULL)")
+    r
+  }
+
   /** Atomically make `tmp` the new content of `dst`. `tmp` must be a
     * fully-written directory (all files + completeness markers). Any
     * stale `.old` from a previous crashed publish is swept first —

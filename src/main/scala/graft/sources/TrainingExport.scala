@@ -275,6 +275,7 @@ object TrainingExport {
         expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))")
           .as("h"))
       .collect().head
+    graft.operators.StoreSwap.requireNonEmptyFp(fp, "ensureExport")
     val path = s"/tmp/graft_export_${tag}_${fp.getLong(0)}_" +
       s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
     exportShards(docs, path, shards, waves)

@@ -85,4 +85,27 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(plain == salted)
     assert(Kernels.saltedJoin(big, small, Seq("k")).columns.count(_ == "k") == 1)
   }
+
+  test("ensure* helpers refuse an EMPTY input frame loudly (r16 " +
+    "repo-wide audit of the null-fingerprint NPE class)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text", "web", "en", 9L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .filter("doc_id < 0") // empty, full schema
+    val emb = Seq((1L, Array(0.1f), 0L))
+      .toDF("vec_id", "embedding", "label")
+      .filter("vec_id < 0")
+    def refused(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("empty input frame"), e.getMessage)
+    }
+    refused(graft.operators.Dedup.ensureSignatureStore(docs, "emptyspec"))
+    refused(graft.operators.Dedup.ensureClusterMap(docs, "emptyspec"))
+    refused(graft.operators.IngestLoop.ensureIngestLoop(docs, "emptyspec"))
+    refused(graft.operators.Sketches.ensureSketchStore(docs, "emptyspec"))
+    refused(graft.operators.Profiling.ensureProfileStore(docs, "emptyspec"))
+    refused(graft.operators.QualitySignals.ensureLmStore(docs, "emptyspec"))
+    refused(graft.operators.Similarity.ensureSemanticStore(emb, "emptyspec"))
+    refused(graft.sources.TrainingExport.ensureExport(docs, "emptyspec"))
+  }
 }
