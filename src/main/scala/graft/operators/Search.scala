@@ -366,12 +366,25 @@ object Search {
   def bm25Rerank(docs: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5): DataFrame =
+    rerankCandidates(docs, bm25Queries(docs, queryTable, k1, b, topK),
+      queryTable, topR)
+
+  /** The rerank tail over ANY retrieval page carrying
+    * (qid, doc_id, rk) — shared by the fresh path ([[bm25Rerank]])
+    * and the persisted-index path
+    * ([[graft.operators.SearchIndex.bm25FromStore]]): store retrieval
+    * ≡ fresh is already oracle-proven, so ONE rerank oracle covers
+    * both compositions.
+    */
+  def rerankCandidates(docs: DataFrame, page: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
       topR: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // candidate page: consumed three times (id pruning, pair
     // restriction, final join) — barrier per the r7 convention
-    val cands = bm25Queries(docs, queryTable, k1, b, topK)
+    val cands = page
       .select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
       .localCheckpoint(eager = false)
     // query-load-sized collect (≤ |queries|·topK ids) — the documented

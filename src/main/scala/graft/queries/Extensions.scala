@@ -675,6 +675,17 @@ object Extensions {
       Profiling.driftFromStore(c.spark, s"$root/profile",
         c.documents.filter(pmod(col("doc_id"), lit(2L)) === 0))
     }),
+    // the FULL retrieval pipeline over the loop-grown PERSISTED index:
+    // store retrieval (wb-partition-pruned) → rerank — the unchanged
+    // fresh-path rerank oracle proves retrieve→rank→rerank composes
+    // with the store family end-to-end (append ≡ fresh THROUGH the
+    // interaction scoring and the final cut)
+    "pipeline_ingest_rerank" -> (c => {
+      val root = IngestLoop.ensureIngestLoop(c.documents,
+        new java.io.File(c.dir).getName + "_iloop")
+      Search.rerankCandidates(c.documents,
+        SearchIndex.bm25FromStore(c.spark, s"$root/index"))
+    }),
     // the loop-grown substring gram-count store, censused: exact
     // bucketed totals + portable xor content hash vs a from-scratch
     // recomputation — append ≡ fresh for the r15 family THROUGH the
@@ -1007,6 +1018,8 @@ object Extensions {
     "text_bm25_topk" -> Search.bm25TopKSql(),
     "text_bm25_queries" -> Search.bm25QueriesSql(),
     "text_bm25_rerank" -> Search.bm25RerankSql(),
+    // store-fed rerank must be INVISIBLE vs the fresh pipeline
+    "pipeline_ingest_rerank" -> Search.bm25RerankSql(),
     "text_bm25_store" -> Search.bm25QueriesSql(),
     "text_repetition" -> QualitySignals.repetitionSql(),
     "text_unigram_lm" -> QualitySignals.unigramLmSql,
