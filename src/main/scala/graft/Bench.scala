@@ -89,11 +89,22 @@ object Bench {
   def calibrationProbeParallel(threads: Int): Double = {
     val t0 = System.nanoTime()
     val sink = new java.util.concurrent.atomic.AtomicLong()
+    // completion counter: a thread dying (e.g. OOM on its array)
+    // would otherwise under-measure silently — join() still returns
+    // and the surviving folds keep the sink non-zero, so the probe
+    // would report N threads' window from N−1 threads' work (the
+    // exact blind-window class it exists to close). Fail loudly.
+    val done = new java.util.concurrent.atomic.AtomicLong()
     val ts = (0 until threads).map { tid =>
-      val t = new Thread(() => probeWork(tid, rounds = 2, n = 1 << 21, sink))
+      val t = new Thread(() => {
+        probeWork(tid, rounds = 2, n = 1 << 21, sink)
+        done.incrementAndGet()
+      })
       t.start(); t
     }
     ts.foreach(_.join())
+    require(done.get() == threads,
+      s"calibration probe lost threads: ${done.get()}/$threads completed")
     require(sink.get() != 0L)
     (System.nanoTime() - t0) / 1e9
   }

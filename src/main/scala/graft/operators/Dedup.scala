@@ -3721,6 +3721,28 @@ object Dedup {
     nBatches
   }
 
+  /** The store-side prune shared by BOTH probe paths
+    * ([[exactSubstringDedupIncremental]], [[substringDecontaminate]])
+    * — one definition so the cap policy and the prune shape cannot
+    * diverge between them. `probeKeys` must be DISTINCT key tuples.
+    * Within cap: the keys broadcast into the store scan — the store
+    * never shuffles. Over cap: a shuffle_hash left-semi prune, which
+    * SHUFFLES THE FULL STORE's (key, cnt) rows once — the honest cost
+    * of an over-cap probe (the job degrades to one store-sized
+    * exchange instead of failing the broadcast; every aggregate after
+    * the prune is still probe-sized). The key count is one job over
+    * the caller's checkpointed key frame (construction-eager, see
+    * callers' scaladoc).
+    */
+  private def prunedSubstringScan(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, probeKeys: DataFrame, keys: Seq[String],
+      maxBroadcastKeys: Long): DataFrame =
+    if (probeKeys.count() <= maxBroadcastKeys)
+      readSubstringRaw(spark, storePath).join(broadcast(probeKeys), keys)
+    else
+      readSubstringRaw(spark, storePath)
+        .join(probeKeys.hint("shuffle_hash"), keys, "left_semi")
+
   /** Exact-substring dedup of an ingest BATCH against the persisted
     * gram-count store — per-batch cost proportional to the delta, the
     * base corpus never re-read beyond a store probe. A delta window is
@@ -3737,15 +3759,18 @@ object Dedup {
     * overlay batches overlap. No windows anywhere; reassembly is the
     * shared per-doc span tail.
     *
-    * Broadcast guard: a real ingest batch can carry hundreds of
+    * Broadcast guard ([[prunedSubstringScan]], shared with the
+    * decontaminate probe): a real ingest batch can carry hundreds of
     * millions of distinct gram keys — far past driver memory and the
     * broadcast cap — so the probe counts them first and, above
-    * `maxBroadcastKeys`, prunes the store with a shuffle_hash
-    * left-semi join instead (the store pays one shuffle of its
-    * pruned keys; the job degrades instead of failing). Construction
-    * is therefore EAGER (the key count — one job over the
-    * checkpointed per-key frame, which every downstream branch reuses
-    * anyway; the [[guardedSelfJoinPairs]] documentation convention).
+    * `maxBroadcastKeys`, degrades to a shuffle_hash left-semi prune.
+    * The degraded branch shuffles the FULL store's (key, cnt) rows
+    * once (the honest over-cap cost: one store-sized exchange instead
+    * of a failed broadcast; post-prune aggregates stay probe-sized).
+    * Construction is therefore EAGER (the key count — one job over
+    * the checkpointed per-key frame, which every downstream branch
+    * reuses anyway; the [[guardedSelfJoinPairs]] documentation
+    * convention).
     */
   def exactSubstringDedupIncremental(delta: DataFrame,
       storePath: String,
@@ -3762,14 +3787,8 @@ object Dedup {
     val deltaCnt = grams.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("dcnt"))
       .localCheckpoint(false)
-    val probeKeys = deltaCnt.select(keys.map(col): _*)
-    val pruned =
-      if (deltaCnt.count() <= maxBroadcastKeys)
-        readSubstringRaw(spark, storePath)
-          .join(broadcast(probeKeys), keys)
-      else
-        readSubstringRaw(spark, storePath)
-          .join(probeKeys.hint("shuffle_hash"), keys, "left_semi")
+    val pruned = prunedSubstringScan(spark, storePath,
+      deltaCnt.select(keys.map(col): _*), keys, maxBroadcastKeys)
     val baseCnt = pruned.groupBy(keys.map(col): _*)
       .agg(sum("cnt").as("bcnt"))
     val dupGh = deltaCnt.join(baseCnt.hint("shuffle_hash"), keys, "left")
@@ -3863,8 +3882,10 @@ object Dedup {
     * reassembly; output reports the probe docs with contaminated
     * spans stripped. Same broadcast guard (and the same documented
     * construction-eager key count) as
-    * [[exactSubstringDedupIncremental]]: an over-`maxBroadcastKeys`
-    * probe falls back to a shuffle_hash left-semi prune.
+    * [[exactSubstringDedupIncremental]] — the ONE shared
+    * [[prunedSubstringScan]]: an over-`maxBroadcastKeys` probe
+    * degrades to a shuffle_hash left-semi prune that shuffles the
+    * full store once.
     */
   def substringDecontaminate(probe: DataFrame,
       storePath: String,
@@ -3880,13 +3901,8 @@ object Dedup {
     val grams = substringGrams(probe, minLen, wide).localCheckpoint(false)
     val probeKeys = grams.select(keys.map(col): _*).distinct()
       .localCheckpoint(false)
-    val pruned =
-      if (probeKeys.count() <= maxBroadcastKeys)
-        readSubstringRaw(spark, storePath)
-          .join(broadcast(probeKeys), keys)
-      else
-        readSubstringRaw(spark, storePath)
-          .join(probeKeys.hint("shuffle_hash"), keys, "left_semi")
+    val pruned = prunedSubstringScan(spark, storePath, probeKeys,
+      keys, maxBroadcastKeys)
     val hit = pruned.select(keys.map(col): _*).distinct()
     val dupStarts = grams.join(hit.hint("shuffle_hash"), keys)
       .groupBy("doc_id")
