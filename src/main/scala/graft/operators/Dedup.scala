@@ -1166,13 +1166,9 @@ object Dedup {
   def ensureContainmentStore(baseDocs: DataFrame, tag: String,
       chunkWords: Int = 16, stride: Int = 8, numHashes: Int = 16,
       bands: Int = 4, sampleMod: Int = 2): String = {
-    val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureContainmentStore")
-    val path = s"/tmp/graft_ctstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+    val fp = StoreSwap.contentFp(baseDocs, "ensureContainmentStore",
+      "doc_id", Seq("doc_id", "text"))
+    val path = s"/tmp/graft_ctstore_${tag}_${fp.tag}_" +
       s"${chunkWords}w${stride}s${numHashes}x${bands}" +
       s"m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -1642,13 +1638,9 @@ object Dedup {
     */
   def ensureSignatureStore(baseDocs: DataFrame, tag: String,
       numHashes: Int = 16, bands: Int = 4, sampleMod: Int = 2): String = {
-    val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureSignatureStore")
-    val path = s"/tmp/graft_sigstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
+    val fp = StoreSwap.contentFp(baseDocs, "ensureSignatureStore",
+      "doc_id", Seq("doc_id", "text"))
+    val path = s"/tmp/graft_sigstore_${tag}_${fp.tag}_" +
       s"${numHashes}x${bands}m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
@@ -2883,14 +2875,9 @@ object Dedup {
     */
   def ensureClusterMap(docs: DataFrame, tag: String,
       sampleMod: Int = 2): String = {
-    val fp = docs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureClusterMap")
-    val path = s"/tmp/graft_clustermap_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
-      s"m$sampleMod"
+    val fp = StoreSwap.contentFp(docs, "ensureClusterMap",
+      "doc_id", Seq("doc_id", "text"))
+    val path = s"/tmp/graft_clustermap_${tag}_${fp.tag}_m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path))
@@ -2909,18 +2896,13 @@ object Dedup {
     */
   def ensureAppendedClusterMap(docs: DataFrame, tag: String,
       sampleMod: Int = 2): String = {
-    val fp = docs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureAppendedClusterMap")
-    val path = s"/tmp/graft_clustermap_app_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
-      s"m$sampleMod"
+    val fp = StoreSwap.contentFp(docs, "ensureAppendedClusterMap",
+      "doc_id", Seq("doc_id", "text"))
+    val path = s"/tmp/graft_clustermap_app_${tag}_${fp.tag}_m$sampleMod"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSignatureStore(fs, path)) {
-      val thr = (fp.getLong(1) * 4L) / 5L
+      val thr = (fp.maxId * 4L) / 5L
       val baseDocs = docs.filter(col("doc_id") < thr)
       val deltaDocs = docs.filter(col("doc_id") >= thr)
       val sigStore = ensureSignatureStore(baseDocs, tag + "_appbase",
@@ -3577,9 +3559,21 @@ object Dedup {
     * LM store's `iln` path-discriminator lesson, r14). Atomic
     * temp+rename publish; counts are ADDITIVE, so append ≡ fresh
     * EXACTLY and compaction is a pure re-layout.
+    *
+    * `wideKeys` defaults to TRUE (r17 flip): the narrow 60-bit layout
+    * starts merge-colliding around 2^30 distinct grams — comfortably
+    * reachable at the 100 TB design point — and a NEW production
+    * store should not need its caller to know that; the wide 120-bit
+    * layout keeps any-collision probability below 2^-28 there
+    * (docs/SCALE.md). Narrow (`wideKeys = false`) stays available —
+    * half the key bytes, spec-lawed ≡ wide, never MISSES a duplicate
+    * (collisions only inflate counts) — for corpora provably under
+    * ~10^8 distinct grams. Width is a STORE property: consumers
+    * derive it from `_meta_keywidth`, so existing narrow stores are
+    * untouched by the flip and rebuilt stores migrate silently.
     */
   def writeSubstringStore(docs: DataFrame, path: String,
-      minLen: Int = 40, wideKeys: Boolean = false): Unit = {
+      minLen: Int = 40, wideKeys: Boolean = true): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -3976,7 +3970,7 @@ object Dedup {
     * stale counts.
     */
   def ensureSubstringStore(baseDocs: DataFrame, tag: String,
-      minLen: Int = 40, wideKeys: Boolean = false): String = {
+      minLen: Int = 40, wideKeys: Boolean = true): String = {
     val path = s"/tmp/graft_substrstore_${tag}_" +
       s"${substringEnsureFp(baseDocs)}_L$minLen" +
       (if (wideKeys) "_w120" else "")
@@ -3997,7 +3991,7 @@ object Dedup {
     * is path-cached and the append replays as a marker no-op.
     */
   def ensureAppendedSubstringStore(base: DataFrame, batch: DataFrame,
-      tag: String, minLen: Int = 40, wideKeys: Boolean = false): String = {
+      tag: String, minLen: Int = 40, wideKeys: Boolean = true): String = {
     val path = s"/tmp/graft_substrstore_${tag}_${substringEnsureFp(base)}" +
       s"__${substringEnsureFp(batch)}_L$minLen" +
       (if (wideKeys) "_w120" else "")

@@ -96,20 +96,19 @@ object IngestLoop {
     // whose postings depend on the WORDS — a same-ids/same-lengths
     // regenerated fixture (the amplifier's alphabet permutation is
     // exactly that shape) must rebuild, not serve stale postings
-    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-      expr("bit_xor(xxhash64(doc_id, text, source, lang, n_chars))")
-        .as("xh"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureIngestLoop")
+    val fp = StoreSwap.contentFp(docs, "ensureIngestLoop", "doc_id",
+      Seq("doc_id", "text", "source", "lang", "n_chars"))
     // `_ix` marks the generation that also carries the index +
     // profile artifacts — pre-r12-late roots lack them and must
     // rebuild by PATH, not pass the completeness gate
     // `_ixs` marks the generation that also carries the substring
-    // gram-count store (r15) — older roots rebuild by PATH
-    val root = s"/tmp/graft_ingestloop_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_" +
-      java.lang.Long.toHexString(fp.getLong(2)) +
-      s"_m${sampleMod}s${shards}_ixs"
+    // gram-count store (r15); `_ixw` the generation whose gram store
+    // is WIDE-keyed (the r17 default flip — a stored value's
+    // derivation changed, so the ensure path must bump or stale
+    // narrow-key roots would serve a width the census oracle no
+    // longer expects)
+    val root =
+      s"/tmp/graft_ingestloop_${tag}_${fp.tag}_m${sampleMod}s${shards}_ixw"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!Dedup.isCompleteSignatureStore(fs, root)) {
@@ -117,7 +116,7 @@ object IngestLoop {
       val bp = new org.apache.hadoop.fs.Path(building)
       fs.delete(bp, true)
       fs.mkdirs(bp)
-      val thr = (fp.getLong(1) * 4L) / 5L
+      val thr = (fp.maxId * 4L) / 5L
       val base = docs.filter(col("doc_id") < thr)
       val delta = docs.filter(col("doc_id") >= thr)
       Dedup.writeSignatureStore(base, s"$building/sigs",

@@ -552,12 +552,9 @@ object Profiling {
     * possible build run at construction).
     */
   def ensureProfileStore(ref: DataFrame, tag: String): String = {
-    val fp = ref.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, source, lang, n_chars))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureProfileStore")
-    val path = s"/tmp/graft_profilestore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = StoreSwap.contentFp(ref, "ensureProfileStore",
+      "doc_id", Seq("doc_id", "source", "lang", "n_chars"))
+    val path = s"/tmp/graft_profilestore_${tag}_${fp.tag}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       ref.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteProfileStore(fs, path)) writeProfileStore(ref, path)
@@ -664,14 +661,9 @@ object Profiling {
     // include hour(ts): a regenerated fixture with identical
     // ids/types/values but shifted timestamps must rebuild, not reuse
     // a stale hour-of-day baseline (r10 same-shape-regeneration rule)
-    val fp = events.agg(count(lit(1)).as("n"),
-        max(col("event_id")).as("mx"),
-        expr("bit_xor(xxhash64(event_id, event_type, value, ts))")
-          .as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureEventProfileStore")
-    val path = s"/tmp/graft_evprofile_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = StoreSwap.contentFp(events, "ensureEventProfileStore",
+      "event_id", Seq("event_id", "event_type", "value", "ts"))
+    val path = s"/tmp/graft_evprofile_${tag}_${fp.tag}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       events.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteProfileStore(fs, path))

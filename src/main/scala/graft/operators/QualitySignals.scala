@@ -815,15 +815,11 @@ object QualitySignals {
     * never silently reuse a stale persisted LM (r10, ADVICE).
     */
   def ensureLmStore(baseDocs: DataFrame, tag: String): String = {
-    val fp = baseDocs
-      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureLmStore")
+    val fp = StoreSwap.contentFp(baseDocs, "ensureLmStore",
+      "doc_id", Seq("doc_id", "text"))
     // `iln`: the r14 integer-ln vocab layout — keeps a pre-r14 store
     // (libm lps at the same content fingerprint) from being reused
-    val path = s"/tmp/graft_lmstore_iln_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val path = s"/tmp/graft_lmstore_iln_${tag}_${fp.tag}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       baseDocs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteLmStore(fs, path)) writeLmStore(baseDocs, path)

@@ -353,33 +353,77 @@ object Search {
     * re-read as a parquet `In` filter (row-group stats skip everything
     * else — a broadcast semi-join would still scan the full corpus;
     * the ladder showed exactly that growth term before the pushdown),
-    * tokens explode for candidate docs only, the adjacency pass is an
+    * behind a COUNTED cap guard ([[prunedCandidateScan]]): past
+    * `maxPushdownIds` the re-read degrades to a shuffle_hash
+    * left-semi prune instead of an unbounded driver collect. Tokens
+    * explode for candidate docs only, the adjacency pass is an
     * equi-join on (qid, doc_id, pos+1) over that bounded frame, and
     * the final cut is a per-qid window bounded by construction
-    * (≤ topK rows per qid). Construction-EAGER (the candidate-page
-    * collect — one query-load-sized read off the retrieval
-    * checkpoint, which every downstream branch reuses; documented per
-    * the [[graft.operators.Dedup.guardedSelfJoinPairs]] convention);
+    * (≤ topK rows per qid). Construction-EAGER (the candidate-id
+    * count + bounded collect — one query-load-sized read off the
+    * retrieval checkpoint, which every downstream branch reuses;
+    * documented per the
+    * [[graft.operators.Dedup.guardedSelfJoinPairs]] convention);
     * the only corpus-sized work is the retrieval stage it shares with
     * [[bm25Queries]].
     */
   def bm25Rerank(docs: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
-      topR: Int = 5): DataFrame =
+      topR: Int = 5,
+      maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame =
     rerankCandidates(docs, bm25Queries(docs, queryTable, k1, b, topK),
-      queryTable, topR)
+      queryTable, topR, maxPushdownIds)
 
-  /** The rerank tail over ANY retrieval page carrying
-    * (qid, doc_id, rk) — shared by the fresh path ([[bm25Rerank]])
-    * and the persisted-index path
-    * ([[graft.operators.SearchIndex.bm25FromStore]]): store retrieval
-    * ≡ fresh is already oracle-proven, so ONE rerank oracle covers
-    * both compositions.
+  /** Default cap on the candidate-id pushdown ([[prunedCandidateScan]]):
+    * 100k ids ≈ a few MB of filter literals — comfortably inside
+    * driver memory and the scan's In/INSET machinery, far above the
+    * fixture's query load (|queries|·topK ≤ tens). Past it the re-read
+    * degrades rather than collecting an unbounded list.
     */
-  def rerankCandidates(docs: DataFrame, page: DataFrame,
-      queryTable: Seq[(Long, String)] = defaultQueryTable,
-      topR: Int = 5): DataFrame = {
+  val defaultMaxPushdownIds: Long = 100000L
+
+  /** The candidate-pruned corpus re-read shared by every rerank path —
+    * ONE definition so the cap policy and the prune shape cannot
+    * diverge (the [[graft.operators.Dedup]] `prunedSubstringScan`
+    * discipline). `candIds` must be the DISTINCT candidate doc_ids.
+    *
+    * Within cap: a bounded collect (the count is verified FIRST, so
+    * the collect is provably ≤ `maxPushdownIds` rows) pushes the id
+    * list into the parquet scan as `PushedFilters: In(doc_id, …)` —
+    * row-group stats skip everything else, so the re-read is
+    * page-sized, never corpus-sized (a broadcast semi-join would still
+    * scan the full corpus; the ladder showed exactly that growth term
+    * before the pushdown — CLAUDE.md r16 convention).
+    *
+    * Over cap: a shuffle_hash left-semi prune against the candidate-id
+    * frame — the honest degraded cost is ONE full corpus scan plus a
+    * corpus-sized exchange (no driver collect, no broadcast), after
+    * which everything downstream is candidate-page-sized again. The
+    * count makes construction EAGER (one job over the caller's
+    * checkpointed page, which every downstream branch reuses anyway).
+    */
+  private[graft] def prunedCandidateScan(docs: DataFrame,
+      candIds: DataFrame, maxPushdownIds: Long): DataFrame =
+    if (candIds.count() <= maxPushdownIds) {
+      val ids = candIds.collect().map(_.getLong(0)).sorted.toSeq
+      docs.filter(col("doc_id").isin(ids: _*))
+    } else
+      docs.join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+
+  /** Shared interaction-FEATURE stage over a retrieval page — the
+    * candidate plumbing every rerank scorer (the lexical packer in
+    * [[rerankCandidates]], the model dot product in
+    * [[rerankModelCandidates]], a future learned cross-encoder) plugs
+    * into: one row per (qid, candidate) with
+    * (coverage, n_adj, tf_q, first_pos, bm25_rk). Construction-EAGER
+    * (the candidate-id count + bounded collect inside
+    * [[prunedCandidateScan]] — documented per the
+    * [[graft.operators.Dedup.guardedSelfJoinPairs]] convention).
+    */
+  private def rerankFeatures(docs: DataFrame, page: DataFrame,
+      queryTable: Seq[(Long, String)],
+      maxPushdownIds: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // candidate page: consumed three times (id pruning, pair
@@ -387,21 +431,16 @@ object Search {
     val cands = page
       .select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
       .localCheckpoint(eager = false)
-    // query-load-sized collect (≤ |queries|·topK ids) — the documented
-    // bounded-collect class; materializes the retrieval checkpoint the
-    // downstream branches reuse
-    val candIdSeq = cands.select("doc_id").distinct().collect()
-      .map(_.getLong(0)).sorted.toSeq
-    // pruned re-read: the id list pushes to the parquet scan
-    // (PushedFilters: In(doc_id, …)), so only candidate row groups are
-    // read; only candidate docs are re-tokenized, positions kept
-    // (1-based, matching the oracle's list indexing)
-    val candToks = docs
-      .filter(col("doc_id").isin(candIdSeq: _*))
-      .select(col("doc_id"),
-        posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
-      .where(col("w") =!= "")
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    // cap-guarded pruned re-read (see [[prunedCandidateScan]]); only
+    // candidate docs are re-tokenized, positions kept (1-based,
+    // matching the oracle's list indexing)
+    val candToks =
+      prunedCandidateScan(docs, cands.select("doc_id").distinct(),
+          maxPushdownIds)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
     val queries = queryTable.toDF("qid", "qtext")
     val qterms = queries.select(col("qid"),
         explode(TextFunctions.words(col("qtext"))).as("w"))
@@ -428,36 +467,121 @@ object Search {
       .agg(countDistinct(col("w")).as("coverage"),
         count(lit(1)).as("tf_q"),
         min(col("pos")).cast("bigint").as("first_pos"))
-    val rerankS = col("coverage") * lit(10000000000000L) +
-      least(col("n_adj"), lit(9999L)) * lit(100000000L) +
-      least(col("tf_q"), lit(9999L)) * lit(10000L) +
-      (lit(9999L) - least(col("first_pos"), lit(9999L)))
-    import org.apache.spark.sql.expressions.Window
-    // window bound: ≤ topK candidate rows per qid by construction
-    // (the bm25Queries bounded heap emits exactly the page) — the
-    // sanctioned schema-bounded window class
-    val byQ = Window.partitionBy("qid")
-      .orderBy(col("rerank_s").desc, col("doc_id"))
     cands
       .join(feats.hint("shuffle_hash"), Seq("qid", "doc_id"))
       .join(adj.hint("shuffle_hash"), Seq("qid", "doc_id"), "left")
       .withColumn("n_adj", coalesce(col("n_adj"), lit(0L)))
-      .withColumn("rerank_s", rerankS)
+  }
+
+  /** The per-qid (score desc, doc_id) cut shared by both scorers.
+    * Window bound: ≤ topK candidate rows per qid by construction (the
+    * bm25Queries bounded heap emits exactly the page) — the sanctioned
+    * schema-bounded window class.
+    */
+  private def rerankCut(scored: DataFrame, scoreCol: String,
+      topR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid")
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    scored
       .withColumn("rrk", row_number().over(byQ).cast("bigint"))
       .filter(col("rrk") <= topR)
       .select("qid", "doc_id", "coverage", "n_adj", "tf_q",
-        "first_pos", "rerank_s", "bm25_rk", "rrk")
+        "first_pos", scoreCol, "bm25_rk", "rrk")
       .orderBy("qid", "rrk")
   }
 
-  /** DuckDB oracle for [[bm25Rerank]] — the SAME retrieval CTE chain
-    * as [[bm25QueriesSql]] (one generator), extended with the
-    * candidate re-tokenization, the adjacency pass, and the packed
-    * integer rerank score.
+  /** The rerank tail over ANY retrieval page carrying
+    * (qid, doc_id, rk) — shared by the fresh path ([[bm25Rerank]])
+    * and the persisted-index path
+    * ([[graft.operators.SearchIndex.bm25FromStore]]): store retrieval
+    * ≡ fresh is already oracle-proven, so ONE rerank oracle covers
+    * both compositions.
     */
-  def bm25RerankSql(queryTable: Seq[(Long, String)] = defaultQueryTable,
+  def rerankCandidates(docs: DataFrame, page: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
+      topR: Int = 5,
+      maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame = {
+    val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
+    val rerankS = col("coverage") * lit(10000000000000L) +
+      least(col("n_adj"), lit(9999L)) * lit(100000000L) +
+      least(col("tf_q"), lit(9999L)) * lit(10000L) +
+      (lit(9999L) - least(col("first_pos"), lit(9999L)))
+    rerankCut(f.withColumn("rerank_s", rerankS), "rerank_s", topR)
+  }
+
+  /** Deterministic integer-grid model weights (the
+    * [[graft.operators.QualitySignals]] linearClassifier fixture
+    * convention): w_i derives from md5("rrw:i"), signed, in
+    * [-1e6, 1e6] — i.e. weight·1e6 on an integer grid. The weights are
+    * plan-time LITERALS on both engines (no cross-engine hash is
+    * involved), so a trained reranker swaps in its own grid with zero
+    * dataflow change.
+    */
+  val defaultRerankWeights: Seq[Long] = (0 until 4).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rrw:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2000001L) - 1000000L
+  }
+
+  /** MODEL rerank: the learned-reranker seam made concrete — a linear
+    * scorer over the SAME candidate plumbing as the lexical packer
+    * ([[rerankFeatures]] is shared code, not a parallel
+    * implementation): `model_s = w · x` where
+    * `x = (coverage, min(n_adj,9999), min(tf_q,9999),
+    * 9999 − min(first_pos,9999))` — the exact capped feature vector
+    * the lexical packer folds, so lexical rerank ≡ model rerank under
+    * `weights = (1e13, 1e8, 1e4, 1)` (the packing radixes; spec law in
+    * SearchSpec). All-integer dot product → hash-exact cross-engine.
+    * A real cross-encoder replaces the dot product with a model
+    * inference over the identical (qid, doc_id, features) frame — the
+    * [[graft.ml.MLParity.parallelPredictSvc]] broadcast-scoring shape.
+    *
+    * Overflow headroom: |w_i| ≤ 2.3e14 keeps |Σ w_i·x_i| ≤
+    * 4·9999·2.3e14 < 2^63 (x_i ≤ 9999; coverage is ≤ the query's
+    * distinct-term count, far smaller) — enforced, covers both the
+    * default fixture (|w| ≤ 1e6) and the packing radixes (≤ 1e13).
+    */
+  def bm25RerankModel(docs: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
-      topR: Int = 5): String =
+      topR: Int = 5, weights: Seq[Long] = defaultRerankWeights,
+      maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame =
+    rerankModelCandidates(docs,
+      bm25Queries(docs, queryTable, k1, b, topK), queryTable, topR,
+      weights, maxPushdownIds)
+
+  /** Model-scored rerank tail over ANY retrieval page — the
+    * [[rerankCandidates]] twin with the dot-product scorer (see
+    * [[bm25RerankModel]]).
+    */
+  def rerankModelCandidates(docs: DataFrame, page: DataFrame,
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
+      topR: Int = 5, weights: Seq[Long] = defaultRerankWeights,
+      maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame = {
+    require(weights.length == 4,
+      s"rerankModel: 4 feature weights required, got ${weights.length}")
+    require(weights.forall(w => math.abs(w) <= 230000000000000L),
+      "rerankModel: |weight| must be <= 2.3e14 (BIGINT dot-product headroom)")
+    val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
+    val x = Seq(col("coverage"), least(col("n_adj"), lit(9999L)),
+      least(col("tf_q"), lit(9999L)),
+      lit(9999L) - least(col("first_pos"), lit(9999L)))
+    val modelS = x.zip(weights)
+      .map { case (xi, wi) => xi * lit(wi) }.reduce(_ + _)
+    rerankCut(f.withColumn("model_s", modelS), "model_s", topR)
+  }
+
+  /** Shared feature-stage CTE chain for BOTH rerank oracles (lexical
+    * [[bm25RerankSql]] and model [[bm25RerankModelSql]]) — one
+    * generator on top of [[queriesCtePrefix]], so every scorer's
+    * candidate set AND feature values are the retrieval oracle by
+    * construction; ends in `featrows`
+    * (qid, doc_id, coverage, n_adj, tf_q, first_pos, bm25_rk).
+    */
+  private def rerankFeatureCtes(queryTable: Seq[(Long, String)],
+      k1: Double, b: Double, topK: Int): String =
     queriesCtePrefix(queryTable, k1, b) + s""",
        |cands AS (
        |  SELECT qid, doc_id, rk AS bm25_rk FROM ranked WHERE rk <= $topK),
@@ -485,21 +609,61 @@ object Search {
        |    CAST(COUNT(*) AS BIGINT) AS tf_q,
        |    CAST(MIN(pos) AS BIGINT) AS first_pos
        |  FROM matched GROUP BY 1, 2),
-       |rr AS (
+       |featrows AS (
        |  SELECT c.qid, c.doc_id, f.coverage,
-       |    COALESCE(a.n_adj, 0) AS n_adj, f.tf_q, f.first_pos,
-       |    f.coverage * 10000000000000 +
-       |      least(COALESCE(a.n_adj, 0), 9999) * 100000000 +
-       |      least(f.tf_q, 9999) * 10000 +
-       |      (9999 - least(f.first_pos, 9999)) AS rerank_s,
-       |    c.bm25_rk
+       |    COALESCE(a.n_adj, 0) AS n_adj, f.tf_q, f.first_pos, c.bm25_rk
        |  FROM cands c
        |  JOIN feats f USING (qid, doc_id)
-       |  LEFT JOIN adj a USING (qid, doc_id)),
+       |  LEFT JOIN adj a USING (qid, doc_id))""".stripMargin
+
+  /** DuckDB oracle for [[bm25Rerank]] — the SAME retrieval + feature
+    * CTE chain as every other rerank oracle (one generator), with the
+    * packed integer rerank score.
+    */
+  def bm25RerankSql(queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5): String =
+    rerankFeatureCtes(queryTable, k1, b, topK) + s""",
+       |rr AS (
+       |  SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
+       |    coverage * 10000000000000 +
+       |      least(n_adj, 9999) * 100000000 +
+       |      least(tf_q, 9999) * 10000 +
+       |      (9999 - least(first_pos, 9999)) AS rerank_s,
+       |    bm25_rk
+       |  FROM featrows),
        |rr2 AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY rerank_s DESC, doc_id) AS rrk FROM rr)
        |SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
        |  rerank_s, bm25_rk, rrk
        |FROM rr2 WHERE rrk <= $topR ORDER BY qid, rrk""".stripMargin
+
+  /** DuckDB oracle for [[bm25RerankModel]] — same feature chain, the
+    * dot-product scorer with the weights inlined as literals.
+    */
+  def bm25RerankModelSql(
+      queryTable: Seq[(Long, String)] = defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5,
+      weights: Seq[Long] = defaultRerankWeights): String = {
+    require(weights.length == 4)
+    val Seq(w0, w1, w2, w3) = weights
+    rerankFeatureCtes(queryTable, k1, b, topK) + s""",
+       |rr AS (
+       |  SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
+       |    coverage * CAST($w0 AS BIGINT) +
+       |      least(n_adj, 9999) * CAST($w1 AS BIGINT) +
+       |      least(tf_q, 9999) * CAST($w2 AS BIGINT) +
+       |      (9999 - least(first_pos, 9999)) * CAST($w3 AS BIGINT)
+       |      AS model_s,
+       |    bm25_rk
+       |  FROM featrows),
+       |rr2 AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY model_s DESC, doc_id) AS rrk FROM rr)
+       |SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
+       |  model_s, bm25_rk, rrk
+       |FROM rr2 WHERE rrk <= $topR ORDER BY qid, rrk""".stripMargin
+  }
 }

@@ -435,12 +435,9 @@ object SearchIndex {
     * documented design.
     */
   def ensureAppendedIndexStore(docs: DataFrame, tag: String): String = {
-    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureAppendedIndexStore")
-    val path = s"/tmp/graft_searchindex_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = StoreSwap.contentFp(docs, "ensureAppendedIndexStore",
+      "doc_id", Seq("doc_id", "text"))
+    val path = s"/tmp/graft_searchindex_${tag}_${fp.tag}"
     val fs = fsOf(docs)
     if (!isCompleteIndexStore(fs, path)) {
       val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)

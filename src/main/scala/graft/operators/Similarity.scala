@@ -1052,13 +1052,9 @@ object Similarity {
     // xxhash64 over id + embedding bytes) alongside (count, max id) so
     // a same-shape regenerated fixture never reuses a stale index
     // (r10, ADVICE — the ensureLmStore convention)
-    val fp = base.agg(count(lit(1)).as("n"), max(col("vec_id")).as("mx"),
-      expr("bit_xor(xxhash64(vec_id, cast(embedding as string)))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureSemanticStore")
-    val path = s"/tmp/graft_semstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}_" +
-      s"c${cells}i${iters}p"
+    val fp = StoreSwap.contentFp(base, "ensureSemanticStore", "vec_id",
+      Seq("vec_id", "cast(embedding as string)"))
+    val path = s"/tmp/graft_semstore_${tag}_${fp.tag}_c${cells}i${iters}p"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       base.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSemanticStore(fs, path))

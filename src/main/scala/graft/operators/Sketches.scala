@@ -136,12 +136,9 @@ object Sketches {
     * design).
     */
   def ensureSketchStore(docs: DataFrame, tag: String): String = {
-    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text, source))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureSketchStore")
-    val path = s"/tmp/graft_sketchstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = StoreSwap.contentFp(docs, "ensureSketchStore",
+      "doc_id", Seq("doc_id", "text", "source"))
+    val path = s"/tmp/graft_sketchstore_${tag}_${fp.tag}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteSketchStore(fs, path)) writeSketchStore(docs, path)
@@ -212,12 +209,9 @@ object Sketches {
   }
 
   def ensureQuantileStore(docs: DataFrame, tag: String): String = {
-    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, n_chars, source))").as("h"))
-      .collect().head
-    StoreSwap.requireNonEmptyFp(fp, "ensureQuantileStore")
-    val path = s"/tmp/graft_qstore_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = StoreSwap.contentFp(docs, "ensureQuantileStore",
+      "doc_id", Seq("doc_id", "n_chars", "source"))
+    val path = s"/tmp/graft_qstore_${tag}_${fp.tag}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (!isCompleteQuantileStore(fs, path)) writeQuantileStore(docs, path)

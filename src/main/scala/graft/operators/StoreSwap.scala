@@ -39,7 +39,43 @@ object StoreSwap {
     require(r.getLong(0) > 0L,
       s"$who: empty input frame — content fingerprint undefined " +
         "(max/bit_xor aggregate NULL)")
+    // r17 (ADVICE): a NON-empty frame whose key column is all NULL
+    // still has max() = NULL — the same opaque-NPE class this gate
+    // was built to close. Check every aggregate field, not just the
+    // count.
+    for (i <- 1 until r.length)
+      require(!r.isNullAt(i),
+        s"$who: fingerprint aggregate #$i is NULL (all-NULL id/hash " +
+          "column?) — content fingerprint undefined")
     r
+  }
+
+  /** The ensure* content-fingerprint triple, as a value: row count,
+    * max(id), order-free content hash. `tag` is the path segment every
+    * build-once store interpolates.
+    */
+  final case class ContentFp(n: Long, maxId: Long, hash: Long) {
+    def tag: String =
+      s"${n}_${maxId}_${java.lang.Long.toHexString(hash)}"
+  }
+
+  /** ONE copy of the ensure* fingerprint plumbing (extracted r17 after
+    * three fingerprint-wide audits; the hash-column SETS stay
+    * per-site): `(count, max(idCol), bit_xor(xxhash64(hashCols)))`
+    * over the store's input, gated by [[requireNonEmptyFp]] so empty
+    * input and all-NULL id/hash columns fail loudly naming the caller.
+    * The r13 audit rule is unchanged and now reads off the call site:
+    * `hashCols` must name EVERY column the stored artifact derives
+    * from, or a same-shape regenerated fixture serves stale artifacts.
+    */
+  def contentFp(df: org.apache.spark.sql.DataFrame, who: String,
+      idCol: String, hashCols: Seq[String]): ContentFp = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(count(lit(1)).as("n"), max(col(idCol)).as("mx"),
+        expr(s"bit_xor(xxhash64(${hashCols.mkString(", ")}))").as("h"))
+      .collect().head
+    requireNonEmptyFp(r, who)
+    ContentFp(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Atomically make `tmp` the new content of `dst`. `tmp` must be a

@@ -592,8 +592,11 @@ object Extensions {
     "dedup_exact_substring_store" -> (c => {
       val base = c.documents.filter(expr("pmod(doc_id, 5) != 0"))
       val delta = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
+      // narrow EXPLICIT since the r17 default flip to wide: this
+      // entry (and the decontaminate probe sharing its store) is what
+      // keeps the 60-bit layout driver-certified
       val store = Dedup.ensureSubstringStore(base,
-        new java.io.File(c.dir).getName + "_substr")
+        new java.io.File(c.dir).getName + "_substr", wideKeys = false)
       Dedup.exactSubstringDedupIncremental(delta, store)
     }),
     // the SAME incremental probe over a WIDE-KEY store (120 md5 bits
@@ -616,12 +619,14 @@ object Extensions {
       val base = c.documents.filter(expr("pmod(doc_id, 5) != 0"))
       val probe = c.documents.filter(expr("pmod(doc_id, 5) = 0"))
       val store = Dedup.ensureSubstringStore(base,
-        new java.io.File(c.dir).getName + "_substr")
+        new java.io.File(c.dir).getName + "_substr", wideKeys = false)
       Dedup.substringDecontaminate(probe, store)
     }),
     // grow-by-append store (base 3/5, one appended 1/5 batch) probed
     // by the same delta — additive counts make append ≡ fresh exactly,
-    // so the SAME oracle covers it end-to-end (replay guard included)
+    // so the SAME oracle covers it end-to-end (replay guard included);
+    // rides the r17 WIDE default, so the append path is
+    // driver-certified on the production key layout too
     "dedup_exact_substring_append" -> (c => {
       val b1 = c.documents.filter(expr("pmod(doc_id, 5) IN (1, 2, 3)"))
       val b2 = c.documents.filter(expr("pmod(doc_id, 5) = 4"))
@@ -786,6 +791,13 @@ object Extensions {
     // distinct-term pairs / tf / first position) — the cross-encoder
     // seam, cost bounded by the query load, not the corpus
     "text_bm25_rerank" -> (c => Search.bm25Rerank(c.documents)),
+    // MODEL rerank (r17): a linear scorer (deterministic integer-grid
+    // weight fixture) over the SAME candidate plumbing — the learned
+    // cross-encoder seam wired to an actual model dot product;
+    // weights = packing radixes reproduces the lexical rerank exactly
+    // (SearchSpec law)
+    "text_bm25_rerank_model" ->
+      (c => Search.bm25RerankModel(c.documents)),
     // persisted inverted-index store: base build + delta append +
     // retrieval FROM the store; unchanged bm25QueriesSql oracle =
     // append ≡ fresh proven end-to-end through scoring and ranking
@@ -929,7 +941,8 @@ object Extensions {
     "pipeline_ingest_search" -> Search.bm25QueriesSql(),
     "pipeline_ingest_profile" ->
       Profiling.driftSqlOver("1 = 1", "doc_id % 2 = 0"),
-    "pipeline_ingest_substring" -> Dedup.ingestSubstringSql(),
+    // the loop's gram store rides the r17 wide default → wide census
+    "pipeline_ingest_substring" -> Dedup.ingestSubstringSql(wide = true),
     "dedup_substring_census_wide" ->
       Dedup.ingestSubstringSql(wide = true),
     "dedup_source_overlap" -> Dedup.sourceOverlapSql,
@@ -1018,6 +1031,7 @@ object Extensions {
     "text_bm25_topk" -> Search.bm25TopKSql(),
     "text_bm25_queries" -> Search.bm25QueriesSql(),
     "text_bm25_rerank" -> Search.bm25RerankSql(),
+    "text_bm25_rerank_model" -> Search.bm25RerankModelSql(),
     // store-fed rerank must be INVISIBLE vs the fresh pipeline
     "pipeline_ingest_rerank" -> Search.bm25RerankSql(),
     "text_bm25_store" -> Search.bm25QueriesSql(),

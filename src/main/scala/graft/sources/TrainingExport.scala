@@ -271,13 +271,9 @@ object TrainingExport {
     */
   def ensureExport(docs: DataFrame, tag: String, shards: Int = 16,
       waves: Int = 4): String = {
-    val fp = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"),
-        expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))")
-          .as("h"))
-      .collect().head
-    graft.operators.StoreSwap.requireNonEmptyFp(fp, "ensureExport")
-    val path = s"/tmp/graft_export_${tag}_${fp.getLong(0)}_" +
-      s"${fp.getLong(1)}_${java.lang.Long.toHexString(fp.getLong(2))}"
+    val fp = graft.operators.StoreSwap.contentFp(docs, "ensureExport",
+      "doc_id", Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val path = s"/tmp/graft_export_${tag}_${fp.tag}"
     exportShards(docs, path, shards, waves)
     path
   }

@@ -1411,7 +1411,8 @@ class DedupSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("substr_wide")
     val narrow = tmp.resolve("narrow").toString
     val wide = tmp.resolve("wide").toString
-    Dedup.writeSubstringStore(b1.union(b2), narrow, minLen = 40)
+    Dedup.writeSubstringStore(b1.union(b2), narrow, minLen = 40,
+      wideKeys = false)
     Dedup.writeSubstringStore(b1, wide, minLen = 40, wideKeys = true)
     // the store meta, not the caller, decides the key layout: this
     // append must produce a (gh, gh2, cnt) overlay

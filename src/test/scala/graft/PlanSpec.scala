@@ -503,6 +503,33 @@ class PlanSpec extends AnyFunSuite {
     assert(pre.contains("PushedFilters: [In(doc_id"), pre)
   }
 
+  test("bm25 rerank cap guard: both prunedCandidateScan branches keep " +
+    "their plan shape (pre-barrier building block, r12 convention)") {
+    // the candidate re-read sits behind the matched-positions lazy
+    // checkpoint in the full entry plan, so the branches are asserted
+    // on the shared building block directly (the SearchIndexSpec
+    // pattern for barrier-hidden scans)
+    import org.apache.spark.sql.functions.col
+    val ids = ctx.documents.select(col("doc_id"))
+      .filter(col("doc_id") < 50).distinct()
+    // within cap: the id list is COLLECTED and pushed into the parquet
+    // scan — PushedFilters: In(doc_id, …), no join at all
+    val within = planOf(graft.operators.Search.prunedCandidateScan(
+      ctx.documents, ids, maxPushdownIds = 100000L))
+    assert(within.contains("PushedFilters: [In(doc_id"), within)
+    assert(!within.contains("Join"), within)
+    // over cap (cap 0): a shuffle_hash left-semi prune against the
+    // candidate-id frame — NO collected id list in the plan (the
+    // honest degraded cost is one corpus scan + one corpus-sized
+    // exchange, never an unbounded driver collect), and still no SMJ
+    val over = planOf(graft.operators.Search.prunedCandidateScan(
+      ctx.documents, ids, maxPushdownIds = 0L))
+    assert(over.contains("ShuffledHashJoin"), over)
+    assert(over.contains("LeftSemi"), over)
+    assert(!over.contains("INSET") && !over.contains("In(doc_id"), over)
+    assert(!over.contains("SortMergeJoin"), over)
+  }
+
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
     // the audit went stale in r11 because nothing failed when a new
     // entry lacked a row — this is the loud failure: add an entry,

@@ -10,13 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class ProbeSpec extends AnyFunSuite {
 
   test("serial probe: fixed work, positive wall time, repeatable") {
+    // NO wall-clock ratio assert (r17, ADVICE): a timing band on a
+    // shared host turns load into a test failure — the exact condition
+    // the probe exists to MEASURE (the parallel test's stance, applied
+    // here too; the first run is also pre-JIT relative to the second).
+    // The probe's contract is the sink require inside it: lost work
+    // fails loudly there.
     val a = Bench.calibrationProbe()
     val b = Bench.calibrationProbe()
     assert(a > 0 && b > 0)
-    // both readings time the SAME deterministic work: on one machine
-    // two back-to-back runs sit within an order of magnitude (this is
-    // a sanity bound, not a band — the band lives in BENCH_NOTES)
-    assert(math.max(a, b) / math.min(a, b) < 10, s"$a vs $b")
   }
 
   test("parallel probe: every thread completes and is counted, wall " +

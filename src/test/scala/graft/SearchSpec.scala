@@ -157,4 +157,59 @@ class SearchSpec extends AnyFunSuite {
     val fp = rr.map(r => r.getLong(1) -> r.getLong(5)).toMap
     assert(fp(1L) == 1L && fp(0L) == 3L)
   }
+
+  test("rerank cap guard: the over-cap semi-join branch returns " +
+    "identical rows (degrade, never diverge — the r17 counted guard)") {
+    val within = Search.bm25Rerank(docs, topR = 3).collect()
+      .map(_.toString)
+    // cap 0 forces the shuffle_hash left-semi prune on every page
+    val over = Search.bm25Rerank(docs, topR = 3, maxPushdownIds = 0L)
+      .collect().map(_.toString)
+    assert(over.sameElements(within))
+    // the model scorer shares the same guarded plumbing
+    val mWithin = Search.bm25RerankModel(docs, topR = 3).collect()
+      .map(_.toString)
+    val mOver = Search.bm25RerankModel(docs, topR = 3,
+      maxPushdownIds = 0L).collect().map(_.toString)
+    assert(mOver.sameElements(mWithin))
+  }
+
+  test("model rerank with the packing-radix weights reproduces the " +
+    "lexical rerank exactly (shared features, two scorers)") {
+    // w = (1e13, 1e8, 1e4, 1) makes the dot product EQUAL the lexical
+    // packed score by construction — the features-coincide law the
+    // learned-reranker seam is certified against
+    val lex = Search.bm25Rerank(docs).collect().map(_.toString)
+    val mdl = Search.bm25RerankModel(docs,
+      weights = Seq(10000000000000L, 100000000L, 10000L, 1L))
+      .collect().map(_.toString)
+    assert(mdl.sameElements(lex))
+  }
+
+  test("model rerank: dot product self-consistent, per-qid <= topR, " +
+    "weight contract enforced") {
+    val w = Search.defaultRerankWeights
+    assert(w.length == 4 && w.forall(x => math.abs(x) <= 1000000L))
+    val out = Search.bm25RerankModel(docs, topR = 3).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val x = Seq(r.getLong(2), math.min(r.getLong(3), 9999L),
+        math.min(r.getLong(4), 9999L),
+        9999L - math.min(r.getLong(5), 9999L))
+      val dot = x.zip(w).map { case (xi, wi) => xi * wi }.sum
+      assert(r.getLong(6) == dot, r.toString)
+    }
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(8)).toSeq.sorted == (1L to rs.length).toSeq
+        && rs.length <= 3)
+    }
+    // contract: exactly 4 weights, |w| within BIGINT dot headroom
+    intercept[IllegalArgumentException] {
+      Search.bm25RerankModel(docs, weights = Seq(1L, 2L, 3L))
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25RerankModel(docs,
+        weights = Seq(240000000000000L, 0L, 0L, 0L))
+    }
+  }
 }
