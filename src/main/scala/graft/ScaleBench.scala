@@ -111,7 +111,7 @@ object ScaleBench {
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
         "ctstore,ingestloop,clustermap_compact,profilestore,searchindex," +
-        "storecompact,compactdirs")
+        "storecompact,compactdirs,rerankqueries")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1316,6 +1316,63 @@ object ScaleBench {
         probe(); settle()
         val (p1, _) = time(probe())
         println(f"${"ctstore"}%-8s$K%6d$pk%10.2f$cs%10.2f$p1%10.2f$folded%8d")
+      }
+    }
+
+    section("rerankqueries") {
+      // The rerank stage's scale variable is |queries|·topK, NOT the
+      // corpus (the corpus ladder in `pipeline` proves the flat-in-
+      // corpus half) — this rung varies the QUERY TABLE at 1×/8×/64×
+      // of the 5-query fixture over the FIXED sf0.1 corpus. Expected
+      // shape: retrieval grows mildly (more postings survive the
+      // query-term semi-join), the rerank DELTA grows ~linearly in
+      // |queries| (per-pair features over the candidate page), and
+      // the over-cap column (cap 0 → every page takes the
+      // shuffle_hash left-semi prune) pays roughly one extra corpus
+      // scan + exchange at EVERY rung — the honest degraded cost of
+      // the r17 guard, exercised at all rungs including the top one.
+      // Query synthesis is deterministic: 3 words per query drawn
+      // md5(qid)-wise from the corpus's top-256 df vocabulary, so
+      // candidate pages are real and distinct across qids.
+      println("== rerank vs QUERY-table scale (corpus fixed, sf0.1) ==")
+      println(f"${"mult"}%-6s${"queries"}%8s${"retrieve_s"}%11s" +
+        f"${"rerank_s"}%10s${"overcap_s"}%11s${"rows"}%7s")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+        .localCheckpoint()
+      val vocab = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text")))
+            .as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(256)
+        .collect().map(_.getString(0))
+      def qtable(n: Int): Seq[(Long, String)] =
+        (0L until n.toLong).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(s"rq:$i".getBytes("UTF-8"))
+          val ws = (0 until 3).map { j =>
+            vocab((((h(j) & 0xff) << 8) | (h(j + 3) & 0xff))
+              % vocab.length)
+          }
+          (i, ws.distinct.mkString(" "))
+        }
+      for (mult <- Seq(1, 8, 64)) {
+        val qt = qtable(5 * mult)
+        def retrieve(): Long =
+          graft.operators.Search.bm25Queries(docs, queryTable = qt)
+            .count()
+        def rerank(cap: Long): Long =
+          graft.operators.Search.bm25Rerank(docs, queryTable = qt,
+            maxPushdownIds = cap).count()
+        retrieve(); settle()
+        val (rs, _) = time(retrieve())
+        rerank(graft.operators.Search.defaultMaxPushdownIds); settle()
+        val (ks, rows) =
+          time(rerank(graft.operators.Search.defaultMaxPushdownIds))
+        settle()
+        val (os, _) = time(rerank(0L))
+        println(f"$mult%-6d${qt.size}%8d$rs%11.2f$ks%10.2f$os%11.2f" +
+          f"$rows%7d")
       }
     }
 
