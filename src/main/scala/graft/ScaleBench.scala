@@ -203,7 +203,10 @@ object ScaleBench {
         // r16: the rerank stage — expected cost = retrieval's slope
         // (shared corpus scan) + a FLAT rerank term (candidate page is
         // query-load-sized, independent of corpus scale)
-        "text_bm25_rerank")
+        "text_bm25_rerank",
+        // r17: the model scorer over the same plumbing — same slope
+        // expected (the scorer is a row-local dot product)
+        "text_bm25_rerank_model")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
