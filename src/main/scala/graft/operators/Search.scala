@@ -341,10 +341,12 @@ object Search {
     *  - `tf_q`: total query-term occurrences;
     *  - `first_pos`: earliest match position (earlier = better).
     * Packed injectively into one BIGINT
-    * (`coverage·1e13 + min(n_adj,9999)·1e8 + min(tf_q,9999)·1e4 +
-    * (9999 − min(first_pos,9999))` — field maxima 9999 keep the bands
-    * disjoint; max ≈ 5·10¹³ for a 5-term query), so the rerank order
-    * is hash-exact cross-engine with no float anywhere.
+    * (`min(coverage,9999)·1e13 + min(n_adj,9999)·1e8 +
+    * min(tf_q,9999)·1e4 + (9999 − min(first_pos,9999))` — ALL four
+    * fields capped at 9999 (r17: coverage too, so the band
+    * disjointness holds for any queryTable, not just sane ones); max
+    * ≈ 5·10¹³ for a 5-term query), so the rerank order is hash-exact
+    * cross-engine with no float anywhere.
     *
     * Scale shape: the candidate set is `|queries| · topK` rows —
     * bounded by the QUERY LOAD, independent of corpus size (the real
@@ -503,7 +505,12 @@ object Search {
       topR: Int = 5,
       maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame = {
     val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
-    val rerankS = col("coverage") * lit(10000000000000L) +
+    // coverage capped like the other fields (r17): it is ≤ the query's
+    // distinct-term count, but the packing bands' disjointness — and
+    // the model scorer's BIGINT headroom argument — must hold for ANY
+    // queryTable, not just sane ones
+    val rerankS = least(col("coverage"), lit(9999L)) *
+      lit(10000000000000L) +
       least(col("n_adj"), lit(9999L)) * lit(100000000L) +
       least(col("tf_q"), lit(9999L)) * lit(10000L) +
       (lit(9999L) - least(col("first_pos"), lit(9999L)))
@@ -529,7 +536,7 @@ object Search {
     * scorer over the SAME candidate plumbing as the lexical packer
     * ([[rerankFeatures]] is shared code, not a parallel
     * implementation): `model_s = w · x` where
-    * `x = (coverage, min(n_adj,9999), min(tf_q,9999),
+    * `x = (min(coverage,9999), min(n_adj,9999), min(tf_q,9999),
     * 9999 − min(first_pos,9999))` — the exact capped feature vector
     * the lexical packer folds, so lexical rerank ≡ model rerank under
     * `weights = (1e13, 1e8, 1e4, 1)` (the packing radixes; spec law in
@@ -539,9 +546,10 @@ object Search {
     * [[graft.ml.MLParity.parallelPredictSvc]] broadcast-scoring shape.
     *
     * Overflow headroom: |w_i| ≤ 2.3e14 keeps |Σ w_i·x_i| ≤
-    * 4·9999·2.3e14 < 2^63 (x_i ≤ 9999; coverage is ≤ the query's
-    * distinct-term count, far smaller) — enforced, covers both the
-    * default fixture (|w| ≤ 1e6) and the packing radixes (≤ 1e13).
+    * 4·9999·2.3e14 < 2^63 — and every x_i really is ≤ 9999 (all four
+    * features least-capped, coverage included) — enforced; covers
+    * both the default fixture (|w| ≤ 1e6) and the packing radixes
+    * (≤ 1e13).
     */
   def bm25RerankModel(docs: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
@@ -565,7 +573,8 @@ object Search {
     require(weights.forall(w => math.abs(w) <= 230000000000000L),
       "rerankModel: |weight| must be <= 2.3e14 (BIGINT dot-product headroom)")
     val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
-    val x = Seq(col("coverage"), least(col("n_adj"), lit(9999L)),
+    val x = Seq(least(col("coverage"), lit(9999L)),
+      least(col("n_adj"), lit(9999L)),
       least(col("tf_q"), lit(9999L)),
       lit(9999L) - least(col("first_pos"), lit(9999L)))
     val modelS = x.zip(weights)
@@ -626,7 +635,7 @@ object Search {
     rerankFeatureCtes(queryTable, k1, b, topK) + s""",
        |rr AS (
        |  SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
-       |    coverage * 10000000000000 +
+       |    least(coverage, 9999) * 10000000000000 +
        |      least(n_adj, 9999) * 100000000 +
        |      least(tf_q, 9999) * 10000 +
        |      (9999 - least(first_pos, 9999)) AS rerank_s,
@@ -652,7 +661,7 @@ object Search {
     rerankFeatureCtes(queryTable, k1, b, topK) + s""",
        |rr AS (
        |  SELECT qid, doc_id, coverage, n_adj, tf_q, first_pos,
-       |    coverage * CAST($w0 AS BIGINT) +
+       |    least(coverage, 9999) * CAST($w0 AS BIGINT) +
        |      least(n_adj, 9999) * CAST($w1 AS BIGINT) +
        |      least(tf_q, 9999) * CAST($w2 AS BIGINT) +
        |      (9999 - least(first_pos, 9999)) * CAST($w3 AS BIGINT)

@@ -116,9 +116,9 @@ class SearchSpec extends AnyFunSuite {
     out.foreach { r =>
       val (cov, adj, tf, fp) =
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
-      val expected = cov * 10000000000000L + math.min(adj, 9999L) *
-        100000000L + math.min(tf, 9999L) * 10000L +
-        (9999L - math.min(fp, 9999L))
+      val expected = math.min(cov, 9999L) * 10000000000000L +
+        math.min(adj, 9999L) * 100000000L + math.min(tf, 9999L) *
+        10000L + (9999L - math.min(fp, 9999L))
       assert(r.getLong(6) == expected, r.toString)
     }
     // layout independence
@@ -193,7 +193,8 @@ class SearchSpec extends AnyFunSuite {
     val out = Search.bm25RerankModel(docs, topR = 3).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val x = Seq(r.getLong(2), math.min(r.getLong(3), 9999L),
+      val x = Seq(math.min(r.getLong(2), 9999L),
+        math.min(r.getLong(3), 9999L),
         math.min(r.getLong(4), 9999L),
         9999L - math.min(r.getLong(5), 9999L))
       val dot = x.zip(w).map { case (xi, wi) => xi * wi }.sum
