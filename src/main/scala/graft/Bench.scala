@@ -291,8 +291,18 @@ object Bench {
       catch { case _: Throwable => "unavailable" }
     val calEnd = calibrationProbe()
     val mtEnd = calibrationProbeParallel(cpus.toInt)
+    // self-attribution (r17): the mt contention threshold is a ledger
+    // fact now (BENCH_NOTES — 0.80 s at either edge at 32 threads ⇒
+    // contended window, re-measure); stamp the verdict into the JSON
+    // so a driver-run window carries its own attribution. Calibrated
+    // ONLY for 32 threads — other thread counts emit no flag.
+    val contended =
+      if (cpus.toInt == 32)
+        s""","mt_contended":${mtStart > 0.80 || mtEnd > 0.80}"""
+      else ""
     val cal = f"""{"start":$calStart%.3f,"end":$calEnd%.3f,""" +
-      f""""mt_start":$mtStart%.3f,"mt_end":$mtEnd%.3f,"mt_threads":$cpus}"""
+      f""""mt_start":$mtStart%.3f,"mt_end":$mtEnd%.3f,""" +
+      f""""mt_threads":$cpus$contended}"""
     val headline =
       s"""{"metric":"headline","tpch_subtotal":$tpch,"total":$total,"unit":"sec","calibration":$cal,"blas":"$blas","sf":"$sfDir"}"""
     val json =

@@ -423,39 +423,38 @@ object Search {
     * [[prunedCandidateScan]] — documented per the
     * [[graft.operators.Dedup.guardedSelfJoinPairs]] convention).
     */
-  private def rerankFeatures(docs: DataFrame, page: DataFrame,
-      queryTable: Seq[(Long, String)],
-      maxPushdownIds: Long): DataFrame = {
-    val spark = docs.sparkSession
+  /** The query table exploded to DISTINCT (qid, term) rows —
+    * dictionary-sized, shared by every retrieval/rerank stage.
+    */
+  private[operators] def queryTerms(spark: org.apache.spark.sql.SparkSession,
+      queryTable: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
-    // candidate page: consumed three times (id pruning, pair
-    // restriction, final join) — barrier per the r7 convention
-    val cands = page
-      .select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
-      .localCheckpoint(eager = false)
-    // cap-guarded pruned re-read (see [[prunedCandidateScan]]); only
-    // candidate docs are re-tokenized, positions kept (1-based,
-    // matching the oracle's list indexing)
-    val candToks =
-      prunedCandidateScan(docs, cands.select("doc_id").distinct(),
-          maxPushdownIds)
-        .select(col("doc_id"),
-          posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
-        .where(col("w") =!= "")
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
-    val queries = queryTable.toDF("qid", "qtext")
-    val qterms = queries.select(col("qid"),
+    queryTable.toDF("qid", "qtext")
+      .select(col("qid"),
         explode(TextFunctions.words(col("qtext"))).as("w"))
       .where(col("w") =!= "").distinct()
-    // matched positions, restricted to actual CANDIDATE pairs (a doc
-    // retrieved for q0 only must not be scored for q1); consumed three
-    // times (features + both adjacency sides) — barrier
-    val matched = candToks
-      .join(broadcast(qterms), "w")
-      .join(broadcast(cands.select("qid", "doc_id")),
-        Seq("qid", "doc_id"), "left_semi")
-      .select("qid", "doc_id", "w", "pos")
+  }
+
+  /** The candidate page as a (qid, doc_id, bm25_rk) barrier — consumed
+    * three times downstream (id pruning, pair restriction, final
+    * join), per the r7 convention.
+    */
+  private[operators] def candPage(page: DataFrame): DataFrame =
+    page.select(col("qid"), col("doc_id"), col("rk").as("bm25_rk"))
       .localCheckpoint(eager = false)
+
+  /** The feature tail every rerank SOURCE feeds (r17: the corpus
+    * re-read path here and the positional-index path in
+    * [[graft.operators.SearchIndex.rerankFromStore]] — ONE copy of the
+    * feature math, so the two sources cannot diverge): from `matched`
+    * (qid, doc_id, w, pos) rows — query-term occurrences of actual
+    * candidate pairs with their 1-based token positions — compute the
+    * adjacency pass and the per-pair features, joined back to the
+    * candidate page. `matched` must already be a plan barrier
+    * (consumed three times: features + both adjacency sides).
+    */
+  private[operators] def featuresFromMatched(cands: DataFrame,
+      matched: DataFrame): DataFrame = {
     // rename-the-right-side self-join (unambiguous under the shared
     // checkpoint's expression ids)
     val mRight = matched.toDF("qid2", "doc_id2", "w2", "pos2")
@@ -475,12 +474,41 @@ object Search {
       .withColumn("n_adj", coalesce(col("n_adj"), lit(0L)))
   }
 
+  private def rerankFeatures(docs: DataFrame, page: DataFrame,
+      queryTable: Seq[(Long, String)],
+      maxPushdownIds: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val cands = candPage(page)
+    // cap-guarded pruned re-read (see [[prunedCandidateScan]]); only
+    // candidate docs are re-tokenized, positions kept (1-based,
+    // matching the oracle's list indexing)
+    val candToks =
+      prunedCandidateScan(docs, cands.select("doc_id").distinct(),
+          maxPushdownIds)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
+        .where(col("w") =!= "")
+        .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+          col("w"))
+    val qterms = queryTerms(spark, queryTable)
+    // matched positions, restricted to actual CANDIDATE pairs (a doc
+    // retrieved for q0 only must not be scored for q1); consumed three
+    // times (features + both adjacency sides) — barrier
+    val matched = candToks
+      .join(broadcast(qterms), "w")
+      .join(broadcast(cands.select("qid", "doc_id")),
+        Seq("qid", "doc_id"), "left_semi")
+      .select("qid", "doc_id", "w", "pos")
+      .localCheckpoint(eager = false)
+    featuresFromMatched(cands, matched)
+  }
+
   /** The per-qid (score desc, doc_id) cut shared by both scorers.
     * Window bound: ≤ topK candidate rows per qid by construction (the
     * bm25Queries bounded heap emits exactly the page) — the sanctioned
     * schema-bounded window class.
     */
-  private def rerankCut(scored: DataFrame, scoreCol: String,
+  private[operators] def rerankCut(scored: DataFrame, scoreCol: String,
       topR: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byQ = Window.partitionBy("qid")
@@ -505,17 +533,20 @@ object Search {
       topR: Int = 5,
       maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame = {
     val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
-    // coverage capped like the other fields (r17): it is ≤ the query's
-    // distinct-term count, but the packing bands' disjointness — and
-    // the model scorer's BIGINT headroom argument — must hold for ANY
-    // queryTable, not just sane ones
-    val rerankS = least(col("coverage"), lit(9999L)) *
-      lit(10000000000000L) +
+    rerankCut(f.withColumn("rerank_s", lexicalRerankScore),
+      "rerank_s", topR)
+  }
+
+  /** The lexical packed score over the shared feature frame.
+    * All four fields capped at 9999 (r17: coverage too — it is ≤ the
+    * query's distinct-term count, but the packing bands' disjointness
+    * must hold for ANY queryTable, not just sane ones).
+    */
+  private[operators] def lexicalRerankScore: Column =
+    least(col("coverage"), lit(9999L)) * lit(10000000000000L) +
       least(col("n_adj"), lit(9999L)) * lit(100000000L) +
       least(col("tf_q"), lit(9999L)) * lit(10000L) +
       (lit(9999L) - least(col("first_pos"), lit(9999L)))
-    rerankCut(f.withColumn("rerank_s", rerankS), "rerank_s", topR)
-  }
 
   /** Deterministic integer-grid model weights (the
     * [[graft.operators.QualitySignals]] linearClassifier fixture

@@ -67,20 +67,54 @@ object SearchIndex {
   private def fsOf(df: DataFrame): FileSystem =
     FileSystem.get(df.sparkSession.sparkContext.hadoopConfiguration)
 
-  /** (w, doc_id, tf, wb) — the single corpus-sized aggregation. */
-  private[graft] def tokAgg(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextFunctions.words(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("wb", pmod(xxhash64(col("w")), lit(WB.toLong)))
+  /** (w, doc_id, tf, wb) — the single corpus-sized aggregation. With
+    * `positions` (r17, the POSITIONAL layout): + `ps`, the sorted
+    * 1-based token positions of the term in the doc (indices over the
+    * full whitespace-split array, matching the rerank oracle's list
+    * indexing exactly — empty tokens keep their index slot but are
+    * never posted). tf stays a materialized column so every
+    * non-positional consumer reads the identical schema prefix, and
+    * parquet column pruning keeps `ps` off the wire for retrieval
+    * probes that don't ask for it — positions cost STORAGE, not
+    * probe IO (plan-checked in SearchIndexSpec).
+    */
+  private[graft] def tokAgg(docs: DataFrame,
+      positions: Boolean = false): DataFrame = {
+    val base =
+      if (!positions)
+        docs.select(col("doc_id"),
+            explode(TextFunctions.words(col("text"))).as("w"))
+          .where(col("w") =!= "")
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      else
+        docs.select(col("doc_id"),
+            posexplode(TextFunctions.words(col("text")))
+              .as(Seq("p0", "w")))
+          .where(col("w") =!= "")
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list((col("p0") + 1).cast("bigint")))
+              .as("ps"))
+    base.withColumn("wb", pmod(xxhash64(col("w")), lit(WB.toLong)))
+  }
+
+  /** The root-level layout discriminator for the positional option —
+    * a STORE property, not a caller choice (the substring store's
+    * `_meta_keywidth` lesson): appends and reads derive it from here.
+    * Root-level (not under `meta/`) so the per-append meta republish
+    * never has to carry it; only the fresh-build root swap writes it.
+    */
+  private def positionsMarker(path: String) = new Path(path, "_positions")
+
+  def isPositionalIndexStore(fs: FileSystem, path: String): Boolean =
+    fs.exists(positionsMarker(path))
 
   /** Write one batch's postings + doclens under `batch=<tag>` with
     * OVERWRITE (idempotent retry), postings hive-partitioned on wb.
     */
   private def writeBatchDirs(docs: DataFrame, root: String,
-      tag: String): Unit = {
-    val tok = tokAgg(docs).localCheckpoint(eager = false)
+      tag: String, positions: Boolean): Unit = {
+    val tok = tokAgg(docs, positions).localCheckpoint(eager = false)
     tok.write.mode("overwrite").partitionBy("wb")
       .parquet(s"$root/postings/batch=$tag")
     tok.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -143,15 +177,24 @@ object SearchIndex {
       Sketches.lastAppliedBatch(fs, s"$path/meta"))
   }
 
-  /** Atomic fresh build: batch dirs + meta staged together, one swap. */
-  def writeIndexStore(docs: DataFrame, path: String): Unit = {
+  /** Atomic fresh build: batch dirs + meta staged together, one swap.
+    * `positions = true` selects the POSITIONAL layout (see [[tokAgg]])
+    * — recorded as a root marker so every later append and read
+    * derives it from the store.
+    */
+  def writeIndexStore(docs: DataFrame, path: String,
+      positions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val fs = fsOf(docs)
     val dst = new Path(path)
     val tmp = new Path(path + ".inprogress")
     fs.delete(tmp, true)
+    if (positions) {
+      val out = fs.create(positionsMarker(tmp.toString))
+      out.write("1".getBytes("UTF-8")); out.close()
+    }
     val tag = batchTag(docs).getOrElse("b0_empty")
-    if (tag != "b0_empty") writeBatchDirs(docs, tmp.toString, tag)
+    if (tag != "b0_empty") writeBatchDirs(docs, tmp.toString, tag, positions)
     val (n, s) =
       if (tag == "b0_empty") (0L, 0L)
       else {
@@ -232,7 +275,11 @@ object SearchIndex {
         publishMeta(spark, path, n, s, tags, applied, id))
       return false
     }
-    writeBatchDirs(batch, path, tag)
+    // layout derived from the STORE (never a caller choice): a
+    // positional store's appends carry positions, a plain store's
+    // never do
+    writeBatchDirs(batch, path, tag,
+      isPositionalIndexStore(fsOf(batch), path))
     val r = spark.read.parquet(s"$path/doclens/batch=$tag")
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect().head
     publishMeta(spark, path, n + r.getLong(0), s + r.getLong(1),
@@ -428,21 +475,93 @@ object SearchIndex {
       .orderBy("qid", "rk")
   }
 
+  /** Rerank computed ENTIRELY from a POSITIONAL index store — the
+    * "positions in the index" seam the r16 verdict named: zero corpus
+    * re-read anywhere in retrieve → rank → rerank (the store path of
+    * [[Search.rerankCandidates]] re-reads candidate docs because plain
+    * postings hold aggregated tfs, not positions; with `ps` stored,
+    * the matched-positions frame reassembles from the index itself).
+    * The production win: the corpus can live in cold storage once the
+    * index is built — a daily query load touches only partition-pruned
+    * postings buckets.
+    *
+    * Exactness: the stored positions are the same 1-based split-array
+    * indices the fresh path computes, and the feature tail is the
+    * SHARED [[Search.featuresFromMatched]] code — so the output is
+    * bit-identical to [[Search.bm25Rerank]] over the same corpus and
+    * the UNCHANGED rerank oracle certifies this path end-to-end
+    * (layout-independent ground truth, the wide-key-store pattern).
+    *
+    * Scale shape: candidate restriction happens BEFORE the position
+    * explode, on the wb-partition-pruned postings scan, through the
+    * same counted cap guard as the fresh path
+    * ([[Search.prunedCandidateScan]] — ≤ cap: parquet In pushdown on
+    * the postings read; over: shuffle_hash left-semi prune of the
+    * pruned buckets, never the whole index). Construction-EAGER (page
+    * + id count + wb collect, the store-probe convention).
+    */
+  def rerankFromStore(spark: SparkSession, path: String,
+      queryTable: Seq[(Long, String)] = Search.defaultQueryTable,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      topR: Int = 5,
+      maxPushdownIds: Long = Search.defaultMaxPushdownIds): DataFrame = {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(isCompleteIndexStore(fs, path),
+      s"rerankFromStore: $path is missing or incomplete")
+    require(isPositionalIndexStore(fs, path),
+      s"rerankFromStore: $path was built WITHOUT positions — rebuild " +
+        "with writeIndexStore(positions = true); the layout is a " +
+        "store property (the substring key-width rule), so a plain " +
+        "store never silently degrades to a corpus re-read here")
+    val (_, _, tags, _, _) = readMeta(spark, path)
+    if (tags.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long,
+          Long, Long)]
+        .toDF("qid", "doc_id", "coverage", "n_adj", "tf_q",
+          "first_pos", "rerank_s", "bm25_rk", "rrk")
+    val cands = Search.candPage(
+      bm25FromStore(spark, path, queryTable, k1, b, topK))
+    val qterms = Search.queryTerms(spark, queryTable)
+      .localCheckpoint(eager = false)
+    val wbs = qterms.select(pmod(xxhash64(col("w")), lit(WB.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postP = readBatched(spark, path, "postings", tags, Some(wbs))
+    // matched positions from the STORE: candidate-id prune (counted
+    // cap guard) on the bucket-pruned postings, qid attach, pair
+    // restriction, THEN the position explode — consumed three times
+    // downstream, barrier per the r7 convention
+    val matched = Search.prunedCandidateScan(postP,
+        cands.select("doc_id").distinct(), maxPushdownIds)
+      .join(broadcast(qterms), "w")
+      .join(broadcast(cands.select("qid", "doc_id")),
+        Seq("qid", "doc_id"), "left_semi")
+      .select(col("qid"), col("doc_id"), col("w"),
+        explode(col("ps")).as("pos"))
+      .localCheckpoint(eager = false)
+    Search.rerankCut(
+      Search.featuresFromMatched(cands, matched)
+        .withColumn("rerank_s", Search.lexicalRerankScore),
+      "rerank_s", topR)
+  }
+
   /** Build-once base + delta append keyed on the FULL corpus
     * fingerprint (the `ensureAppendedClusterMap` convention) — the
     * driver entry's store round-trip exercises write AND append every
     * time the fixture content changes, cheaply otherwise. EAGER by
     * documented design.
     */
-  def ensureAppendedIndexStore(docs: DataFrame, tag: String): String = {
+  def ensureAppendedIndexStore(docs: DataFrame, tag: String,
+      positions: Boolean = false): String = {
     val fp = StoreSwap.contentFp(docs, "ensureAppendedIndexStore",
       "doc_id", Seq("doc_id", "text"))
-    val path = s"/tmp/graft_searchindex_${tag}_${fp.tag}"
+    val path = s"/tmp/graft_searchindex_${tag}_${fp.tag}" +
+      (if (positions) "_pos" else "")
     val fs = fsOf(docs)
     if (!isCompleteIndexStore(fs, path)) {
       val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
       val delta = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
-      writeIndexStore(base, path)
+      writeIndexStore(base, path, positions)
       appendToIndexStore(path, delta)
     }
     path
@@ -456,5 +575,17 @@ object SearchIndex {
   def bm25StoreEntry(docs: DataFrame, tag: String): DataFrame = {
     val path = ensureAppendedIndexStore(docs, tag)
     bm25FromStore(docs.sparkSession, path)
+  }
+
+  /** Driver entry for the POSITIONAL layout: base-build + delta-append
+    * of a positional store, then [[rerankFromStore]] — the oracle is
+    * [[Search.bm25RerankSql]] UNCHANGED (it recomputes everything from
+    * the raw table), so a hash match certifies the stored positions,
+    * the append path, AND the index-only feature reassembly against
+    * layout-independent ground truth in one stroke.
+    */
+  def bm25RerankStoreEntry(docs: DataFrame, tag: String): DataFrame = {
+    val path = ensureAppendedIndexStore(docs, tag, positions = true)
+    rerankFromStore(docs.sparkSession, path)
   }
 }

@@ -803,6 +803,13 @@ object Extensions {
     // append ≡ fresh proven end-to-end through scoring and ranking
     "text_bm25_store" -> (c => SearchIndex.bm25StoreEntry(c.documents,
       java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
+    // POSITIONAL index layout (r17): rerank reassembled entirely from
+    // stored position lists — zero corpus re-read in retrieve → rank →
+    // rerank; the UNCHANGED rerank oracle certifies the stored
+    // positions + append + index-only features against ground truth
+    "text_bm25_rerank_index" ->
+      (c => SearchIndex.bm25RerankStoreEntry(c.documents,
+        java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -1032,6 +1039,8 @@ object Extensions {
     "text_bm25_queries" -> Search.bm25QueriesSql(),
     "text_bm25_rerank" -> Search.bm25RerankSql(),
     "text_bm25_rerank_model" -> Search.bm25RerankModelSql(),
+    // positional-index rerank must be INVISIBLE vs the fresh pipeline
+    "text_bm25_rerank_index" -> Search.bm25RerankSql(),
     // store-fed rerank must be INVISIBLE vs the fresh pipeline
     "pipeline_ingest_rerank" -> Search.bm25RerankSql(),
     "text_bm25_store" -> Search.bm25QueriesSql(),

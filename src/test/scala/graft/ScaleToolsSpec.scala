@@ -108,4 +108,24 @@ class ScaleToolsSpec extends AnyFunSuite {
     refused(graft.operators.Similarity.ensureSemanticStore(emb, "emptyspec"))
     refused(graft.sources.TrainingExport.ensureExport(docs, "emptyspec"))
   }
+
+  test("contentFp refuses a NON-empty frame whose id column is all " +
+    "NULL (r17 ADVICE: max() is NULL there — same opaque-NPE class " +
+    "as the empty frame)") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text"), (2L, "more text"))
+      .toDF("doc_id0", "text")
+      .selectExpr("CAST(NULL AS BIGINT) AS doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.StoreSwap.contentFp(docs, "nullspec", "doc_id",
+        Seq("doc_id", "text")))
+    assert(e.getMessage.contains("nullspec") &&
+      e.getMessage.contains("NULL"), e.getMessage)
+    // and the happy path round-trips the triple into the tag format
+    val ok = graft.operators.StoreSwap.contentFp(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"),
+      "nullspec", "doc_id", Seq("doc_id", "text"))
+    assert(ok.n == 2L && ok.maxId == 2L &&
+      ok.tag == s"2_2_${java.lang.Long.toHexString(ok.hash)}")
+  }
 }

@@ -254,4 +254,58 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(SearchIndex.bm25FromStore(spark, single).collect()
       .map(_.toString).sameElements(before))
   }
+
+  test("positional store: rerank from the index is bit-identical to " +
+    "the fresh rerank — through append, compaction, and retrieval") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_pos")
+      .resolve("store").toString
+    val base = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(4L)) === 0)
+    SearchIndex.writeIndexStore(base, tmp, positions = true)
+    // append derives the layout from the STORE — no caller flag
+    SearchIndex.appendToIndexStore(tmp, delta)
+    val fresh = Search.bm25Rerank(docs).collect().map(_.toString)
+    val stored = SearchIndex.rerankFromStore(spark, tmp).collect()
+      .map(_.toString)
+    assert(stored.sameElements(fresh) && stored.nonEmpty)
+    // retrieval over the positional layout is unchanged too
+    assert(SearchIndex.bm25FromStore(spark, tmp).collect()
+      .map(_.toString)
+      .sameElements(Search.bm25Queries(docs).collect().map(_.toString)))
+    // the fold is a pure re-layout for positions as well
+    assert(SearchIndex.compactIndexStore(spark, tmp) == 2)
+    assert(SearchIndex.rerankFromStore(spark, tmp).collect()
+      .map(_.toString).sameElements(fresh))
+  }
+
+  test("plain store refuses rerankFromStore loudly; positions cost " +
+    "storage, not retrieval IO (ps pruned from the probe's scan)") {
+    val plain = java.nio.file.Files.createTempDirectory("graft_sidx_np")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs, plain)
+    val e = intercept[IllegalArgumentException](
+      SearchIndex.rerankFromStore(spark, plain))
+    assert(e.getMessage.contains("WITHOUT positions"), e.getMessage)
+    // positional store: the RETRIEVAL projection (w, doc_id, tf, wb)
+    // must reach the parquet scan without ps — column pruning keeps
+    // the position lists off the wire for every non-rerank probe
+    // (pre-barrier building block, the wb-prune test's pattern)
+    val pos = java.nio.file.Files.createTempDirectory("graft_sidx_psch")
+      .resolve("store").toString
+    SearchIndex.writeIndexStore(docs, pos, positions = true)
+    val tags = spark.read.parquet(s"$pos/meta/tags")
+      .collect().map(_.getString(0)).toSeq
+    val plan = SearchIndex.readBatched(spark, pos, "postings", tags, None)
+      .select("w", "doc_id", "tf")
+      .queryExecution.executedPlan
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("ps")),
+      "retrieval projection read the ps column — pruning lost")
+    // while the rerank path really reads them
+    assert(SearchIndex.readBatched(spark, pos, "postings", tags, None)
+      .select(explode(col("ps"))).count() > 0)
+  }
 }
