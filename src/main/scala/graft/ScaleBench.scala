@@ -205,8 +205,10 @@ object ScaleBench {
         // query-load-sized, independent of corpus scale)
         "text_bm25_rerank",
         // r17: the model scorer over the same plumbing — same slope
-        // expected (the scorer is a row-local dot product)
-        "text_bm25_rerank_model")
+        // expected (the scorer is a row-local dot product) — and the
+        // positional-index path (store ensured per corpus; the probe
+        // itself touches only wb-pruned index buckets)
+        "text_bm25_rerank_model", "text_bm25_rerank_index")
         .filter(q => opsFilter.forall(_.contains(q)))
       println(f"${"mult"}%-6s${"query"}%-22s${"sec"}%8s${"rows"}%10s")
       for (mult <- factMults) {
