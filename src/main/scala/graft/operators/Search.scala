@@ -576,11 +576,13 @@ object Search {
     * inference over the identical (qid, doc_id, features) frame — the
     * [[graft.ml.MLParity.parallelPredictSvc]] broadcast-scoring shape.
     *
-    * Overflow headroom: |w_i| ≤ 2.3e14 keeps |Σ w_i·x_i| ≤
-    * 4·9999·2.3e14 < 2^63 — and every x_i really is ≤ 9999 (all four
-    * features least-capped, coverage included) — enforced; covers
-    * both the default fixture (|w| ≤ 1e6) and the packing radixes
-    * (≤ 1e13).
+    * Overflow headroom: `Σ|w_i| · 9999 < 2^63` — DERIVED from the
+    * feature cap and the actual weight vector
+    * ([[requireModelWeights]]; r18, ADVICE closure) — and every x_i
+    * really is ≤ 9999 (all four features least-capped, coverage
+    * included). Covers the default fixture (|w| ≤ 1e6), the packing
+    * radixes (≤ 1e13), and the trained grid
+    * ([[trainedRerankWeights]]).
     */
   def bm25RerankModel(docs: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
@@ -595,14 +597,34 @@ object Search {
     * [[rerankCandidates]] twin with the dot-product scorer (see
     * [[bm25RerankModel]]).
     */
+  /** Per-feature cap in the serving vector — every x_i is
+    * `least(feature, 9999)` (or `9999 − least(first_pos, 9999)`), so
+    * the dot product's worst case is exactly `featureCap · Σ|w_i|`.
+    */
+  private[operators] val featureCap: Long = 9999L
+
+  /** Weight-vector contract shared by every scorer/oracle/snapping
+    * site: 4 weights whose worst-case |dot| with the capped feature
+    * vector stays inside BIGINT. DERIVED from the cap and the actual
+    * weights (ADVICE r17: the old per-weight 2.3e14 constant left
+    * ~0.25% headroom and would silently go stale if a fifth feature
+    * or a larger cap ever landed) — the BigInt product can't overflow
+    * the check itself.
+    */
+  private[graft] def requireModelWeights(weights: Seq[Long]): Unit = {
+    require(weights.length == 4,
+      s"rerankModel: 4 feature weights required, got ${weights.length}")
+    val worst = weights.map(w => BigInt(w).abs * featureCap).sum
+    require(worst <= BigInt(Long.MaxValue),
+      s"rerankModel: sum(|w_i|) * $featureCap = $worst overflows the " +
+        "BIGINT dot-product headroom")
+  }
+
   def rerankModelCandidates(docs: DataFrame, page: DataFrame,
       queryTable: Seq[(Long, String)] = defaultQueryTable,
       topR: Int = 5, weights: Seq[Long] = defaultRerankWeights,
       maxPushdownIds: Long = defaultMaxPushdownIds): DataFrame = {
-    require(weights.length == 4,
-      s"rerankModel: 4 feature weights required, got ${weights.length}")
-    require(weights.forall(w => math.abs(w) <= 230000000000000L),
-      "rerankModel: |weight| must be <= 2.3e14 (BIGINT dot-product headroom)")
+    requireModelWeights(weights)
     val f = rerankFeatures(docs, page, queryTable, maxPushdownIds)
     val x = Seq(least(col("coverage"), lit(9999L)),
       least(col("n_adj"), lit(9999L)),
@@ -611,6 +633,193 @@ object Search {
     val modelS = x.zip(weights)
       .map { case (xi, wi) => xi * lit(wi) }.reduce(_ + _)
     rerankCut(f.withColumn("model_s", modelS), "model_s", topR)
+  }
+
+  // ---------------------------------------------------------------
+  // Trained reranker (r18): closing the train → serve loop on the
+  // model seam. A pairwise-preference linear model is TRAINED on a
+  // deterministic feature fixture (full-batch integer perceptron —
+  // every epoch's violation gradient is a sum of exact integer
+  // difference vectors, so the distributed trainer and the local twin
+  // are bit-identical by construction, the Kernels order-free-sum
+  // discipline applied to learning), SNAPPED to the serving grid
+  // (an order-exact integer rescale — a float-trained model, e.g.
+  // MLParity's LinearSVC coefficients, would round onto the grid here
+  // instead, gated by the same post-snap ranking law), and SERVED
+  // through the UNCHANGED [[bm25RerankModel]] plumbing: the weights
+  // are data, not code (the QualitySignals classifier convention).
+  // The training fixture is sfDir-INDEPENDENT because the driver's
+  // oracle SQL is a fixed string per entry — the learned weights must
+  // be the same constants on both engines.
+  // ---------------------------------------------------------------
+
+  /** Deterministic training fixture: 64 md5-seeded capped feature
+    * vectors `x = (coverage, n_adj, tf_q, 9999 − first_pos)` in
+    * realistic serving ranges. The TEACHER is the lexical packed
+    * score — so training is learning-to-rank from pairwise
+    * preferences of the deterministic scorer, and the learned model's
+    * quality has ground truth: at convergence it reproduces the
+    * teacher's ranking on the fixture exactly (spec-gated).
+    */
+  private[graft] val rerankTrainingFixture: Seq[Array[Long]] = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 64).map { i =>
+      val cov = h(s"trc:$i") % 6L
+      val adj = h(s"tra:$i") % 10L
+      val tfq = h(s"trt:$i") % 31L
+      val fp = 1L + h(s"trf:$i") % 400L
+      Array(cov, adj, tfq, featureCap - fp)
+    }
+  }
+
+  /** Per-feature TRAINING scale: the batch perceptron's epoch count
+    * is R²/γ² in the pair geometry, and the raw feature ranges are
+    * wildly skewed (coverage spans ±5 while the first-pos term spans
+    * ±399) — on raw differences the summed-gradient update oscillates
+    * (measured: no convergence in 50k epochs). Scaling each feature to
+    * a comparable range (≈ 400/range_i) equalizes the margins and the
+    * SAME data converges in ~11 epochs. The scale folds into the
+    * SERVED weights exactly (`w_serve_i = w_i · s_i`, so
+    * `w_serve · d_raw ≡ w · d_scaled` — an integer reparametrization,
+    * not an approximation).
+    */
+  private[graft] val trainingScale: Seq[Long] = Seq(80L, 44L, 13L, 1L)
+
+  /** All ordered preference pairs (a ≻ b under the teacher) of a
+    * feature fixture as SCALED difference vectors
+    * `d_k = (x_a,k − x_b,k) · scale_k`; the teacher is the lexical
+    * pack over the capped raw vector.
+    */
+  private[graft] def preferencePairs(
+      fixture: Seq[Array[Long]]): Seq[Array[Long]] = {
+    def teacher(x: Array[Long]): Long =
+      x(0) * 10000000000000L + x(1) * 100000000L + x(2) * 10000L + x(3)
+    for {
+      a <- fixture; b <- fixture
+      if teacher(a) > teacher(b)
+    } yield Array.tabulate(4)(k => (a(k) - b(k)) * trainingScale(k))
+  }
+
+  /** One full-batch perceptron epoch: the violation gradient
+    * `g = Σ_{d : w·d ≤ 0} d` and the violation count. Pure integer —
+    * the SAME update the distributed trainer aggregates, so the two
+    * trainers agree bit-for-bit (order-free sums).
+    */
+  private[graft] def perceptronEpoch(pairs: Seq[Array[Long]],
+      w: Array[Long]): (Array[Long], Long) = {
+    val g = Array.fill(4)(0L)
+    var v = 0L
+    pairs.foreach { d =>
+      var dot = 0L
+      var k = 0
+      while (k < 4) { dot += w(k) * d(k); k += 1 }
+      if (dot <= 0L) {
+        v += 1
+        k = 0
+        while (k < 4) { g(k) += d(k); k += 1 }
+      }
+    }
+    (g, v)
+  }
+
+  /** Local (driver-resident) trainer: full-batch perceptron epochs
+    * until zero violated pairs (batch-perceptron convergence holds —
+    * the teacher is linearly representable by the packing radixes, so
+    * the pair set is separable) or `maxEpochs`. Returns the RAW grid
+    * weights plus the final violation count (0 = converged).
+    */
+  private[graft] def trainRerankWeightsLocal(
+      fixture: Seq[Array[Long]] = rerankTrainingFixture,
+      maxEpochs: Int = 5000): (Seq[Long], Long) = {
+    val pairs = preferencePairs(fixture)
+    val w = Array.fill(4)(0L)
+    var v = -1L
+    var e = 0
+    while (e < maxEpochs && v != 0L) {
+      val (g, viol) = perceptronEpoch(pairs, w)
+      v = viol
+      if (v != 0L) { var k = 0; while (k < 4) { w(k) += g(k); k += 1 } }
+      e += 1
+    }
+    (w.toSeq, v)
+  }
+
+  /** Distributed trainer over a preference-pair FRAME (d1..d4): one
+    * dictionary-sized integer aggregation per epoch (the violation
+    * gradient), weight update on the driver — the
+    * [[graft.ml.MLParity]] full-batch shape with exact arithmetic, so
+    * it equals [[trainRerankWeightsLocal]] on the same pairs
+    * bit-for-bit (spec law). At scale the pair frame is query-load-
+    * sized (candidate pages, not the corpus), and each epoch is one
+    * map-side-combined sum — no collect of the pairs, ever.
+    */
+  def trainRerankWeights(pairs: DataFrame, maxEpochs: Int = 5000):
+      (Seq[Long], Long) = {
+    val w = Array.fill(4)(0L)
+    var v = -1L
+    var e = 0
+    val cached = pairs.select(col("d1").cast("long"),
+        col("d2").cast("long"), col("d3").cast("long"),
+        col("d4").cast("long"))
+      .toDF("d1", "d2", "d3", "d4")
+      .localCheckpoint() // eager: consumed once per epoch, many epochs
+    while (e < maxEpochs && v != 0L) {
+      val dot = lit(w(0)) * col("d1") + lit(w(1)) * col("d2") +
+        lit(w(2)) * col("d3") + lit(w(3)) * col("d4")
+      val viol = when(dot <= 0L, lit(1L)).otherwise(lit(0L))
+      val r = cached.agg(
+        sum(when(dot <= 0L, col("d1")).otherwise(lit(0L))),
+        sum(when(dot <= 0L, col("d2")).otherwise(lit(0L))),
+        sum(when(dot <= 0L, col("d3")).otherwise(lit(0L))),
+        sum(when(dot <= 0L, col("d4")).otherwise(lit(0L))),
+        sum(viol)).collect().head
+      v = r.getLong(4)
+      if (v != 0L) {
+        var k = 0
+        while (k < 4) { w(k) += r.getLong(k); k += 1 }
+      }
+      e += 1
+    }
+    (w.toSeq, v)
+  }
+
+  /** Snap raw trained weights onto the SERVING grid: an integer
+    * scale-up to the default-weight magnitude (`targetMax`), which
+    * preserves every dot-product sign exactly (`k·(w·d)`, k ≥ 1) —
+    * so the snapped model provably ranks identically to the raw one
+    * on EVERY input, not just the fixture (spec re-checks the fixture
+    * anyway). Reuses the serving headroom contract
+    * ([[requireModelWeights]]) so an over-scaled snap fails loudly at
+    * snap time, not at serve time.
+    */
+  private[graft] def snapRerankWeights(w: Seq[Long],
+      targetMax: Long = 1000000L): Seq[Long] = {
+    val mx = math.max(w.map(math.abs).max, 1L)
+    val k = math.max(1L, targetMax / mx)
+    val snapped = w.map(_ * k)
+    requireModelWeights(snapped)
+    snapped
+  }
+
+  /** The shipped TRAINED weights: local deterministic training run on
+    * the md5 fixture, the training scale folded back in (exact
+    * integer reparametrization — see [[trainingScale]]), snapped to
+    * the serving grid. Computed at class init (the fixture is 64
+    * rows; training is milliseconds) so the same constants reach the
+    * Spark entry and the DuckDB oracle SQL — weights are data. The
+    * require makes a non-converged training run fail LOUDLY at first
+    * use, not ship a half-learned model.
+    */
+  lazy val trainedRerankWeights: Seq[Long] = {
+    val (raw, viol) = trainRerankWeightsLocal()
+    require(viol == 0L,
+      s"trainedRerankWeights: training did not converge ($viol violations)")
+    snapRerankWeights(raw.zip(trainingScale).map { case (w, s) => w * s })
   }
 
   /** Shared feature-stage CTE chain for BOTH rerank oracles (lexical
@@ -687,7 +896,7 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
       topR: Int = 5,
       weights: Seq[Long] = defaultRerankWeights): String = {
-    require(weights.length == 4)
+    requireModelWeights(weights)
     val Seq(w0, w1, w2, w3) = weights
     rerankFeatureCtes(queryTable, k1, b, topK) + s""",
        |rr AS (

@@ -798,6 +798,15 @@ object Extensions {
     // (SearchSpec law)
     "text_bm25_rerank_model" ->
       (c => Search.bm25RerankModel(c.documents)),
+    // TRAINED rerank (r18): the same model plumbing served with
+    // weights LEARNED by the deterministic pairwise-perceptron run
+    // (integer full-batch epochs on the md5 feature fixture, training
+    // scale folded back, snapped to the serving grid) — the
+    // train → serve loop closed; the weights are data, and the oracle
+    // carries the SAME learned constants as literals
+    "text_bm25_rerank_trained" ->
+      (c => Search.bm25RerankModel(c.documents,
+        weights = Search.trainedRerankWeights)),
     // persisted inverted-index store: base build + delta append +
     // retrieval FROM the store; unchanged bm25QueriesSql oracle =
     // append ≡ fresh proven end-to-end through scoring and ranking
@@ -1039,6 +1048,9 @@ object Extensions {
     "text_bm25_queries" -> Search.bm25QueriesSql(),
     "text_bm25_rerank" -> Search.bm25RerankSql(),
     "text_bm25_rerank_model" -> Search.bm25RerankModelSql(),
+    // learned constants inlined as literals — weights are data
+    "text_bm25_rerank_trained" ->
+      Search.bm25RerankModelSql(weights = Search.trainedRerankWeights),
     // positional-index rerank must be INVISIBLE vs the fresh pipeline
     "text_bm25_rerank_index" -> Search.bm25RerankSql(),
     // store-fed rerank must be INVISIBLE vs the fresh pipeline

@@ -530,6 +530,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!over.contains("SortMergeJoin"), over)
   }
 
+  test("positional index path: ZERO corpus scan (cold-corpus invariant, " +
+    "machine-checked) and ONE shared postings read for retrieve+rerank") {
+    val store = graft.operators.SearchIndex.ensureAppendedIndexStore(
+      ctx.documents, "plan_spec_pos", positions = true)
+    // (a) the full entry: NO parquet scan survives past the barriers at
+    // all — the shared postings page and the candidate page are both
+    // lazy checkpoints, and even the doclens join sits inside the
+    // candidate barrier — and in particular nothing references the
+    // documents fixture. The corpus-can-live-in-cold-storage claim as
+    // a machine-checked invariant (r18, verdict task 6): a corpus
+    // re-read leaking into any post-barrier stage surfaces here, and
+    // the pre-barrier store reads are pinned in (b).
+    val entryPlan = planOf(
+      graft.operators.SearchIndex.rerankFromStore(spark, store))
+    assert(!entryPlan.contains("documents.parquet"), entryPlan)
+    assert(!entryPlan.contains("Scan parquet"), entryPlan)
+    // (b) the shared page building block (pre-barrier, the r12
+    // convention — the barrier would hide the scan, the harness-
+    // barrier trap in PLANS.md's header): wb partition-pruned, reads
+    // ONLY the store's postings, and its required schema carries ps
+    // for the positional page while the plain-retrieval projection
+    // never pays it
+    val spark2 = spark
+    import spark2.implicits._
+    val qterms = Seq((0L, "hash"), (0L, "join")).toDF("qid", "w")
+    val tags = spark.read.parquet(s"$store/meta/tags")
+      .collect().map(_.getString(0)).toSeq
+    for (withPos <- Seq(true, false)) {
+      val p = planOf(graft.operators.SearchIndex.queryPostingsBlock(
+        spark, store, tags, qterms, withPositions = withPos))
+      assert(p.contains("Scan parquet"), p)
+      assert(!p.contains("documents.parquet"), p)
+      assert(p.contains("/postings"), p)
+      assert(!p.contains("/doclens"), p)
+      assert("PartitionFilters: \\[[^\\]]*wb".r.findFirstIn(p).nonEmpty,
+        s"shared page lost the wb partition prune:\n$p")
+      assert(p.contains("ps:array<bigint>") == withPos,
+        s"ps column presence wrong for withPositions=$withPos:\n$p")
+    }
+  }
+
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
     // the audit went stale in r11 because nothing failed when a new
     // entry lacked a row — this is the loud failure: add an entry,

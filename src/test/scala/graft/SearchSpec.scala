@@ -204,13 +204,86 @@ class SearchSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(8)).toSeq.sorted == (1L to rs.length).toSeq
         && rs.length <= 3)
     }
-    // contract: exactly 4 weights, |w| within BIGINT dot headroom
+    // contract: exactly 4 weights, and the DERIVED headroom bound
+    // (r18, ADVICE closure): sum(|w_i|)·9999 must fit BIGINT — a
+    // single 9.3e14 weight overflows (9999·9.3e14 > 2^63) …
     intercept[IllegalArgumentException] {
       Search.bm25RerankModel(docs, weights = Seq(1L, 2L, 3L))
     }
     intercept[IllegalArgumentException] {
       Search.bm25RerankModel(docs,
-        weights = Seq(240000000000000L, 0L, 0L, 0L))
+        weights = Seq(930000000000000L, 0L, 0L, 0L))
+    }
+    // … while a single 2.4e14 weight is genuinely safe (9999·2.4e14
+    // < 2^63) — the old per-weight constant rejected it spuriously
+    assert(Search.bm25RerankModel(docs,
+      weights = Seq(240000000000000L, 0L, 0L, 1L), topR = 3)
+      .collect().nonEmpty)
+    // four weights at the old per-weight limit still pass (the
+    // derived bound is never TIGHTER than the constant it replaced)
+    Search.requireModelWeights(Seq.fill(4)(230000000000000L))
+  }
+
+  test("trained reranker: local training converges to the teacher's " +
+    "ranking, deterministically, and the snap preserves it exactly") {
+    val (raw, viol) = Search.trainRerankWeightsLocal()
+    assert(viol == 0L, s"perceptron did not converge: $viol violations")
+    // deterministic: a second run is bit-identical
+    assert(Search.trainRerankWeightsLocal()._1 == raw)
+    // converged ⇒ every (scaled) preference pair is ranked the
+    // teacher's way
+    val pairs = Search.preferencePairs(Search.rerankTrainingFixture)
+    def dot(w: Seq[Long], d: Array[Long]): Long =
+      w.zip(d).map { case (wi, di) => wi * di }.sum
+    assert(pairs.forall(d => dot(raw, d) > 0L))
+    // the training scale folds into the SERVED weights exactly: on
+    // the RAW feature differences the serving vector ranks every
+    // fixture pair the teacher's way too (the reparametrization law)
+    val serving = raw.zip(Search.trainingScale)
+      .map { case (w, s) => w * s }
+    val fix = Search.rerankTrainingFixture
+    def lex(x: Array[Long]): Long =
+      x(0) * 10000000000000L + x(1) * 100000000L + x(2) * 10000L + x(3)
+    val rawPairs = for {
+      a <- fix; b <- fix; if lex(a) > lex(b)
+    } yield Array.tabulate(4)(k => a(k) - b(k))
+    assert(rawPairs.forall(d => dot(serving, d) > 0L))
+    // the snap is an integer scale-up: every dot-product sign (hence
+    // every ranking, on ANY input) is preserved — re-checked on the
+    // fixture pairs, and the snapped vector passes the serving
+    // headroom contract by construction
+    val snapped = Search.snapRerankWeights(serving)
+    assert(rawPairs.forall(d => dot(snapped, d) > 0L))
+    assert(snapped.zip(serving).map { case (s, r) => s / r }.distinct
+      .length == 1 || serving.contains(0L)) // one common integer factor
+    assert(Search.trainedRerankWeights == snapped)
+  }
+
+  test("trained reranker: the distributed trainer equals the local " +
+    "twin bit-for-bit (order-free integer epochs)") {
+    val pairs = Search.preferencePairs(Search.rerankTrainingFixture)
+    val df = pairs.map(d => (d(0), d(1), d(2), d(3)))
+      .toDF("d1", "d2", "d3", "d4")
+      .repartition(7) // layout independence of the epoch aggregation
+    val (dw, dv) = Search.trainRerankWeights(df)
+    val (lw, lv) = Search.trainRerankWeightsLocal()
+    assert(dv == 0L && dv == lv)
+    assert(dw == lw)
+  }
+
+  test("trained reranker: learned weights serve through the unchanged " +
+    "model plumbing, dot self-consistent") {
+    val w = Search.trainedRerankWeights
+    val out = Search.bm25RerankModel(docs, weights = w, topR = 3)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val x = Seq(math.min(r.getLong(2), 9999L),
+        math.min(r.getLong(3), 9999L),
+        math.min(r.getLong(4), 9999L),
+        9999L - math.min(r.getLong(5), 9999L))
+      val dot = x.zip(w).map { case (xi, wi) => xi * wi }.sum
+      assert(r.getLong(6) == dot, r.toString)
     }
   }
 }
