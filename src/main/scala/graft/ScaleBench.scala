@@ -111,7 +111,7 @@ object ScaleBench {
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
         "ctstore,ingestloop,clustermap_compact,profilestore,searchindex," +
-        "storecompact,compactdirs,rerankqueries")
+        "storecompact,compactdirs,rerankqueries,indexbytes")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1339,9 +1339,16 @@ object ScaleBench {
       // Query synthesis is deterministic: 3 words per query drawn
       // md5(qid)-wise from the corpus's top-256 df vocabulary, so
       // candidate pages are real and distinct across qids.
+      // r18: + the INDEX-ONLY path at the same rungs — rerankFromStore
+      // over a positional store built once from the same corpus, its
+      // within-cap and over-cap columns beside the fresh path's. The
+      // wb-bucket fan-out grows with |query terms| and the cap guard
+      // runs per page, so the expected shape is the same
+      // linear-in-queries / flat-in-corpus the fresh path shows.
       println("== rerank vs QUERY-table scale (corpus fixed, sf0.1) ==")
       println(f"${"mult"}%-6s${"queries"}%8s${"retrieve_s"}%11s" +
-        f"${"rerank_s"}%10s${"overcap_s"}%11s${"rows"}%7s")
+        f"${"rerank_s"}%10s${"overcap_s"}%11s${"index_s"}%9s" +
+        f"${"ixover_s"}%10s${"rows"}%7s")
       // NO checkpoint on the corpus (r17 review finding): a
       // LogicalRDD would swallow the parquet In-pushdown the
       // within-cap column exists to measure — the rung must contrast
@@ -1365,6 +1372,15 @@ object ScaleBench {
           }
           (i, ws.distinct.mkString(" "))
         }
+      // positional store built ONCE from the same corpus (outside the
+      // timed windows; NOT checkpoint-fed — the store path's own wb
+      // pruning is part of what the index columns measure)
+      val ixStore = "/tmp/graft_sidx_rerankq"
+      val fsIx = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fsIx.delete(new org.apache.hadoop.fs.Path(ixStore), true)
+      graft.operators.SearchIndex.writeIndexStore(docs, ixStore,
+        positions = true)
       for (mult <- Seq(1, 8, 64)) {
         val qt = qtable(5 * mult)
         def retrieve(): Long =
@@ -1373,6 +1389,9 @@ object ScaleBench {
         def rerank(cap: Long): Long =
           graft.operators.Search.bm25Rerank(docs, queryTable = qt,
             maxPushdownIds = cap).count()
+        def irerank(cap: Long): Long =
+          graft.operators.SearchIndex.rerankFromStore(spark, ixStore,
+            queryTable = qt, maxPushdownIds = cap).count()
         retrieve(); settle()
         val (rs, _) = time(retrieve())
         rerank(graft.operators.Search.defaultMaxPushdownIds); settle()
@@ -1384,8 +1403,56 @@ object ScaleBench {
         // bottom rung would land JIT inside the measured window)
         rerank(0L); settle()
         val (os, _) = time(rerank(0L))
+        irerank(graft.operators.Search.defaultMaxPushdownIds); settle()
+        val (is_, _) =
+          time(irerank(graft.operators.Search.defaultMaxPushdownIds))
+        irerank(0L); settle()
+        val (ios, _) = time(irerank(0L))
         println(f"$mult%-6d${qt.size}%8d$rs%11.2f$ks%10.2f$os%11.2f" +
-          f"$rows%7d")
+          f"$is_%9.2f$ios%10.2f$rows%7d")
+      }
+    }
+
+    section("indexbytes") {
+      // The positional layout's STORAGE price (r18 — the one scale
+      // claim r17 argued without a number): position lists are the
+      // dominant byte cost of `positions = true`, so record plain vs
+      // positional store bytes (and the corpus parquet for reference)
+      // at each corpus rung. The ratio feeds SCALE.md's
+      // when-to-pay-it decision rule: pay positions when
+      // query_load × rerank_reread_cost > position_bytes ×
+      // storage_cost — the wide-key-flip treatment.
+      println("== index store bytes: plain vs positional vs corpus ==")
+      println(f"${"mult"}%-6s${"corpus_mb"}%11s${"plain_mb"}%10s" +
+        f"${"pos_mb"}%8s${"pos/plain"}%10s${"pos/corpus"}%11s")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        def bytes(p: String): Long =
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(p))
+            .getLength
+        val (plain, pos) = (s"/tmp/graft_sidx_bytes_p_$mult",
+          s"/tmp/graft_sidx_bytes_q_$mult")
+        for (p <- Seq(plain, pos))
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        graft.operators.SearchIndex.writeIndexStore(docs, plain)
+        graft.operators.SearchIndex.writeIndexStore(docs, pos,
+          positions = true)
+        val (cb, pb, qb) =
+          (bytes(s"$dir/documents.parquet"), bytes(plain), bytes(pos))
+        println(f"$mult%-6d${cb / 1e6}%11.1f${pb / 1e6}%10.1f" +
+          f"${qb / 1e6}%8.1f${qb.toDouble / pb}%10.2f" +
+          f"${qb.toDouble / cb}%11.2f")
+        for (p <- Seq(plain, pos))
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)
       }
     }
 

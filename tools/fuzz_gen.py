@@ -178,11 +178,13 @@ def write_null_fixture(con, out_dir):
 
 class Gen:
     def __init__(self, sf_dir, seed, out_dir=None, nulls=False,
-                 ext=False, approx=False):
+                 ext=False, approx=False, search=False):
         self.rng = random.Random(seed)
         self.nulls = nulls
         self.ext = ext
         self.approx = approx
+        self.search = search
+        self.search_vocab = None
         self.con = duckdb.connect()
         self.con.sql("SET threads = 1")  # reproducibility
         for t in TABLES:
@@ -942,6 +944,51 @@ class Gen:
                 f"GROUP BY source HAVING count(DISTINCT doc_id % 2) = 2")
         return spark, duck
 
+    # ---- retrieval-pipeline templates (--search mode, round 18) -----
+    # These emit a GRAFT_SEARCH spec instead of SQL: graft.SqlBatch
+    # dispatches the spec to the REAL Scala operators (bm25Queries /
+    # bm25Rerank / bm25RerankModel, incl. the trained-weight serving
+    # path) and generates the DuckDB side from the SAME oracle builders
+    # the curated entries use (rerankFeatureCtes and friends), merging
+    # it into oracle_sql.json — so selfcheck adjudicates randomized
+    # retrieve → rank → rerank pipelines (vocabulary-sampled query
+    # tables, jittered k1/b/topK/topR, integer-grid weights, the
+    # over-cap degraded branch) exactly like every other fuzz query.
+    def _vocab(self):
+        if self.search_vocab is None:
+            rows = self.con.sql(
+                "SELECT w FROM (SELECT unnest(regexp_split_to_array("
+                "trim(text), '\\s+')) AS w FROM documents) t "
+                "WHERE regexp_matches(w, '^[a-z]{2,20}$') GROUP BY w "
+                "ORDER BY count(*) DESC, w LIMIT 512").fetchall()
+            self.search_vocab = [r[0] for r in rows]
+        return self.search_vocab
+
+    def search_q(self):
+        vocab = self._vocab()
+        mode = self.rng.choices(
+            ["queries", "rerank", "model", "trained"], [2, 3, 2, 1])[0]
+        qt = []
+        for qi in range(self.rng.randint(2, 6)):
+            ws = [self.rng.choice(vocab)
+                  for _ in range(self.rng.randint(1, 4))]
+            qt.append(f"{qi}:{' '.join(ws)}")
+        k1 = self.rng.choice(["0.8", "1.2", "1.5", "2.0"])
+        b = self.rng.choice(["0.0", "0.25", "0.5", "0.75", "1.0"])
+        topk = self.rng.randint(3, 15)
+        topr = self.rng.randint(1, topk)
+        # cap=0 forces the over-cap shuffle_hash semi-join branch on a
+        # third of the rerank-family specs (bit-identical by spec law —
+        # re-litigated against DuckDB every seed-run)
+        cap = "0" if mode != "queries" and self.rng.random() < 0.33 \
+            else "100000"
+        spec = f"mode={mode};k1={k1};b={b};topK={topk};topR={topr};cap={cap}"
+        if mode == "model":
+            spec += ";w=" + ",".join(
+                str(self.rng.randint(-10**6, 10**6)) for _ in range(4))
+        spec += ";q=" + "|".join(qt)
+        return ("GRAFT_SEARCH " + spec, None)
+
     def query(self):
         forms = [self.grouped_agg, self.distinct_q, self.limit_q,
                  self.left_join_agg, self.union_agg, self.window_q,
@@ -959,6 +1006,9 @@ class Gen:
             forms += [self.ext_cosine_pairs, self.ext_cosine_agg,
                       self.ext_minhash_law]
             weights += [2, 1, 2]
+        if self.search:
+            forms += [self.search_q]
+            weights += [8]
         f = self.rng.choices(forms, weights=weights)[0]
         out = f()
         return out if isinstance(out, tuple) else (out, out)
@@ -969,23 +1019,29 @@ def main():
     nulls = "--nulls" in sys.argv
     ext = "--ext" in sys.argv
     approx = "--approx" in sys.argv
+    search = "--search" in sys.argv
     sf_dir, out_dir = args[0], args[1]
     seed = int(args[2]) if len(args) > 2 else 1
     n = int(args[3]) if len(args) > 3 else 120
     os.makedirs(out_dir, exist_ok=True)
     g = Gen(sf_dir, seed, out_dir=out_dir, nulls=nulls, ext=ext,
-            approx=approx)
+            approx=approx, search=search)
     spark_q, duck_q = {}, {}
     for i in range(n):
         s_sql, d_sql = g.query()
         assert "\t" not in s_sql and "\n" not in s_sql
-        assert "\t" not in d_sql and "\n" not in d_sql
+        # --search specs carry d_sql = None: the DuckDB text only
+        # exists in the Scala oracle builders — SqlBatch generates it
+        # and MERGES it into oracle_sql.json after running the batch
+        assert d_sql is None or ("\t" not in d_sql and "\n" not in d_sql)
         name = f"fuzz_{seed}_{i:04d}"
         spark_q[name] = s_sql
-        duck_q[name] = d_sql
+        if d_sql is not None:
+            duck_q[name] = d_sql
     # queries.tsv carries the Spark text, oracle_sql.json the DuckDB
     # text — identical except for the --ext templates, where the
-    # registered Graft functions are rewritten for DuckDB
+    # registered Graft functions are rewritten for DuckDB, and the
+    # --search specs, whose oracle side SqlBatch appends
     with open(f"{out_dir}/queries.tsv", "w") as f:
         for name, sql in spark_q.items():
             f.write(f"{name}\t{sql}\n")
