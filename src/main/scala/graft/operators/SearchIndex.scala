@@ -587,7 +587,16 @@ object SearchIndex {
     // positions probe (r18; see the scale-shape scaladoc above)
     val shared = queryPostings(spark, path, tags, qterms,
       withPositions = true)
-    val cands = Search.candPage(rankPostings(spark, path, tags, shared,
+    // SLIM projection barrier between the fat page and the retrieval
+    // tail: the checkpoint stores serialized rows, so every consumer
+    // of `shared` re-pays the ps bytes regardless of its projection —
+    // and retrieval consumes the page twice (dfs + scoring join).
+    // Materializing a ps-free copy once keeps the heavy column to
+    // exactly two reads (slim build + the positions probe) instead of
+    // three, at the cost of one extra slim block copy.
+    val slim = shared.select("w", "doc_id", "tf")
+      .localCheckpoint(eager = false)
+    val cands = Search.candPage(rankPostings(spark, path, tags, slim,
       qterms, nDocs, sumDl, k1, b, topK))
     // matched positions from the SHARED page: candidate-id prune
     // (counted cap guard) on the materialized postings barrier, qid
