@@ -111,7 +111,7 @@ object ScaleBench {
         "megabucket,incstore_compact,semdedup,bloomgate,giantcluster," +
         "seminc,globalrank,giantsource,sketchstore,exportstore,clustermap," +
         "ctstore,ingestloop,clustermap_compact,profilestore,searchindex," +
-        "storecompact,compactdirs,rerankqueries,indexbytes")
+        "storecompact,compactdirs,rerankqueries,indexbytes,phrase")
       .split(",").map(_.trim).toSet
     // optional 4th arg: comma list restricting the pipeline section's
     // entries (re-running one family's ladder without paying the full
@@ -1453,6 +1453,41 @@ object ScaleBench {
           f"${qb.toDouble / cb}%11.2f")
         for (p <- Seq(plain, pos))
           fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
+    }
+
+    section("phrase") {
+      // Exact-phrase search (r18): the fresh path re-tokenizes the
+      // corpus every probe (cost ∝ corpus), the positional-store path
+      // reads the phrase terms' wb-pruned postings buckets only (cost
+      // ∝ phrase-term postings — sub-linear in corpus for fixed
+      // phrases). Store build lands OUTSIDE the timed window (it's
+      // the indexing cost, paid once; the probe is the daily cost).
+      println("== exact-phrase: fresh corpus scan vs positional store probe ==")
+      println(f"${"mult"}%-6s${"fresh_s"}%9s${"store_s"}%9s${"rows"}%7s")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      for (mult <- factMults) {
+        val dir =
+          if (mult == 1) src
+          else {
+            val d = ampCorpusDir(mult)
+            amplifyCorpusToDir(spark, src, d, mult)
+            d
+          }
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val store = s"/tmp/graft_sidx_phrase_$mult"
+        if (!graft.operators.SearchIndex.isCompleteIndexStore(fs, store))
+          graft.operators.SearchIndex.writeIndexStore(docs, store,
+            positions = true)
+        def fresh(): Long =
+          graft.operators.Search.phraseSearch(docs).count()
+        def probe(): Long = graft.operators.SearchIndex
+          .phraseFromStore(spark, store).count()
+        fresh(); probe(); settle()
+        val (fsec, rows) = time(fresh())
+        val (ssec, _) = time(probe())
+        println(f"$mult%-6d$fsec%9.2f$ssec%9.2f$rows%7d")
       }
     }
 

@@ -915,4 +915,125 @@ object Search {
        |  model_s, bm25_rk, rrk
        |FROM rr2 WHERE rrk <= $topR ORDER BY qid, rrk""".stripMargin
   }
+
+  // --- exact-phrase search (r18) --------------------------------------
+
+  /** Phrase table for the exact-phrase entries: token-level verbatim
+    * match against the fixture corpus. Includes a repeated-token
+    * phrase (pid 0 — both offsets must land on distinct consecutive
+    * tokens), a 4-gram, and a phrase with zero sf0.01 hits (pid 3 —
+    * the negative case rides the same oracle).
+    */
+  val defaultPhraseTable: Seq[(Long, String)] = Seq(
+    (0L, "table table"),
+    (1L, "fast merge batch"),
+    (2L, "scan slow"),
+    (3L, "window agg group"),
+    (4L, "value table part a"))
+
+  /** The phrase side exploded to ORDERED (pid, off, w) rows (off
+    * 0-based — anchors stay 1-based token positions) plus per-phrase
+    * lengths. NOT distinct: a repeated token keeps every offset row,
+    * which is exactly what the anchor count needs. Both frames are
+    * dictionary-sized at any corpus size and broadcast everywhere.
+    */
+  private[operators] def phraseSides(
+      spark: org.apache.spark.sql.SparkSession,
+      phraseTable: Seq[(Long, String)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val pterms = phraseTable.toDF("pid", "ptext")
+      .select(col("pid"),
+        posexplode(TextFunctions.words(col("ptext"))).as(Seq("off", "w")))
+      .where(col("w") =!= "")
+      .select(col("pid"), col("off").cast("bigint").as("off"), col("w"))
+    val plens = pterms.groupBy("pid").agg(count(lit(1)).as("len"))
+    (pterms, plens)
+  }
+
+  /** The shared exact-phrase matching tail — ONE copy for the fresh
+    * corpus scan ([[phraseSearch]]) and the positional-index path
+    * ([[graft.operators.SearchIndex.phraseFromStore]]), the
+    * [[featuresFromMatched]] discipline, so the two sources cannot
+    * diverge. From token occurrences (doc_id, pos, w) — any source —
+    * the match is pure anchor arithmetic: a phrase of length L matches
+    * at anchor a iff all L offset rows find their token at pos = a +
+    * off, i.e. the (pid, doc_id, anchor = pos − off) group collects
+    * exactly L hits ((off, pos) pairs are distinct by construction, so
+    * COUNT(*) counts matched offsets). Shuffle shape: tokens prune to
+    * phrase terms via the broadcast join FIRST, then one
+    * (pid, doc_id, anchor) hash-agg with map-side partials and one
+    * (pid, doc_id) roll-up — cost ∝ phrase-TERM occurrences, never
+    * all tokens, and window-free. All-integer output: hash-exact
+    * cross-engine.
+    */
+  private[operators] def phraseHits(toks: DataFrame, pterms: DataFrame,
+      plens: DataFrame): DataFrame =
+    toks.join(broadcast(pterms), "w")
+      .select(col("pid"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .groupBy("pid", "doc_id", "anchor")
+      .agg(count(lit(1)).as("m"))
+      .join(broadcast(plens), "pid")
+      .filter(col("m") === col("len"))
+      .groupBy("pid", "doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("anchor")).cast("bigint").as("first_hit"))
+      .orderBy("pid", "doc_id")
+
+  /** Exact-phrase search over the corpus — token-level verbatim
+    * containment (the benchmark-leak / decontamination probe at the
+    * TOKEN level, complementing the gram-store substring path): one
+    * row per (pid, doc_id) with the match count and earliest 1-based
+    * start position. One corpus tokenize (the retrieval scan shape),
+    * then the [[phraseHits]] tail.
+    */
+  def phraseSearch(docs: DataFrame,
+      phraseTable: Seq[(Long, String)] = defaultPhraseTable): DataFrame = {
+    val (pterms, plens) = phraseSides(docs.sparkSession, phraseTable)
+    val toks = docs.select(col("doc_id"),
+        posexplode(TextFunctions.words(col("text"))).as(Seq("p0", "w")))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), (col("p0") + 1).cast("bigint").as("pos"),
+        col("w"))
+    phraseHits(toks, pterms, plens)
+  }
+
+  /** DuckDB oracle for [[phraseSearch]] AND
+    * [[graft.operators.SearchIndex.phraseFromStore]] — one
+    * layout-independent ground truth (recomputes everything from the
+    * raw table), so a hash match on the store entry certifies the
+    * stored position lists against the corpus itself.
+    */
+  def phraseSearchSql(
+      phraseTable: Seq[(Long, String)] = defaultPhraseTable): String = {
+    val values = phraseTable
+      .map { case (p, t) => s"(CAST($p AS BIGINT), '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH p AS (SELECT * FROM (VALUES $values) AS t(pid, ptext)),
+       |pterms AS (
+       |  SELECT pid, i - 1 AS off, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT pid, regexp_split_to_array(trim(ptext), '\\s+') AS ws
+       |        FROM p) t,
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[CAST(i AS INT)] <> ''),
+       |plen AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM pterms GROUP BY 1),
+       |toks AS (
+       |  SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |        FROM documents) t,
+       |    UNNEST(range(1, len(ws) + 1)) AS u(i)
+       |  WHERE ws[CAST(i AS INT)] <> ''),
+       |hits AS (
+       |  SELECT pt.pid, t.doc_id, t.pos - pt.off AS anchor,
+       |    CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM toks t JOIN pterms pt ON pt.w = t.w
+       |  GROUP BY 1, 2, 3),
+       |fullm AS (
+       |  SELECT h.pid, h.doc_id, h.anchor
+       |  FROM hits h JOIN plen USING (pid) WHERE h.m = plen.len)
+       |SELECT pid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(MIN(anchor) AS BIGINT) AS first_hit
+       |FROM fullm GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin
+  }
 }

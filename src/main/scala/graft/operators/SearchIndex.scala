@@ -616,6 +616,53 @@ object SearchIndex {
       "rerank_s", topR)
   }
 
+  /** Exact-phrase search served ENTIRELY from a POSITIONAL index store
+    * (r18) — the second consumer of the `ps` layout after
+    * [[rerankFromStore]]: token-level verbatim containment (the
+    * benchmark-leak probe) with ZERO corpus read. The probe reads ONLY
+    * the phrase terms' wb-pruned postings buckets
+    * ([[queryPostings]], construction-eager wb collect), explodes
+    * their stored position lists, and runs the SHARED
+    * [[Search.phraseHits]] anchor tail — one matching-tail copy, so
+    * fresh ≡ store cannot diverge, and the [[Search.phraseSearchSql]]
+    * oracle (layout-independent, recomputes from the raw table)
+    * certifies the stored positions end-to-end. Scale shape: probe IO
+    * ∝ matched buckets (phrase-load-bounded), agg cost ∝ phrase-term
+    * occurrences; the corpus can live in cold storage.
+    */
+  def phraseFromStore(spark: SparkSession, path: String,
+      phraseTable: Seq[(Long, String)] = Search.defaultPhraseTable):
+      DataFrame = {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(isCompleteIndexStore(fs, path),
+      s"phraseFromStore: $path is missing or incomplete")
+    require(isPositionalIndexStore(fs, path),
+      s"phraseFromStore: $path was built WITHOUT positions — rebuild " +
+        "with writeIndexStore(positions = true)")
+    val (_, _, tags, _, _) = readMeta(spark, path)
+    if (tags.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("pid", "doc_id", "n_hits", "first_hit")
+    val (pterms, plens) = Search.phraseSides(spark, phraseTable)
+    val page = queryPostings(spark, path, tags,
+      pterms.select("w").distinct(), withPositions = true)
+    val toks = page.select(col("doc_id"), col("w"),
+      explode(col("ps")).as("pos"))
+    Search.phraseHits(toks, pterms, plens)
+  }
+
+  /** Driver entry for [[phraseFromStore]]: rides the SAME ensured
+    * positional store as the rerank-index entry (one build, two
+    * consumers) — the oracle is [[Search.phraseSearchSql]], identical
+    * to the fresh entry's, so layout independence is proven by two
+    * hash-equal result sets from different sources.
+    */
+  def phraseStoreEntry(docs: DataFrame, tag: String): DataFrame = {
+    val path = ensureAppendedIndexStore(docs, tag, positions = true)
+    phraseFromStore(docs.sparkSession, path)
+  }
+
   /** Build-once base + delta append keyed on the FULL corpus
     * fingerprint (the `ensureAppendedClusterMap` convention) — the
     * driver entry's store round-trip exercises write AND append every

@@ -819,6 +819,14 @@ object Extensions {
     "text_bm25_rerank_index" ->
       (c => SearchIndex.bm25RerankStoreEntry(c.documents,
         java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
+    // exact-phrase search (r18): token-level verbatim containment —
+    // fresh corpus scan vs the positional store, BOTH against the one
+    // layout-independent oracle (hash-equal from two sources = the
+    // stored position lists certified against the corpus itself)
+    "text_phrase_search" -> (c => Search.phraseSearch(c.documents)),
+    "text_phrase_store" ->
+      (c => SearchIndex.phraseStoreEntry(c.documents,
+        java.lang.Long.toHexString(c.dir.hashCode.toLong & 0xffffffffL))),
     // quality signals (repetition / LM scoring / PII)
     "text_repetition" -> (c => QualitySignals.repetition(c.documents)),
     "text_unigram_lm" -> (c => QualitySignals.unigramLm(c.documents)),
@@ -1053,6 +1061,10 @@ object Extensions {
       Search.bm25RerankModelSql(weights = Search.trainedRerankWeights),
     // positional-index rerank must be INVISIBLE vs the fresh pipeline
     "text_bm25_rerank_index" -> Search.bm25RerankSql(),
+    // ONE oracle for both phrase paths — fresh scan and positional
+    // store must be indistinguishable from ground truth
+    "text_phrase_search" -> Search.phraseSearchSql(),
+    "text_phrase_store" -> Search.phraseSearchSql(),
     // store-fed rerank must be INVISIBLE vs the fresh pipeline
     "pipeline_ingest_rerank" -> Search.bm25RerankSql(),
     "text_bm25_store" -> Search.bm25QueriesSql(),

@@ -571,6 +571,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase-from-store: ZERO corpus scan (the cold-corpus invariant " +
+    "extends to the second positional consumer)") {
+    val store = graft.operators.SearchIndex.ensureAppendedIndexStore(
+      ctx.documents, "plan_spec_pos", positions = true)
+    // entry plan: nothing may reference the documents fixture — the
+    // phrase probe reads postings buckets only (the rerankFromStore
+    // assert's discipline; the shared-page building block's wb prune
+    // and ps projection are pinned by the rerank test above, and
+    // phraseFromStore rides the SAME queryPostings block)
+    val p = planOf(
+      graft.operators.SearchIndex.phraseFromStore(spark, store))
+    assert(!p.contains("documents.parquet"), p)
+    // the only parquet scan below the page barrier is none at all —
+    // phraseHits consumes the checkpointed page, broadcast phrase
+    // sides are local relations
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("docs/PLANS.md audit covers every SparkEntry query (regenerate via PlanStats)") {
     // the audit went stale in r11 because nothing failed when a new
     // entry lacked a row — this is the loud failure: add an entry,

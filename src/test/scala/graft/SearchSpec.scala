@@ -286,4 +286,53 @@ class SearchSpec extends AnyFunSuite {
       assert(r.getLong(6) == dot, r.toString)
     }
   }
+
+  // --- exact-phrase search (r18) ------------------------------------
+
+  private def phraseDocs = Seq(
+    (0L, "a b c a b c"),       // "a b" at 1 and 4; "a b c" at 1 and 4
+    (1L, "x x x y"),           // repeated-token phrase territory
+    (2L, "b a c b"),           // has all of a,b,c but never "a b"
+    (3L, "a b")                // exact whole-doc match
+  ).toDF("doc_id", "text")
+
+  test("phrase search: counts overlapping anchors, repeated-token " +
+    "phrases, and rejects bag-of-words false positives") {
+    val out = Search.phraseSearch(phraseDocs, Seq(
+        (0L, "a b"), (1L, "x x"), (2L, "a b c"), (3L, "c a"),
+        (4L, "missing term")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 1L),  // "a b" twice in doc 0, first at 1
+      (0L, 3L, 1L, 1L),  // whole-doc match
+      (1L, 1L, 2L, 1L),  // "x x" overlaps: anchors 1 and 2
+      (2L, 0L, 2L, 1L),  // the full trigram, twice
+      (3L, 0L, 1L, 3L))) // "c a" spans doc 0's middle (c@3, a@4)
+    // doc 2 ("b a c b") holds all of a, b, c but matches NOTHING —
+    // order matters: no "a b", no "c a" (c@3 is followed by b@4)
+  }
+
+  test("phrase search: store path ≡ fresh path bit-for-bit off the " +
+    "positional index (shared matching tail, stored ps certified)") {
+    val store = graft.operators.SearchIndex.ensureAppendedIndexStore(
+      phraseDocs, "search_spec_phrase", positions = true)
+    val table = Seq((0L, "a b"), (1L, "x x"), (2L, "a b c"),
+      (3L, "c a"))
+    val fresh = Search.phraseSearch(phraseDocs, table).collect().toSeq
+    val stored = graft.operators.SearchIndex
+      .phraseFromStore(spark, store, table).collect().toSeq
+    assert(fresh == stored)
+    assert(fresh.nonEmpty)
+  }
+
+  test("phrase search: a plain (non-positional) store is refused, " +
+    "never silently degraded") {
+    val store = graft.operators.SearchIndex.ensureAppendedIndexStore(
+      phraseDocs, "search_spec_phrase_plain", positions = false)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SearchIndex.phraseFromStore(spark, store)
+    }
+    assert(e.getMessage.contains("WITHOUT positions"))
+  }
 }
