@@ -64,6 +64,19 @@ object SqlBatch {
           else kv("w").split(",").toSeq.map(_.toLong)
         (Search.bm25RerankModel(docs, qt, k1, b, topK, topR, w, cap),
           Search.bm25RerankModelSql(qt, k1, b, topK, topR, w))
+      case "phrase" =>
+        // exact-phrase containment (r18): the q list carries phrase
+        // tables — both paths share the one layout-independent oracle,
+        // so the fuzz covers the anchor arithmetic against ground truth
+        (Search.phraseSearch(docs, qt), Search.phraseSearchSql(qt))
+      case "phrase_store" =>
+        // the positional-store path under the SAME oracle — every
+        // seed-run re-certifies stored position lists vs the raw table
+        val store = graft.operators.SearchIndex
+          .ensureAppendedIndexStore(docs, "fuzz_phrase",
+            positions = true)
+        (graft.operators.SearchIndex.phraseFromStore(spark, store, qt),
+          Search.phraseSearchSql(qt))
     }
   }
 

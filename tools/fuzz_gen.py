@@ -24,6 +24,7 @@ End-to-end:
 import json
 import os
 import random
+import re
 import sys
 
 import duckdb
@@ -185,6 +186,7 @@ class Gen:
         self.approx = approx
         self.search = search
         self.search_vocab = None
+        self.search_docs = None
         self.con = duckdb.connect()
         self.con.sql("SET threads = 1")  # reproducibility
         for t in TABLES:
@@ -964,10 +966,44 @@ class Gen:
             self.search_vocab = [r[0] for r in rows]
         return self.search_vocab
 
+    def _doc_tokens(self):
+        # deterministic sample of real token sequences, for PLANTED
+        # phrase windows (guaranteed hits — a phrase fuzz that only
+        # ever samples random vocabulary would test the empty result)
+        if self.search_docs is None:
+            rows = self.con.sql(
+                "SELECT regexp_split_to_array(trim(text), '\\s+') "
+                "FROM documents ORDER BY doc_id LIMIT 40").fetchall()
+            self.search_docs = [
+                [w for w in r[0]
+                 if re.fullmatch(r"[a-z0-9]{1,20}", w)] for r in rows]
+            self.search_docs = [t for t in self.search_docs if len(t) >= 6]
+        return self.search_docs
+
     def search_q(self):
         vocab = self._vocab()
         mode = self.rng.choices(
-            ["queries", "rerank", "model", "trained"], [2, 3, 2, 1])[0]
+            ["queries", "rerank", "model", "trained", "phrase",
+             "phrase_store"], [2, 3, 2, 1, 2, 1])[0]
+        if mode in ("phrase", "phrase_store"):
+            # phrase tables: mostly PLANTED consecutive windows from
+            # real documents (guaranteed anchors, incl. any repeated
+            # tokens the corpus happens to hold), some random-vocab
+            # phrases as the negative/partial cases
+            toks = self._doc_tokens()
+            pt = []
+            for pi in range(self.rng.randint(2, 5)):
+                if toks and self.rng.random() < 0.7:
+                    d = self.rng.choice(toks)
+                    n = self.rng.randint(2, min(4, len(d)))
+                    s = self.rng.randint(0, len(d) - n)
+                    ws = d[s:s + n]
+                else:
+                    ws = [self.rng.choice(vocab)
+                          for _ in range(self.rng.randint(2, 4))]
+                pt.append(f"{pi}:{' '.join(ws)}")
+            return ("GRAFT_SEARCH mode=" + mode + ";q=" + "|".join(pt),
+                    None)
         qt = []
         for qi in range(self.rng.randint(2, 6)):
             ws = [self.rng.choice(vocab)
