@@ -189,7 +189,11 @@ object CorpusPipeline {
           struct((-col("cnt")).as("nc"), col("pair"))).as("b"))
         .select(col("b.pair").as("mpair"), col("b.cnt").as("mcnt"))
         .where(col("mpair").isNotNull)
-        .localCheckpoint() // 1 row; referenced by the merge AND the output
+        // 1 row; referenced by the merge AND the output. EAGER on
+        // purpose (r18 A/B): a lazy barrier here lets the terminal
+        // union's 8 branches drive 8 overlapping broadcast cascades —
+        // measured 4× slower than the eager per-round materialization
+        .localCheckpoint()
       dict = dict.crossJoin(broadcast(best))
         .withColumn("syms", expr(
           """replace(syms, concat(' ', replace(mpair, ' ', '  '), ' '),
@@ -866,27 +870,40 @@ object CorpusPipeline {
     val vocab = vocabFromHist(wf, vocabSize, maxPieceLen)
       .select("piece")
       .unionAll(chars).distinct()
-      .select(col("piece"), length(col("piece")).as("plen"))
-      .localCheckpoint()
-    var states = wf.withColumn("pos", lit(1))
-    val rounds = scala.collection.mutable.ListBuffer[DataFrame]()
-    for (r <- 1 to SubwordMaxWordLen) {
-      val step = states.filter(col("pos") <= length(col("w")))
-        .withColumn("L", explode(expr(s"sequence(1, $maxPieceLen)")))
-        .filter(col("pos") + col("L") - 1 <= length(col("w")))
-        .withColumn("piece", expr("substr(w, pos, L)"))
-        .join(broadcast(vocab),
-          Seq("piece")) // plen rides in; matches only
-        .groupBy("w", "freq", "pos")
-        .agg(max_by(col("piece"), col("plen")).as("piece"),
-          max("plen").as("plen"))
-        .withColumn("r", lit(r))
-        .localCheckpoint(eager = false)
-      rounds += step.select("w", "freq", "r", "piece")
-      states = step.select(col("w"), col("freq"),
-        (col("pos") + col("plen")).as("pos"))
-    }
-    rounds.reduce(_ unionAll _)
+    // r18 shape: the greedy walk is ONE map-side fold per word against
+    // a broadcast piece map, not SubwordMaxWordLen shuffled rounds —
+    // the former loop paid 16 groupBy exchanges + 16 plan barriers of
+    // dictionary-sized state for a walk whose every step is a pure
+    // function of (w, pos, vocab). Longest-match = first hit scanning
+    // piece lengths high→low (at most one piece of each length can
+    // match at a position, so this IS the old max_by(piece, plen));
+    // single chars are always in the vocabulary, so the walk advances
+    // every step and SubwordMaxWordLen fold steps finish every word.
+    // Same (w, freq, r, piece) rows; oracle SQL unchanged.
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(struct(col("piece"), lit(1))))
+        .as("vm"))
+    val matchAt =
+      s"""aggregate(
+         |  sequence(least($maxPieceLen, length(w) - acc.pos + 1), 1, -1),
+         |  CAST(NULL AS STRING),
+         |  (best, l) -> IF(best IS NOT NULL, best,
+         |    IF(element_at(vm, substr(w, acc.pos, l)) IS NOT NULL,
+         |       substr(w, acc.pos, l), best)))""".stripMargin
+    wf.crossJoin(broadcast(vmap))
+      .withColumn("pieces", expr(
+        s"""aggregate(
+           |  sequence(1, $SubwordMaxWordLen),
+           |  named_struct('pos', CAST(1 AS INT),
+           |               'out', CAST(array() AS ARRAY<STRING>)),
+           |  (acc, r) -> IF(acc.pos > length(w), acc,
+           |    named_struct(
+           |      'pos', CAST(acc.pos + length($matchAt) AS INT),
+           |      'out', concat(acc.out, array($matchAt)))),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("w"), col("freq"), posexplode(col("pieces")))
+      .select(col("w"), col("freq"),
+        (col("pos") + lit(1)).cast("int").as("r"), col("col").as("piece"))
   }
 
   /** Driver report: corpus-frequency-weighted usage of each piece

@@ -340,8 +340,11 @@ object Dedup {
   /** Over-cap (mega) buckets of a banded signature frame: one row per
     * (keys…) bucket whose occupancy exceeds `cap`, carrying the
     * bucket-min doc_id. One map-side-combined aggregate over the
-    * banded frame, checkpointed so the drivers below can branch on
-    * emptiness without re-running it.
+    * banded frame. NOT checkpointed here (r18): the common corpus has
+    * zero mega buckets, where the guard's `count()` is the frame's
+    * only consumer — an up-front checkpoint was a second
+    * materialization job paid on every construction; the rare
+    * non-empty branch checkpoints at its call site before reuse.
     */
   private def overCapBuckets(banded: DataFrame, keys: Seq[String],
       cap: Int): DataFrame =
@@ -349,7 +352,6 @@ object Dedup {
       .agg(count(lit(1)).as("occ"), min(col("doc_id")).as("bmin"))
       .filter(col("occ") > cap)
       .select((keys :+ "bmin").map(col): _*)
-      .localCheckpoint()
 
   /** Occupancy-guarded band self-join — the shared candidate
     * generator behind [[minHashLsh]], [[minHashLshMd5]] and
@@ -385,10 +387,15 @@ object Dedup {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           score.as(scoreName))
     }
-    val mega = overCapBuckets(banded, keys, cap)
-    val megaCount = mega.count()
+    val mega0 = overCapBuckets(banded, keys, cap)
+    val megaCount = mega0.count()
     if (megaCount == 0L) pairJoin(banded, banded, ordered = true)
     else {
+      // non-empty guard branch: NOW checkpoint — the frame is read by
+      // both the anti-join prune and the star-edge split below (one
+      // extra aggregate run vs the old always-checkpoint, paid only on
+      // degenerate corpora that actually have mega buckets)
+      val mega = mega0.localCheckpoint()
       val keyed =
         if (megaCount <= 100000L) broadcast(mega)
         else mega.hint("shuffle_hash")
@@ -469,17 +476,34 @@ object Dedup {
     */
   def minHashLshMd5(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       minEstSim: Double = 0.5, sampleMod: Int = 2,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    minHashLshMd5Collisions(docs, numHashes, bands, minEstSim, sampleMod,
+        bucketCap)
+      .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
+      .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+
+  /** Per-collision md5-LSH candidate rows — [[minHashLshMd5]] WITHOUT
+    * the terminal (d1, d2) dedup: one row per banded collision (a pair
+    * colliding in k bands appears k times), already threshold-filtered.
+    * `est_sim` is a pure function of the pair's signatures, identical
+    * across its copies, so filtering per collision row ≡ filtering the
+    * deduped pair (what [[minHashLshMd5]] does by grouping first).
+    * Consumers that dedup downstream anyway ([[clustersLshMd5]]'s edge
+    * canonicalization inside [[connectedComponents]]) take this form
+    * and skip one whole exchange+aggregate per clustering entry (r18).
+    * CONSTRUCTION IS EAGER (the [[guardedSelfJoinPairs]] convention).
+    */
+  private[operators] def minHashLshMd5Collisions(docs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, minEstSim: Double = 0.5,
+      sampleMod: Int = 2, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val banded = bandedMd5Sigs(docs, numHashes, bands, sampleMod)
-    // same per-collision scoring + scalar dedup as [[minHashLsh]]
+    // same per-collision scoring as [[minHashLsh]]
     guardedSelfJoinPairs(banded, Seq("band", "bsig"), bucketCap)(
         expr(s"""CAST(aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)),
            |     0, (acc, v) -> acc + v) AS DOUBLE) / $numHashes""".stripMargin),
         "est_sim")
-      .groupBy("d1", "d2").agg(first("est_sim").as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
-      .select("d1", "d2", "est_sim")
-      .orderBy("d1", "d2")
   }
 
   /** DuckDB oracle for [[minHashLshMd5]] — the same md5-derived hash
@@ -1199,10 +1223,14 @@ object Dedup {
     */
   private def truncateOverCapBuckets(b: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
-    val megaB = overCapBuckets(b, keys, cap)
-    val megaCount = megaB.count()
+    val megaB0 = overCapBuckets(b, keys, cap)
+    val megaCount = megaB0.count()
     if (megaCount == 0L) b
     else {
+      // non-empty branch re-reads the mega frame (prune + both join
+      // sides) — checkpoint it HERE, not inside overCapBuckets (r18:
+      // the empty common case pays only the one counting aggregate)
+      val megaB = megaB0.localCheckpoint()
       val keyCols = keys.map(col)
       val keyFrame = megaB.select(keyCols: _*)
       val keyed =
@@ -2239,18 +2267,32 @@ object Dedup {
     // exact fixpoint test: a directed hi→lo edge set is a depth-1
     // star forest iff child/root node sets are disjoint AND no child
     // has two distinct parents (see scaladoc — disjointness alone
-    // accepts the multi-parent hub state {(3→1),(3→2)})
+    // accepts the multi-parent hub state {(3→1),(3→2)}). r18 shape:
+    // ONE partial-aggregatable groupBy instead of the former
+    // left-semi join + countDistinct union (3 exchanges → 1, measured
+    // 0.57 s → 0.23 s per check at sf0.1) — every frame this sees is
+    // already edge-DISTINCT (e0 and each round end in distinct()), so
+    // a child's parent count IS its distinct-parent count, and the
+    // null-parent root rows make "child that is also a root" visible
+    // as 0 < parent-rows < total-rows within one group.
     def isStarForest(e: DataFrame): Boolean = {
-      val childIsRoot = e.select("u")
-        .join(e.select(col("v").as("u")).hint("shuffle_hash"),
-          Seq("u"), "left_semi")
-      val multiParent = e.groupBy("u")
-        .agg(countDistinct(col("v")).as("np"))
-        .where(col("np") > 1).select("u")
-      childIsRoot.unionAll(multiParent).isEmpty
+      val vt = e.schema("v").dataType
+      e.select(col("u").as("n"), col("v").as("p"))
+        .unionAll(e.select(col("v").as("n"), lit(null).cast(vt).as("p")))
+        .groupBy("n")
+        .agg(count(col("p")).as("nc"), count(lit(1)).as("tot"))
+        .where(col("nc") > 1 || (col("nc") > 0 && col("nc") < col("tot")))
+        .isEmpty
     }
 
-    var e = e0.repartition(parts, col("u")).localCheckpoint()
+    // r18: force the width only when the edge-derived width EXCEEDS
+    // the session width (the rule the loop below already applies per
+    // round) — under it, AQE right-sizes every half-round's exchange
+    // anyway, so the up-front repartition was one full extra
+    // materialization of the edge set per clustering entry
+    var e =
+      if (parts > sess) e0.repartition(parts, col("u")).localCheckpoint()
+      else e0
     var it = 0
     var converged = isStarForest(e)
     while (!converged && it < maxIter) {
@@ -2336,7 +2378,12 @@ object Dedup {
     * sample, so unsampled docs don't appear as spurious singletons.
     */
   def clustersLshMd5(docs: DataFrame, sampleMod: Int = 2): DataFrame = {
-    val edges = minHashLshMd5(docs, sampleMod = sampleMod).select("d1", "d2")
+    // collision rows, not deduped pairs: connectedComponents
+    // canonicalizes + distincts the edge set anyway, so the pair-level
+    // groupBy inside minHashLshMd5 was a redundant second dedup
+    // exchange on the same keys (r18)
+    val edges = minHashLshMd5Collisions(docs, sampleMod = sampleMod)
+      .select("d1", "d2")
     val nodes = docs.filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select(col("doc_id").as("node"))
     clusterize(edges, nodes)
