@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, DecimalSignDotProduct, MinHashSignature}
 
 /** SparkSessionExtensions installer: exposes the engine's custom
   * Catalyst expressions to the SQL surface (`SELECT cosine_sim(a, b)`,
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("decimal_sign_dot"),
+      new ExpressionInfo(classOf[DecimalSignDotProduct].getName,
+        "decimal_sign_dot"),
+      (exprs: Seq[Expression]) => DecimalSignDotProduct(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

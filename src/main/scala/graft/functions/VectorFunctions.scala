@@ -54,6 +54,10 @@ object VectorFunctions {
     GraftExpressionBridge.column(Md5BandCodes(
       GraftExpressionBridge.expression(c), bands, rowsPerBand))
 
+  def decimal_sign_dot(s: Column, v: Column): Column =
+    GraftExpressionBridge.column(DecimalSignDotProduct(
+      GraftExpressionBridge.expression(s), GraftExpressionBridge.expression(v)))
+
   def decimal_dot_fd(a: Column, b: Column): Column =
     GraftExpressionBridge.column(DecimalDotFloatDouble(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
@@ -243,6 +247,51 @@ case class DecimalDotFloatDouble(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.DecimalDotFD.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[DecimalDot]] for a ±1 `array<bigint>` sign row × `array<float>`
+  * embedding (the sign-random-projection hot path): same per-product
+  * scale-18 HALF_UP rounding and exact sum, so it is bit-identical to
+  * the interpreted `aggregate(zip_with(srow, embedding, (s, v) ->
+  * CAST(s * CAST(v AS DOUBLE) AS DECIMAL(30,18))), …)` fold it
+  * replaces (r18) and to the DuckDB oracle — `s·v` promotes s to
+  * double, exact for s ∈ {+1, −1}.
+  */
+object DecimalSignDot {
+  def dot(s: ArrayData, v: ArrayData): Double = {
+    val n = math.min(s.numElements(), v.numElements())
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val p = s.getLong(i).toDouble * v.getFloat(i).toDouble
+      sum = sum.add(java.math.BigDecimal.valueOf(p)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    sum.doubleValue
+  }
+}
+
+/** Fused exact-decimal signed projection coordinate — a compiled loop
+  * for [[DecimalSignDot.dot]]'s convention on the random-projection
+  * path.
+  */
+case class DecimalSignDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_sign_dot"
+
+  override def nullSafeEval(s: Any, v: Any): Any =
+    DecimalSignDot.dot(s.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"${ev.value} = graft.functions.DecimalSignDot.dot($s, $v);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

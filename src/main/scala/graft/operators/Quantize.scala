@@ -108,37 +108,43 @@ object Quantize {
     * convention; replaced the r9 decimal group-sum carrier at ~2×
     * the speed).
     *
-    * Scale shape: the codebook (m·subDim·k rows) broadcasts; the
-    * corpus explodes once to components and partial aggregation
-    * collapses the (vector, subspace, code) stream map-side — nothing
-    * all-pairs, nothing shuffled beyond the per-vector aggregates.
-    * Eagerly checkpointed (two consumers: corpus codes + query
-    * tables), per the r9 convention.
+    * Scale shape (r18): the codebook is ONE broadcast row (array of
+    * the k lowest vec_ids' embeddings, vec_id-sorted); every
+    * (subspace, code) distance of a vector is a map-side
+    * whole-stage-codegen'd HOF fold over array slices — the former
+    * component explode (|corpus|·dims rows), broadcast join
+    * (|corpus|·dims·k joined rows), (vector, subspace, code) exchange
+    * and 2M-row checkpoint are GONE; nothing is shuffled at all before
+    * the ADC pair aggregate. Same per-element 1e12 BIGINT grid (r10
+    * convention): v and c are float→double exact, v−c exact (24-bit
+    * significands), the square and ×1e12 correctly rounded IEEE —
+    * identical in DuckDB — and the BIGINT fold is order-free, so every
+    * value is bit-identical to the exploded form the oracle mirrors.
     */
-  private def pqDistances(emb: DataFrame, m: Int, k: Int,
-      dims: Int): DataFrame = {
-    require(dims % m == 0, s"dims $dims not divisible by m $m")
-    val subDim = dims / m
-    val sub = emb.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), expr(s"pos div $subDim").as("m"),
-        expr(s"pos % $subDim").as("j"), col("col").cast("double").as("v"))
-    val cb = sub.filter(col("vec_id") < k)
-      .select(col("vec_id").as("code"), col("m"), col("j"),
-        col("v").as("c"))
-    // per-ELEMENT 1e12 BIGINT grid (r10, the QualitySignals log-prob
-    // convention): v and c are float→double exact, v−c exact (24-bit
-    // significands), the square and ×1e12 correctly rounded IEEE —
-    // identical in DuckDB — and the BIGINT sum is order-free. Replaces
-    // the r9 DECIMAL(30,18) group-sum carrier: same bit-portability,
-    // ~2× cheaper on the |corpus|·dims·k joined stream (the PQ
-    // family's dominant cost — measured 23 → 6.7 s on the clustered
-    // k=64 recall gate at sf0.1)
-    sub.join(broadcast(cb), Seq("m", "j"))
-      .groupBy(col("vec_id"), col("m"), col("code"))
-      .agg(sum(expr(
-        "cast(floor((v - c) * (v - c) * 1e12 + 0.5) as bigint)")).as("dg"))
-      .localCheckpoint()
-  }
+  private def pqCodebookRow(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .agg(expr("array_sort(collect_list(struct(vec_id, embedding)))")
+        .as("cb"))
+
+  /** Per-row (m, code, dg) distance-table array over the broadcast
+    * codebook — grouped by subspace first (all codes of subspace mi
+    * are contiguous: entries mi·|cb|+1 … (mi+1)·|cb|), which the
+    * argmin in [[pqTopK]] exploits with a plain slice.
+    */
+  private def pqDgsExpr(m: Int, subDim: Int): String =
+    s"""IF(size(cb) = 0, CAST(array() AS
+       |     ARRAY<STRUCT<m: INT, code: BIGINT, dg: BIGINT>>),
+       |   flatten(transform(sequence(0, ${m - 1}), mi ->
+       |     transform(cb, ce -> named_struct(
+       |       'm', mi, 'code', ce.vec_id,
+       |       'dg', aggregate(
+       |         zip_with(slice(embedding, mi * $subDim + 1, $subDim),
+       |                  slice(ce.embedding, mi * $subDim + 1, $subDim),
+       |           (x, y) -> CAST(floor(
+       |             (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+       |             (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12 + 0.5)
+       |             AS BIGINT)),
+       |         CAST(0 AS BIGINT), (acc, d) -> acc + d))))))""".stripMargin
 
   /** PQ top-k by asymmetric distance (ADC): corpus vectors are
     * represented ONLY by their `m` codes; each query keeps its exact
@@ -150,11 +156,39 @@ object Quantize {
   def pqTopK(emb: DataFrame, m: Int = 8, k: Int = 16,
       numQueries: Int = 10, topK: Int = 5, dims: Int = 64): DataFrame = {
     import graft.functions.TopKByScore.top_k_by_score
-    val dist = pqDistances(emb, m, k, dims)
-    val codes = dist.groupBy("vec_id", "m")
-      .agg(min_by(col("code"), struct(col("dg"), col("code"))).as("code"))
-    val qd = dist.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("m"), col("code"), col("dg"))
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+    // ONE map pass computes every vector's distance-table array; the
+    // lazy barrier lets the two consumers below (corpus codes + query
+    // tables) share that single pass and its single codebook broadcast
+    // instead of re-running both per consumer (r18 A/B: the unshared
+    // form cost +0.35 s at m=8·k=16 from the duplicated broadcast
+    // build + dgs pass)
+    val base = emb.crossJoin(broadcast(pqCodebookRow(emb, k)))
+      .withColumn("dgs", expr(pqDgsExpr(m, subDim)))
+      .select(col("vec_id"), expr("size(cb)").as("cbn"), col("dgs"))
+      .localCheckpoint(eager = false)
+    // corpus codes: per-subspace argmin folded map-side over the
+    // contiguous slice of that subspace's codes (cb is vec_id-sorted,
+    // strict < keeps the FIRST minimum = lowest code — exactly the old
+    // min_by(code, struct(dg, code)) tie-break); no exchange at all
+    val codes = base.select(col("vec_id"), explode(expr(
+        s"""IF(cbn = 0, CAST(array() AS ARRAY<STRUCT<m: INT, code: BIGINT>>),
+           |   transform(sequence(0, ${m - 1}), mi -> named_struct(
+           |     'm', mi,
+           |     'code', aggregate(slice(dgs, mi * cbn + 1, cbn),
+           |       named_struct('code', CAST(NULL AS BIGINT),
+           |                    'dg', CAST(NULL AS BIGINT)),
+           |       (best, s) -> IF(best.dg IS NULL OR s.dg < best.dg,
+           |         named_struct('code', s.code, 'dg', s.dg), best),
+           |       best -> best.code))))""".stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.code").as("code"))
+    // query distance tables: the full (m, code, dg) array, exploded
+    // for the numQueries query vectors only
+    val qd = base.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), explode(col("dgs")).as("s"))
+      .select(col("qid"), col("s.m").as("m"), col("s.code").as("code"),
+        col("s.dg").as("dg"))
     codes.select(col("vec_id").as("cid"), col("m"), col("code"))
       .join(broadcast(qd), Seq("m", "code"))
       .filter(col("qid") =!= col("cid"))

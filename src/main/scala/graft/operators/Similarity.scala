@@ -1720,13 +1720,15 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(i, srow))), x -> x.srow)")
         .as("sm"))
     embeddings.crossJoin(broadcast(matrix))
+      // decimal_sign_dot = the compiled kernel form of the former
+      // interpreted `aggregate(zip_with(... DECIMAL(30,18)))` fold —
+      // same per-product shortest-decimal scale-18 HALF_UP rounding
+      // and exact sum (bit-identical; spec-pinned), ~interpreter-free
+      // on the outDims·dims hot loop (r18)
       .withColumn("proj", expr(
-        """transform(sm, srow -> cast(floor(cast(aggregate(
-          |  zip_with(srow, embedding,
-          |    (s, v) -> cast(s * cast(v as double) as decimal(30,18))),
-          |  cast(0 as decimal(38,18)),
-          |  (acc, x) -> cast(acc + x as decimal(38,18))) as double) * 1e6
-          |  + 0.5) as bigint))""".stripMargin))
+        """transform(sm, srow ->
+          |  cast(floor(decimal_sign_dot(srow, embedding) * 1e6
+          |    + 0.5) as bigint))""".stripMargin))
       .select("vec_id", "label", "proj")
   }
 

@@ -412,6 +412,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L) == expected)
   }
 
+  test("decimal_sign_dot kernel == exact sum of CAST-to-DECIMAL(30,18)") {
+    // reference semantics = the ORACLE's: DuckDB computes
+    // SUM(CAST(s·v AS DECIMAL(30,18))) with an exact wide accumulator.
+    // The r18 kernel reproduces that (per-element shortest-decimal
+    // scale-18 HALF_UP, then EXACT sum). NOTE the interpreted Spark
+    // fold it replaced is NOT that on adversarial values: Spark types
+    // decimal(38,18) + decimal(30,18) as decimal(38,17), so each fold
+    // step rounds the partial sum at 1e-17 — measured divergent from
+    // the exact sum on sub-1e-6 inputs (r18 DecProbe). On float-clean
+    // fixture magnitudes all three agree, which is why the interpreted
+    // form was oracle-green; the kernel is the convention-faithful
+    // form at every magnitude. Spark's scalar CAST itself was probed
+    // identical to valueOf+setScale on 2000 magnitudes (1e-9…0.5).
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val v = Array.fill(16)(
+        (rnd.nextFloat() - 0.5f) * (if (i % 3 == 0) 1e-6f else 4f))
+      val s = Array.fill(16)(if (rnd.nextBoolean()) 1L else -1L)
+      (i.toLong, v, s)
+    }
+    val df = rows.toDF("id", "v", "s")
+    val got = df.select(col("id"),
+      graft.functions.VectorFunctions
+        .decimal_sign_dot(col("s"), col("v")).as("kern"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v, s) =>
+      var sum = java.math.BigDecimal.ZERO
+      v.zip(s).foreach { case (vf, sl) =>
+        sum = sum.add(java.math.BigDecimal
+          .valueOf(sl.toDouble * vf.toDouble)
+          .setScale(18, java.math.RoundingMode.HALF_UP))
+      }
+      assert(java.lang.Double.doubleToRawLongBits(got(id)) ==
+        java.lang.Double.doubleToRawLongBits(sum.doubleValue),
+        s"row $id: kernel ${got(id)} != reference ${sum.doubleValue}")
+    }
+  }
+
   test("rpTopK: projected cosine is exact-integer, self-dup ranks first") {
     // vec 3 duplicates vec 0's direction → projected cosine 1.0 exactly
     val e = Seq(
