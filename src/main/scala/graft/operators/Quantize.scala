@@ -110,12 +110,15 @@ object Quantize {
     *
     * Scale shape (r18): the codebook is ONE broadcast row (array of
     * the k lowest vec_ids' embeddings, vec_id-sorted); every
-    * (subspace, code) distance of a vector is a map-side
-    * whole-stage-codegen'd HOF fold over array slices — the former
-    * component explode (|corpus|·dims rows), broadcast join
-    * (|corpus|·dims·k joined rows), (vector, subspace, code) exchange
-    * and 2M-row checkpoint are GONE; nothing is shuffled at all before
-    * the ADC pair aggregate. Same per-element 1e12 BIGINT grid (r10
+    * (subspace, code) distance of a vector is a map-side HOF fold over
+    * array slices — the former component explode (|corpus|·dims rows),
+    * broadcast join (|corpus|·dims·k joined rows),
+    * (vector, subspace, code) exchange and 2M-row checkpoint are GONE;
+    * nothing is shuffled at all before the ADC pair aggregate. (HOF
+    * lambdas evaluate interpreted — the win here is the eliminated
+    * join/exchange/checkpoint volume, measured 3.67 → 1.23 s at
+    * m=16·k=64; contrast the md5-signature experiment the same round
+    * where interpretation overhead EXCEEDED the exchange savings.) Same per-element 1e12 BIGINT grid (r10
     * convention): v and c are float→double exact, v−c exact (24-bit
     * significands), the square and ×1e12 correctly rounded IEEE —
     * identical in DuckDB — and the BIGINT fold is order-free, so every
